@@ -1,12 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.cdc.{Compactor, Dispatcher, OplogRow, StateStore}
+import graft.model.TaskSpec
+import graft.pipeline.ScanJob
+import graft.source.EventsOplog
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** The flagship task used by `entry`: events-as-oplog mapped onto a
+    * sink doc with fields (value, k, last_type). */
+  val flagshipTask: TaskSpec =
+    TaskSpec(Vector("value" -> "value", "k" -> "k", "last_type" -> "last_type"))
+
+  /** Flagship query on /root/testdata/sf0.001: the full CDC pipeline —
+    * events interpreted as an oplog, per-key compaction (C2), op
+    * dispatch with state/source joins (C1/S5-S7), LWW state merge
+    * (L1/O10). Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.ops.Tables.events(spark, dir)
+    import OplogRow.encoder
+    val oplog = EventsOplog.fromEvents(events).as[OplogRow]
+    val compacted = Compactor.compact(oplog, flagshipTask)
+    val irs = Dispatcher.dispatch(
+      compacted, flagshipTask,
+      state = None,
+      source = Some(EventsOplog.sourceSnapshot(events)))
+    StateStore.applyIRs(StateStore.empty(spark), irs)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map()

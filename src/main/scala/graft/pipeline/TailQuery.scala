@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.cdc.{Compactor, Dispatcher, OplogRow, StateStore}
+import graft.model.TaskSpec
+
+/** The streaming tail phase (reference src/processor.ts:332-396,
+  * SURVEY.md §3.3) on Structured Streaming:
+  *
+  *   source stream -> P3 filters -> trigger micro-batch ->
+  *   foreachBatch { compact (C2) -> dispatch (C1, state join) ->
+  *                  MERGE into state (L1/O10) }
+  *
+  * What the reference hand-builds, the runtime provides:
+  *  - micro-batch buffering C3  -> `Trigger.ProcessingTime`
+  *  - serial batch queue C4     -> micro-batches execute serially per query
+  *  - checkpoint + 10 s overlap L4/O9 -> exact offset/commit log via
+  *    `checkpointLocation`; the LWW ts-guard in the state merge keeps
+  *    replays idempotent anyway
+  *  - backpressure S4/O8        -> source admission options
+  *    (`maxOffsetsPerTrigger`/`maxFilesPerTrigger` analogs)
+  */
+object TailQuery {
+
+  /** Start the tail stream. `oplogStream` must be a streaming DataFrame
+    * with the OplogRow schema (ts, op, ns, id, doc, fromMigrate). */
+  def start(
+      oplogStream: DataFrame,
+      task: TaskSpec,
+      ns: String,
+      fromTs: Long,
+      stateDir: String,
+      checkpointDir: String,
+      source: Option[DataFrame] = None,
+      triggerMs: Long = 5000L,
+  ): StreamingQuery = {
+    val spark = oplogStream.sparkSession
+    import OplogRow.encoder
+    Compactor.streamFilters(oplogStream, ns, fromTs)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val compacted = Compactor.compact(batch.as[OplogRow], task)
+        val st = StateStore.read(spark, stateDir)
+        val irs = Dispatcher.dispatch(compacted, task, Some(st), source)
+        val newState = StateStore.applyIRs(st, irs)
+        StateStore.write(newState, stateDir)
+        ()
+      }
+      .start()
+  }
+}

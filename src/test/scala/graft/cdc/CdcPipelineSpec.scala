@@ -1,0 +1,131 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.core.Transformer
+import graft.model._
+import graft.source.EventsOplog
+
+/** End-to-end CDC correctness: the distributed pipeline (compact ->
+  * dispatch -> state merge) must equal a sequential pure-core model fold
+  * over the same inputs (SURVEY.md §5 test plan).
+  */
+class CdcPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val task = graft.SparkEntry.flagshipTask
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("Spark compactor == pure-core mergeOplogs on a crafted batch") {
+    import OplogRow.encoder
+    val rows = Seq(
+      OplogRow(BsonTs(0, 0).toLong, "i", "db.c", "k1", """{"_id":"k1","value":1.5}"""),
+      OplogRow(BsonTs(1, 0).toLong, "u", "db.c", "k1", """{"$set":{"value":2.5}}"""),
+      OplogRow(BsonTs(0, 1).toLong, "i", "db.c", "k2", """{"_id":"k2","value":3.0}"""),
+      OplogRow(BsonTs(2, 0).toLong, "d", "db.c", "k2", """{"_id":"k2"}"""),
+      OplogRow(BsonTs(0, 2).toLong, "u", "db.c", "k3", """{"$set":{"value":9.0}}"""),
+    )
+    val vTask = TaskSpec(Vector("value" -> "value"))
+    val got = Compactor.compact(spark.createDataset(rows), vTask)
+      .collect().sortBy(r => (r.ns, r.id)).toSeq
+    val want = Transformer.mergeOplogs(vTask, rows.map(_.toCore))
+      .map(OplogRow.fromCore).sortBy(r => (r.ns, r.id))
+    assert(got === want)
+  }
+
+  /** Pure-core model of the whole batch pipeline. */
+  private def modelState(): Map[String, String] = {
+    val events = graft.ops.Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_timestamp(col("ts")).cast("long").as("sec"),
+        col("user_id"), col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4), r.getLong(5)))
+      .toSeq
+
+    def mkOplog(eid: Long, sec: Long, uid: Long, typ: String, v: Double, k: Long): Oplog = {
+      val ts = BsonTs(sec.toInt, (eid % 2147483648L).toInt)
+      val id = uid.toString
+      typ match {
+        case "signup" => Oplog(ts, "i", "app.users", DObj(
+          "_id" -> DStr(id), "value" -> DDbl(v), "k" -> DInt(k), "last_type" -> DStr(typ)))
+        case "error" => Oplog(ts, "d", "app.users", DObj("_id" -> DStr(id)))
+        case _ => Oplog(ts, "u", "app.users", DObj(
+          "$set" -> DObj("value" -> DDbl(v), "k" -> DInt(k), "last_type" -> DStr(typ))),
+          Some(DObj("_id" -> DStr(id))))
+      }
+    }
+    val oplogs = events.map((mkOplog _).tupled)
+    val sourceSnap: Map[String, DObj] = oplogs
+      .filter(_.op == "i")
+      .sortBy(_.ts)
+      .groupBy(_.docId.get)
+      .view.mapValues(_.head.o).toMap
+
+    val compacted = Transformer.mergeOplogs(task, oplogs)
+    val irs = compacted.flatMap { o =>
+      Transformer.dispatch(task, o, sinkDoc = None, sourceDoc = sourceSnap.get(o.docId.getOrElse("")))
+    }
+    // LWW apply to empty state (one IR per key after compaction)
+    irs.groupBy(_.id).collect {
+      case (id, list) if list.maxBy(_.timestamp).action == "upsert" =>
+        val ir = list.maxBy(_.timestamp)
+        id -> DObj(("_id" -> DStr(id)) +: ir.data.get.fields).render
+    }.toMap
+  }
+
+  test("full batch pipeline on sf0.001 events == pure-core model fold") {
+    val got = graft.SparkEntry.entry(spark)
+      .select("id", "doc").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = modelState()
+    assert(got.size === want.size, s"state sizes differ: got ${got.size} want ${want.size}")
+    val mismatches = want.collect { case (id, doc) if got.get(id) != Some(doc) => (id, doc, got.get(id)) }
+    assert(mismatches.isEmpty, s"first mismatches: ${mismatches.take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("state store MERGE: LWW guard makes replays idempotent (O9/O10)") {
+    import IRRow.encoder
+    val irs1 = spark.createDataset(Seq(
+      IRRow("upsert", "a", """{"v":1}""", null, 10L),
+      IRRow("upsert", "b", """{"v":2}""", null, 10L),
+    ))
+    val s1 = StateStore.applyIRs(StateStore.empty(spark), irs1)
+    val irs2 = spark.createDataset(Seq(
+      IRRow("upsert", "a", """{"v":9}""", null, 5L), // stale replay: must lose
+      IRRow("delete", "b", null, null, 20L),
+      IRRow("upsert", "c", """{"v":3}""", null, 1L),
+    ))
+    val s2 = StateStore.applyIRs(s1, irs2)
+    val got = s2.select("id", "doc").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got === Map(
+      "a" -> """{"_id":"a","v":1}""",
+      "c" -> """{"_id":"c","v":3}""",
+    ))
+  }
+
+  test("dispatcher: $set update against sink state vs source fallback") {
+    import OplogRow.encoder
+    val vTask = TaskSpec(Vector("value" -> "value"))
+    val batch = spark.createDataset(Seq(
+      OplogRow(BsonTs(5, 0).toLong, "u", "db.c", "known", """{"$set":{"value":42.0}}"""),
+      OplogRow(BsonTs(5, 1).toLong, "u", "db.c", "sourced", """{"$set":{"value":7.0}}"""),
+      OplogRow(BsonTs(5, 2).toLong, "u", "db.c", "ghost", """{"$set":{"value":8.0}}"""),
+    ))
+    val state = spark.createDataFrame(Seq(
+      ("known", """{"_id":"known","value":1.0}""", null.asInstanceOf[String], 1L)
+    )).toDF("id", "doc", "parent", "ts")
+    val source = spark.createDataFrame(Seq(
+      ("sourced", """{"_id":"sourced","value":3.0}"""),
+    )).toDF("id", "doc")
+    val irs = Dispatcher.dispatch(batch, vTask, Some(state), Some(source))
+      .collect().map(ir => ir.id -> ir.data).toMap
+    // known: state doc updated via applyUpdateESDoc -> value 42
+    assert(irs("known") === """{"value":42.0}""")
+    // sourced: no sink state -> source doc re-transformed (reference
+    // src/processor.ts:199-202: fallback doc is NOT update-applied)
+    assert(irs("sourced") === """{"value":3.0}""")
+    // ghost: neither -> dropped
+    assert(!irs.contains("ghost"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.TestSpark
+import graft.cdc.{OplogRow, StateStore}
+import graft.model.{BsonTs, TaskSpec}
+
+/** Streaming tail phase end-to-end: two micro-batches through a file
+  * source; the update in batch 2 must resolve against the state that
+  * batch 1 merged (the engine-owned replacement for sink read-back).
+  */
+class TailQuerySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val task = TaskSpec(Vector("value" -> "value"))
+
+  val oplogSchema = StructType(Seq(
+    StructField("ts", LongType),
+    StructField("op", StringType),
+    StructField("ns", StringType),
+    StructField("id", StringType),
+    StructField("doc", StringType),
+    StructField("fromMigrate", BooleanType),
+  ))
+
+  test("tail stream: state survives across micro-batches; deletes and updates apply") {
+    import OplogRow.encoder
+    val base = Files.createTempDirectory("tailq").toString
+    val inDir = s"$base/in"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+
+    val batch1 = Seq(
+      OplogRow(BsonTs(1, 0).toLong, "i", "db.c", "k1", """{"_id":"k1","value":1.0}"""),
+      OplogRow(BsonTs(1, 1).toLong, "i", "db.c", "k2", """{"_id":"k2","value":2.0}"""),
+    )
+    val batch2 = Seq(
+      OplogRow(BsonTs(2, 0).toLong, "u", "db.c", "k1", """{"$set":{"value":10.0}}"""),
+      OplogRow(BsonTs(2, 1).toLong, "d", "db.c", "k2", """{"_id":"k2"}"""),
+      OplogRow(BsonTs(2, 2).toLong, "i", "db.c", "k3", """{"_id":"k3","value":3.0}"""),
+      // foreign namespace: must be filtered by P3
+      OplogRow(BsonTs(2, 3).toLong, "i", "other.ns", "kX", """{"_id":"kX","value":9.9}"""),
+      // fromMigrate: must be filtered by P3
+      OplogRow(BsonTs(2, 4).toLong, "i", "db.c", "kY", """{"_id":"kY","value":8.8}""", fromMigrate = true),
+    )
+    // one file per micro-batch, processed in order via maxFilesPerTrigger=1
+    spark.createDataset(batch1).coalesce(1).write.parquet(s"$inDir/b1")
+    spark.createDataset(batch2).coalesce(1).write.parquet(s"$inDir/b2")
+
+    val stream = spark.readStream
+      .schema(oplogSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(inDir)
+
+    val q = TailQuery.start(
+      stream, task, ns = "db.c", fromTs = 0L,
+      stateDir = s"$base/state", checkpointDir = s"$base/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    val state = StateStore.read(spark, s"$base/state")
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[String]("doc")).toMap
+    assert(state === Map(
+      "k1" -> """{"_id":"k1","value":10.0}""",
+      "k3" -> """{"_id":"k3","value":3.0}""",
+    ))
+  }
+}
