@@ -31,10 +31,15 @@ object SparkEntry {
     StateStore.applyIRs(StateStore.empty(spark), irs)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  /** One entry per implemented operator from SURVEY.md §2 (registered in
+    * graft.ops.Registry — relational inventory, CDC relational twins,
+    * LLM-pipeline extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.ops.Registry.all.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (typed deep-merge pipeline, xxhash64 sketches, LSH, decode stubs). */
+  def oracleSql: Map[String, String] =
+    graft.ops.Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,178 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{NamedQuery, Tables}
+
+/** Deduplication operators over the `documents` table — the
+  * training-data-pipeline extensions (BASELINE.json north star).
+  *
+  * Scale design: every variant is shuffle-bounded by a *bucket* key
+  * (content hash, LSH band bucket, or (lang, source) block), never by a
+  * global cross join. At 100 TB:
+  *  - exact/normalized dedup shuffle once on the hash — identical to a
+  *    groupBy at any scale;
+  *  - minhash banding turns near-dup search into an equi-join on
+  *    (band, bucket), linear in candidates sharing a bucket;
+  *  - the pairwise Jaccard is restricted to (lang, source) blocks —
+  *    at real scale the block key would be the LSH bucket itself.
+  */
+object DedupQueries {
+
+  def queries: Vector[NamedQuery] = Vector(
+    NamedQuery("dedup_exact", exact, Some(exactSql)),
+    NamedQuery("dedup_norm", norm, Some(normSql)),
+    NamedQuery("dedup_jaccard_pairs", jaccard, Some(jaccardSql)),
+    NamedQuery("dedup_minhash_pairs", minhash, Some(minhashSql)),
+    NamedQuery("dedup_simhash", simhash, None), // xxhash64-based: not oracle-portable
+  )
+
+  // ---------------------------------------------------------------
+  // Exact dedup: content-hash groups; first doc_id per group is kept.
+  private def exact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy(col("doc_id"))
+  }
+
+  private val exactSql =
+    """SELECT doc_id, md5(text) AS h,
+      |  (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Normalized dedup: lowercase, strip non-alphanumerics, collapse
+  // whitespace, then hash; canonical representative = min doc_id.
+  private def norm(spark: SparkSession, dir: String): DataFrame = {
+    val normText = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), md5(normText).as("h"))
+      .withColumn("canonical", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val normSql =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS canonical
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // n-gram (word-set) Jaccard similarity pairs within (lang, source)
+  // blocks: explode distinct words, self-join inside the block, count
+  // intersections, Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+  private def jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val words = docs.select(col("doc_id"), col("lang"), col("source"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = words.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("w"))
+    val b = words.select(col("doc_id").as("b_id"), col("lang").as("l2"), col("source").as("s2"), col("w").as("w2"))
+    val inter = a.join(b,
+        col("lang") === col("l2") && col("source") === col("s2") &&
+          col("w") === col("w2") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sa"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sb"), "b_id")
+      .withColumn("jaccard",
+        graft.ops.Registry.rnd(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val jaccardSql =
+    """WITH words AS (
+      |  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM words a JOIN words b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT a_id, b_id,
+      |  CAST(round(CAST(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS DECIMAL(18,8)), 4) AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = a_id
+      |JOIN sizes sb ON sb.doc_id = b_id
+      |WHERE CAST(round(CAST(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // MinHash + LSH banding: 3-word shingles, 4 md5-based hash functions,
+  // 2 bands of 2 — candidate pairs share a (band, bucket). md5 is the
+  // hash family so the oracle can reproduce it exactly.
+  private def minhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+    val shingled = docs.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("sh"))
+    val hashed = shingled
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("seed"), col("sh"))
+      .select(col("doc_id"), col("seed"), md5(concat(col("sh"), lit("#"), col("seed"))).as("h"))
+    val bands = hashed
+      .withColumn("band", expr("seed div 2"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat(
+        min(when(col("seed") % 2 === 0, col("h"))), lit("|"),
+        min(when(col("seed") % 2 === 1, col("h")))).as("bucket"))
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bucket").as("bucket2"))
+    a.join(b, col("band") === col("band2") && col("bucket") === col("bucket2") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val minhashSql =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3
+      |), shingles AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM ws
+      |), hashed AS (
+      |  SELECT doc_id, s.seed, md5(sh || '#' || s.seed) AS h
+      |  FROM shingles, (SELECT unnest([0,1,2,3]) AS seed) s
+      |), bands AS (
+      |  SELECT doc_id, seed//2 AS band,
+      |    min(CASE WHEN seed%2=0 THEN h END) || '|' || min(CASE WHEN seed%2=1 THEN h END) AS bucket
+      |  FROM hashed GROUP BY doc_id, seed//2
+      |)
+      |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // SimHash: 63-bit fingerprint from xxhash64 word hashes (bit votes).
+  // xxhash64 differs across engines -> rows-only harness check.
+  private def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val votes = words
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 62)")).as("i"))
+      .withColumn("vote", when(expr("(h div shiftleft(1L, i)) % 2 != 0"), 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("vote")).as("s"))
+    votes
+      .withColumn("bit", when(col("s") > 0, expr("shiftleft(1L, i)")).otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit")).as("simhash"))
+      .withColumn("prefix16", expr("simhash div shiftleft(1L, 47)"))
+      .orderBy(col("doc_id"))
+  }
+}

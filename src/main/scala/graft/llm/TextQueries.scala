@@ -1,0 +1,141 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{NamedQuery, Tables}
+import graft.ops.Registry.rnd
+
+/** Text-analysis operators over `documents`: quality scoring, n-gram
+  * language-ID heuristic, token counting, fingerprinting, corpus stats.
+  * All are embarrassingly parallel scans (no shuffle except the final
+  * stats groupBy) — they scale linearly with the corpus.
+  */
+object TextQueries {
+
+  def queries: Vector[NamedQuery] = Vector(
+    NamedQuery("text_quality", quality, Some(qualitySql)),
+    NamedQuery("text_langid", langid, Some(langidSql)),
+    NamedQuery("text_tokens", tokens, Some(tokensSql)),
+    NamedQuery("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    NamedQuery("doc_stats_by_lang", stats, Some(statsSql)),
+  )
+
+  // ---------------------------------------------------------------
+  // Quality scoring: word count, mean word length, stopword ratio, and
+  // a combined [0,1] score (length/stopword heuristics).
+  private def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        rnd((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words"), 2).as("avg_word_len"),
+        rnd(col("n_stop").cast("double") / col("n_words"), 3).as("stopword_ratio"),
+        rnd(
+          lit(0.5) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+            lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
+          3).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val qualitySql =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_words,
+      |  CAST(round(CAST(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words AS DECIMAL(18,8)), 2) AS DOUBLE) AS avg_word_len,
+      |  CAST(round(CAST(CAST(n_stop AS DOUBLE) / n_words AS DECIMAL(18,8)), 3) AS DOUBLE) AS stopword_ratio,
+      |  CAST(round(CAST(0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+      |      + 0.5 * (1.0 - CAST(round(CAST(CAST(n_stop AS DOUBLE) / n_words AS DECIMAL(18,8)), 3) AS DOUBLE)) AS DECIMAL(18,8)), 3) AS DOUBLE) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Language-ID heuristic: marker-word n-gram counts -> argmax class.
+  // (Deterministic plumbing demo; real lang-ID swaps in a character
+  // n-gram profile table — same shape, still a scan.)
+  private def langid(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .withColumn("n_the", size(expr("regexp_extract_all(text, '\\\\bthe\\\\b', 0)")).cast("long"))
+      .withColumn("n_data", size(expr("regexp_extract_all(text, '\\\\bdata\\\\b', 0)")).cast("long"))
+      .withColumn("n_query", size(expr("regexp_extract_all(text, '\\\\bquery\\\\b', 0)")).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_the"), col("n_data"), col("n_query"),
+        when(col("n_the") >= col("n_data") && col("n_the") >= col("n_query") && col("n_the") > 0, "en")
+          .when(col("n_data") >= col("n_query") && col("n_data") > 0, "datalang")
+          .when(col("n_query") > 0, "querylang")
+          .otherwise("unknown").as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private val langidSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT) AS n_the,
+      |    CAST(len(regexp_extract_all(text, '\bdata\b')) AS BIGINT) AS n_data,
+      |    CAST(len(regexp_extract_all(text, '\bquery\b')) AS BIGINT) AS n_query
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, n_the, n_data, n_query,
+      |  CASE WHEN n_the >= n_data AND n_the >= n_query AND n_the > 0 THEN 'en'
+      |       WHEN n_data >= n_query AND n_data > 0 THEN 'datalang'
+      |       WHEN n_query > 0 THEN 'querylang'
+      |       ELSE 'unknown' END AS lang_pred
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Token counting: whitespace tokens and a BPE-ish regex tokenizer
+  // (letter runs / digit runs / single other chars).
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .withColumn("n_ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_bpe_tokens",
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        rnd(col("n_chars").cast("double") / col("n_bpe_tokens"), 2).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  private val tokensSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(round(CAST(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DECIMAL(18,8)), 2) AS DOUBLE) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Document fingerprinting: hash of the normalized text + a bucket
+  // prefix (the shard/routing key a dedup service would use).
+  private def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val normText = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), md5(normText).as("fp"))
+      .withColumn("fp_bucket", substring(col("fp"), 1, 2))
+      .orderBy(col("doc_id"))
+  }
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+      |  substring(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 2) AS fp_bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  private def stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars").cast("decimal(18,4)")), 2).cast("double").as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  private val statsSql =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(round(avg(CAST(n_chars AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+}

@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Registry.{dec, sumDec2}
+
+/** The reference's CDC operators re-expressed relationally over the
+  * harness `events` table (FIXTURES.md §B role mapping: user_id = `_id`,
+  * event_type = op-class, ts = oplog ts, props = dynamic doc body) so
+  * each has a DuckDB-checkable twin, plus the full typed pipeline as a
+  * rows-only query.
+  *
+  * Event time rides as epoch seconds (bigint) in outputs — the parquet
+  * source is TIMESTAMP(NANOS), which the two engines surface with
+  * different precisions (see Tables.events).
+  */
+object CdcQueries {
+
+  def queries: Vector[NamedQuery] = Vector(
+    NamedQuery("cdc_lww_state", lwwState, Some(lwwStateSql)),
+    NamedQuery("cdc_mapping_transform", mappingTransform, Some(mappingTransformSql)),
+    NamedQuery("cdc_resume_scan", resumeScan, Some(resumeScanSql)),
+    NamedQuery("cdc_relevance_filter", relevanceFilter, Some(relevanceFilterSql)),
+    NamedQuery("cdc_annihilation", annihilation, Some(annihilationSql)),
+    NamedQuery("cdc_pipeline_state", pipelineState, None), // typed deep-merge path: not SQL-expressible
+    NamedQuery("events_hourly_stats", hourlyStats, Some(hourlyStatsSql)),
+    NamedQuery("events_sessionize", sessionize, Some(sessionizeSql)),
+  )
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("sec", expr("ts_ns div 1000000000"))
+
+  // ---------------------------------------------------------------
+  // C2's relational special case: last-writer-wins state per key
+  // (row_number over ts desc = 1), the `compactLww` twin.
+  private def lwwState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec").desc, col("event_id").desc)
+    ev(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        dec(col("value")).cast("double").as("last_value"), col("sec").as("last_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  private val lwwStateSql =
+    """SELECT user_id, event_type AS last_type,
+      |  CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS last_value,
+      |  sec AS last_sec
+      |FROM (
+      |  SELECT *, epoch_ns(ts)//1000000000 AS sec,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts)//1000000000 DESC, event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // T1/T6 as a pure select: rename + static literal + JSON path
+  // extraction from the dynamic body (the mapping projection).
+  private def mappingTransform(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id").cast("string").as("id"),
+        dec(col("value")).cast("double").as("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type").as("last_type"),
+        lit("app.users").as("ns"))
+      .orderBy(col("event_id"))
+
+  private val mappingTransformSql =
+    """SELECT event_id, CAST(user_id AS VARCHAR) AS id,
+      |  CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value,
+      |  CAST(props->>'$.k' AS BIGINT) AS k,
+      |  event_type AS last_type,
+      |  'app.users' AS ns
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // P1/P2: resumable scan — projection + resume range predicate, both
+  // pushed into the parquet scan by Catalyst.
+  private def resumeScan(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .filter(col("event_id") >= 500)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  private val resumeScanSql =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE event_id >= 500 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // P4/O5: update-relevance — drop update-class events whose dynamic
+  // body touches no mapped key (mapped set = {k}; here expressed as the
+  // JSON containing a non-null k) or that are not update-class at all.
+  private def relevanceFilter(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .filter(get_json_object(col("props"), "$.k").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  private val relevanceFilterSql =
+    """SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE event_type IN ('click', 'view', 'purchase')
+      |  AND json_extract_string(props, '$.k') IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // C2 annihilation, relationally: keys whose latest event is a delete
+  // (op-class 'error') disappear from the final state.
+  private def annihilation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec").desc, col("event_id").desc)
+    ev(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_type"))
+      .orderBy(col("user_id"))
+  }
+
+  private val annihilationSql =
+    """SELECT user_id, event_type AS last_type
+      |FROM (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts)//1000000000 DESC, event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // The full typed pipeline (compact -> dispatch -> LWW merge) at the
+  // given scale dir. Deep-merge/$set-fold semantics are not ANSI-SQL
+  // expressible — rows-only harness check; exactness is pinned by the
+  // pure-core goldens and the Spark-vs-model test suite.
+  private def pipelineState(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.{Compactor, Dispatcher, OplogRow, StateStore}
+    import graft.source.EventsOplog
+    val events = Tables.events(spark, dir)
+    import OplogRow.encoder
+    val oplog = EventsOplog.fromEvents(events).as[OplogRow]
+    val compacted = Compactor.compact(oplog, graft.SparkEntry.flagshipTask)
+    val irs = Dispatcher.dispatch(
+      compacted, graft.SparkEntry.flagshipTask,
+      state = None,
+      source = Some(EventsOplog.sourceSnapshot(events)))
+    StateStore.applyIRs(StateStore.empty(spark), irs)
+      .orderBy(col("id"))
+  }
+
+  // ---------------------------------------------------------------
+  // C3-analog windowed aggregation: tumbling 1-hour buckets.
+  private def hourlyStats(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .withColumn("hour_bucket", expr("sec div 3600") * 3600)
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumDec2(col("value")).as("total_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+
+  private val hourlyStatsSql =
+    """SELECT (epoch_ns(ts)//1000000000//3600)*3600 AS hour_bucket, event_type,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_bucket, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Session windows (30-minute inactivity gap) expressed with lag +
+  // running sum — the batch twin of streaming session windows.
+  private def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(spark, dir)
+      .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val sessionizeSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS sec FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+      |      OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM e
+      |), numbered AS (
+      |  SELECT user_id, sec,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(sec) AS start_sec, max(sec) AS end_sec
+      |FROM numbered
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+}
