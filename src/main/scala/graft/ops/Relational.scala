@@ -206,19 +206,27 @@ object Relational {
 
   // ---------------------------------------------------------------
   // as-of join: for each event, the user's most recent order as of the
-  // event time. Range join + per-event top-1; at scale the union-window
-  // trick or a bucketed sort-merge replaces the range hash join.
+  // event time — implemented with the union + running-`last` trick: tag
+  // both sides, sort per user by time (orders before events at equal t),
+  // and carry the latest order forward. One shuffle on the user key,
+  // linear scan per partition — no range-join pair blowup, which is what
+  // makes this the 100 TB formulation (a naive events x orders range
+  // join materializes |events| * avg-orders-per-user pairs first).
   private def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), expr("ts_ns div 1000000000").as("event_sec"))
+      .select(col("event_id"), col("user_id").as("u"), expr("ts_ns div 1000000000").as("t"),
+        lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"))
     val o = table(spark, dir, "orders")
-      .select(col("o_custkey"), col("o_orderkey"),
-        unix_timestamp(col("o_orderdate")).as("order_sec"))
-    val joined = e.join(o, col("user_id") === col("o_custkey") && col("order_sec") <= col("event_sec"))
-    val w = Window.partitionBy(col("event_id")).orderBy(col("order_sec").desc, col("o_orderkey").desc)
-    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"),
-        col("order_sec").as("asof_order_sec"))
+      .select(lit(null).cast("long").as("event_id"), col("o_custkey").as("u"),
+        unix_timestamp(col("o_orderdate")).as("t"), lit(1).as("is_order"), col("o_orderkey"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("is_order").desc, col("o_orderkey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_order_sec", last(when(col("is_order") === 1, col("t")), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("u").as("user_id"), col("asof_orderkey"), col("asof_order_sec"))
       .orderBy(col("event_id"))
   }
 
