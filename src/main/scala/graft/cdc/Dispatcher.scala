@@ -31,12 +31,12 @@ final case class DispatchJoined(
 object Dispatcher {
 
   /** Does this update row need prior state? False for full-replacement
-    * updates — any non-`$` top-level key in `o` (O7). Computed on the JSON
-    * body without full parse cost via the core parser (cheap at the sizes
-    * compaction leaves: <=1 event per key). */
-  private def needsStateUdf = udf { (op: String, doc: String) =>
-    op == "u" && Json.parseObj(doc).keys.forall(_.startsWith("$"))
-  }
+    * updates — any non-`$` top-level key in `o` (O7). Uses the native
+    * codegen'd [[graft.expressions.JsonAllKeysDollar]] expression: one
+    * allocation-free string scan inside whole-stage codegen. */
+  private def needsState: Column =
+    col("op") === "u" &&
+      graft.expressions.functions.json_all_keys_dollar(col("doc"))
 
   /**
     * @param compacted  compacted micro-batch (<=1 event per ns+id)
@@ -58,7 +58,6 @@ object Dispatcher {
     val spark = compacted.sparkSession
     val df = compacted.toDF()
 
-    val needsState = needsStateUdf(col("op"), col("doc"))
     val direct = df.filter(!needsState) // i, d, full-replacement u
     val stateful = df.filter(needsState) // $set/$unset u
 

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.cdc.StateStore
+import graft.model.TaskSpec
+
+/** Per-task orchestration (§3.1, reference src/index.ts:7-39): the
+  * scan-then-tail lifecycle.
+  *
+  *  - Phase `scan` (L5 start): batch backfill seeds the engine-owned
+  *    state (reference scans the collection and bulk-indexes,
+  *    src/index.ts:27-32). The state store's VERSION pointer doubles as
+  *    the phase checkpoint: if it exists, the backfill already ran and a
+  *    restart goes straight to tailing (reference: persisted checkpoint
+  *    overrides `task.from`, src/index.ts:14-21).
+  *  - Phase `tail` (L5 end): the streaming query, whose own
+  *    checkpointLocation gives exact resume (replacing the reference's
+  *    `now - 10 s` overlap heuristic, src/processor.ts:388); replays
+  *    that do slip through are absorbed by the LWW merge (O9/O10).
+  */
+object Runner {
+
+  final case class TaskPipeline(
+      task: TaskSpec,
+      ns: String,
+      stateDir: String,
+      checkpointDir: String,
+      triggerMs: Long = 5000L,
+  )
+
+  /** Run (or skip, on restart) the scan backfill, then start the tail.
+    * Returns the running tail query; callers
+    * `spark.streams.awaitAnyTermination()` across tasks (tasks scan
+    * sequentially, tail concurrently — reference src/index.ts:27-37). */
+  def bootstrapAndTail(
+      spark: SparkSession,
+      sourceSnapshot: DataFrame,
+      oplogStream: DataFrame,
+      cfg: TaskPipeline,
+  ): StreamingQuery = {
+    val alreadyScanned = StateStore.currentVersion(cfg.stateDir).isDefined
+    if (!alreadyScanned) {
+      ScanJob.backfill(sourceSnapshot, cfg.task, cfg.stateDir)
+    }
+    TailQuery.start(
+      oplogStream, cfg.task, cfg.ns, fromTs = 0L,
+      stateDir = cfg.stateDir, checkpointDir = cfg.checkpointDir,
+      source = Some(sourceSnapshot), triggerMs = cfg.triggerMs)
+  }
+}
