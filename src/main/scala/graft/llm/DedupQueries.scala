@@ -26,6 +26,7 @@ object DedupQueries {
     NamedQuery("dedup_jaccard_pairs", jaccard, Some(jaccardSql)),
     NamedQuery("dedup_minhash_pairs", minhash, Some(minhashSql)),
     NamedQuery("dedup_simhash", simhash, None), // xxhash64-based: not oracle-portable
+    NamedQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
   )
 
   // ---------------------------------------------------------------
@@ -154,6 +155,41 @@ object DedupQueries {
       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Embedding-cosine near-dup: vector pairs above a similarity
+  // threshold, *blocked by the label column* (the cluster/shard key a
+  // near-dup pass would block on — unblocked all-pairs is quadratic in
+  // the corpus; at 100 TB the block key is an LSH signature, see
+  // SimilarityQueries.lshTopK). Unit vectors are precomputed once so
+  // the per-pair work is a single dot product.
+  private def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${dotF.format("v", "v")})"))
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("u").as("au"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("l2"), col("u").as("bu"))
+    a.join(b, col("label") === col("l2") && col("a_id") < col("b_id"))
+      .withColumn("sim", graft.ops.Registry.rnd(expr(dotF.format("au", "bu")), 4))
+      .filter(col("sim") >= 0.4)
+      .select(col("a_id"), col("b_id"), col("label"), col("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val embeddingPairsSql =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+      |  CAST(round(CAST(list_dot_product(a.u, b.u) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE CAST(round(CAST(list_dot_product(a.u, b.u) AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.4
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------

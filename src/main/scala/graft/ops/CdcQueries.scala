@@ -26,6 +26,9 @@ object CdcQueries {
     NamedQuery("cdc_pipeline_state", pipelineState, None), // typed deep-merge path: not SQL-expressible
     NamedQuery("events_hourly_stats", hourlyStats, Some(hourlyStatsSql)),
     NamedQuery("events_sessionize", sessionize, Some(sessionizeSql)),
+    NamedQuery("events_tumbling_window", tumbling, Some(tumblingSql)),
+    NamedQuery("events_sliding_window", sliding, Some(slidingSql)),
+    NamedQuery("events_session_window", sessionWindow, Some(sessionWindowSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -186,6 +189,78 @@ object CdcQueries {
         min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  // ---------------------------------------------------------------
+  // The native Structured-Streaming window operators, run in batch mode
+  // (same operator; streaming wiring is exercised in
+  // StreamingWindowSpec with a watermark). Oracle twins rebuild the
+  // bucket arithmetic.
+  private def tumbling(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumDec2(col("value")).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val tumblingSql =
+    """SELECT (epoch_ns(ts)//1000000000//3600)*3600 AS win_start, event_type,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin
+
+  private def sliding(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_start"), col("n"))
+      .orderBy(col("win_start"))
+
+  // each event belongs to 2 sliding buckets: hour h-1 and hour h
+  private val slidingSql =
+    """WITH b AS (
+      |  SELECT (epoch_ns(ts)//1000000000//3600 - off.o)*3600 AS win_start
+      |  FROM events, (SELECT unnest([0, 1]) AS o) off
+      |)
+      |SELECT win_start, count(*) AS n FROM b
+      |GROUP BY win_start ORDER BY win_start""".stripMargin
+
+  private def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_sec"),
+        unix_timestamp(col("session_window.end")).as("end_sec"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_sec"))
+
+  // gap-merge sessions relationally; session end = last event + gap.
+  // Second-level precision: session_window compares full-precision ts,
+  // the relational twin epoch seconds — both derived from the same
+  // microsecond instants, and gaps in the synthetic data are far from
+  // the 1800 s boundary at sub-second resolution.
+  private val sessionWindowSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS sec,
+      |    epoch_ns(ts) AS ns FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, sec, ns,
+      |    CASE WHEN lag(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) IS NULL
+      |      OR ns - lag(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) >= 1800000000000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM e
+      |), numbered AS (
+      |  SELECT user_id, sec, ns,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, min(sec) AS start_sec,
+      |  max(ns)//1000000000 + 1800 AS end_sec, count(*) AS n_events
+      |FROM numbered GROUP BY user_id, session_id
+      |ORDER BY user_id, start_sec""".stripMargin
 
   private val sessionizeSql =
     """WITH e AS (

@@ -1,0 +1,70 @@
+package graft.sink
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import graft.model.{DBool, DDbl, DInt, DNull, DStr, DVal, TaskSpec}
+
+/** Sink-side DDL (L3, reference src/indices.ts:19-57): the reference
+  * creates the ES index (with an optional blue/green `indexNameSuffix`)
+  * and pins the output schema with a `dynamic:false` mapping before any
+  * data flows. Spark equivalent: derive the closed output StructType
+  * from the task spec and `CREATE TABLE IF NOT EXISTS` in the catalog —
+  * the fixed-schema contract ("dynamic in, fixed out", SURVEY.md §1.2).
+  */
+object Ddl {
+
+  /** ES-mapping-style field type names -> Spark types (the subset the
+    * reference's example mappings use: text/keyword/long/double/boolean/
+    * date, examples/config.json:62-79). */
+  def esTypeToSpark(t: String): DataType = t match {
+    case "text" | "keyword" => StringType
+    case "long" | "integer" => LongType
+    case "double" | "float" => DoubleType
+    case "boolean"          => BooleanType
+    case "date"             => TimestampType
+    case other              => throw new IllegalArgumentException(s"unsupported sink type: $other")
+  }
+
+  /** Infer the output StructType from the task's static seed values and
+    * declared field types; mapping destinations without a declared type
+    * default to StringType (stringified passthrough). */
+  def outputSchema(task: TaskSpec, fieldTypes: Map[String, String] = Map.empty): StructType = {
+    def typeOfStatic(v: DVal): DataType = v match {
+      case _: DStr  => StringType
+      case _: DInt  => LongType
+      case _: DDbl  => DoubleType
+      case _: DBool => BooleanType
+      case DNull    => StringType
+      case _        => StringType
+    }
+    val staticFields = task.static.fields.map { case (k, v) =>
+      StructField(k, fieldTypes.get(k).map(esTypeToSpark).getOrElse(typeOfStatic(v)))
+    }
+    val mappedFields = task.mapping.map { case (_, dst) =>
+      StructField(dst, fieldTypes.get(dst).map(esTypeToSpark).getOrElse(StringType))
+    }.filterNot(f => task.static.contains(f.name))
+    StructType(StructField("_id", StringType, nullable = false) +: (staticFields ++ mappedFields))
+  }
+
+  /** CREATE TABLE IF NOT EXISTS with the fixed output schema; `suffix`
+    * is the blue/green versioning analog of `indexNameSuffix`
+    * (reference src/config.ts:121-132). Returns the full table name. */
+  def createSinkTable(
+      spark: SparkSession,
+      name: String,
+      task: TaskSpec,
+      fieldTypes: Map[String, String] = Map.empty,
+      suffix: String = "",
+      location: Option[String] = None,
+  ): String = {
+    val table = if (suffix.isEmpty) name else s"${name}_$suffix"
+    val schema = outputSchema(task, fieldTypes)
+    val ddlCols = schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$table` ($ddlCols) USING PARQUET$loc")
+    table
+  }
+
+  def exists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name)
+}
