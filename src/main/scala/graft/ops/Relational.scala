@@ -47,6 +47,9 @@ object Relational {
     NamedQuery("scalar_math_funcs", scalarMath, Some(scalarMathSql)),
     NamedQuery("case_when_buckets", caseWhen, Some(caseWhenSql)),
     NamedQuery("explode_part_words", explodeWords, Some(explodeWordsSql)),
+    NamedQuery("scalar_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
+    NamedQuery("scalar_json_funcs", jsonFuncs, Some(jsonFuncsSql)),
+    NamedQuery("agg_approx_sketches", approxSketches, None), // sketch internals differ per engine
   )
 
   // ---------------------------------------------------------------
@@ -482,6 +485,57 @@ object Relational {
       |  ELSE 'high' END AS bal_bucket,
       |  count(*) AS n_customers
       |FROM customer GROUP BY 1 ORDER BY bal_bucket""".stripMargin
+
+  // array functions battery
+  private def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .withColumn("ws", split(col("p_name"), " "))
+      .select(
+        col("p_partkey"),
+        size(col("ws")).cast("long").as("n_words"),
+        col("ws").getItem(0).as("first_word"),
+        array_join(array_sort(col("ws")), ",").as("sorted_words"),
+        array_contains(col("ws"), "widget").as("has_widget"),
+        array_join(slice(col("ws"), 1, 1), ",").as("sliced"))
+      .orderBy(col("p_partkey"))
+
+  private val arrayFuncsSql =
+    """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part)
+      |SELECT p_partkey,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  ws[1] AS first_word,
+      |  array_to_string(list_sort(ws), ',') AS sorted_words,
+      |  list_contains(ws, 'widget') AS has_widget,
+      |  array_to_string(ws[1:1], ',') AS sliced
+      |FROM t ORDER BY p_partkey""".stripMargin
+
+  // JSON functions battery on the dynamic props column
+  private def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        array_join(json_object_keys(col("props")), ",").as("props_keys"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(col("props"), "$.missing").isNull.as("missing_absent"))
+      .orderBy(col("event_id"))
+
+  private val jsonFuncsSql =
+    """SELECT event_id,
+      |  array_to_string(json_keys(props), ',') AS props_keys,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  json_extract_string(props, '$.missing') IS NULL AS missing_absent
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // approximate sketches (HLL distinct, quantile) — engine-internal
+  // sketch algorithms differ, so this is a rows-only capability check.
+  private def approxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("median_value"))
+      .orderBy(col("event_type"))
 
   // generator/UDTF capability: explode over split words.
   private def explodeWords(spark: SparkSession, dir: String): DataFrame =
