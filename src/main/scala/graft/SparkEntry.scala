@@ -23,12 +23,10 @@ object SparkEntry {
     val events = graft.ops.Tables.events(spark, dir)
     import OplogRow.encoder
     val oplog = EventsOplog.fromEvents(events).as[OplogRow]
-    val compacted = Compactor.compact(oplog, flagshipTask)
-    val irs = Dispatcher.dispatch(
-      compacted, flagshipTask,
-      state = None,
+    // fused compact+dispatch+merge (BatchApplier): one co-grouped pass
+    graft.cdc.BatchApplier.applyOplogBatch(
+      oplog, StateStore.empty(spark), flagshipTask,
       source = Some(EventsOplog.sourceSnapshot(events)))
-    StateStore.applyIRs(StateStore.empty(spark), irs)
   }
 
   /** One entry per implemented operator from SURVEY.md §2 (registered in

@@ -142,17 +142,14 @@ object CdcQueries {
   // expressible — rows-only harness check; exactness is pinned by the
   // pure-core goldens and the Spark-vs-model test suite.
   private def pipelineState(spark: SparkSession, dir: String): DataFrame = {
-    import graft.cdc.{Compactor, Dispatcher, OplogRow, StateStore}
+    import graft.cdc.{BatchApplier, OplogRow, StateStore}
     import graft.source.EventsOplog
     val events = Tables.events(spark, dir)
     import OplogRow.encoder
     val oplog = EventsOplog.fromEvents(events).as[OplogRow]
-    val compacted = Compactor.compact(oplog, graft.SparkEntry.flagshipTask)
-    val irs = Dispatcher.dispatch(
-      compacted, graft.SparkEntry.flagshipTask,
-      state = None,
+    BatchApplier.applyOplogBatch(
+      oplog, StateStore.empty(spark), graft.SparkEntry.flagshipTask,
       source = Some(EventsOplog.sourceSnapshot(events)))
-    StateStore.applyIRs(StateStore.empty(spark), irs)
       .orderBy(col("id"))
   }
 

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.cdc.{Compactor, Dispatcher, OplogRow, StateStore}
+import graft.cdc.{BatchApplier, Compactor, OplogRow, StateStore}
 import graft.model.TaskSpec
 
 /** The streaming tail phase (reference src/processor.ts:332-396,
@@ -42,10 +42,9 @@ object TailQuery {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val compacted = Compactor.compact(batch.as[OplogRow], task)
         val st = StateStore.read(spark, stateDir)
-        val irs = Dispatcher.dispatch(compacted, task, Some(st), source)
-        val newState = StateStore.applyIRs(st, irs)
+        // fused compact+dispatch+merge: one co-grouped shuffle per batch
+        val newState = BatchApplier.applyOplogBatch(batch.as[OplogRow], st, task, source)
         StateStore.write(newState, stateDir)
         ()
       }

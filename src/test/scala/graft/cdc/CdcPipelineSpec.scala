@@ -84,6 +84,43 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("fused BatchApplier == modular compact->dispatch->merge on sf0.001 events") {
+    import OplogRow.encoder
+    import graft.source.EventsOplog
+    val events = graft.ops.Tables.events(spark, sfDir)
+    val oplog = EventsOplog.fromEvents(events).as[OplogRow]
+    val snap = EventsOplog.sourceSnapshot(events)
+    val fused = BatchApplier.applyOplogBatch(oplog, StateStore.empty(spark), task, Some(snap))
+      .select("id", "doc").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val compacted = Compactor.compact(oplog, task)
+    val irs = Dispatcher.dispatch(compacted, task, state = None, source = Some(snap))
+    val modular = StateStore.applyIRs(StateStore.empty(spark), irs)
+      .select("id", "doc").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fused === modular)
+    assert(fused.nonEmpty)
+  }
+
+  test("fused BatchApplier: untouched state passes through; stale replays lose") {
+    import OplogRow.encoder
+    val vTask = TaskSpec(Vector("value" -> "value"))
+    val state = spark.createDataFrame(Seq(
+      ("keep", """{"_id":"keep","value":1.0}""", null.asInstanceOf[String], 50L),
+      ("upd", """{"_id":"upd","value":2.0}""", null.asInstanceOf[String], 50L),
+      ("newer", """{"_id":"newer","value":3.0}""", null.asInstanceOf[String], 500L << 32),
+    )).toDF("id", "doc", "parent", "ts")
+    val batch = spark.createDataset(Seq(
+      OplogRow(BsonTs(100, 0).toLong, "u", "db.c", "upd", """{"$set":{"value":9.0}}"""),
+      OplogRow(BsonTs(100, 1).toLong, "u", "db.c", "newer", """{"$set":{"value":8.0}}"""), // stale vs state
+    ))
+    val out = BatchApplier.applyOplogBatch(batch, state, vTask)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[String]("doc")).toMap
+    assert(out === Map(
+      "keep" -> """{"_id":"keep","value":1.0}""",
+      "upd" -> """{"_id":"upd","value":9.0}""",
+      "newer" -> """{"_id":"newer","value":3.0}""", // state ts newer than event -> survives
+    ))
+  }
+
   test("state store MERGE: LWW guard makes replays idempotent (O9/O10)") {
     import IRRow.encoder
     val irs1 = spark.createDataset(Seq(
