@@ -50,6 +50,7 @@ object Relational {
     NamedQuery("scalar_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
     NamedQuery("scalar_json_funcs", jsonFuncs, Some(jsonFuncsSql)),
     NamedQuery("agg_approx_sketches", approxSketches, None), // sketch internals differ per engine
+    NamedQuery("sql_tpch_q6", sqlQ6, Some(sqlQ6Sql)),
   )
 
   // ---------------------------------------------------------------
@@ -485,6 +486,29 @@ object Relational {
       |  ELSE 'high' END AS bal_bucket,
       |  count(*) AS n_customers
       |FROM customer GROUP BY 1 ORDER BY bal_bucket""".stripMargin
+
+  // the SQL entry point: the engine's queries are equally expressible
+  // through spark.sql over registered views (same Catalyst plan).
+  private def sqlQ6(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem_v
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 25""".stripMargin)
+  }
+
+  private val sqlQ6Sql =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 25""".stripMargin
 
   // array functions battery
   private def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
