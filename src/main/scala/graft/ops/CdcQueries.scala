@@ -29,6 +29,7 @@ object CdcQueries {
     NamedQuery("events_tumbling_window", tumbling, Some(tumblingSql)),
     NamedQuery("events_sliding_window", sliding, Some(slidingSql)),
     NamedQuery("events_session_window", sessionWindow, Some(sessionWindowSql)),
+    NamedQuery("agg_pivot_event_types", pivotTypes, Some(pivotTypesSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -186,6 +187,27 @@ object CdcQueries {
         min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  // ---------------------------------------------------------------
+  // pivot: wide per-key op-class counts (Spark's pivot relational
+  // operator; the oracle rebuilds it as conditional aggregation, which
+  // is also exactly what Catalyst lowers pivot to).
+  private def pivotTypes(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("signup", "click", "view", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  private val pivotTypesSql =
+    """SELECT user_id,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
   // The native Structured-Streaming window operators, run in batch mode
