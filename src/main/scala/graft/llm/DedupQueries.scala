@@ -165,15 +165,15 @@ object DedupQueries {
   // SimilarityQueries.lshTopK). Unit vectors are precomputed once so
   // the per-pair work is a single dot product.
   private def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
-    val dotF = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    import graft.expressions.VectorFunctions.{dot => ndot}
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", expr(s"sqrt(${dotF.format("v", "v")})"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
     val a = e.select(col("vec_id").as("a_id"), col("label"), col("u").as("au"))
     val b = e.select(col("vec_id").as("b_id"), col("label").as("l2"), col("u").as("bu"))
     a.join(b, col("label") === col("l2") && col("a_id") < col("b_id"))
-      .withColumn("sim", graft.ops.Registry.rnd(expr(dotF.format("au", "bu")), 4))
+      .withColumn("sim", graft.ops.Registry.rnd(ndot(col("au"), col("bu")), 4))
       .filter(col("sim") >= 0.4)
       .select(col("a_id"), col("b_id"), col("label"), col("sim"))
       .orderBy(col("a_id"), col("b_id"))

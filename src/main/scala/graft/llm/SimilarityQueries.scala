@@ -27,18 +27,19 @@ object SimilarityQueries {
 
   private val dot =
     "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  import graft.expressions.VectorFunctions.{dot => ndot} // native codegen'd form
 
   // ---------------------------------------------------------------
   private def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", expr(s"sqrt(${dot.format("v", "v")})"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       .filter(col("q_id") < 8)
     val cand = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
     val sims = cand.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("sim",
-        graft.ops.Registry.rnd(expr(dot.format("qv", "nv")) / (col("qn") * col("nn")), 4))
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -73,7 +74,7 @@ object SimilarityQueries {
   private def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", expr(s"sqrt(${dot.format("v", "v")})"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     val pl = typedLit(planes(16, 64))
     // 16-bit signature: bit i = (v . plane_i) > 0
     val sig = e.withColumn("planes", pl)
@@ -99,7 +100,7 @@ object SimilarityQueries {
     val pairs = cand.join(broadcast(q),
         (col("qb1") === col("band1") || col("qb2") === col("band2")) && col("q_id") =!= col("n_id"))
       .withColumn("sim",
-        graft.ops.Registry.rnd(expr(dot.format("qv", "nv")) / (col("qn") * col("nn")), 4))
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
