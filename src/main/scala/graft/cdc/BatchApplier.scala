@@ -77,11 +77,16 @@ object BatchApplier {
           // untouched key: state passes through unchanged
           stateRow.iterator.map(r => (r.id, r.doc, r.parent, r.ts))
         } else {
-          lazy val sinkDoc = stateRow.map(r => Json.parseObj(r.doc))
-          lazy val sourceDoc = rows.find(_.kind == 1).map(r => Json.parseObj(r.doc))
-          val oplogs = evs.map(r => OplogRow(r.ts, r.op, r.ns, r.id, r.doc, r.fromMigrate).toCore)
+          // per-event error tolerance: malformed events are dropped, the
+          // batch lives on (reference src/processor.ts:219-222 swallows
+          // per-event errors to null)
+          lazy val sinkDoc = stateRow.flatMap(r => scala.util.Try(Json.parseObj(r.doc)).toOption)
+          lazy val sourceDoc = rows.find(_.kind == 1)
+            .flatMap(r => scala.util.Try(Json.parseObj(r.doc)).toOption)
+          val oplogs = evs.flatMap(r =>
+            scala.util.Try(OplogRow(r.ts, r.op, r.ns, r.id, r.doc, r.fromMigrate).toCore).toOption)
           val irs = Transformer.mergeOplogs(task, oplogs).flatMap { o =>
-            Transformer.dispatch(task, o, sinkDoc, sourceDoc)
+            scala.util.Try(Transformer.dispatch(task, o, sinkDoc, sourceDoc)).toOption.flatten
           }
           // LWW against existing state; IR wins ties (idempotent replay)
           val candidates =

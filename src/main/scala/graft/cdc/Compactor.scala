@@ -28,12 +28,15 @@ import graft.model.TaskSpec
   */
 object Compactor {
 
-  /** Exact reference compaction. Input/output: OplogRow datasets. */
+  /** Exact reference compaction. Input/output: OplogRow datasets.
+    * Malformed events are dropped rather than failing the batch
+    * (reference src/processor.ts:219-222 error contract). */
   def compact(ds: Dataset[OplogRow], task: TaskSpec): Dataset[OplogRow] = {
     import OplogRow.encoder
     ds.groupByKey(r => (r.ns, r.id))(org.apache.spark.sql.Encoders.product[(String, String)])
       .flatMapGroups { (_, rows) =>
-        Transformer.mergeOplogs(task, rows.map(_.toCore).toSeq).iterator.map(OplogRow.fromCore)
+        val parsed = rows.flatMap(r => scala.util.Try(r.toCore).toOption).toSeq
+        Transformer.mergeOplogs(task, parsed).iterator.map(OplogRow.fromCore)
       }
   }
 

@@ -112,24 +112,27 @@ object DedupQueries {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------
-  // MinHash + LSH banding: 3-word shingles, 4 md5-based hash functions,
-  // 2 bands of 2 — candidate pairs share a (band, bucket). md5 is the
-  // hash family so the oracle can reproduce it exactly.
+  // MinHash + LSH banding: 3-word shingles, 4 hash functions taken as
+  // disjoint 8-hex slices of ONE md5 per shingle (4x less hashing, no
+  // per-seed row blowup), 2 bands of 2 — candidate pairs share a
+  // (band, bucket). md5 is the hash family so the oracle reproduces it
+  // exactly.
   private def minhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
     val shingled = docs.select(col("doc_id"),
       explode(expr("transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("sh"))
-    val hashed = shingled
-      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("seed"), col("sh"))
-      .select(col("doc_id"), col("seed"), md5(concat(col("sh"), lit("#"), col("seed"))).as("h"))
-    val bands = hashed
-      .withColumn("band", expr("seed div 2"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat(
-        min(when(col("seed") % 2 === 0, col("h"))), lit("|"),
-        min(when(col("seed") % 2 === 1, col("h")))).as("bucket"))
+    val mins = shingled
+      .withColumn("h", md5(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(substring(col("h"), 1, 8)).as("m0"),
+        min(substring(col("h"), 9, 8)).as("m1"),
+        min(substring(col("h"), 17, 8)).as("m2"),
+        min(substring(col("h"), 25, 8)).as("m3"))
+    val bands = mins.select(col("doc_id"), lit(0).as("band"), concat(col("m0"), lit("|"), col("m1")).as("bucket"))
+      .union(mins.select(col("doc_id"), lit(1).as("band"), concat(col("m2"), lit("|"), col("m3")).as("bucket")))
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
     val b = bands.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bucket").as("bucket2"))
     a.join(b, col("band") === col("band2") && col("bucket") === col("bucket2") && col("a_id") < col("b_id"))
@@ -144,13 +147,17 @@ object DedupQueries {
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM ws
-      |), hashed AS (
-      |  SELECT doc_id, s.seed, md5(sh || '#' || s.seed) AS h
-      |  FROM shingles, (SELECT unnest([0,1,2,3]) AS seed) s
+      |), mins AS (
+      |  SELECT doc_id,
+      |    min(substring(md5(sh), 1, 8)) AS m0,
+      |    min(substring(md5(sh), 9, 8)) AS m1,
+      |    min(substring(md5(sh), 17, 8)) AS m2,
+      |    min(substring(md5(sh), 25, 8)) AS m3
+      |  FROM shingles GROUP BY doc_id
       |), bands AS (
-      |  SELECT doc_id, seed//2 AS band,
-      |    min(CASE WHEN seed%2=0 THEN h END) || '|' || min(CASE WHEN seed%2=1 THEN h END) AS bucket
-      |  FROM hashed GROUP BY doc_id, seed//2
+      |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS bucket FROM mins
+      |  UNION ALL
+      |  SELECT doc_id, 1 AS band, m2 || '|' || m3 AS bucket FROM mins
       |)
       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |FROM bands a JOIN bands b

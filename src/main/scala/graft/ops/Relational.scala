@@ -51,6 +51,7 @@ object Relational {
     NamedQuery("scalar_json_funcs", jsonFuncs, Some(jsonFuncsSql)),
     NamedQuery("agg_approx_sketches", approxSketches, None), // sketch internals differ per engine
     NamedQuery("sql_tpch_q6", sqlQ6, Some(sqlQ6Sql)),
+    NamedQuery("agg_grouping_sets", groupingSets, Some(groupingSetsSql)),
   )
 
   // ---------------------------------------------------------------
@@ -486,6 +487,23 @@ object Relational {
       |  ELSE 'high' END AS bal_bucket,
       |  count(*) AS n_customers
       |FROM customer GROUP BY 1 ORDER BY bal_bucket""".stripMargin
+
+  // explicit GROUPING SETS (beyond rollup/cube): two single-dimension
+  // groupings plus the grand total in one pass.
+  private def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
   // the SQL entry point: the engine's queries are equally expressible
   // through spark.sql over registered views (same Catalyst plan).

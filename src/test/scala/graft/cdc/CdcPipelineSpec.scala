@@ -121,6 +121,19 @@ class CdcPipelineSpec extends AnyFunSuite {
     ))
   }
 
+  test("malformed events are dropped, not fatal (per-event error contract)") {
+    import OplogRow.encoder
+    val vTask = TaskSpec(Vector("value" -> "value"))
+    val batch = spark.createDataset(Seq(
+      OplogRow(BsonTs(1, 0).toLong, "i", "db.c", "good", """{"_id":"good","value":1.0}"""),
+      OplogRow(BsonTs(1, 1).toLong, "i", "db.c", "bad", """{"_id": BROKEN"""),
+      OplogRow(BsonTs(1, 2).toLong, "u", "db.c", "bad2", """not json at all"""),
+    ))
+    val out = BatchApplier.applyOplogBatch(batch, StateStore.empty(spark), vTask)
+      .collect().map(r => r.getAs[String]("id")).toSet
+    assert(out === Set("good"))
+  }
+
   test("state store MERGE: LWW guard makes replays idempotent (O9/O10)") {
     import IRRow.encoder
     val irs1 = spark.createDataset(Seq(
