@@ -30,6 +30,7 @@ object CdcQueries {
     NamedQuery("events_sliding_window", sliding, Some(slidingSql)),
     NamedQuery("events_session_window", sessionWindow, Some(sessionWindowSql)),
     NamedQuery("agg_pivot_event_types", pivotTypes, Some(pivotTypesSql)),
+    NamedQuery("cdc_lww_udaf", lwwUdaf, Some(lwwUdafSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -187,6 +188,31 @@ object CdcQueries {
         min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  // ---------------------------------------------------------------
+  // custom UDAF: the LWW compaction special case as a registered typed
+  // Aggregator (partial+final merge -> map-side combine), vs the window
+  // formulation in the oracle.
+  private def lwwUdaf(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("lww_value",
+      udaf(graft.expressions.LwwAggregator, org.apache.spark.sql.Encoders.product[graft.expressions.LwwIn]))
+    ev(spark, dir)
+      .withColumn("ord", expr("sec * 4294967296L + event_id"))
+      .groupBy(col("user_id"))
+      .agg(graft.ops.Registry.rnd(expr("lww_value(value, ord)"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val lwwUdafSql =
+    """SELECT user_id,
+      |  CAST(round(CAST(value AS DECIMAL(18,8)), 2) AS DOUBLE) AS last_value
+      |FROM (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts)//1000000000 DESC, event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
   // pivot: wide per-key op-class counts (Spark's pivot relational
