@@ -48,4 +48,17 @@ object Runner {
       stateDir = cfg.stateDir, checkpointDir = cfg.checkpointDir,
       source = Some(sourceSnapshot), triggerMs = cfg.triggerMs)
   }
+
+  /** Multi-task orchestration (reference src/index.ts:7-39): backfills
+    * run strictly one at a time (the loop awaits each scan); tail
+    * queries then run concurrently, each with its own state/checkpoint
+    * dirs. Returns the running queries in task order; callers
+    * `spark.streams.awaitAnyTermination()`. */
+  def runAll(
+      spark: SparkSession,
+      tasks: Seq[(TaskPipeline, DataFrame, DataFrame)], // (cfg, snapshot, stream)
+  ): Seq[StreamingQuery] =
+    tasks.map { case (cfg, snapshot, stream) =>
+      bootstrapAndTail(spark, snapshot, stream, cfg)
+    }
 }

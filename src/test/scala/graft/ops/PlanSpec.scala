@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Plan-shape regression guards: the properties that make these
+  * operators scale must stay visible in the physical plan — a change
+  * that silently loses pushdown or broadcasts would pass correctness
+  * tests but regress at scale.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("resume scan pushes the range predicate and prunes columns") {
+    val p = plan("cdc_resume_scan")
+    assert(p.contains("event_id") && p.contains(">= 500"), p.take(800))
+    // pruned read schema: only the three selected columns reach the scan
+    assert(!p.contains("props"), "props column must be pruned from the scan")
+  }
+
+  test("q1 aggregates with map-side partial aggregation") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_"), p.take(800))
+  }
+
+  test("dimension joins broadcast (q5, broadcast_part)") {
+    assert(plan("q5_regional_revenue").contains("BroadcastHashJoin"))
+    assert(plan("join_broadcast_part_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a full sort") {
+    assert(plan("sort_topk_lineitems").contains("TakeOrderedAndProject"))
+  }
+
+  test("semi/anti joins plan as such (no row explosion)") {
+    assert(plan("join_semi_open_orders").contains("LeftSemi"))
+    assert(plan("join_anti_no_orders").contains("LeftAnti"))
+  }
+}

@@ -72,4 +72,33 @@ class RunnerSpec extends AnyFunSuite {
     // (streaming checkpoint skipped the committed b1)
     assert(StateStore.currentVersion(cfg.stateDir).get === versionAfterFirst + 1)
   }
+
+  test("runAll: two tasks backfill sequentially then tail concurrently") {
+    import OplogRow.encoder
+    val base = Files.createTempDirectory("runner2").toString
+    def snapshotFor(ns: String) = spark.createDataFrame(Seq(
+      (s"$ns-a", s"""{"_id":"$ns-a","value":1.0}"""))).toDF("id", "doc")
+    def mkStream(n: Int, ns: String) = {
+      val in = s"$base/in$n"
+      Files.createDirectories(java.nio.file.Paths.get(in))
+      spark.createDataset(Seq(
+        OplogRow(BsonTs(5, 0).toLong, "i", ns, s"$ns-b", s"""{"_id":"$ns-b","value":2.0}"""),
+      )).coalesce(1).write.parquet(s"$in/b1")
+      spark.readStream.schema(oplogSchema)
+        .option("recursiveFileLookup", "true").parquet(in)
+    }
+    val tasks = Seq(1, 2).map { n =>
+      val ns = s"db.c$n"
+      (Runner.TaskPipeline(task, ns, s"$base/state$n", s"$base/ckpt$n"),
+        snapshotFor(ns), mkStream(n, ns))
+    }
+    val queries = Runner.runAll(spark, tasks)
+    assert(queries.length === 2)
+    queries.foreach { q => q.processAllAvailable(); q.stop() }
+    Seq(1, 2).foreach { n =>
+      val ids = StateStore.read(spark, s"$base/state$n")
+        .collect().map(_.getAs[String]("id")).toSet
+      assert(ids === Set(s"db.c$n-a", s"db.c$n-b"), s"task $n state")
+    }
+  }
 }
