@@ -26,6 +26,7 @@ object DedupQueries {
     NamedQuery("dedup_jaccard_pairs", jaccard, Some(jaccardSql)),
     NamedQuery("dedup_minhash_pairs", minhash, Some(minhashSql)),
     NamedQuery("dedup_simhash", simhash, None), // xxhash64-based: not oracle-portable
+    NamedQuery("dedup_simhash_pairs", simhashPairs, None),
     NamedQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
   )
 
@@ -163,6 +164,22 @@ object DedupQueries {
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // SimHash near-dup pairs: candidates share the 16-bit prefix bucket
+  // (the LSH step), then exact Hamming distance over the fingerprints
+  // filters to <= 12 differing bits. Like every near-dup variant here,
+  // the pair space is bucket-bounded, never all-pairs.
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhash(spark, dir).select(col("doc_id"), col("simhash"), col("prefix16"))
+    val a = fp.select(col("doc_id").as("a_id"), col("simhash").as("ha"), col("prefix16"))
+    val b = fp.select(col("doc_id").as("b_id"), col("simhash").as("hb"), col("prefix16").as("p2"))
+    a.join(b, col("prefix16") === col("p2") && col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 12)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 
   // ---------------------------------------------------------------
   // Embedding-cosine near-dup: vector pairs above a similarity

@@ -55,4 +55,34 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming exact dedup: dropDuplicates with watermark across micro-batches") {
+    val base = Files.createTempDirectory("stream-dedup").toString
+    val events = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("event_id"), col("user_id"))
+    // duplicate delivery: the same rows land in two files
+    events.limit(100).coalesce(1).write.parquet(s"$base/in/p1")
+    events.limit(100).coalesce(1).write.parquet(s"$base/in/p2")
+
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // second delivery of the same 100 events must be suppressed
+    assert(spark.sql("SELECT count(*) FROM dedup_out").collect().head.getLong(0) === 100L)
+  }
 }
