@@ -218,20 +218,21 @@ object DedupQueries {
 
   // ---------------------------------------------------------------
   // SimHash: 63-bit fingerprint from xxhash64 word hashes (bit votes).
+  // One wide aggregation (63 conditional sums) instead of exploding a
+  // row per (word, bit) — single pass over the word rows, all codegen.
   // xxhash64 differs across engines -> rows-only harness check.
   private def simhash(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val votes = words
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 62)")).as("i"))
-      .withColumn("vote", when(expr("(h div shiftleft(1L, i)) % 2 != 0"), 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("vote")).as("s"))
-    votes
-      .withColumn("bit", when(col("s") > 0, expr("shiftleft(1L, i)")).otherwise(lit(0L)))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bit")).as("simhash"))
+    val voteAggs = (0 until 63).map { i =>
+      sum(when(expr(s"(h div shiftleft(1L, $i)) % 2 != 0"), 1).otherwise(-1)).as(s"s$i")
+    }
+    val assemble = (0 until 63)
+      .map(i => s"if(s$i > 0, shiftleft(1L, $i), 0L)").mkString(" + ")
+    words.groupBy(col("doc_id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"), expr(assemble).as("simhash"))
       .withColumn("prefix16", expr("simhash div shiftleft(1L, 47)"))
       .orderBy(col("doc_id"))
   }
