@@ -94,7 +94,6 @@ object Paths {
     * intermediates with fresh objects (lodash behavior). */
   def set(doc: DObj, path: String, value: DVal): DObj = {
     def go(cur: DVal, segs: Vector[String]): DVal = segs match {
-      case Vector() => value
       case seg +: rest =>
         val obj = cur match {
           case o: DObj => o
@@ -108,6 +107,7 @@ object Paths {
           case _ => DObj.empty
         }
         obj.updated(seg, go(obj.get(seg).getOrElse(DNull), rest))
+      case _ => value // empty path: replace
     }
     go(doc, castPath(doc, path)).asInstanceOf[DObj]
   }
@@ -131,7 +131,7 @@ object Paths {
               .map(i => DArr(a.items.updated(i, go(a.items(i), rest)))).getOrElse(cur)
           case other => other
         }
-      case Vector() => cur
+      case _ => cur // empty path: nothing to remove
     }
     if (!has(doc, path)) doc else go(doc, castPath(doc, path)).asInstanceOf[DObj]
   }

@@ -36,6 +36,8 @@ object Relational {
     NamedQuery("win_top_orders_per_cust", winTopPerCust, Some(winTopPerCustSql)),
     NamedQuery("win_running_revenue", winRunning, Some(winRunningSql)),
     NamedQuery("win_lag_delta", winLag, Some(winLagSql)),
+    NamedQuery("win_ntile_quartiles", winNtile, Some(winNtileSql)),
+    NamedQuery("win_first_last_range", winFirstLast, Some(winFirstLastSql)),
     // ---- sort / limit / set ops ----
     NamedQuery("sort_topk_lineitems", sortTopK, Some(sortTopKSql)),
     NamedQuery("setop_union", setUnion, Some(setUnionSql)),
@@ -345,6 +347,44 @@ object Relational {
       |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
       |    CAST(0 AS DECIMAL(18,4))), 2) AS DOUBLE) AS delta_price
       |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  private def winNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("price_quartile"),
+        percent_rank().over(w).cast("decimal(18,8)").cast("double").as("pr"))
+      .withColumn("pr", round(col("pr").cast("decimal(18,8)"), 6).cast("double"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val winNtileSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  ntile(4) OVER w AS price_quartile,
+      |  CAST(round(CAST(percent_rank() OVER w AS DECIMAL(18,8)), 6) AS DOUBLE) AS pr
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  private def winFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val winFirstLastSql =
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_order,
+      |  last_value(o_orderkey) OVER w AS last_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------
