@@ -3,7 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Transformer
-import graft.model.{DObj, DStr, Json, TaskSpec}
+import graft.model.{DObj, DStr, Json, Paths, TaskSpec}
 
 /** Row of the fused micro-batch apply: state rows, source-snapshot rows
   * and oplog events tagged and unioned on one key. Top-level so
@@ -80,7 +80,20 @@ object BatchApplier {
           // per-event error tolerance: malformed events are dropped, the
           // batch lives on (reference src/processor.ts:219-222 swallows
           // per-event errors to null)
-          lazy val sinkDoc = stateRow.flatMap(r => scala.util.Try(Json.parseObj(r.doc)).toOption)
+          // re-inject the stored routing value at the task's parent path
+          // (the reference's _mapResponse, elasticsearch.ts:150-157) so
+          // parent extraction on re-transform and parent-routed deletes
+          // see it
+          lazy val sinkDoc = stateRow.flatMap { r =>
+            scala.util.Try {
+              val d = Json.parseObj(r.doc)
+              task.parent match {
+                case Some(p) if r.parent != null && r.parent.nonEmpty =>
+                  Paths.set(d, p, DStr(r.parent))
+                case _ => d
+              }
+            }.toOption
+          }
           lazy val sourceDoc = rows.find(_.kind == 1)
             .flatMap(r => scala.util.Try(Json.parseObj(r.doc)).toOption)
           val oplogs = evs.flatMap(r =>

@@ -3,7 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Transformer
-import graft.model.{DObj, DStr, Json, TaskSpec}
+import graft.model.{DObj, DStr, Json, Paths, TaskSpec}
 
 /** The CDC op-dispatch C1 (reference src/processor.ts:171-223) as a
   * set-oriented Spark operator.
@@ -26,17 +26,24 @@ import graft.model.{DObj, DStr, Json, TaskSpec}
   * nested/private) so Catalyst-generated code can construct it. */
 final case class DispatchJoined(
     ts: Long, op: String, ns: String, id: String, doc: String,
-    fromMigrate: Boolean, sinkDoc: String, srcDoc: String)
+    fromMigrate: Boolean, sinkDoc: String, srcDoc: String, sinkParent: String)
 
 object Dispatcher {
 
-  /** Does this update row need prior state? False for full-replacement
-    * updates — any non-`$` top-level key in `o` (O7). Uses the native
-    * codegen'd [[graft.expressions.JsonAllKeysDollar]] expression: one
-    * allocation-free string scan inside whole-stage codegen. */
-  private def needsState: Column =
-    col("op") === "u" &&
+  /** Does this row need prior state? `$set`-style updates do — any
+    * non-`$` top-level key in `o` means full replacement and skips the
+    * join (O7), detected by the native codegen'd
+    * [[graft.expressions.JsonAllKeysDollar]] expression (one
+    * allocation-free string scan inside whole-stage codegen). Deletes
+    * need state too when the task routes by parent: the reference
+    * recovers `_parent` from the sink before emitting the delete
+    * (reference src/processor.ts:209-213). */
+  private def needsState(task: TaskSpec): Column = {
+    val setStyleUpdate = col("op") === "u" &&
       graft.expressions.functions.json_all_keys_dollar(col("doc"))
+    if (task.parent.isDefined) setStyleUpdate || col("op") === "d"
+    else setStyleUpdate
+  }
 
   /**
     * @param compacted  compacted micro-batch (<=1 event per ns+id)
@@ -58,18 +65,26 @@ object Dispatcher {
     val spark = compacted.sparkSession
     val df = compacted.toDF()
 
-    val direct = df.filter(!needsState) // i, d, full-replacement u
-    val stateful = df.filter(needsState) // $set/$unset u
+    val direct = df.filter(!needsState(task)) // i, full-replacement u, unrouted d
+    val stateful = df.filter(needsState(task)) // $set/$unset u; d when parent-routed
 
     def maybeB(d: DataFrame): DataFrame = if (broadcastState) broadcast(d) else d
 
     val sinkJoined = state match {
       case Some(st) =>
+        // the sink state's routing column rides along so the reference's
+        // _parent re-injection (elasticsearch.ts:150-157) can be replayed
+        val parentCol =
+          if (st.columns.contains("parent")) col("parent") else lit(null: String)
         stateful.join(
-          maybeB(st.select(col("id").as("__sid"), col("doc").as("__sink_doc"))),
+          maybeB(st.select(col("id").as("__sid"), col("doc").as("__sink_doc"),
+            parentCol.as("__sink_parent"))),
           col("id") === col("__sid"), "left")
           .drop("__sid")
-      case None => stateful.withColumn("__sink_doc", lit(null: String))
+      case None =>
+        stateful
+          .withColumn("__sink_doc", lit(null: String))
+          .withColumn("__sink_parent", lit(null: String))
     }
     val srcJoined = source match {
       case Some(src) =>
@@ -81,22 +96,33 @@ object Dispatcher {
     }
 
     val cols = Seq("ts", "op", "ns", "id", "doc", "fromMigrate")
+    val extra = Seq(col("__sink_doc"), col("__src_doc"), col("__sink_parent"))
     val directJ = direct
       .withColumn("__sink_doc", lit(null: String))
       .withColumn("__src_doc", lit(null: String))
-    val all = directJ.select((cols.map(col) ++ Seq(col("__sink_doc"), col("__src_doc"))): _*)
-      .union(srcJoined.select((cols.map(col) ++ Seq(col("__sink_doc"), col("__src_doc"))): _*))
+      .withColumn("__sink_parent", lit(null: String))
+    val all = directJ.select((cols.map(col) ++ extra): _*)
+      .union(srcJoined.select((cols.map(col) ++ extra): _*))
 
     implicit val jEnc = Encoders.product[DispatchJoined]
     implicit val irEnc = IRRow.encoder
     all
       .withColumnRenamed("__sink_doc", "sinkDoc")
       .withColumnRenamed("__src_doc", "srcDoc")
-      .na.fill("", Seq("sinkDoc", "srcDoc"))
+      .withColumnRenamed("__sink_parent", "sinkParent")
+      .na.fill("", Seq("sinkDoc", "srcDoc", "sinkParent"))
       .as[DispatchJoined]
       .flatMap { j =>
         val row = OplogRow(j.ts, j.op, j.ns, j.id, j.doc, j.fromMigrate)
-        val sink = Option(j.sinkDoc).filter(_.nonEmpty).map(Json.parseObj)
+        val sink = Option(j.sinkDoc).filter(_.nonEmpty).map(Json.parseObj).map { d =>
+          // replay the reference's _mapResponse: the stored routing value
+          // is set back into the doc at the task's parent path so parent
+          // extraction on re-transform sees it (elasticsearch.ts:150-157)
+          task.parent match {
+            case Some(p) if j.sinkParent.nonEmpty => Paths.set(d, p, DStr(j.sinkParent))
+            case _                                => d
+          }
+        }
         val src = Option(j.srcDoc).filter(_.nonEmpty).map(Json.parseObj)
         Transformer.dispatch(task, row.toCore, sink, src).map(IRRow.fromCore)
       }

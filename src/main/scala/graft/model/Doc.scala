@@ -260,9 +260,12 @@ object Json {
           }
           DArr(buf.toVector)
         case '"' => DStr(parseStr())
-        case 't' => i += 4; DBool(true)
-        case 'f' => i += 5; DBool(false)
-        case 'n' => i += 4; DNull
+        case 't' =>
+          if (!s.startsWith("true", i)) err("bad literal"); i += 4; DBool(true)
+        case 'f' =>
+          if (!s.startsWith("false", i)) err("bad literal"); i += 5; DBool(false)
+        case 'n' =>
+          if (!s.startsWith("null", i)) err("bad literal"); i += 4; DNull
         case _ =>
           val start = i
           while (i < s.length && ("+-0123456789.eE".indexOf(s(i)) >= 0)) i += 1
@@ -274,6 +277,9 @@ object Json {
     }
     val v = parseVal()
     ws()
+    // corrupt docs must fail (and be dropped by the Try-based per-event
+    // error contract), not silently parse a prefix
+    if (i < s.length) err("trailing characters after top-level value")
     v
   }
 

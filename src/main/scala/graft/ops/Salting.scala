@@ -32,9 +32,16 @@ object Salting {
   /** Skewed two-level aggregation: partial aggregate on (key, salt),
     * then final aggregate on key — the map-side-combine trick made
     * explicit for skewed keys. `agg` must be an algebraic pair, e.g.
-    * (sum, sum) or (count, sum). */
+    * (sum, sum) or (count, sum).
+    *
+    * The salt must spread a hot key's rows regardless of their content
+    * (a skewed key whose aggregated value is constant is the classic
+    * case), so it is taken from row position — `monotonically_increasing_id`
+    * is unique per row and deterministic for a fixed input partitioning —
+    * never from the aggregated value. */
   def saltedSum(df: DataFrame, key: String, valueCol: String, saltFactor: Int): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(hash(col(valueCol)), lit(saltFactor)))
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     salted.groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))

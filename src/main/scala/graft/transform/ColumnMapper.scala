@@ -27,17 +27,27 @@ object ColumnMapper {
   }
 
   /** Build nested struct columns from (dstPath -> Column) pairs,
-    * preserving first-seen ordering at each level. */
+    * preserving first-seen ordering at each level. A mapping that aims
+    * both a flat path and a nested path at the same name (`a` and `a.b`)
+    * is contradictory — one would silently shadow the other — so it
+    * fails fast instead of dropping a mapped column. */
   def nest(pairs: Seq[(String, Column)]): Seq[Column] = {
     val top = scala.collection.mutable.LinkedHashMap.empty[String, Either[Column, Vector[(String, Column)]]]
     pairs.foreach { case (path, c) =>
       val idx = path.indexOf('.')
-      if (idx < 0) top(path) = Left(c)
-      else {
+      if (idx < 0) {
+        if (top.get(path).exists(_.isRight))
+          throw new IllegalArgumentException(
+            s"conflicting dst paths: flat '$path' vs nested '$path.*' in the same mapping")
+        top(path) = Left(c)
+      } else {
         val (head, rest) = (path.substring(0, idx), path.substring(idx + 1))
         top.get(head) match {
           case Some(Right(children)) => top(head) = Right(children :+ (rest -> c))
-          case _                     => top(head) = Right(Vector(rest -> c))
+          case Some(Left(_)) =>
+            throw new IllegalArgumentException(
+              s"conflicting dst paths: flat '$head' vs nested '$path' in the same mapping")
+          case None => top(head) = Right(Vector(rest -> c))
         }
       }
     }

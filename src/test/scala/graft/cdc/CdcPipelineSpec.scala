@@ -154,6 +154,61 @@ class CdcPipelineSpec extends AnyFunSuite {
     ))
   }
 
+  test("dispatcher: parent-routed deletes resolve routing from sink state") {
+    import OplogRow.encoder
+    // reference src/processor.ts:209-213: a delete on a parent-routed task
+    // must recover _parent from the sink before emitting the delete IR
+    val pTask = TaskSpec(Vector("value" -> "value"), parent = Some("user"))
+    val batch = spark.createDataset(Seq(
+      OplogRow(BsonTs(9, 0).toLong, "d", "db.c", "p1", """{"_id":"p1"}"""),
+      OplogRow(BsonTs(9, 1).toLong, "d", "db.c", "ghost", """{"_id":"ghost"}"""),
+    ))
+    val state = spark.createDataFrame(Seq(
+      ("p1", """{"_id":"p1","value":1.0}""", "u42", 1L)
+    )).toDF("id", "doc", "parent", "ts")
+    val irs = Dispatcher.dispatch(batch, pTask, Some(state)).collect()
+    assert(irs.length === 1)
+    assert(irs.head.action === "delete")
+    assert(irs.head.id === "p1")
+    assert(irs.head.parent === "u42")
+    // ghost: no sink state -> routing unresolvable -> dropped (reference
+    // emits nothing when the ES search finds no doc)
+  }
+
+  test("dispatcher: $set read-back re-injects stored parent into the IR") {
+    import OplogRow.encoder
+    val pTask = TaskSpec(Vector("value" -> "value"), parent = Some("user"))
+    val batch = spark.createDataset(Seq(
+      OplogRow(BsonTs(9, 0).toLong, "u", "db.c", "p1", """{"$set":{"value":5.0}}"""),
+    ))
+    // stored doc does NOT carry the parent path — routing lives in the
+    // state's parent column, like ES keeps _parent outside _source
+    val state = spark.createDataFrame(Seq(
+      ("p1", """{"_id":"p1","value":1.0}""", "u42", 1L)
+    )).toDF("id", "doc", "parent", "ts")
+    val irs = Dispatcher.dispatch(batch, pTask, Some(state)).collect()
+    assert(irs.length === 1)
+    assert(irs.head.action === "upsert")
+    assert(irs.head.data === """{"value":5.0}""")
+    assert(irs.head.parent === "u42")
+  }
+
+  test("fused BatchApplier: parent routing survives $set read-back and deletes resolve") {
+    import OplogRow.encoder
+    val pTask = TaskSpec(Vector("value" -> "value"), parent = Some("user"))
+    val state = spark.createDataFrame(Seq(
+      ("upd", """{"_id":"upd","value":1.0}""", "u42", 1L),
+      ("gone", """{"_id":"gone","value":2.0}""", "u43", 1L),
+    )).toDF("id", "doc", "parent", "ts")
+    val batch = spark.createDataset(Seq(
+      OplogRow(BsonTs(100, 0).toLong, "u", "db.c", "upd", """{"$set":{"value":9.0}}"""),
+      OplogRow(BsonTs(100, 1).toLong, "d", "db.c", "gone", """{"_id":"gone"}"""),
+    ))
+    val out = BatchApplier.applyOplogBatch(batch, state, pTask)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[String]("parent")).toMap
+    assert(out === Map("upd" -> "u42")) // parent kept, delete applied
+  }
+
   test("dispatcher: $set update against sink state vs source fallback") {
     import OplogRow.encoder
     val vTask = TaskSpec(Vector("value" -> "value"))

@@ -14,6 +14,20 @@ class DocSpec extends AnyFunSuite {
     assert(Paths.get(d, "x.y") === None)
   }
 
+  test("parse rejects malformed literals and trailing garbage") {
+    // misspelled literals must not be consumed positionally
+    intercept[IllegalArgumentException](Json.parse("truE"))
+    intercept[IllegalArgumentException](Json.parse("falsy"))
+    intercept[IllegalArgumentException](Json.parse("nil!"))
+    // trailing content after the top-level value is corruption, not noise
+    intercept[IllegalArgumentException](Json.parse("""{"a":1} extra"""))
+    intercept[IllegalArgumentException](Json.parse("""[1,2]3"""))
+    // well-formed values (with surrounding whitespace) still parse
+    assert(Json.parse(" true ") === DBool(true))
+    assert(Json.parse("null") === DNull)
+    assert(Json.parse("""{"a":false}""") === DObj("a" -> DBool(false)))
+  }
+
   test("literal dotted key wins over nested traversal (lodash castPath)") {
     val d = DObj("a.b" -> DInt(7), "a" -> DObj("b" -> DInt(1)))
     assert(Paths.get(d, "a.b") === Some(DInt(7)))

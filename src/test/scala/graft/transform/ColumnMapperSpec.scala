@@ -47,4 +47,12 @@ class ColumnMapperSpec extends AnyFunSuite {
     // two top-level outputs: a (struct with x, y.z) and b
     assert(cols.length === 2)
   }
+
+  test("nest fails fast on conflicting flat vs nested dst paths") {
+    // either order: a column must never be silently discarded
+    intercept[IllegalArgumentException](
+      ColumnMapper.nest(Seq("a" -> col("c1"), "a.b" -> col("c2"))))
+    intercept[IllegalArgumentException](
+      ColumnMapper.nest(Seq("a.b" -> col("c2"), "a" -> col("c1"))))
+  }
 }
