@@ -26,7 +26,7 @@ object SparkEntry {
     // fused compact+dispatch+merge (BatchApplier): one co-grouped pass
     graft.cdc.BatchApplier.applyOplogBatch(
       oplog, StateStore.empty(spark), flagshipTask,
-      source = Some(EventsOplog.sourceSnapshot(events)))
+      source = Some(EventsOplog.sourceSnapshotRaw(events)))
   }
 
   /** One entry per implemented operator from SURVEY.md §2 (registered in

@@ -59,9 +59,15 @@ object BatchApplier {
     val stateRows = state.select(
       col("id"), lit(0).as("kind"), col("ts"), lit("").as("op"), lit("").as("ns"),
       col("doc"), col("parent"), lit(false).as("fromMigrate")).as[ApplyRow]
-    val sourceRows = source.map(_.select(
-      col("id"), lit(1).as("kind"), lit(0L).as("ts"), lit("").as("op"), lit("").as("ns"),
-      col("doc"), lit(null: String).as("parent"), lit(false).as("fromMigrate")).as[ApplyRow])
+    // a source snapshot may arrive undeduplicated (multiple versions per
+    // key, each with its ts) — the earliest wins in-group, so callers
+    // need no separate window pass to dedup it first
+    val sourceRows = source.map { src =>
+      val srcTs = if (src.columns.contains("ts")) col("ts") else lit(0L)
+      src.select(
+        col("id"), lit(1).as("kind"), srcTs.as("ts"), lit("").as("op"), lit("").as("ns"),
+        col("doc"), lit(null: String).as("parent"), lit(false).as("fromMigrate")).as[ApplyRow]
+    }
     val eventRows = events.select(
       col("id"), lit(2).as("kind"), col("ts"), col("op"), col("ns"),
       col("doc"), lit(null: String).as("parent"), col("fromMigrate")).as[ApplyRow]
@@ -94,8 +100,11 @@ object BatchApplier {
               }
             }.toOption
           }
-          lazy val sourceDoc = rows.find(_.kind == 1)
-            .flatMap(r => scala.util.Try(Json.parseObj(r.doc)).toOption)
+          lazy val sourceDoc = {
+            val srcs = rows.filter(_.kind == 1)
+            (if (srcs.isEmpty) None else Some(srcs.minBy(_.ts)))
+              .flatMap(r => scala.util.Try(Json.parseObj(r.doc)).toOption)
+          }
           val oplogs = evs.flatMap(r =>
             scala.util.Try(OplogRow(r.ts, r.op, r.ns, r.id, r.doc, r.fromMigrate).toCore).toOption)
           val irs = Transformer.mergeOplogs(task, oplogs).flatMap { o =>

@@ -68,23 +68,36 @@ object DedupQueries {
 
   // ---------------------------------------------------------------
   // n-gram (word-set) Jaccard similarity pairs within (lang, source)
-  // blocks: explode distinct words, self-join inside the block, count
-  // intersections, Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+  // blocks. Instead of a self-join on (block, word) — which shuffles the
+  // exploded word rows twice and re-reads the corpus per side — the word
+  // rows shuffle ONCE into per-word posting lists, and candidate pairs
+  // (i<j within the sorted list) are generated in place: identical pair
+  // set, one pass. Set sizes come straight off the scan
+  // (size(array_distinct(...))) with no explode or shuffle at all, and
+  // broadcast-join onto the (small) surviving pair set.
+  //
+  // Scale note: a posting list is bounded by block size; at 100 TB a
+  // stopword cap (drop words with document frequency above a threshold)
+  // bounds the quadratic term — standard practice, since ubiquitous
+  // words carry no similarity signal.
   private def jaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val words = docs.select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
-    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = words.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("w"))
-    val b = words.select(col("doc_id").as("b_id"), col("lang").as("l2"), col("source").as("s2"), col("w").as("w2"))
-    val inter = a.join(b,
-        col("lang") === col("l2") && col("source") === col("s2") &&
-          col("w") === col("w2") && col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
+    val sizes = docs.select(col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).as("sz"))
+    val posting = words.groupBy(col("lang"), col("source"), col("w"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    // two-level explode streams the i<j pairs through pipelined Generate
+    // operators — no per-row materialization of a quadratic pair array
+    val pairs = posting
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
+      .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
+    val inter = pairs.groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sa"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sb"), "b_id")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sa")), "a_id")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sb")), "b_id")
       .withColumn("jaccard",
         graft.ops.Registry.rnd(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)
@@ -132,12 +145,21 @@ object DedupQueries {
         min(substring(col("h"), 9, 8)).as("m1"),
         min(substring(col("h"), 17, 8)).as("m2"),
         min(substring(col("h"), 25, 8)).as("m3"))
-    val bands = mins.select(col("doc_id"), lit(0).as("band"), concat(col("m0"), lit("|"), col("m1")).as("bucket"))
-      .union(mins.select(col("doc_id"), lit(1).as("band"), concat(col("m2"), lit("|"), col("m3")).as("bucket")))
-    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
-    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bucket").as("bucket2"))
-    a.join(b, col("band") === col("band2") && col("bucket") === col("bucket2") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    // one row per (doc, band) via array-explode (a union of two selects
+    // over `mins` would carry the aggregation subtree twice); candidate
+    // pairs from per-bucket posting lists — the signature aggregation is
+    // planned ONCE and the pair space stays bucket-bounded, with no
+    // self-join re-reading the corpus
+    val bands = mins.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"), concat(col("m0"), lit("|"), col("m1")).as("bucket")),
+        struct(lit(1).as("band"), concat(col("m2"), lit("|"), col("m3")).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bands.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
+      .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
+      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -171,13 +193,17 @@ object DedupQueries {
   // filters to <= 12 differing bits. Like every near-dup variant here,
   // the pair space is bucket-bounded, never all-pairs.
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = simhash(spark, dir).select(col("doc_id"), col("simhash"), col("prefix16"))
-    val a = fp.select(col("doc_id").as("a_id"), col("simhash").as("ha"), col("prefix16"))
-    val b = fp.select(col("doc_id").as("b_id"), col("simhash").as("hb"), col("prefix16").as("p2"))
-    a.join(b, col("prefix16") === col("p2") && col("a_id") < col("b_id"))
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+    // per-bucket posting lists: the (expensive) 63-vote fingerprint
+    // aggregation is planned ONCE, vs twice with a self-join on prefix16
+    fingerprints(spark, dir)
+      .groupBy(col("prefix16"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x")))
+      .select(col("x"), explode(expr("slice(xs, i + 2, size(xs))")).as("y"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .filter(col("hamming") <= 12)
-      .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -221,7 +247,10 @@ object DedupQueries {
   // One wide aggregation (63 conditional sums) instead of exploding a
   // row per (word, bit) — single pass over the word rows, all codegen.
   // xxhash64 differs across engines -> rows-only harness check.
-  private def simhash(spark: SparkSession, dir: String): DataFrame = {
+  private def simhash(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(spark, dir).orderBy(col("doc_id"))
+
+  private def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
@@ -234,6 +263,5 @@ object DedupQueries {
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"), expr(assemble).as("simhash"))
       .withColumn("prefix16", expr("simhash div shiftleft(1L, 47)"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -151,7 +151,7 @@ object CdcQueries {
     val oplog = EventsOplog.fromEvents(events).as[OplogRow]
     BatchApplier.applyOplogBatch(
       oplog, StateStore.empty(spark), graft.SparkEntry.flagshipTask,
-      source = Some(EventsOplog.sourceSnapshot(events)))
+      source = Some(EventsOplog.sourceSnapshotRaw(events)))
       .orderBy(col("id"))
   }
 

@@ -15,6 +15,18 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a scan across all cores before heavy per-row work. The
+    * harness parquet files are written as a SINGLE row group, and a row
+    * group is indivisible — whatever maxPartitionBytes says, one task
+    * decodes the whole file, and everything pipelined on top of the scan
+    * (explode, hashing, JSON codec) runs single-threaded. A round-robin
+    * repartition of the (small) scan output buys full parallelism for
+    * the expensive stage above it. On a real cluster with properly
+    * row-grouped/bucketed files the scan splits by itself and this
+    * becomes unnecessary — gate it on input layout, not a constant. */
+  def fanOut(df: DataFrame, key: String = "doc_id"): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** events with `ts` as TimestampType (µs, truncated from ns) and
     * `ts_ns` as the raw nanosecond long. */
   def events(spark: SparkSession, dir: String): DataFrame = {

@@ -65,4 +65,20 @@ object EventsOplog {
           get_json_object(col("props"), "$.k").cast("long").as("k"),
           col("event_type").as("last_type"))).as("doc"))
   }
+
+  /** Undeduplicated snapshot rows for [[graft.cdc.BatchApplier]], which
+    * picks the earliest row per key inside its one co-grouped pass — so
+    * the dedup needs no window shuffle of its own. Carries the packed ts
+    * for that in-group ordering. */
+  def sourceSnapshotRaw(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "signup")
+      .select(
+        col("user_id").cast("string").as("id"),
+        to_json(struct(
+          col("user_id").cast("string").as("_id"),
+          col("value").as("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("event_type").as("last_type"))).as("doc"),
+        ((unix_timestamp(col("ts")).cast("long") * lit(4294967296L)) +
+          pmod(col("event_id"), lit(2147483648L))).as("ts"))
 }
