@@ -23,6 +23,8 @@ object SimilarityQueries {
   def queries: Vector[NamedQuery] = Vector(
     NamedQuery("sim_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     NamedQuery("sim_lsh_topk", lshTopK, None),
+    NamedQuery("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    NamedQuery("sim_quantize_error", quantizeError, Some(quantizeErrorSql)),
   )
 
   private val dot =
@@ -107,4 +109,101 @@ object SimilarityQueries {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  // ---------------------------------------------------------------
+  // IVF-style ANN: a deterministic codebook (every 50th vector), each
+  // vector assigned to its nearest centroid by (rounded) cosine, then
+  // queries probe ONLY their own cell (nProbe=1) and exact-rank within
+  // it. This is the inverted-file scale path: at 100 TB the assignment
+  // is one broadcast pass (codebook is small by construction) and search
+  // touches 1/|C| of the corpus per probe; recall is tuned by nProbe and
+  // a trained codebook (k-means) without changing the dataflow shape.
+  // Assignment/ranking compare 4-dp-rounded sims with centroid-id /
+  // neighbor-id tiebreaks, so both engines pick identical cells.
+  private def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val c = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(c))
+      .withColumn("csim", graft.ops.Registry.rnd(ndot(col("v"), col("cv")) / (col("nrm") * col("cn")), 4))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+    val q = assign.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("cid").as("qcid"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = assign.select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(q), col("qcid") === col("cid") && col("q_id") =!= col("n_id"))
+      .withColumn("sim", graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val ivfTopKSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0
+      |), assign AS (
+      |  SELECT vec_id, cid, v, nrm FROM (
+      |    SELECT e.vec_id, c.cid, e.v, e.nrm,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c
+      |  ) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS q_id, cid AS qcid, v AS qv, nrm AS qn
+      |  FROM assign WHERE vec_id < 8
+      |), pairs AS (
+      |  SELECT q.q_id, a.vec_id AS n_id,
+      |    CAST(round(CAST(list_dot_product(q.qv, a.v) / (q.qn * a.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
+      |  FROM assign a JOIN q ON a.cid = q.qcid AND q.q_id <> a.vec_id
+      |), ranked AS (
+      |  SELECT q_id, n_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      |  FROM pairs
+      |)
+      |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Embedding quantization: per-vector min/max affine int8 (256-level)
+  // codes, reporting the mean absolute reconstruction error — the
+  // storage-compression pass a 100 TB embedding corpus runs before
+  // indexing (4x smaller than float32, error bounded by (hi-lo)/510).
+  // The quantized code is computed through a DECIMAL round so both
+  // engines snap to identical levels.
+  private def quantizeError(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("lo", array_min(col("v")))
+      .withColumn("hi", array_max(col("v")))
+      .withColumn("mean_abs_err", graft.ops.Registry.rnd(expr(
+        """aggregate(v, 0D,
+          |  (acc, x) -> acc + abs(x - (lo + cast(round(cast((x - lo) * 255.0 / (hi - lo) AS decimal(18,8)), 0) AS double) * (hi - lo) / 255.0)),
+          |  acc -> acc / size(v))""".stripMargin), 6))
+      .select(col("vec_id"), graft.ops.Registry.rnd(col("lo"), 6).as("lo"),
+        graft.ops.Registry.rnd(col("hi"), 6).as("hi"), col("mean_abs_err"))
+      .orderBy(col("vec_id"))
+
+  private val quantizeErrorSql =
+    """WITH mm AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_min(embedding::DOUBLE[]) AS lo, list_max(embedding::DOUBLE[]) AS hi
+      |  FROM embeddings
+      |)
+      |SELECT vec_id,
+      |  CAST(round(CAST(lo AS DECIMAL(18,8)), 6) AS DOUBLE) AS lo,
+      |  CAST(round(CAST(hi AS DECIMAL(18,8)), 6) AS DOUBLE) AS hi,
+      |  CAST(round(CAST(list_sum(list_transform(v, x ->
+      |    abs(x - (lo + CAST(round(CAST((x - lo) * 255.0 / (hi - lo) AS DECIMAL(18,8)), 0) AS DOUBLE) * (hi - lo) / 255.0)))) / len(v) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_abs_err
+      |FROM mm ORDER BY vec_id""".stripMargin
 }

@@ -18,6 +18,8 @@ object TextQueries {
     NamedQuery("text_tokens", tokens, Some(tokensSql)),
     NamedQuery("text_fingerprint", fingerprint, Some(fingerprintSql)),
     NamedQuery("doc_stats_by_lang", stats, Some(statsSql)),
+    NamedQuery("text_top_terms", topTerms, Some(topTermsSql)),
+    NamedQuery("text_edit_distance_pairs", editPairs, Some(editPairsSql)),
   )
 
   // ---------------------------------------------------------------
@@ -138,4 +140,67 @@ object TextQueries {
       |  CAST(round(avg(CAST(n_chars AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_chars,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Corpus vocabulary: top 5 terms per language by document frequency
+  // (ties broken lexicographically) — explode + count + window top-k,
+  // the shape of every "dominant n-grams per slice" corpus report.
+  private def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("w"))
+    Tables.table(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("w"), col("df"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  private val topTermsSql =
+    """WITH df AS (
+      |  SELECT lang, w, count(*) AS df FROM (
+      |    SELECT lang, doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |    FROM documents
+      |  ) GROUP BY lang, w
+      |), ranked AS (
+      |  SELECT lang, w, df,
+      |    row_number() OVER (PARTITION BY lang ORDER BY df DESC, w) AS rank
+      |  FROM df
+      |)
+      |SELECT lang, rank, w, df FROM ranked WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Edit-distance near-dup pairs: Levenshtein over a fixed text prefix,
+  // blocked by (lang, source). Both engines implement the same classic
+  // DP, so the distances hash-match exactly. Scale: the pair count is
+  // quadratic IN THE BLOCK, so the block key is the whole game — lang
+  // alone gives ~N/5-sized blocks (measured 16x the candidate pairs of
+  // (lang, source) at sf0.1); production passes narrow further with
+  // length buckets or an LSH prefilter, and the prefix caps the DP cost
+  // per surviving pair.
+  private def editPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), substring(col("text"), 1, 24).as("pfx"))
+    // the build side broadcasts; the probe side fans out across cores so
+    // the per-pair DP work doesn't pipeline on the unsplittable
+    // single-row-group scan (see Tables.fanOut)
+    val a = Tables.fanOut(d).select(col("doc_id").as("a_id"), col("lang"), col("source"), col("pfx").as("pa"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang").as("l2"), col("source").as("s2"), col("pfx").as("pb"))
+    a.join(b, col("lang") === col("l2") && col("source") === col("s2") && col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("dist") <= 10)
+      .select(col("a_id"), col("b_id"), col("lang"), col("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val editPairsSql =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang AS lang,
+      |  levenshtein(substring(a.text, 1, 24), substring(b.text, 1, 24)) AS dist
+      |FROM documents a JOIN documents b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE levenshtein(substring(a.text, 1, 24), substring(b.text, 1, 24)) <= 10
+      |ORDER BY a_id, b_id""".stripMargin
 }

@@ -1,0 +1,359 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Registry.{dec, sumDec2, rnd}
+import Tables.table
+
+/** Round-2 widening of the §2.6 capability inventory: more TPC-H-shaped
+  * join/agg plans (existence joins, conditional aggregation, disjunctive
+  * predicate pushdown, having-join), statistical and percentile
+  * aggregates, additional window functions, a theta join, and the
+  * remaining scalar families (conditional, bitwise, regexp).
+  *
+  * Same scale rules as [[Relational]]: joins key on the natural key,
+  * dimensions broadcast, doubles aggregate through DECIMAL for
+  * cross-engine determinism, explicit NULLS ordering on both engines.
+  */
+object MoreRelational {
+
+  def queries: Vector[NamedQuery] = Vector(
+    NamedQuery("q4_priority_late_ship", q4, Some(q4Sql)),
+    NamedQuery("q10_returned_revenue", q10, Some(q10Sql)),
+    NamedQuery("q12_late_lines_by_status", q12, Some(q12Sql)),
+    NamedQuery("q14_promo_revenue", q14, Some(q14Sql)),
+    NamedQuery("q18_large_orders", q18, Some(q18Sql)),
+    NamedQuery("q19_bracket_revenue", q19, Some(q19Sql)),
+    NamedQuery("agg_stats_funcs", aggStats, Some(aggStatsSql)),
+    NamedQuery("agg_percentiles", aggPercentiles, Some(aggPercentilesSql)),
+    NamedQuery("win_rank_funcs", winRank, Some(winRankSql)),
+    NamedQuery("join_theta_linepairs", thetaPairs, Some(thetaPairsSql)),
+    NamedQuery("scalar_conditional_funcs", scalarCond, Some(scalarCondSql)),
+    NamedQuery("scalar_bitwise_funcs", scalarBitwise, Some(scalarBitwiseSql)),
+    NamedQuery("scalar_regexp_funcs", scalarRegexp, Some(scalarRegexpSql)),
+  )
+
+  // ---------------------------------------------------------------
+  // q4 (TPC-H Q4 shape): existence semi-join — orders having at least
+  // one line shipped > 60 days after the order date, counted by
+  // priority. The semi-join shuffles on orderkey; the count is a
+  // broadcast-size result.
+  private def q4(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val late = table(spark, dir, "lineitem")
+      .join(o.select(col("o_orderkey").as("k"), col("o_orderdate")),
+        col("l_orderkey") === col("k"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey")).distinct()
+    o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q10 (TPC-H Q10 shape): revenue lost to returned items per customer,
+  // top 20 — join + agg + TakeOrderedAndProject.
+  private def q10(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(table(spark, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q12 (TPC-H Q12 shape): conditional aggregation over a join — late
+  // lines per linestatus split into high/low priority counts.
+  private def q12(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  private val q12Sql =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q14 (TPC-H Q14 shape): promo revenue share — two DECIMAL sums, the
+  // ratio computed on the rounded doubles so both engines divide the
+  // same values. part broadcasts (dimension).
+  private def q14(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO",
+            dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .otherwise(lit(0).cast("decimal(18,4)"))), 2).cast("double").as("promo_revenue"),
+        round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))), 2)
+          .cast("double").as("total_revenue"))
+      .withColumn("promo_pct", rnd(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4))
+
+  private val q14Sql =
+    """WITH s AS (
+      |  SELECT
+      |    CAST(round(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
+      |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |)
+      |SELECT promo_revenue, total_revenue,
+      |  CAST(round(CAST(100.0 * promo_revenue / total_revenue AS DECIMAL(18,8)), 4) AS DOUBLE) AS promo_pct
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q18 (TPC-H Q18 shape): having-join — customers whose orders exceed
+  // 200 total quantity. The having aggregate runs BEFORE the join (small
+  // surviving set), then joins back to orders/customer.
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    val big = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sumDec2(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 200.0)
+    table(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  private val q18Sql =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice, total_qty
+      |FROM orders
+      |JOIN (
+      |  SELECT l_orderkey AS lk,
+      |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) > 200.0
+      |) ON o_orderkey = lk
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q19 (TPC-H Q19 shape): disjunctive bracket predicates — Catalyst
+  // extracts the common p_partkey equi-key and pushes the residual OR
+  // below the join where possible.
+  private def q19(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size") <= 10 && col("l_quantity") >= 20) ||
+        (col("p_brand") === "Brand#2" && col("p_size") <= 20 && col("l_quantity") >= 10) ||
+        (col("p_type") === "PROMO" && col("l_quantity") >= 30))
+      .agg(round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))), 2)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  private val q19Sql =
+    """SELECT
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 20)
+      |   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 10)
+      |   OR (p_type = 'PROMO' AND l_quantity >= 30)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Statistical aggregates: sample stddev/variance, correlation and
+  // sample covariance of quantity vs extendedprice per returnflag.
+  // These accumulate in floating point in both engines; values are
+  // O(1e2..1e7) and both engines use numerically-stable one-pass
+  // updates, so rounding at 2-4 decimals is deterministic in practice.
+  private def aggStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        rnd(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        rnd(var_samp(col("l_quantity")), 4).as("var_qty"),
+        rnd(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        rnd(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggStatsSql =
+    """SELECT l_returnflag,
+      |  CAST(round(CAST(stddev_samp(l_quantity) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sd_qty,
+      |  CAST(round(CAST(var_samp(l_quantity) AS DECIMAL(18,8)), 4) AS DOUBLE) AS var_qty,
+      |  CAST(round(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(18,8)), 4) AS DOUBLE) AS corr_qty_price,
+      |  CAST(round(CAST(covar_samp(l_quantity, l_extendedprice) AS DECIMAL(18,8)), 2) AS DOUBLE) AS covar_qty_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Exact percentiles (linear interpolation — Spark `percentile` ==
+  // DuckDB `quantile_cont`) of order totals per status.
+  private def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        rnd(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        rnd(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        rnd(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        rnd(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+      .orderBy(col("o_orderstatus"))
+
+  private val aggPercentilesSql =
+    """SELECT o_orderstatus,
+      |  CAST(round(CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p25,
+      |  CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p50,
+      |  CAST(round(CAST(quantile_cont(o_totalprice, 0.75) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p75,
+      |  CAST(round(CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p95
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Window functions round 2: dense_rank, cume_dist, nth_value with an
+  // explicit whole-partition frame (default frames differ across
+  // engines, so both sides pin it).
+  private def winRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("dr"),
+        rnd(cume_dist().over(w), 6).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_best"))
+      .orderBy(col("o_custkey"), col("dr"), col("o_orderkey"))
+  }
+
+  private val winRankSql =
+    """SELECT o_custkey, o_orderkey,
+      |  dense_rank() OVER w AS dr,
+      |  CAST(round(CAST(cume_dist() OVER w AS DECIMAL(18,8)), 6) AS DOUBLE) AS cd,
+      |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, dr, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Theta join: same-order line pairs (equi on orderkey + inequality on
+  // linenumber) — the pair space is bounded by lines-per-order, so the
+  // "theta" part runs inside the equi-join's hash bucket, never as a
+  // cartesian product.
+  private def thetaPairs(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val a = l.select(col("l_orderkey").as("k"), col("l_linenumber").as("ln_a"), col("l_extendedprice").as("pa"))
+    val b = l.select(col("l_orderkey").as("k2"), col("l_linenumber").as("ln_b"), col("l_extendedprice").as("pb"))
+    a.join(b, col("k") === col("k2") && col("ln_a") < col("ln_b"))
+      .groupBy(col("k").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        rnd(max(abs(dec(col("pa")) - dec(col("pb")))), 2).as("max_price_gap"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val thetaPairsSql =
+    """SELECT a.l_orderkey AS o_orderkey, count(*) AS n_pairs,
+      |  CAST(round(CAST(max(abs(CAST(a.l_extendedprice AS DECIMAL(18,4)) - CAST(b.l_extendedprice AS DECIMAL(18,4)))) AS DECIMAL(18,8)), 2) AS DOUBLE) AS max_price_gap
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+      |GROUP BY a.l_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Conditional scalar functions: coalesce / nullif / greatest / least /
+  // CASE over order attributes.
+  private def scalarCond(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"),
+        rnd(greatest(dec(col("o_totalprice")), lit(100000).cast("decimal(18,4)")), 2).as("floor_100k"),
+        rnd(least(dec(col("o_totalprice")), lit(200000).cast("decimal(18,4)")), 2).as("cap_200k"),
+        when(col("o_totalprice") > 150000, "big").otherwise("small").as("bucket"))
+      .orderBy(col("o_orderkey"))
+
+  private val scalarCondSql =
+    """SELECT o_orderkey,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+      |  CAST(round(CAST(greatest(CAST(o_totalprice AS DECIMAL(18,4)), CAST(100000 AS DECIMAL(18,4))) AS DECIMAL(18,8)), 2) AS DOUBLE) AS floor_100k,
+      |  CAST(round(CAST(least(CAST(o_totalprice AS DECIMAL(18,4)), CAST(200000 AS DECIMAL(18,4))) AS DECIMAL(18,8)), 2) AS DOUBLE) AS cap_200k,
+      |  CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS bucket
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Bitwise scalar functions on integer keys (DuckDB spells xor as a
+  // function and exponentiation as ^, hence the twin's xor()).
+  private def scalarBitwise(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        expr("p_partkey & 255").as("low_byte"),
+        expr("p_partkey | 4096").as("with_flag"),
+        expr("p_partkey ^ 21845").as("xored"),
+        expr("shiftleft(p_partkey, 3)").as("shl3"),
+        expr("shiftright(p_partkey, 2)").as("shr2"))
+      .orderBy(col("p_partkey"))
+
+  private val scalarBitwiseSql =
+    """SELECT p_partkey,
+      |  p_partkey & 255 AS low_byte,
+      |  p_partkey | 4096 AS with_flag,
+      |  xor(p_partkey, 21845) AS xored,
+      |  p_partkey << 3 AS shl3,
+      |  p_partkey >> 2 AS shr2
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Regexp scalar functions: capture-group extraction and match
+  // counting (RE2-compatible patterns so both engines agree).
+  private def scalarRegexp(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).cast("long").as("brand_num"),
+        expr("regexp_count(p_name, '[aeiou]')").as("n_vowels"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+      .orderBy(col("p_partkey"))
+
+  private val scalarRegexpSql =
+    """SELECT p_partkey,
+      |  CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num,
+      |  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+      |FROM part ORDER BY p_partkey""".stripMargin
+}

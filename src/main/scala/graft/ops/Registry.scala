@@ -33,7 +33,7 @@ object Registry {
     round(c.cast("decimal(18,8)"), scale).cast("double")
 
   def all: Vector[NamedQuery] =
-    Relational.queries ++ CdcQueries.queries ++
+    Relational.queries ++ MoreRelational.queries ++ CdcQueries.queries ++
       graft.llm.DedupQueries.queries ++ graft.llm.SimilarityQueries.queries ++
       graft.llm.TextQueries.queries ++ graft.llm.MultimodalQueries.queries
 }
