@@ -50,10 +50,111 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  /** Batched feature extraction: the model-inference shape. Rows are
+    * drained per partition in fixed-size batches (the way a real
+    * vision/audio model consumes tensors), each batch "infers" in one
+    * call, and results flatten back to rows. The fake embedding is
+    * deterministic byte statistics; a real model swaps one function and
+    * keeps the batching, schema and partition sizing. */
+  final case class MediaEmbed(doc_id: Long, batch_size: Int, embedding: Array[Float])
+
+  def embedStub(spark: SparkSession, dir: String, batchSize: Int = 16): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    implicit val enc = Encoders.product[MediaEmbed]
+    docs.as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "model call" per batch: batch.size rows in, |batch| vectors out
+          batch.map { case (id, bytes) =>
+            val n = math.max(1, bytes.length)
+            val mean = bytes.foldLeft(0L)(_ + _).toFloat / n
+            val mx = if (bytes.isEmpty) 0f else bytes.max.toFloat
+            val mn = if (bytes.isEmpty) 0f else bytes.min.toFloat
+            MediaEmbed(id, batch.size, Array(n.toFloat, mean, mn, mx))
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+}
+
+/** Relational halves of the multimodal pipeline — the resize planning
+  * and video frame-sampling math that runs BEFORE any decoder touches
+  * bytes. Media dimensions are derived deterministically from `n_chars`
+  * (the harness stand-in for real header metadata), which keeps both
+  * operators DuckDB-checkable end to end.
+  */
+object MultimodalPlan {
+  import graft.ops.Registry.rnd
+
+  /** Fit-within-224x224 resize planning, aspect ratio preserved. */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        (lit(64) + pmod(col("n_chars"), lit(1024))).cast("int").as("width"),
+        (lit(64) + pmod(col("n_chars") * 7, lit(1024))).cast("int").as("height"))
+      .withColumn("scale",
+        rnd(least(lit(224.0) / col("width"), lit(224.0) / col("height"), lit(1.0)), 6))
+      .withColumn("target_w", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("target_h", floor(col("height") * col("scale")).cast("int"))
+      .orderBy(col("doc_id"))
+
+  val resizePlanSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    CAST(64 + n_chars % 1024 AS INT) AS width,
+      |    CAST(64 + (n_chars * 7) % 1024 AS INT) AS height
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, width, height,
+      |    CAST(round(CAST(least(224.0 / width, 224.0 / height, 1.0) AS DECIMAL(18,8)), 6) AS DOUBLE) AS scale
+      |  FROM dims
+      |)
+      |SELECT doc_id, width, height, scale,
+      |  CAST(floor(width * scale) AS INT) AS target_w,
+      |  CAST(floor(height * scale) AS INT) AS target_h
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Video frame sampling: duration from the stand-in metadata, one
+    * frame every 2 s, at most 8 frames per clip, with the byte offset a
+    * seek-based decoder would jump to. The explode is the partition-
+    * local fan-out a frame-extraction stage feeds from. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), (col("n_chars") * 40).cast("long").as("duration_ms"))
+      .withColumn("n_frames",
+        least(lit(8L), (col("duration_ms") / lit(2000)).cast("long") + 1L))
+      .select(col("doc_id"), col("duration_ms"),
+        posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("frame_idx", "f")))
+      .select(col("doc_id"), col("duration_ms"), col("frame_idx").cast("long").as("frame_idx"),
+        (col("f") * 2000L).as("ts_ms"),
+        (col("f") * 2000L * 256L).as("byte_offset"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val frameSampleSql: String =
+    """WITH clips AS (
+      |  SELECT doc_id, CAST(n_chars * 40 AS BIGINT) AS duration_ms,
+      |    least(8, duration_ms // 2000 + 1) AS n_frames
+      |  FROM documents
+      |)
+      |SELECT doc_id, duration_ms,
+      |  CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(f * 2000 AS BIGINT) AS ts_ms,
+      |  CAST(f * 2000 * 256 AS BIGINT) AS byte_offset
+      |FROM clips, unnest(generate_series(0, n_frames - 1)) AS t(f)
+      |ORDER BY doc_id, frame_idx""".stripMargin
 }
 
 object MultimodalQueries {
   def queries: Vector[NamedQuery] = Vector(
     NamedQuery("multimodal_decode_meta", (s, d) => Multimodal.decodeMeta(s, d), None),
+    NamedQuery("multimodal_embed_batch", (s, d) => Multimodal.embedStub(s, d), None),
+    NamedQuery("multimodal_resize_plan",
+      (s, d) => MultimodalPlan.resizePlan(s, d), Some(MultimodalPlan.resizePlanSql)),
+    NamedQuery("multimodal_frame_sample",
+      (s, d) => MultimodalPlan.frameSample(s, d), Some(MultimodalPlan.frameSampleSql)),
   )
 }
