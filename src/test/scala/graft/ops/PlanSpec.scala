@@ -40,4 +40,36 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("join_semi_open_orders").contains("LeftSemi"))
     assert(plan("join_anti_no_orders").contains("LeftAnti"))
   }
+
+  test("q4 existence join plans as a semi join") {
+    assert(plan("q4_priority_late_ship").contains("LeftSemi"))
+  }
+
+  test("q10/q18 top-k joins keep TakeOrderedAndProject") {
+    assert(plan("q10_returned_revenue").contains("TakeOrderedAndProject"))
+    assert(plan("q18_large_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q14/q19 broadcast the part dimension") {
+    assert(plan("q14_promo_revenue").contains("BroadcastHashJoin"))
+    assert(plan("q19_bracket_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("theta join stays an equi hash join with a residual condition, not a cartesian") {
+    val p = plan("join_theta_linepairs")
+    assert(!p.contains("CartesianProduct"), "theta join must key on l_orderkey")
+    assert(p.contains("Join"), p.take(400))
+  }
+
+  test("edit-distance pairs fan out the probe side and broadcast the build side") {
+    val p = plan("text_edit_distance_pairs")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") == false)
+    assert(p.contains("hashpartitioning"), "probe side must be fanned out across cores")
+  }
+
+  test("minhash pair generation has no join (posting-list explode)") {
+    val p = plan("dedup_minhash_pairs")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "pairs must come from per-bucket posting lists, not a self-join")
+  }
 }

@@ -85,4 +85,42 @@ class StreamingWindowSpec extends AnyFunSuite {
     // second delivery of the same 100 events must be suppressed
     assert(spark.sql("SELECT count(*) FROM dedup_out").collect().head.getLong(0) === 100L)
   }
+
+  test("stream-static broadcast join enriches micro-batches (S5's set-oriented form)") {
+    // the reference's batched point lookup (mongodb.ts:61-104) becomes a
+    // stream-static join: each micro-batch joins the static dimension
+    // in one broadcast pass, no per-row RPC
+    val base = Files.createTempDirectory("stream-join").toString
+    val events = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+    events.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$base/in/p1")
+    events.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$base/in/p2")
+
+    val dim = spark.createDataFrame(Seq(
+      ("signup", "acquisition"), ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("error", "ops"),
+    )).toDF("event_type", "category")
+
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+
+    val q = stream
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("enrich_out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT count(*), count(category) FROM enrich_out").collect().head
+    val want = events.count()
+    assert(got.getLong(0) === want)  // every event survives the left join
+    assert(got.getLong(1) === want)  // every event_type resolved a category
+  }
 }
