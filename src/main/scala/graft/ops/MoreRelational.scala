@@ -29,6 +29,7 @@ object MoreRelational {
     NamedQuery("agg_percentiles", aggPercentiles, Some(aggPercentilesSql)),
     NamedQuery("win_rank_funcs", winRank, Some(winRankSql)),
     NamedQuery("join_theta_linepairs", thetaPairs, Some(thetaPairsSql)),
+    NamedQuery("agg_salted_hot_keys", saltedHotKeys, Some(saltedHotKeysSql)),
     NamedQuery("scalar_conditional_funcs", scalarCond, Some(scalarCondSql)),
     NamedQuery("scalar_bitwise_funcs", scalarBitwise, Some(scalarBitwiseSql)),
     NamedQuery("scalar_regexp_funcs", scalarRegexp, Some(scalarRegexpSql)),
@@ -293,6 +294,26 @@ object MoreRelational {
       |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
       |GROUP BY a.l_orderkey
       |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Skew-safe aggregation as a first-class operator: event_type has 5
+  // values over the whole corpus — the classic hot-key shape where a
+  // plain groupBy funnels everything through 5 reducers. The two-level
+  // salted aggregation ([[Salting.saltedSum]]) spreads each hot key over
+  // `saltFactor` sub-keys before the final combine; the value column is
+  // pre-cast to DECIMAL so partial-sum order cannot change the result
+  // and the oracle's plain sum matches exactly.
+  private def saltedHotKeys(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("v", dec(col("value")))
+    Salting.saltedSum(ev.select(col("event_type"), col("v")), "event_type", "v", 8)
+      .select(col("event_type"), round(col("sum_v"), 2).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val saltedHotKeysSql =
+    """SELECT event_type,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
   // Conditional scalar functions: coalesce / nullif / greatest / least /
