@@ -78,4 +78,79 @@ class MultiBatchPropertySpec extends AnyFunSuite {
     }
     assert(modelState.nonEmpty)
   }
+
+  // -----------------------------------------------------------------
+  // Same property with parent routing configured: the model re-injects
+  // the stored parent into the sink doc before dispatch (the engine's
+  // _mapResponse replay) and deletes must resolve routing from state.
+  val pTask = TaskSpec(Vector("f.a" -> "a", "f.b" -> "b"), parent = Some("p"))
+
+  private def randomParentOplog(rnd: scala.util.Random, tsBase: Int): OplogRow = {
+    val key = s"k${rnd.nextInt(6)}"
+    val ts = BsonTs(tsBase, rnd.nextInt(1000))
+    val v = rnd.nextInt(50)
+    rnd.nextInt(4) match {
+      case 0 =>
+        OplogRow(ts.toLong, "i", "db.c", key,
+          s"""{"_id":"$key","p":"u${rnd.nextInt(3)}","f":{"a":$v,"b":${v + 1}}}""")
+      case 1 =>
+        OplogRow(ts.toLong, "u", "db.c", key, s"""{"$$set":{"f.a":$v}}""")
+      case 2 =>
+        OplogRow(ts.toLong, "u", "db.c", key, s"""{"p":"u${rnd.nextInt(3)}","f":{"a":$v}}""")
+      case _ =>
+        OplogRow(ts.toLong, "d", "db.c", key, s"""{"_id":"$key"}""")
+    }
+  }
+
+  private def modelApplyParent(
+      state: Map[String, (String, String, Long)],
+      batch: Seq[OplogRow]): Map[String, (String, String, Long)] = {
+    val byKey = batch.groupBy(_.id)
+    val untouched = state.view.filterKeys(k => !byKey.contains(k)).toMap
+    val touched = byKey.flatMap { case (id, rows) =>
+      val sinkDoc = state.get(id).map { case (doc, parent, _) =>
+        val d = Json.parseObj(doc)
+        if (parent != null && parent.nonEmpty) Paths.set(d, "p", DStr(parent)) else d
+      }
+      val irs = Transformer.mergeOplogs(pTask, rows.map(_.toCore)).flatMap { o =>
+        Transformer.dispatch(pTask, o, sinkDoc, None)
+      }
+      val candidates = state.get(id).map(s => (s._3, 0, "state", s._1, s._2)).toVector ++
+        irs.map { ir =>
+          val doc = ir.data.map(d =>
+            DObj(("_id" -> DStr(ir.id)) +: d.fields.filterNot(_._1 == "_id")).render).orNull
+          val parent = ir.parent.map { case DStr(s) => s; case o => o.render }.orNull
+          (ir.timestamp, 1, ir.action, doc, parent)
+        }
+      if (candidates.isEmpty) None
+      else {
+        val w = candidates.maxBy(c => (c._1, c._2))
+        if (w._3 == "delete") None else Some(id -> (w._4, w._5, w._1))
+      }
+    }
+    untouched ++ touched
+  }
+
+  test("parent-routed task: distributed apply == model fold (routing carried and deletes resolve)") {
+    import OplogRow.encoder
+    val rnd = new scala.util.Random(777)
+    var engineState = StateStore.empty(spark)
+    var modelState = Map.empty[String, (String, String, Long)]
+    var sawParent = false
+    for (batchNo <- 1 to 5) {
+      val batch = Vector.fill(12)(randomParentOplog(rnd, batchNo))
+      engineState = BatchApplier.applyOplogBatch(
+        spark.createDataset(batch), engineState, pTask)
+      val got = engineState.collect()
+        .map(r => r.getAs[String]("id") ->
+          (r.getAs[String]("doc"), r.getAs[String]("parent"), r.getAs[Long]("ts"))).toMap
+      modelState = modelApplyParent(modelState, batch)
+      assert(got === modelState, s"diverged at batch $batchNo with batch $batch")
+      sawParent ||= got.values.exists(_._2 != null)
+      engineState = spark.createDataFrame(got.toSeq.map { case (id, (doc, p, ts)) => (id, doc, p, ts) })
+        .toDF("id", "doc", "parent", "ts")
+    }
+    assert(modelState.nonEmpty)
+    assert(sawParent, "test must actually exercise non-null parent routing")
+  }
 }
