@@ -30,6 +30,10 @@ object MoreRelational {
     NamedQuery("win_rank_funcs", winRank, Some(winRankSql)),
     NamedQuery("join_theta_linepairs", thetaPairs, Some(thetaPairsSql)),
     NamedQuery("agg_salted_hot_keys", saltedHotKeys, Some(saltedHotKeysSql)),
+    NamedQuery("join_full_outer_counts", fullOuter, Some(fullOuterSql)),
+    NamedQuery("setop_except_all", exceptAll, Some(exceptAllSql)),
+    NamedQuery("setop_intersect_all", intersectAll, Some(intersectAllSql)),
+    NamedQuery("agg_bool_funcs", aggBool, Some(aggBoolSql)),
     NamedQuery("scalar_conditional_funcs", scalarCond, Some(scalarCondSql)),
     NamedQuery("scalar_bitwise_funcs", scalarBitwise, Some(scalarBitwiseSql)),
     NamedQuery("scalar_regexp_funcs", scalarRegexp, Some(scalarRegexpSql)),
@@ -314,6 +318,89 @@ object MoreRelational {
     """SELECT event_type,
       |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Full outer join: nations x order-customer nations — rows survive
+  // from both sides with nulls on the unmatched side.
+  private def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = table(spark, dir, "customer")
+      .join(table(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_closed_orders"))
+    table(spark, dir, "nation")
+      .join(custNations, col("n_nationkey") === col("c_nationkey"), "full_outer")
+      .select(col("n_name"), coalesce(col("n_closed_orders"), lit(0L)).as("n_closed_orders"))
+      .orderBy(col("n_name").asc_nulls_first)
+  }
+
+  private val fullOuterSql =
+    """WITH cn AS (
+      |  SELECT c_nationkey, count(*) AS n_closed_orders
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY c_nationkey
+      |)
+      |SELECT n_name, coalesce(n_closed_orders, 0) AS n_closed_orders
+      |FROM nation FULL OUTER JOIN cn ON n_nationkey = c_nationkey
+      |ORDER BY n_name ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL preserve
+  // multiplicity (the DISTINCT forms are covered by setop_except/
+  // setop_intersect).
+  private def exceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val open = table(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val urgent = table(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    open.exceptAll(urgent)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val exceptAllSql =
+    """SELECT o_custkey, count(*) AS multiplicity FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  private def intersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val open = table(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val urgent = table(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    open.intersectAll(urgent)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val intersectAllSql =
+    """SELECT o_custkey, count(*) AS multiplicity FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Boolean / conditional-count aggregates.
+  private def aggBool(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+        expr("bool_or(o_totalprice > 400000)").as("any_over_400k"),
+        expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"))
+      .orderBy(col("o_orderstatus"))
+
+  private val aggBoolSql =
+    """SELECT o_orderstatus,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k,
+      |  bool_or(o_totalprice > 400000) AS any_over_400k,
+      |  CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------
   // Conditional scalar functions: coalesce / nullif / greatest / least /
