@@ -12,8 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  // One DataFrame per (session, path): repeated loads of the same table
+  // re-list the path and re-read parquet footers during analysis; the
+  // memo hands every query the SAME analyzed relation, so per-query
+  // planning starts from a warm logical plan (plans are immutable —
+  // sharing is safe).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   /** Spread a scan across all cores before heavy per-row work. The
     * harness parquet files are written as a SINGLE row group, and a row
@@ -31,7 +40,7 @@ object Tables {
     * `ts_ns` as the raw nanosecond long. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    table(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
   }
