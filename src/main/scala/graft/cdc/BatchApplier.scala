@@ -44,6 +44,11 @@ object BatchApplier {
     * @param state  current state (id, doc, parent, ts)
     * @param source optional source snapshot (id, doc) — the Mongo
     *               fallback for updates to never-seen keys
+    * @param dropped optional accumulator counting events discarded by
+    *               the per-event error contract (malformed JSON, failed
+    *               dispatch) — the engine's side-output form of the
+    *               reference's per-event warn logging (P6,
+    *               processor.ts:178-181,205-222)
     * @return the full new state (id, doc, parent, ts)
     */
   def applyOplogBatch(
@@ -51,6 +56,7 @@ object BatchApplier {
       state: DataFrame,
       task: TaskSpec,
       source: Option[DataFrame] = None,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None,
   ): DataFrame = {
     val spark = events.sparkSession
     implicit val applyEnc = Encoders.product[ApplyRow]
@@ -105,10 +111,15 @@ object BatchApplier {
             (if (srcs.isEmpty) None else Some(srcs.minBy(_.ts)))
               .flatMap(r => scala.util.Try(Json.parseObj(r.doc)).toOption)
           }
-          val oplogs = evs.flatMap(r =>
-            scala.util.Try(OplogRow(r.ts, r.op, r.ns, r.id, r.doc, r.fromMigrate).toCore).toOption)
+          val oplogs = evs.flatMap { r =>
+            val parsed = scala.util.Try(OplogRow(r.ts, r.op, r.ns, r.id, r.doc, r.fromMigrate).toCore).toOption
+            if (parsed.isEmpty) dropped.foreach(_.add(1L))
+            parsed
+          }
           val irs = Transformer.mergeOplogs(task, oplogs).flatMap { o =>
-            scala.util.Try(Transformer.dispatch(task, o, sinkDoc, sourceDoc)).toOption.flatten
+            val ir = scala.util.Try(Transformer.dispatch(task, o, sinkDoc, sourceDoc)).toOption.flatten
+            if (ir.isEmpty) dropped.foreach(_.add(1L))
+            ir
           }
           // LWW against existing state; IR wins ties (idempotent replay)
           val candidates =

@@ -129,9 +129,13 @@ class CdcPipelineSpec extends AnyFunSuite {
       OplogRow(BsonTs(1, 1).toLong, "i", "db.c", "bad", """{"_id": BROKEN"""),
       OplogRow(BsonTs(1, 2).toLong, "u", "db.c", "bad2", """not json at all"""),
     ))
-    val out = BatchApplier.applyOplogBatch(batch, StateStore.empty(spark), vTask)
+    val dropped = spark.sparkContext.longAccumulator("dropped_events")
+    val out = BatchApplier.applyOplogBatch(batch, StateStore.empty(spark), vTask,
+        dropped = Some(dropped))
       .collect().map(r => r.getAs[String]("id")).toSet
     assert(out === Set("good"))
+    // the side-output accounting (P6): both malformed events counted
+    assert(dropped.value === 2L)
   }
 
   test("state store MERGE: LWW guard makes replays idempotent (O9/O10)") {
