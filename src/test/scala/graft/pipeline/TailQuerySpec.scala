@@ -66,4 +66,45 @@ class TailQuerySpec extends AnyFunSuite {
       "k3" -> """{"_id":"k3","value":3.0}""",
     ))
   }
+
+  test("tail stream: parent routing survives $set read-back and routes deletes") {
+    import OplogRow.encoder
+    val pTask = TaskSpec(Vector("value" -> "value"), parent = Some("user"))
+    val base = Files.createTempDirectory("tailq-parent").toString
+    val inDir = s"$base/in"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+
+    // batch 1 inserts two parent-routed docs; batch 2 $set-updates one
+    // (read-back must re-attach its stored routing) and deletes the
+    // other (delete must resolve routing from state, not be dropped)
+    val batch1 = Seq(
+      OplogRow(BsonTs(1, 0).toLong, "i", "db.c", "k1", """{"_id":"k1","user":"u7","value":1.0}"""),
+      OplogRow(BsonTs(1, 1).toLong, "i", "db.c", "k2", """{"_id":"k2","user":"u8","value":2.0}"""),
+    )
+    val batch2 = Seq(
+      OplogRow(BsonTs(2, 0).toLong, "u", "db.c", "k1", """{"$set":{"value":10.0}}"""),
+      OplogRow(BsonTs(2, 1).toLong, "d", "db.c", "k2", """{"_id":"k2"}"""),
+    )
+    spark.createDataset(batch1).coalesce(1).write.parquet(s"$inDir/b1")
+    spark.createDataset(batch2).coalesce(1).write.parquet(s"$inDir/b2")
+
+    val stream = spark.readStream
+      .schema(oplogSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(inDir)
+
+    val q = TailQuery.start(
+      stream, pTask, ns = "db.c", fromTs = 0L,
+      stateDir = s"$base/state", checkpointDir = s"$base/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    val state = StateStore.read(spark, s"$base/state")
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[String]("doc"), r.getAs[String]("parent"))).toMap
+    assert(state.keySet === Set("k1"))       // k2's routed delete applied
+    assert(state("k1")._2 === "u7")          // routing survived the $set read-back
+    assert(state("k1")._1 === """{"_id":"k1","value":10.0}""")
+  }
 }
