@@ -34,6 +34,8 @@ object MoreRelational {
     NamedQuery("setop_except_all", exceptAll, Some(exceptAllSql)),
     NamedQuery("setop_intersect_all", intersectAll, Some(intersectAllSql)),
     NamedQuery("agg_bool_funcs", aggBool, Some(aggBoolSql)),
+    NamedQuery("scalar_map_funcs", scalarMap, Some(scalarMapSql)),
+    NamedQuery("agg_string_agg", stringAgg, Some(stringAggSql)),
     NamedQuery("scalar_conditional_funcs", scalarCond, Some(scalarCondSql)),
     NamedQuery("scalar_bitwise_funcs", scalarBitwise, Some(scalarBitwiseSql)),
     NamedQuery("scalar_regexp_funcs", scalarRegexp, Some(scalarRegexpSql)),
@@ -445,6 +447,46 @@ object MoreRelational {
       |  p_partkey << 3 AS shl3,
       |  p_partkey >> 2 AS shr2
       |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Map functions over the dynamic-document column: the props JSON
+  // parses to map<string,string> and the map family (keys, size,
+  // element_at) operates on it — the fixed-schema face of the engine's
+  // schemaless-document handling. Key order is pinned by sorting.
+  private def scalarMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+      .select(
+        col("event_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        concat_ws(",", sort_array(map_keys(col("m")))).as("keys_sorted"),
+        element_at(col("m"), "k").as("k_value"))
+      .orderBy(col("event_id"))
+
+  private val scalarMapSql =
+    """SELECT event_id,
+      |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+      |  array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+      |  props->>'$.k' AS k_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // String aggregation: order-pinned listagg per group (collect_list is
+  // unordered by contract, so the sort happens inside the aggregate
+  // expression on both engines).
+  private def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
+  private val stringAggSql =
+    """SELECT n_regionkey,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  count(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
   // ---------------------------------------------------------------
   // Regexp scalar functions: capture-group extraction and match
