@@ -1,0 +1,184 @@
+package graft.source.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.model.{DBool, DInt, DObj, DStr, Json}
+
+/** DataSource V2 connector for JSON-lines oplog files — the concrete
+  * form of the S1/S2 connector seam (SURVEY.md §2.1): what
+  * `spark.read.format("mongodb")` provides against a live replica set,
+  * this provides against oplog dumps, with the same two server-side
+  * optimizations the reference pushes into the Mongo query
+  * (reference src/mongodb.ts:35-39,46-54):
+  *
+  *  - **predicate pushdown** (O2): `ns = ...` equality and `ts >= ...`
+  *    lower bounds are evaluated inside the reader while parsing — rows
+  *    outside the namespace/resume window never become Spark rows. The
+  *    plan shows them under `PushedFilters`.
+  *  - **column pruning** (O1): the reader materializes only requested
+  *    columns (`ReadSchema`), so e.g. a count over `ns` never builds
+  *    `doc` strings.
+  *
+  * One InputPartition per file (JSON-lines split cleanly on newlines, so
+  * a byte-range splitter is possible; per-file granularity keeps the
+  * demo honest — real dumps are many files, which is the parallelism
+  * unit here, as with every file-based source). Parsing uses the
+  * engine's own [[graft.model.Json]] codec; malformed lines follow the
+  * per-event error contract (dropped, not fatal).
+  *
+  * Usage: `spark.read.format("graft.source.v2.OplogJsonSource")
+  *   .option("path", dir).load()`
+  */
+class OplogJsonSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OplogJsonTable.SCHEMA
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new OplogJsonTable(properties.get("path"))
+}
+
+object OplogJsonTable {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("ts", LongType),
+    StructField("op", StringType),
+    StructField("ns", StringType),
+    StructField("id", StringType),
+    StructField("doc", StringType),
+    StructField("fromMigrate", BooleanType),
+  ))
+}
+
+class OplogJsonTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"oplog_json($path)"
+  override def schema(): StructType = OplogJsonTable.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OplogScanBuilder(path)
+}
+
+class OplogScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = OplogJsonTable.SCHEMA
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("ns", _: String) => true
+      case GreaterThanOrEqual("ts", _: Long) => true
+      case GreaterThan("ts", _: Long) => true
+      case IsNotNull(_) => true // trivially satisfied by the reader
+      case _ => false
+    }
+    pushed = accepted
+    rejected // Spark re-evaluates anything the source didn't take
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new OplogScan(path, pushed, required)
+}
+
+case class OplogFilePartition(file: String) extends InputPartition
+
+class OplogScan(path: String, pushed: Array[Filter], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"OplogJsonScan(path=$path, pushed=${pushed.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = java.nio.file.Paths.get(path)
+    val files =
+      if (java.nio.file.Files.isDirectory(dir))
+        java.nio.file.Files.list(dir).iterator().asScala
+          .filter(p => p.toString.endsWith(".jsonl"))
+          .map(_.toString).toArray.sorted
+      else Array(path)
+    files.map(f => OplogFilePartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OplogReaderFactory(pushed, required)
+}
+
+class OplogReaderFactory(pushed: Array[Filter], required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new OplogPartitionReader(partition.asInstanceOf[OplogFilePartition].file, pushed, required)
+}
+
+/** Line-by-line reader: parse -> pushed-filter -> project. */
+class OplogPartitionReader(file: String, pushed: Array[Filter], required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(file))
+  private val it = lines.iterator()
+  private var current: InternalRow = _
+
+  private val nsEq: Option[String] = pushed.collectFirst { case EqualTo("ns", v: String) => v }
+  private val tsGe: Option[Long] = pushed.collectFirst { case GreaterThanOrEqual("ts", v: Long) => v }
+  private val tsGt: Option[Long] = pushed.collectFirst { case GreaterThan("ts", v: Long) => v }
+
+  private def str(o: DObj, k: String): String = o.get(k) match {
+    case Some(DStr(s)) => s
+    case Some(other)   => other.render
+    case None          => null
+  }
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val line = it.next()
+      if (line.nonEmpty) {
+        // per-event error contract: malformed lines drop, the scan lives
+        scala.util.Try(Json.parseObj(line)).toOption.foreach { o =>
+          val ts = o.get("ts") match { case Some(DInt(l)) => l; case _ => 0L }
+          val ns = str(o, "ns")
+          val keep =
+            nsEq.forall(_ == ns) && tsGe.forall(ts >= _) && tsGt.forall(v => ts > v)
+          if (keep) {
+            val values = required.fields.map { f =>
+              f.name match {
+                case "ts" => ts: Any
+                case "op" => UTF8String.fromString(str(o, "op"))
+                case "ns" => UTF8String.fromString(ns)
+                case "id" => UTF8String.fromString(str(o, "id"))
+                case "doc" =>
+                  UTF8String.fromString(o.get("doc").map {
+                    case d: DObj => d.render
+                    case DStr(s) => s
+                    case other   => other.render
+                  }.orNull)
+                case "fromMigrate" => o.get("fromMigrate") match {
+                  case Some(DBool(b)) => b
+                  case _              => false
+                }
+              }
+            }
+            current = new GenericInternalRow(values)
+            return true
+          }
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}

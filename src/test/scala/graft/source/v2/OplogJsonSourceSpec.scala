@@ -1,0 +1,76 @@
+package graft.source.v2
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The DSv2 oplog connector must push ns/ts predicates and prune
+  * columns (the reference's server-side Mongo query options, O1/O2),
+  * and follow the per-event error contract on malformed lines. */
+class OplogJsonSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("oplog-jsonl").toString
+    val f1 = Seq(
+      """{"ts":100,"op":"i","ns":"db.c","id":"a","doc":{"_id":"a","v":1},"fromMigrate":false}""",
+      """{"ts":200,"op":"u","ns":"db.c","id":"a","doc":{"$set":{"v":2}}}""",
+      """{"ts":300,"op":"d","ns":"other.ns","id":"x","doc":{"_id":"x"}}""",
+      """not json — must drop, not kill the scan""",
+    )
+    val f2 = Seq(
+      """{"ts":400,"op":"i","ns":"db.c","id":"b","doc":{"_id":"b","v":3},"fromMigrate":true}""",
+      """{"ts":50,"op":"i","ns":"db.c","id":"old","doc":{"_id":"old","v":0}}""",
+    )
+    Files.write(java.nio.file.Paths.get(dir, "part1.jsonl"), f1.mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "part2.jsonl"), f2.mkString("\n").getBytes)
+    dir
+  }
+
+  private def load(dir: String) =
+    spark.read.format("graft.source.v2.OplogJsonSource").option("path", dir).load()
+
+  test("reads all well-formed rows; malformed lines drop") {
+    val df = load(writeFixture())
+    assert(df.count() === 5) // 6 lines written, 1 malformed
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("ts", "op", "ns", "id", "doc", "fromMigrate"))
+  }
+
+  test("ns equality and ts lower bound are pushed into the reader") {
+    val df = load(writeFixture())
+      .filter(col("ns") === "db.c" && col("ts") >= 100L)
+    assert(df.count() === 3) // drops other.ns and ts=50
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("pushed"), plan.take(1200))
+    assert(plan.contains("ns") && plan.contains("ts"), plan.take(1200))
+    // row content survives the pushed path intact
+    val byId = df.collect().map(r => (r.getAs[String]("id"), r.getAs[Long]("ts"))).toSet
+    assert(byId === Set(("a", 100L), ("a", 200L), ("b", 400L)))
+  }
+
+  test("column pruning reaches the reader (ReadSchema excludes doc)") {
+    val df = load(writeFixture()).select("ns", "ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("doc#") || !plan.substring(plan.indexOf("Scan")).contains("doc"),
+      plan.take(1200))
+    assert(df.count() === 5)
+  }
+
+  test("connector rows feed the CDC pipeline end to end") {
+    import graft.cdc.{BatchApplier, OplogRow, StateStore}
+    import OplogRow.encoder
+    val df = load(writeFixture())
+      .filter(col("ns") === "db.c" && !col("fromMigrate"))
+    val task = graft.model.TaskSpec(Vector("v" -> "v"))
+    val out = BatchApplier.applyOplogBatch(
+        df.as[OplogRow], StateStore.empty(spark), task)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[String]("doc")).toMap
+    // a: insert + $set folded; old: plain insert; b: filtered (fromMigrate)
+    assert(out === Map(
+      "a" -> """{"_id":"a","v":2}""",
+      "old" -> """{"_id":"old","v":0}""",
+    ))
+  }
+}
