@@ -1,0 +1,132 @@
+package graft.source.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 sink emitting Elasticsearch `_bulk` bodies — the
+  * concrete form of the L1 load seam (reference src/processor.ts:225-258):
+  * each IR row becomes an action line (`{"index":{"_id":…,"_parent":…}}`
+  * or `{"delete":{…}}`) followed, for upserts, by the document source.
+  * What the es-hadoop connector ships over HTTP, this writes as
+  * newline-delimited bulk files — one per task, with the standard
+  * stage-then-commit protocol:
+  *
+  *  - each DataWriter streams to an invisible staging file
+  *    (`.part-<partition>-<task>`);
+  *  - task `commit()` atomically renames it visible (`part-…`) — retried
+  *    or speculative tasks abort and delete their staging file, so
+  *    exactly one attempt's output survives (the file-sink form of the
+  *    idempotent-upsert recovery contract O10);
+  *  - job `commit()` drops a `_SUCCESS` marker.
+  *
+  * Input schema: (action, id, data, parent, ts) — IR rows.
+  *
+  * Usage: `irs.write.format("graft.source.v2.BulkJsonSink")
+  *   .option("path", dir).option("index", "idx").option("type", "doc")
+  *   .mode("append").save()`
+  */
+class BulkJsonSink extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BulkJsonSink.EXPECTED
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BulkJsonTable(properties.get("path"),
+      Option(properties.get("index")).getOrElse("index"),
+      Option(properties.get("type")).getOrElse("_doc"))
+}
+
+object BulkJsonSink {
+  import org.apache.spark.sql.types._
+  val EXPECTED: StructType = StructType(Seq(
+    StructField("action", StringType),
+    StructField("id", StringType),
+    StructField("data", StringType),
+    StructField("parent", StringType),
+    StructField("ts", LongType),
+  ))
+
+  private[v2] def esc(s: String): String =
+    graft.model.Json.render(graft.model.DStr(s))
+}
+
+class BulkJsonTable(path: String, index: String, esType: String)
+    extends Table with SupportsWrite {
+  override def name(): String = s"bulk_json($path)"
+  override def schema(): StructType = BulkJsonSink.EXPECTED
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BulkBatchWrite(path, index, esType)
+      }
+    }
+}
+
+final case class BulkCommit(finalFile: String) extends WriterCommitMessage
+
+class BulkBatchWrite(path: String, index: String, esType: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new BulkWriterFactory(path, index, esType)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_SUCCESS"), Array.emptyByteArray)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class BulkWriterFactory(path: String, index: String, esType: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BulkDataWriter(path, index, esType, partitionId, taskId)
+}
+
+class BulkDataWriter(path: String, index: String, esType: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import BulkJsonSink.esc
+
+  private val dir = java.nio.file.Paths.get(path)
+  java.nio.file.Files.createDirectories(dir)
+  private val staging = dir.resolve(f".part-$partitionId%05d-$taskId")
+  private val out = java.nio.file.Files.newBufferedWriter(staging)
+
+  override def write(row: InternalRow): Unit = {
+    val action = row.getUTF8String(0).toString
+    val id = row.getUTF8String(1).toString
+    val parent = if (row.isNullAt(3)) None else Some(row.getUTF8String(3).toString)
+    val meta = new StringBuilder()
+      .append("{\"").append(if (action == "delete") "delete" else "index")
+      .append("\":{\"_index\":").append(esc(index))
+      .append(",\"_type\":").append(esc(esType))
+      .append(",\"_id\":").append(esc(id))
+    parent.foreach(p => meta.append(",\"_parent\":").append(esc(p)))
+    meta.append("}}")
+    out.write(meta.toString); out.newLine()
+    if (action != "delete") {
+      val doc = if (row.isNullAt(2)) "{}" else row.getUTF8String(2).toString
+      out.write(doc); out.newLine()
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    val fin = dir.resolve(f"part-$partitionId%05d-$taskId.bulk")
+    java.nio.file.Files.move(staging, fin,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    BulkCommit(fin.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    java.nio.file.Files.deleteIfExists(staging)
+  }
+
+  override def close(): Unit = ()
+}
