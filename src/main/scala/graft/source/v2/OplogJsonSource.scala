@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -63,12 +64,13 @@ class OplogJsonTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"oplog_json($path)"
   override def schema(): StructType = OplogJsonTable.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new OplogScanBuilder(path)
+    new OplogScanBuilder(path,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue))
 }
 
-class OplogScanBuilder(path: String)
+class OplogScanBuilder(path: String, maxFilesPerTrigger: Int = Int.MaxValue)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -90,31 +92,87 @@ class OplogScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new OplogScan(path, pushed, required)
+  override def build(): Scan = new OplogScan(path, pushed, required, maxFilesPerTrigger)
 }
 
 case class OplogFilePartition(file: String) extends InputPartition
 
-class OplogScan(path: String, pushed: Array[Filter], required: StructType)
+object OplogScan {
+  def listFiles(path: String): Array[String] = {
+    val dir = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.filter(_.toString.endsWith(".jsonl")).map(_.toString).toArray.sorted
+      finally s.close()
+    } else Array(path)
+  }
+}
+
+class OplogScan(path: String, pushed: Array[Filter], required: StructType,
+    maxFilesPerTrigger: Int = Int.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"OplogJsonScan(path=$path, pushed=${pushed.mkString(",")})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = java.nio.file.Paths.get(path)
-    val files =
-      if (java.nio.file.Files.isDirectory(dir))
-        java.nio.file.Files.list(dir).iterator().asScala
-          .filter(p => p.toString.endsWith(".jsonl"))
-          .map(_.toString).toArray.sorted
-      else Array(path)
-    files.map(f => OplogFilePartition(f): InputPartition)
+  override def planInputPartitions(): Array[InputPartition] =
+    OplogScan.listFiles(path).map(f => OplogFilePartition(f): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OplogReaderFactory(pushed, required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new OplogMicroBatchStream(path, pushed, required, maxFilesPerTrigger)
+}
+
+/** Streaming form: the offset is "number of (sorted) files consumed" —
+  * the same unbounded-tail model as Spark's file source, with
+  * `maxFilesPerTrigger` admission control standing in for the
+  * reference's token-bucket rate limiter (S4/O8,
+  * reference src/processor.ts:31-49). Filter pushdown and column
+  * pruning apply per micro-batch exactly as in batch mode. */
+final case class OplogFileOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: StructType,
+    maxFilesPerTrigger: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = OplogFileOffset(0)
+
+  override def deserializeOffset(json: String): Offset = OplogFileOffset(json.trim.toInt)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxFilesPerTrigger)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val total = OplogScan.listFiles(path).length
+    val from = start.asInstanceOf[OplogFileOffset].n
+    val capped = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(total, from + m.maxFiles())
+      case _ => total
+    }
+    OplogFileOffset(capped)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val files = OplogScan.listFiles(path)
+    val (s, e) = (start.asInstanceOf[OplogFileOffset].n, end.asInstanceOf[OplogFileOffset].n)
+    files.slice(s, e).map(f => OplogFilePartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OplogReaderFactory(pushed, required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class OplogReaderFactory(pushed: Array[Filter], required: StructType)

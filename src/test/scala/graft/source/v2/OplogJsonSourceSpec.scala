@@ -58,6 +58,29 @@ class OplogJsonSourceSpec extends AnyFunSuite {
     assert(df.count() === 5)
   }
 
+  test("streams as micro-batches with maxFilesPerTrigger admission control") {
+    val dir = writeFixture()
+    val ckpt = Files.createTempDirectory("oplog-stream-ckpt").toString
+    val stream = spark.readStream
+      .format("graft.source.v2.OplogJsonSource")
+      .option("path", dir)
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .filter(col("ns") === "db.c")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("oplog_stream_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    // 2 files -> 2 non-empty micro-batches; 4 db.c rows total
+    assert(batches === 2, q.recentProgress.map(_.numInputRows).mkString(","))
+    assert(spark.sql("SELECT count(*) FROM oplog_stream_out").collect().head.getLong(0) === 4L)
+  }
+
   test("connector rows feed the CDC pipeline end to end") {
     import graft.cdc.{BatchApplier, OplogRow, StateStore}
     import OplogRow.encoder
