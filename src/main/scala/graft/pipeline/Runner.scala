@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.cdc.StateStore
-import graft.model.TaskSpec
+import graft.model.{EngineConfig, TaskDef, TaskSpec}
 
 /** Per-task orchestration (§3.1, reference src/index.ts:7-39): the
   * scan-then-tail lifecycle.
@@ -61,4 +61,33 @@ object Runner {
     tasks.map { case (cfg, snapshot, stream) =>
       bootstrapAndTail(spark, snapshot, stream, cfg)
     }
+
+  /** The `run(config)` equivalent (reference src/index.ts:7-39,
+    * src/main.ts): build one pipeline per task from a reference-format
+    * config (see [[graft.model.EngineConfig]]). The caller supplies the
+    * source adapters per task — a snapshot DataFrame and an oplog
+    * stream (e.g. the DSv2 connector `graft.source.v2.OplogJsonSource`,
+    * or the Mongo connectors in production) — since connection URLs in
+    * the config point at systems the harness replaces with files.
+    * Controls map onto engine knobs: bulk interval -> trigger, index
+    * suffix -> state dir name (blue/green, L3).
+    */
+  def fromConfig(
+      spark: SparkSession,
+      config: EngineConfig,
+      baseDir: String,
+      adapters: TaskDef => (DataFrame, DataFrame), // task -> (snapshot, oplog stream)
+  ): Seq[StreamingQuery] =
+    runAll(spark, config.tasks.map { td =>
+      val dirName = td.name + config.controls.indexNameSuffix
+      val cfg = TaskPipeline(
+        task = td.transform,
+        ns = td.extract.ns,
+        stateDir = s"$baseDir/$dirName/state",
+        checkpointDir = s"$baseDir/$dirName/ckpt",
+        triggerMs = config.controls.elasticsearchBulkInterval.toLong,
+      )
+      val (snapshot, stream) = adapters(td)
+      (cfg, snapshot, stream)
+    })
 }

@@ -101,4 +101,51 @@ class RunnerSpec extends AnyFunSuite {
       assert(ids === Set(s"db.c$n-a", s"db.c$n-b"), s"task $n state")
     }
   }
+
+  test("fromConfig: a reference-format config drives the pipeline via the DSv2 source") {
+    val base = Files.createTempDirectory("runner-cfg").toString
+    // oplog dump for the DSv2 connector (JSON-lines)
+    val oplogDir = s"$base/oplog"
+    Files.createDirectories(java.nio.file.Paths.get(oplogDir))
+    Files.write(java.nio.file.Paths.get(oplogDir, "b1.jsonl"), Seq(
+      """{"ts":100,"op":"u","ns":"app.users","id":"a","doc":{"$set":{"score":9.5}}}""",
+      """{"ts":101,"op":"i","ns":"app.users","id":"c","doc":{"_id":"c","score":3.0}}""",
+    ).mkString("\n").getBytes)
+
+    val config = graft.model.EngineConfig.fromJson(
+      """{
+        |  "controls": {"elasticsearchBulkInterval": 100, "indexNameSuffix": "_v1"},
+        |  "tasks": [{
+        |    "from": {"phase": "scan"},
+        |    "extract": {"db": "app", "collection": "users", "projection": {"score": 1}},
+        |    "transform": {"mapping": {"score": "score"}},
+        |    "load": {"index": "users", "type": "user"}
+        |  }]
+        |}""".stripMargin)
+
+    val snapshot = spark.createDataFrame(Seq(
+      ("a", """{"_id":"a","score":1.0}"""),
+      ("b", """{"_id":"b","score":2.0}"""),
+    )).toDF("id", "doc")
+
+    val queries = Runner.fromConfig(spark, config, base, td => {
+      assert(td.extract.ns === "app.users")
+      val stream = spark.readStream
+        .format("graft.source.v2.OplogJsonSource")
+        .option("path", oplogDir)
+        .load()
+      (snapshot, stream)
+    })
+    queries.foreach { q => q.processAllAvailable(); q.stop() }
+
+    // state dir named by the reference checkpoint convention + suffix
+    val stateDir = s"$base/app.users___users.user_v1/state"
+    val got = StateStore.read(spark, stateDir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("doc")).toMap
+    assert(got === Map(
+      "a" -> """{"_id":"a","score":9.5}""", // $set resolved against backfilled state
+      "b" -> """{"_id":"b","score":2.0}""", // untouched
+      "c" -> """{"_id":"c","score":3.0}""", // streamed insert
+    ))
+  }
 }
