@@ -35,6 +35,8 @@ object MoreRelational {
     NamedQuery("setop_intersect_all", intersectAll, Some(intersectAllSql)),
     NamedQuery("agg_bool_funcs", aggBool, Some(aggBoolSql)),
     NamedQuery("scalar_map_funcs", scalarMap, Some(scalarMapSql)),
+    NamedQuery("agg_unpivot_measures", unpivotMeasures, Some(unpivotMeasuresSql)),
+    NamedQuery("explode_outer_types", explodeOuter, Some(explodeOuterSql)),
     NamedQuery("agg_string_agg", stringAgg, Some(stringAggSql)),
     NamedQuery("scalar_conditional_funcs", scalarCond, Some(scalarCondSql)),
     NamedQuery("scalar_bitwise_funcs", scalarBitwise, Some(scalarBitwiseSql)),
@@ -470,6 +472,61 @@ object MoreRelational {
       |  array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
       |  props->>'$.k' AS k_value
       |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Unpivot (the inverse of pivot): lineitem's four measures become
+  // (measure, val) rows via Dataset.unpivot — Catalyst's Expand, one
+  // scan, no join — then aggregate per measure. The oracle rebuilds it
+  // as UNION ALL, which is exactly what Expand computes.
+  private def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), dec(col("l_quantity")).as("quantity"),
+        dec(col("l_extendedprice")).as("extendedprice"),
+        dec(col("l_discount")).as("discount"), dec(col("l_tax")).as("tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey")),
+        values = Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        variableColumnName = "measure",
+        valueColumnName = "val")
+      .groupBy(col("measure"))
+      .agg(round(sum(col("val")), 2).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("measure"))
+
+  private val unpivotMeasuresSql =
+    """SELECT measure,
+      |  CAST(round(sum(CAST(v AS DECIMAL(18,4))), 2) AS DOUBLE) AS total,
+      |  count(*) AS n
+      |FROM (
+      |  SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
+      |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'tax', l_tax FROM lineitem
+      |)
+      |GROUP BY measure ORDER BY measure""".stripMargin
+
+  // ---------------------------------------------------------------
+  // explode_outer: the null-preserving generator — rows whose array is
+  // null survive with a null element instead of disappearing (PROMO
+  // parts get a null word here). DuckDB's unnest drops empty/null
+  // lists, so the twin coalesces to [NULL] — the exact explode_outer
+  // contract.
+  private def explodeOuter(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .select(col("p_partkey"),
+        explode_outer(split(nullif(col("p_type"), lit("PROMO")), "")).as("ch"))
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_rows"), count(col("ch")).as("n_chars"))
+      .orderBy(col("p_partkey"))
+
+  private val explodeOuterSql =
+    """SELECT p_partkey, count(*) AS n_rows, count(ch) AS n_chars
+      |FROM (
+      |  SELECT p_partkey,
+      |    unnest(coalesce(string_split(nullif(p_type, 'PROMO'), ''), [NULL])) AS ch
+      |  FROM part
+      |)
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin
 
   // ---------------------------------------------------------------
   // String aggregation: order-pinned listagg per group (collect_list is
