@@ -27,6 +27,8 @@ object Runner {
       stateDir: String,
       checkpointDir: String,
       triggerMs: Long = 5000L,
+      skipScan: Boolean = false, // from.phase == "tail": no backfill
+      fromTs: Long = 0L, // tail start (packed BSON ts lower bound, P3)
   )
 
   /** Run (or skip, on restart) the scan backfill, then start the tail.
@@ -40,11 +42,11 @@ object Runner {
       cfg: TaskPipeline,
   ): StreamingQuery = {
     val alreadyScanned = StateStore.currentVersion(cfg.stateDir).isDefined
-    if (!alreadyScanned) {
+    if (!alreadyScanned && !cfg.skipScan) {
       ScanJob.backfill(sourceSnapshot, cfg.task, cfg.stateDir)
     }
     TailQuery.start(
-      oplogStream, cfg.task, cfg.ns, fromTs = 0L,
+      oplogStream, cfg.task, cfg.ns, fromTs = cfg.fromTs,
       stateDir = cfg.stateDir, checkpointDir = cfg.checkpointDir,
       source = Some(sourceSnapshot), triggerMs = cfg.triggerMs)
   }
@@ -86,6 +88,11 @@ object Runner {
         stateDir = s"$baseDir/$dirName/state",
         checkpointDir = s"$baseDir/$dirName/ckpt",
         triggerMs = config.controls.elasticsearchBulkInterval.toLong,
+        // honor the configured checkpoint seed (reference src/index.ts:27-37):
+        // phase "tail" skips the backfill and starts the stream at the
+        // configured time (packed as the BSON-ts lower bound)
+        skipScan = td.from.phase == "tail",
+        fromTs = td.from.timeEpochSeconds.map(_ << 32).getOrElse(0L),
       )
       val (snapshot, stream) = adapters(td)
       (cfg, snapshot, stream)

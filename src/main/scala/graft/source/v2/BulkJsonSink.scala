@@ -80,7 +80,13 @@ class BulkBatchWrite(path: String, index: String, esType: String) extends BatchW
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, "_SUCCESS"), Array.emptyByteArray)
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  // job abort must also undo already-committed tasks, or a retried job
+  // would duplicate their output next to its own
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case BulkCommit(f) => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f))
+      case _             => ()
+    }
 }
 
 class BulkWriterFactory(path: String, index: String, esType: String) extends DataWriterFactory {

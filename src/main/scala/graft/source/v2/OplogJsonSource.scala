@@ -77,11 +77,14 @@ class OplogScanBuilder(path: String, maxFilesPerTrigger: Int = Int.MaxValue)
   private var required: StructType = OplogJsonTable.SCHEMA
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Accept ONLY predicates the reader fully enforces (all of them, not
+    // just the first): ns equalities and ts lower bounds. IsNotNull is
+    // NOT accepted — missing JSON keys surface as null columns, so Spark
+    // must keep evaluating it post-scan.
     val (accepted, rejected) = filters.partition {
       case EqualTo("ns", _: String) => true
       case GreaterThanOrEqual("ts", _: Long) => true
       case GreaterThan("ts", _: Long) => true
-      case IsNotNull(_) => true // trivially satisfied by the reader
       case _ => false
     }
     pushed = accepted
@@ -126,12 +129,21 @@ class OplogScan(path: String, pushed: Array[Filter], required: StructType,
     new OplogMicroBatchStream(path, pushed, required, maxFilesPerTrigger)
 }
 
-/** Streaming form: the offset is "number of (sorted) files consumed" —
-  * the same unbounded-tail model as Spark's file source, with
-  * `maxFilesPerTrigger` admission control standing in for the
-  * reference's token-bucket rate limiter (S4/O8,
-  * reference src/processor.ts:31-49). Filter pushdown and column
-  * pruning apply per micro-batch exactly as in batch mode. */
+/** Streaming form: the offset counts files consumed from an
+  * APPEND-ONLY discovery list — newly-seen files are appended in
+  * (sorted) discovery order, never re-sorted into already-consumed
+  * positions, so a late-arriving file that sorts before consumed ones
+  * is still read exactly once and offsets always reference the same
+  * files they were planned against. `maxFilesPerTrigger` admission
+  * control stands in for the reference's token-bucket rate limiter
+  * (S4/O8, reference src/processor.ts:31-49). Filter pushdown and
+  * column pruning apply per micro-batch exactly as in batch mode.
+  *
+  * Restart note: the discovery list rebuilds from the sorted directory
+  * listing, so a committed offset N maps to the first N sorted files —
+  * exact when files arrive in sort order (the convention for dump
+  * directories); a production source persists the discovery log like
+  * Spark's FileStreamSource. */
 final case class OplogFileOffset(n: Int) extends Offset {
   override def json(): String = n.toString
 }
@@ -140,9 +152,25 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
     maxFilesPerTrigger: Int)
     extends MicroBatchStream with SupportsAdmissionControl {
 
+  // driver-side append-only discovery list for the query's lifetime
+  private val discovered = new java.util.concurrent.CopyOnWriteArrayList[String]()
+
+  private def discover(): Int = {
+    val seen = new java.util.HashSet[String](discovered)
+    OplogScan.listFiles(path).foreach { f =>
+      if (!seen.contains(f)) discovered.add(f)
+    }
+    discovered.size()
+  }
+
   override def initialOffset(): Offset = OplogFileOffset(0)
 
-  override def deserializeOffset(json: String): Offset = OplogFileOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.trim.toInt
+    // restart: rebuild the discovery prefix from the sorted listing
+    if (discovered.size() < n) discover()
+    OplogFileOffset(n)
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
@@ -152,7 +180,7 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
     else ReadLimit.maxFiles(maxFilesPerTrigger)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val total = OplogScan.listFiles(path).length
+    val total = discover()
     val from = start.asInstanceOf[OplogFileOffset].n
     val capped = limit match {
       case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
@@ -163,9 +191,9 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val files = OplogScan.listFiles(path)
     val (s, e) = (start.asInstanceOf[OplogFileOffset].n, end.asInstanceOf[OplogFileOffset].n)
-    files.slice(s, e).map(f => OplogFilePartition(f): InputPartition)
+    if (discovered.size() < e) discover()
+    (s until e).map(i => OplogFilePartition(discovered.get(i)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -189,9 +217,11 @@ class OplogPartitionReader(file: String, pushed: Array[Filter], required: Struct
   private val it = lines.iterator()
   private var current: InternalRow = _
 
-  private val nsEq: Option[String] = pushed.collectFirst { case EqualTo("ns", v: String) => v }
-  private val tsGe: Option[Long] = pushed.collectFirst { case GreaterThanOrEqual("ts", v: Long) => v }
-  private val tsGt: Option[Long] = pushed.collectFirst { case GreaterThan("ts", v: Long) => v }
+  // every accepted filter is enforced: multiple ns equalities must ALL
+  // hold (different values -> empty), multiple ts bounds conjoin
+  private val nsEqs: Array[String] = pushed.collect { case EqualTo("ns", v: String) => v }
+  private val tsGes: Array[Long] = pushed.collect { case GreaterThanOrEqual("ts", v: Long) => v }
+  private val tsGts: Array[Long] = pushed.collect { case GreaterThan("ts", v: Long) => v }
 
   private def str(o: DObj, k: String): String = o.get(k) match {
     case Some(DStr(s)) => s
@@ -208,7 +238,7 @@ class OplogPartitionReader(file: String, pushed: Array[Filter], required: Struct
           val ts = o.get("ts") match { case Some(DInt(l)) => l; case _ => 0L }
           val ns = str(o, "ns")
           val keep =
-            nsEq.forall(_ == ns) && tsGe.forall(ts >= _) && tsGt.forall(v => ts > v)
+            nsEqs.forall(_ == ns) && tsGes.forall(ts >= _) && tsGts.forall(ts > _)
           if (keep) {
             val values = required.fields.map { f =>
               f.name match {

@@ -63,7 +63,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("edit-distance pairs fan out the probe side and broadcast the build side") {
     val p = plan("text_edit_distance_pairs")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") == false)
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoop"), p.take(600))
     assert(p.contains("hashpartitioning"), "probe side must be fanned out across cores")
   }
 

@@ -148,4 +148,42 @@ class RunnerSpec extends AnyFunSuite {
       "c" -> """{"_id":"c","score":3.0}""", // streamed insert
     ))
   }
+
+  test("fromConfig honors from.phase=tail: no backfill, stream starts at the configured time") {
+    val base = Files.createTempDirectory("runner-tail").toString
+    val oplogDir = s"$base/oplog"
+    Files.createDirectories(java.nio.file.Paths.get(oplogDir))
+    // ts is packed (seconds << 32); cutoff 2020-01-01T00:00:00Z = 1577836800
+    val before = 1577836799L << 32
+    val after = 1577836801L << 32
+    Files.write(java.nio.file.Paths.get(oplogDir, "b1.jsonl"), Seq(
+      s"""{"ts":$before,"op":"i","ns":"app.users","id":"old","doc":{"_id":"old","score":1.0}}""",
+      s"""{"ts":$after,"op":"i","ns":"app.users","id":"new","doc":{"_id":"new","score":2.0}}""",
+    ).mkString("\n").getBytes)
+
+    val config = graft.model.EngineConfig.fromJson(
+      """{
+        |  "tasks": [{
+        |    "from": {"phase": "tail", "time": "2020-01-01T00:00:00Z"},
+        |    "extract": {"db": "app", "collection": "users"},
+        |    "transform": {"mapping": {"score": "score"}},
+        |    "load": {"index": "users", "type": "user"}
+        |  }]
+        |}""".stripMargin)
+
+    val snapshot = spark.createDataFrame(
+      Seq(("seed", """{"_id":"seed","score":0.0}"""))).toDF("id", "doc")
+    val queries = Runner.fromConfig(spark, config, base, _ => {
+      val stream = spark.readStream
+        .format("graft.source.v2.OplogJsonSource")
+        .option("path", oplogDir).load()
+      (snapshot, stream)
+    })
+    queries.foreach { q => q.processAllAvailable(); q.stop() }
+
+    val got = StateStore.read(spark, s"$base/app.users___users.user/state")
+      .collect().map(_.getAs[String]("id")).toSet
+    // no backfill (no "seed"), pre-window event filtered (no "old")
+    assert(got === Set("new"))
+  }
 }

@@ -81,6 +81,41 @@ class OplogJsonSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM oplog_stream_out").collect().head.getLong(0) === 4L)
   }
 
+  test("IsNotNull is NOT pushed: rows with missing keys still filter correctly") {
+    val dir = Files.createTempDirectory("oplog-nulls").toString
+    Files.write(java.nio.file.Paths.get(dir, "p.jsonl"), Seq(
+      """{"ts":1,"op":"i","ns":"db.c","id":"a","doc":{"_id":"a"}}""",
+      """{"ts":2,"op":"d","ns":"db.c","id":"z"}""", // no doc key -> null column
+    ).mkString("\n").getBytes)
+    val df = load(dir)
+    assert(df.count() === 2)
+    // the null-doc row must be excluded post-scan, not wrongly returned
+    assert(df.filter(col("doc").isNotNull).count() === 1)
+    assert(df.filter(col("doc").isNull).select("id").collect().head.getString(0) === "z")
+  }
+
+  test("late-arriving file that sorts before consumed files is read exactly once") {
+    val dir = Files.createTempDirectory("oplog-late").toString
+    val ckpt = Files.createTempDirectory("oplog-late-ckpt").toString
+    Files.write(java.nio.file.Paths.get(dir, "z.jsonl"),
+      """{"ts":1,"op":"i","ns":"db.c","id":"z1","doc":{"_id":"z1"}}""".getBytes)
+    val q = spark.readStream
+      .format("graft.source.v2.OplogJsonSource")
+      .option("path", dir).option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_out").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // a file sorting BEFORE the consumed one arrives late
+    Files.write(java.nio.file.Paths.get(dir, "a.jsonl"),
+      """{"ts":2,"op":"i","ns":"db.c","id":"a1","doc":{"_id":"a1"}}""".getBytes)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT id FROM late_out").collect().map(_.getString(0)).toSeq
+    // both rows exactly once: no re-emission of z, no skipping of a
+    assert(ids.sorted === Seq("a1", "z1"))
+  }
+
   test("connector rows feed the CDC pipeline end to end") {
     import graft.cdc.{BatchApplier, OplogRow, StateStore}
     import OplogRow.encoder
