@@ -166,15 +166,28 @@ object Json {
     val sb = new StringBuilder
     def esc(s: String): Unit = {
       sb.append('"')
-      s.foreach {
-        case '"'  => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
+      // fast path: bulk-append when nothing needs escaping (the common
+      // case for document keys and most values — this codec sits on the
+      // per-event hot path of the CDC batch apply)
+      var i = 0
+      var plainFrom = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '"' || c == '\\' || c < ' ') {
+          if (plainFrom < i) sb.append(s.substring(plainFrom, i))
+          c match {
+            case '"'  => sb.append("\\\"")
+            case '\\' => sb.append("\\\\")
+            case '\n' => sb.append("\\n")
+            case '\r' => sb.append("\\r")
+            case '\t' => sb.append("\\t")
+            case _    => sb.append(f"\\u${c.toInt}%04x")
+          }
+          plainFrom = i + 1
+        }
+        i += 1
       }
+      if (plainFrom < s.length) sb.append(s.substring(plainFrom))
       sb.append('"')
     }
     def go(v: DVal): Unit = v match {
@@ -208,7 +221,16 @@ object Json {
     def expect(c: Char): Unit = { if (i >= s.length || s(i) != c) err(s"expected '$c'"); i += 1 }
     def parseStr(): String = {
       expect('"')
-      val sb = new StringBuilder
+      // fast path: no escapes -> direct substring, no builder (hot path:
+      // every document field of every event goes through here)
+      val start = i
+      while (i < s.length && s(i) != '"' && s(i) != '\\') i += 1
+      if (i < s.length && s(i) == '"') {
+        val r = s.substring(start, i)
+        i += 1
+        return r
+      }
+      val sb = new StringBuilder(s.substring(start, i))
       while (i < s.length && s(i) != '"') {
         if (s(i) == '\\') {
           i += 1
