@@ -36,6 +36,9 @@ object MoreRelational {
     NamedQuery("agg_bool_funcs", aggBool, Some(aggBoolSql)),
     NamedQuery("scalar_map_funcs", scalarMap, Some(scalarMapSql)),
     NamedQuery("agg_unpivot_measures", unpivotMeasures, Some(unpivotMeasuresSql)),
+    NamedQuery("sql_correlated_subquery", correlatedSubquery, Some(correlatedSubquerySql)),
+    NamedQuery("win_range_interval", winRangeInterval, Some(winRangeIntervalSql)),
+    NamedQuery("scalar_datetrunc_funcs", dateTrunc, Some(dateTruncSql)),
     NamedQuery("explode_outer_types", explodeOuter, Some(explodeOuterSql)),
     NamedQuery("agg_string_agg", stringAgg, Some(stringAggSql)),
     NamedQuery("scalar_conditional_funcs", scalarCond, Some(scalarCondSql)),
@@ -504,6 +507,73 @@ object MoreRelational {
       |  UNION ALL SELECT 'tax', l_tax FROM lineitem
       |)
       |GROUP BY measure ORDER BY measure""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Correlated scalar subquery through the SQL surface: orders from
+  // prolific customers — the inner count correlates on o_custkey.
+  // Catalyst decorrelates this into an aggregate + join; the count is
+  // exact integers, so no float parity concerns.
+  private def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey
+        |FROM orders_v o
+        |WHERE (SELECT count(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey) > 15
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val correlatedSubquerySql =
+    """SELECT o_orderkey, o_custkey
+      |FROM orders o
+      |WHERE (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) > 15
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Event-time RANGE frame with an interval bound: per customer, how
+  // many orders landed in the trailing 30 days (including this one) —
+  // the sliding-window-over-time shape as a window frame.
+  private def winRangeInterval(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS orders_30d
+        |FROM orders_v
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val winRangeIntervalSql =
+    """SELECT o_orderkey, o_custkey,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS orders_30d
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Date truncation / calendar parts (the safe cross-engine subset:
+  // week numbering and dayofweek origins differ between engines and are
+  // deliberately excluded).
+  private def dateTrunc(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("quarter_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofmonth(col("o_orderdate")).as("dom"))
+      .orderBy(col("o_orderkey"))
+
+  private val dateTruncSql =
+    """SELECT o_orderkey,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(day(o_orderdate) AS INT) AS dom
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------
   // explode_outer: the null-preserving generator — rows whose array is
