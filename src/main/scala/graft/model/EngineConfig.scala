@@ -68,21 +68,24 @@ final case class EngineConfig(
 
 object EngineConfig {
 
+  // shared JSON accessors — one definition so both parse paths (root and
+  // per-task) keep identical lookup semantics
+  private def obj(o: DObj, k: String): DObj = o.get(k) match {
+    case Some(d: DObj) => d
+    case _             => DObj.empty
+  }
+  private def str(o: DObj, k: String): Option[String] = o.get(k) match {
+    case Some(DStr(v)) => Some(v)
+    case _             => None
+  }
+  private def int(o: DObj, k: String): Option[Long] = o.get(k) match {
+    case Some(DInt(v)) => Some(v)
+    case Some(DDbl(v)) => Some(v.toLong)
+    case _             => None
+  }
+
   def fromJson(s: String): EngineConfig = {
     val root = Json.parseObj(s)
-    def obj(o: DObj, k: String): DObj = o.get(k) match {
-      case Some(d: DObj) => d
-      case _             => DObj.empty
-    }
-    def str(o: DObj, k: String): Option[String] = o.get(k) match {
-      case Some(DStr(v)) => Some(v)
-      case _             => None
-    }
-    def int(o: DObj, k: String): Option[Long] = o.get(k) match {
-      case Some(DInt(v)) => Some(v)
-      case Some(DDbl(v)) => Some(v.toLong)
-      case _             => None
-    }
 
     val controlsO = obj(root, "controls")
     val controls = ControlsSpec(
@@ -106,15 +109,6 @@ object EngineConfig {
   }
 
   private def parseTask(t: DObj): TaskDef = {
-    def obj(o: DObj, k: String): DObj = o.get(k) match {
-      case Some(d: DObj) => d
-      case _             => DObj.empty
-    }
-    def str(o: DObj, k: String): Option[String] = o.get(k) match {
-      case Some(DStr(v)) => Some(v)
-      case _             => None
-    }
-
     val fromO = obj(t, "from")
     val from = CheckpointSpec(
       phase = str(fromO, "phase").getOrElse("scan"),

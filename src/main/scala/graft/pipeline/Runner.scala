@@ -71,8 +71,17 @@ object Runner {
     * stream (e.g. the DSv2 connector `graft.source.v2.OplogJsonSource`,
     * or the Mongo connectors in production) — since connection URLs in
     * the config point at systems the harness replaces with files.
-    * Controls map onto engine knobs: bulk interval -> trigger, index
-    * suffix -> state dir name (blue/green, L3).
+    *
+    * Checkpoint seed (reference src/index.ts:27-37): phase "tail" skips
+    * the backfill and starts the stream at the configured time (packed
+    * as the BSON-ts lower bound); phase "scan" with a resume id filters
+    * the snapshot to `_id >= id` (P2 — hex ObjectIDs compare
+    * bytewise as strings). Controls: bulk interval -> trigger, index
+    * suffix -> state/checkpoint dir name (blue/green, L3); the
+    * admission knobs (`elasticsearchBulkSize`, `mongodbReadCapacity`)
+    * apply where sources are built — adapters set them as source
+    * options (e.g. the connector's `maxFilesPerTrigger`), since
+    * admission is a property of the source, not the pipeline.
     */
   def fromConfig(
       spark: SparkSession,
@@ -88,13 +97,16 @@ object Runner {
         stateDir = s"$baseDir/$dirName/state",
         checkpointDir = s"$baseDir/$dirName/ckpt",
         triggerMs = config.controls.elasticsearchBulkInterval.toLong,
-        // honor the configured checkpoint seed (reference src/index.ts:27-37):
-        // phase "tail" skips the backfill and starts the stream at the
-        // configured time (packed as the BSON-ts lower bound)
         skipScan = td.from.phase == "tail",
         fromTs = td.from.timeEpochSeconds.map(_ << 32).getOrElse(0L),
       )
       val (snapshot, stream) = adapters(td)
-      (cfg, snapshot, stream)
+      // scan-phase resume predicate (reference src/mongodb.ts:35-39)
+      val resumed = td.from.id match {
+        case Some(resumeId) if td.from.phase == "scan" =>
+          snapshot.filter(org.apache.spark.sql.functions.col("id") >= resumeId)
+        case _ => snapshot
+      }
+      (cfg, resumed, stream)
     })
 }

@@ -77,6 +77,9 @@ class BulkBatchWrite(path: String, index: String, esType: String) extends BatchW
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new BulkWriterFactory(path, index, esType)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // a zero-partition write runs no task writers, so the directory may
+    // not exist yet — an empty successful job still gets its marker
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, "_SUCCESS"), Array.emptyByteArray)
   }

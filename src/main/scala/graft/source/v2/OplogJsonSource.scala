@@ -126,7 +126,7 @@ class OplogScan(path: String, pushed: Array[Filter], required: StructType,
     new OplogReaderFactory(pushed, required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new OplogMicroBatchStream(path, pushed, required, maxFilesPerTrigger)
+    new OplogMicroBatchStream(path, pushed, required, maxFilesPerTrigger, checkpointLocation)
 }
 
 /** Streaming form: the offset counts files consumed from an
@@ -139,26 +139,39 @@ class OplogScan(path: String, pushed: Array[Filter], required: StructType,
   * (S4/O8, reference src/processor.ts:31-49). Filter pushdown and
   * column pruning apply per micro-batch exactly as in batch mode.
   *
-  * Restart note: the discovery list rebuilds from the sorted directory
-  * listing, so a committed offset N maps to the first N sorted files —
-  * exact when files arrive in sort order (the convention for dump
-  * directories); a production source persists the discovery log like
-  * Spark's FileStreamSource. */
+  * The discovery list is PERSISTED to a file log under the query's
+  * checkpoint location (like Spark's FileStreamSource does), so a
+  * committed offset refers to the same files after a restart — files
+  * that arrived out of sort order are neither re-read nor skipped. */
 final case class OplogFileOffset(n: Int) extends Offset {
   override def json(): String = n.toString
 }
 
 class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: StructType,
-    maxFilesPerTrigger: Int)
+    maxFilesPerTrigger: Int, checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  // driver-side append-only discovery list for the query's lifetime
+  // driver-side append-only discovery list, mirrored to a log file in
+  // the checkpoint dir so restarts see the same file<->offset mapping
   private val discovered = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  private val logFile = java.nio.file.Paths.get(checkpointLocation, "graft-file-log")
+  locally {
+    if (java.nio.file.Files.exists(logFile)) {
+      java.nio.file.Files.readAllLines(logFile).forEach { l =>
+        if (l.nonEmpty) discovered.add(l)
+      }
+    }
+  }
 
-  private def discover(): Int = {
+  private def discover(): Int = synchronized {
     val seen = new java.util.HashSet[String](discovered)
-    OplogScan.listFiles(path).foreach { f =>
-      if (!seen.contains(f)) discovered.add(f)
+    val fresh = OplogScan.listFiles(path).filterNot(seen.contains)
+    if (fresh.nonEmpty) {
+      java.nio.file.Files.createDirectories(logFile.getParent)
+      java.nio.file.Files.write(logFile,
+        fresh.mkString("", "\n", "\n").getBytes,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      fresh.foreach(discovered.add)
     }
     discovered.size()
   }
@@ -167,8 +180,10 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
 
   override def deserializeOffset(json: String): Offset = {
     val n = json.trim.toInt
-    // restart: rebuild the discovery prefix from the sorted listing
     if (discovered.size() < n) discover()
+    require(discovered.size() >= n,
+      s"checkpoint offset $n exceeds the ${discovered.size()} files in the discovery log — " +
+        s"was the source directory or checkpoint truncated?")
     OplogFileOffset(n)
   }
 
@@ -193,6 +208,8 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[OplogFileOffset].n, end.asInstanceOf[OplogFileOffset].n)
     if (discovered.size() < e) discover()
+    require(discovered.size() >= e,
+      s"offset range [$s, $e) exceeds the ${discovered.size()}-file discovery log")
     (s until e).map(i => OplogFilePartition(discovered.get(i)): InputPartition).toArray
   }
 
@@ -233,8 +250,15 @@ class OplogPartitionReader(file: String, pushed: Array[Filter], required: Struct
     while (it.hasNext) {
       val line = it.next()
       if (line.nonEmpty) {
-        // per-event error contract: malformed lines drop, the scan lives
-        scala.util.Try(Json.parseObj(line)).toOption.foreach { o =>
+        // per-event error contract: malformed lines drop, the scan
+        // lives. A line without an integer ts IS malformed — the packed
+        // BSON timestamp is the total order everything downstream (LWW,
+        // resume bounds) depends on, so coercing it would corrupt
+        // ordering and make pushed ts filters unsound. The other
+        // columns surface missing keys as nulls (which is why IsNotNull
+        // is never accepted as a pushed filter).
+        scala.util.Try(Json.parseObj(line)).toOption
+          .filter(_.get("ts").exists(_.isInstanceOf[DInt])).foreach { o =>
           val ts = o.get("ts") match { case Some(DInt(l)) => l; case _ => 0L }
           val ns = str(o, "ns")
           val keep =

@@ -186,4 +186,37 @@ class RunnerSpec extends AnyFunSuite {
     // no backfill (no "seed"), pre-window event filtered (no "old")
     assert(got === Set("new"))
   }
+
+  test("fromConfig honors from.id: the scan resumes at the checkpointed id") {
+    val base = Files.createTempDirectory("runner-resume").toString
+    val oplogDir = s"$base/oplog"
+    Files.createDirectories(java.nio.file.Paths.get(oplogDir))
+    Files.write(java.nio.file.Paths.get(oplogDir, "empty.jsonl"), "".getBytes)
+
+    val config = graft.model.EngineConfig.fromJson(
+      """{
+        |  "tasks": [{
+        |    "from": {"phase": "scan", "id": "bbb"},
+        |    "extract": {"db": "app", "collection": "users"},
+        |    "transform": {"mapping": {"score": "score"}},
+        |    "load": {"index": "users", "type": "user"}
+        |  }]
+        |}""".stripMargin)
+
+    // hex-string ids compare bytewise: "aaa" < "bbb" <= "ccc"
+    val snapshot = spark.createDataFrame(Seq(
+      ("aaa", """{"_id":"aaa","score":1.0}"""), // before the resume point: skipped
+      ("bbb", """{"_id":"bbb","score":2.0}"""),
+      ("ccc", """{"_id":"ccc","score":3.0}"""),
+    )).toDF("id", "doc")
+    val queries = Runner.fromConfig(spark, config, base, _ => {
+      (snapshot, spark.readStream
+        .format("graft.source.v2.OplogJsonSource").option("path", oplogDir).load())
+    })
+    queries.foreach { q => q.processAllAvailable(); q.stop() }
+
+    val got = StateStore.read(spark, s"$base/app.users___users.user/state")
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(got === Set("bbb", "ccc")) // P2: _id >= checkpoint id
+  }
 }

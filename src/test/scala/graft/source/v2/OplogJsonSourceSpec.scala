@@ -116,6 +116,42 @@ class OplogJsonSourceSpec extends AnyFunSuite {
     assert(ids.sorted === Seq("a1", "z1"))
   }
 
+  test("discovery log survives restart: late earlier-sorting file not re-read or skipped") {
+    val dir = Files.createTempDirectory("oplog-restart").toString
+    val ckpt = Files.createTempDirectory("oplog-restart-ckpt").toString
+    val outDir = Files.createTempDirectory("oplog-restart-out").toString
+    // parquet sink: supports restart from the same checkpoint
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.source.v2.OplogJsonSource")
+        .option("path", dir).load()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    Files.write(java.nio.file.Paths.get(dir, "z.jsonl"),
+      """{"ts":1,"op":"i","ns":"db.c","id":"z1","doc":{"_id":"z1"}}""".getBytes)
+    runOnce()
+    // while the query is DOWN, an earlier-sorting file arrives
+    Files.write(java.nio.file.Paths.get(dir, "a.jsonl"),
+      """{"ts":2,"op":"i","ns":"db.c","id":"a1","doc":{"_id":"a1"}}""".getBytes)
+    runOnce() // fresh stream object, same checkpoint
+    // total output: each row exactly once — z1 not re-emitted, a1 not skipped
+    val ids = spark.read.parquet(outDir).select("id").collect().map(_.getString(0)).toSeq
+    assert(ids.sorted === Seq("a1", "z1"))
+  }
+
+  test("lines without an integer ts are malformed and dropped (ordering soundness)") {
+    val dir = Files.createTempDirectory("oplog-badts").toString
+    Files.write(java.nio.file.Paths.get(dir, "p.jsonl"), Seq(
+      """{"ts":100,"op":"i","ns":"db.c","id":"ok","doc":{"_id":"ok"}}""",
+      """{"ts":100.0,"op":"i","ns":"db.c","id":"dbl","doc":{"_id":"dbl"}}""",
+      """{"op":"i","ns":"db.c","id":"none","doc":{"_id":"none"}}""",
+    ).mkString("\n").getBytes)
+    val ids = load(dir).collect().map(_.getAs[String]("id")).toSeq
+    assert(ids === Seq("ok"))
+  }
+
   test("connector rows feed the CDC pipeline end to end") {
     import graft.cdc.{BatchApplier, OplogRow, StateStore}
     import OplogRow.encoder
