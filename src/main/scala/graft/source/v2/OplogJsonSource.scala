@@ -152,9 +152,15 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // driver-side append-only discovery list, mirrored to a log file in
-  // the checkpoint dir so restarts see the same file<->offset mapping
+  // the checkpoint dir so restarts see the same file<->offset mapping.
+  // Spark passes the checkpoint location as a URI string ("file:/...");
+  // resolve it as such, falling back to a plain path.
   private val discovered = new java.util.concurrent.CopyOnWriteArrayList[String]()
-  private val logFile = java.nio.file.Paths.get(checkpointLocation, "graft-file-log")
+  private val logFile = {
+    val base = scala.util.Try(java.nio.file.Paths.get(new java.net.URI(checkpointLocation)))
+      .getOrElse(java.nio.file.Paths.get(checkpointLocation))
+    base.resolve("graft-file-log")
+  }
   locally {
     if (java.nio.file.Files.exists(logFile)) {
       java.nio.file.Files.readAllLines(logFile).forEach { l =>
