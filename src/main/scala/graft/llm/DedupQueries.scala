@@ -25,8 +25,8 @@ object DedupQueries {
     NamedQuery("dedup_norm", norm, Some(normSql)),
     NamedQuery("dedup_jaccard_pairs", jaccard, Some(jaccardSql)),
     NamedQuery("dedup_minhash_pairs", minhash, Some(minhashSql)),
-    NamedQuery("dedup_simhash", simhash, None), // xxhash64-based: not oracle-portable
-    NamedQuery("dedup_simhash_pairs", simhashPairs, None),
+    NamedQuery("dedup_simhash", simhash, Some(simhashSql)),
+    NamedQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     NamedQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
   )
 
@@ -202,10 +202,18 @@ object DedupQueries {
       .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x")))
       .select(col("x"), explode(expr("slice(xs, i + 2, size(xs))")).as("y"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+        expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
       .filter(col("hamming") <= 12)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  private val simhashPairsSql =
+    s"""WITH $fingerprintCtes
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM fp a JOIN fp b ON a.prefix16 = b.prefix16 AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------
   // Embedding-cosine near-dup: vector pairs above a similarity
@@ -243,25 +251,65 @@ object DedupQueries {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------
-  // SimHash: 63-bit fingerprint from xxhash64 word hashes (bit votes).
+  // SimHash: 63-bit fingerprint from md5 word hashes (bit votes).
   // One wide aggregation (63 conditional sums) instead of exploding a
   // row per (word, bit) — single pass over the word rows, all codegen.
-  // xxhash64 differs across engines -> rows-only harness check.
+  // Bit i of a word's hash is nibble-bit (i % 4) of hex char (i / 4 + 1)
+  // of md5(w): the same md5+substring trick that made minhash
+  // oracle-portable, so the whole SimHash family is DuckDB-checked.
   private def simhash(spark: SparkSession, dir: String): DataFrame =
     fingerprints(spark, dir).orderBy(col("doc_id"))
 
+  private val simhashSql =
+    s"""WITH $fingerprintCtes
+       |SELECT doc_id, simhash, prefix16 FROM fp ORDER BY doc_id""".stripMargin
+
   private def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    // 16 nibble columns (one instr per hex char), computed once per word
+    // row; each of the 63 bit votes reads its nibble's bit arithmetically
+    val nibbles = (0 until 16).map { j =>
+      (expr(s"instr('0123456789abcdef', substring(h, ${j + 1}, 1))") - 1).as(s"v$j")
+    }
     val words = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .select(col("doc_id") +: nibbles: _*)
     val voteAggs = (0 until 63).map { i =>
-      sum(when(expr(s"(h div shiftleft(1L, $i)) % 2 != 0"), 1).otherwise(-1)).as(s"s$i")
+      sum(when(expr(s"(v${i / 4} div ${1 << (i % 4)}) % 2 = 1"), 1).otherwise(-1)).as(s"s$i")
     }
     val assemble = (0 until 63)
-      .map(i => s"if(s$i > 0, shiftleft(1L, $i), 0L)").mkString(" + ")
+      .map(i => s"if(s$i > 0, ${1L << i}L, 0L)").mkString(" + ")
     words.groupBy(col("doc_id"))
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"), expr(assemble).as("simhash"))
-      .withColumn("prefix16", expr("simhash div shiftleft(1L, 47)"))
+      .withColumn("prefix16", expr(s"simhash div ${1L << 47}L"))
+  }
+
+  /** DuckDB twin of [[fingerprints]], shared by both simhash oracles. */
+  private lazy val fingerprintCtes: String = {
+    val nibbles = (0 until 16)
+      .map(j => s"instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1 AS v$j")
+      .mkString(",\n    ")
+    val votes = (0 until 63)
+      .map(i => s"sum(CASE WHEN (v${i / 4} // ${1 << (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val assemble = (0 until 63)
+      .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), nib AS (
+       |  SELECT doc_id,
+       |    $nibbles
+       |  FROM (SELECT doc_id, md5(w) AS h FROM words)
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM nib GROUP BY doc_id
+       |), fp0 AS (
+       |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes
+       |), fp AS (
+       |  SELECT doc_id, simhash, simhash // ${1L << 47} AS prefix16 FROM fp0
+       |)""".stripMargin
   }
 }

@@ -27,14 +27,17 @@ object Multimodal {
       doc_id: Long, byte_len: Long, width: Int, height: Int, channels: Int)
 
   object FakeDecoder {
-    /** STUB decode: deterministic pseudo-metadata from the payload.
-      * Real implementation would parse the container header. */
+    /** STUB decode: deterministic pseudo-metadata from the payload size.
+      * A real implementation would parse the container header; deriving
+      * the fake dimensions from `payload.length` alone keeps the decode
+      * DuckDB-reproducible (byte length = octet_length of the text) so
+      * the whole partition-wise path is oracle-checked end to end. */
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
-      val h = payload.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)
-      val w = 64 + math.floorMod(h, 1024).toInt
-      MediaMeta(docId, payload.length.toLong, w,
-        64 + math.floorMod(h >> 10, 1024).toInt,
-        1 + math.floorMod(h >> 20, 4).toInt)
+      val n = payload.length.toLong
+      MediaMeta(docId, n,
+        (64 + (n * 31 + 7) % 1024).toInt,
+        (64 + (n * 131 + 17) % 1024).toInt,
+        (1 + (n * 7 + 3) % 4).toInt)
     }
   }
 
@@ -50,6 +53,16 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  val decodeMetaSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+      |)
+      |SELECT doc_id, CAST(n AS BIGINT) AS byte_len,
+      |  CAST(64 + (n * 31 + 7) % 1024 AS INT) AS width,
+      |  CAST(64 + (n * 131 + 17) % 1024 AS INT) AS height,
+      |  CAST(1 + (n * 7 + 3) % 4 AS INT) AS channels
+      |FROM b ORDER BY doc_id""".stripMargin
 
   /** Batched feature extraction: the model-inference shape. Rows are
     * drained per partition in fixed-size batches (the way a real
@@ -79,6 +92,41 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  /** Harness twin of [[embedStub]]: identical partition-wise batched
+    * "model call" shape, but the fake vector is derived from `n_chars`
+    * and emitted as scalar columns, so a DuckDB oracle hash-checks the
+    * whole batching path (the driver's compare can't sort array
+    * columns). `batch_size` stays out of the output — it depends on
+    * partition boundaries, which an oracle can't reproduce. */
+  final case class MediaEmbedVec(doc_id: Long, e0: Double, e1: Double, e2: Double, e3: Double)
+
+  def embedBatch(spark: SparkSession, dir: String, batchSize: Int = 16): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    implicit val enc = Encoders.product[MediaEmbedVec]
+    docs.as[(Long, Long)](Encoders.product[(Long, Long)])
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "model call" per batch: batch.size rows in, |batch| vectors out
+          batch.map { case (id, n) =>
+            MediaEmbedVec(id, n.toDouble,
+              ((n * 31 + 7) % 1009).toDouble,
+              ((n * 131 + 17) % 1013).toDouble,
+              ((n * 1021 + 5) % 997).toDouble)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val embedBatchSql: String =
+    """SELECT doc_id,
+      |  CAST(n_chars AS DOUBLE) AS e0,
+      |  CAST((n_chars * 31 + 7) % 1009 AS DOUBLE) AS e1,
+      |  CAST((n_chars * 131 + 17) % 1013 AS DOUBLE) AS e2,
+      |  CAST((n_chars * 1021 + 5) % 997 AS DOUBLE) AS e3
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
 
 /** Relational halves of the multimodal pipeline — the resize planning
@@ -150,8 +198,10 @@ object MultimodalPlan {
 
 object MultimodalQueries {
   def queries: Vector[NamedQuery] = Vector(
-    NamedQuery("multimodal_decode_meta", (s, d) => Multimodal.decodeMeta(s, d), None),
-    NamedQuery("multimodal_embed_batch", (s, d) => Multimodal.embedStub(s, d), None),
+    NamedQuery("multimodal_decode_meta",
+      (s, d) => Multimodal.decodeMeta(s, d), Some(Multimodal.decodeMetaSql)),
+    NamedQuery("multimodal_embed_batch",
+      (s, d) => Multimodal.embedBatch(s, d), Some(Multimodal.embedBatchSql)),
     NamedQuery("multimodal_resize_plan",
       (s, d) => MultimodalPlan.resizePlan(s, d), Some(MultimodalPlan.resizePlanSql)),
     NamedQuery("multimodal_frame_sample",

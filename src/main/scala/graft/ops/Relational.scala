@@ -51,7 +51,7 @@ object Relational {
     NamedQuery("explode_part_words", explodeWords, Some(explodeWordsSql)),
     NamedQuery("scalar_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
     NamedQuery("scalar_json_funcs", jsonFuncs, Some(jsonFuncsSql)),
-    NamedQuery("agg_approx_sketches", approxSketches, None), // sketch internals differ per engine
+    NamedQuery("agg_approx_sketches", approxSketches, Some(approxSketchesSql)),
     NamedQuery("sql_tpch_q6", sqlQ6, Some(sqlQ6Sql)),
     NamedQuery("agg_grouping_sets", groupingSets, Some(groupingSetsSql)),
   )
@@ -610,14 +610,34 @@ object Relational {
 
   // approximate sketches (HLL distinct, quantile) — engine-internal
   // sketch algorithms differ, so this is a rows-only capability check.
+  // Sketch internals (HLL registers, KLL buffers) differ per engine, so
+  // the sketch outputs themselves can never hash-match an oracle. What
+  // CAN be checked: the exact values, plus a boolean asserting each
+  // sketch landed within its declared error bound — the oracle emits
+  // literal TRUE, so a sketch drifting out of tolerance flips the hash.
   private def approxSketches(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("median_value"))
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        rnd(expr("percentile(value, 0.5D)"), 4).as("exact_median"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <= col("exact_users") * 0.15)
+          .as("approx_users_ok"),
+        col("exact_median"),
+        (abs(col("approx_median") - col("exact_median")) <= abs(col("exact_median")) * 0.1 + 0.01)
+          .as("approx_median_ok"))
       .orderBy(col("event_type"))
+
+  private val approxSketchesSql =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS approx_users_ok,
+      |  CAST(round(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,8)), 4) AS DOUBLE) AS exact_median,
+      |  TRUE AS approx_median_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // generator/UDTF capability: explode over split words.
   private def explodeWords(spark: SparkSession, dir: String): DataFrame =
