@@ -24,10 +24,12 @@ object DedupQueries {
     NamedQuery("dedup_exact", exact, Some(exactSql)),
     NamedQuery("dedup_norm", norm, Some(normSql)),
     NamedQuery("dedup_jaccard_pairs", jaccard, Some(jaccardSql)),
+    NamedQuery("dedup_jaccard_capped", jaccardCapped, Some(jaccardCappedSql)),
     NamedQuery("dedup_minhash_pairs", minhash, Some(minhashSql)),
     NamedQuery("dedup_simhash", simhash, Some(simhashSql)),
     NamedQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     NamedQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
+    NamedQuery("dedup_embedding_pairs_lsh", embeddingPairsLsh, Some(embeddingPairsLshSql)),
   )
 
   // ---------------------------------------------------------------
@@ -80,7 +82,20 @@ object DedupQueries {
   // stopword cap (drop words with document frequency above a threshold)
   // bounds the quadratic term — standard practice, since ubiquitous
   // words carry no similarity signal.
-  private def jaccard(spark: SparkSession, dir: String): DataFrame = {
+  private def jaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir, dfCap = None)
+
+  // The capped variant is the 100 TB form: a posting list's length is a
+  // word's document frequency, and pair generation is quadratic in it —
+  // one ubiquitous word ("the") yields |block|² candidates. Dropping
+  // lists above the cap bounds every list's pair fan-out at cap²/2 while
+  // losing no signal (a word appearing everywhere discriminates nothing).
+  // Set sizes stay uncapped, so jaccard scores only ever shrink — a
+  // candidate either survives on its rare words or was never a near-dup.
+  private def jaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir, dfCap = Some(64))
+
+  private def jaccardPairs(spark: SparkSession, dir: String, dfCap: Option[Int]): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val words = docs.select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
@@ -89,9 +104,10 @@ object DedupQueries {
     val posting = words.groupBy(col("lang"), col("source"), col("w"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
+    val capped = dfCap.fold(posting)(c => posting.filter(size(col("ids")) <= c))
     // two-level explode streams the i<j pairs through pipelined Generate
     // operators — no per-row materialization of a quadratic pair array
-    val pairs = posting
+    val pairs = capped
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
       .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
     val inter = pairs.groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
@@ -105,25 +121,39 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  private val jaccardSql =
-    """WITH words AS (
-      |  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
-      |  FROM documents
-      |), sizes AS (
-      |  SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
-      |), inter AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-      |  FROM words a JOIN words b
-      |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id
-      |)
-      |SELECT a_id, b_id,
-      |  CAST(round(CAST(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS DECIMAL(18,8)), 4) AS DOUBLE) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = a_id
-      |JOIN sizes sb ON sb.doc_id = b_id
-      |WHERE CAST(round(CAST(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.5
-      |ORDER BY a_id, b_id""".stripMargin
+  private def jaccardSqlFor(dfCap: Option[Int]): String = {
+    val cappedCtes = dfCap.fold("") { c =>
+      s"""), df AS (
+         |  SELECT lang, source, w, count(*) AS df FROM words GROUP BY lang, source, w
+         |), kept AS (
+         |  SELECT wo.doc_id, wo.lang, wo.source, wo.w
+         |  FROM words wo JOIN df d ON wo.lang = d.lang AND wo.source = d.source AND wo.w = d.w
+         |  WHERE d.df <= $c
+         |""".stripMargin
+    }
+    val src = if (dfCap.isDefined) "kept" else "words"
+    s"""WITH words AS (
+       |  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents
+       |$cappedCtes), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM $src a JOIN $src b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT a_id, b_id,
+       |  CAST(round(CAST(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS DECIMAL(18,8)), 4) AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE CAST(round(CAST(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  private lazy val jaccardSql = jaccardSqlFor(None)
+  private lazy val jaccardCappedSql = jaccardSqlFor(Some(64))
 
   // ---------------------------------------------------------------
   // MinHash + LSH banding: 3-word shingles, 4 hash functions taken as
@@ -217,23 +247,48 @@ object DedupQueries {
 
   // ---------------------------------------------------------------
   // Embedding-cosine near-dup: vector pairs above a similarity
-  // threshold, *blocked by the label column* (the cluster/shard key a
-  // near-dup pass would block on — unblocked all-pairs is quadratic in
-  // the corpus; at 100 TB the block key is an LSH signature, see
+  // threshold, blocked by a caller-chosen key — unblocked all-pairs is
+  // quadratic in the corpus. Two registered forms: `label` (the
+  // cluster/shard key a curated corpus already carries) and an 8-bit
+  // sign-LSH signature (the self-contained key a raw 100 TB corpus
+  // derives from the vectors themselves; same cosine-LSH family as
   // SimilarityQueries.lshTopK). Unit vectors are precomputed once so
   // the per-pair work is a single dot product.
   private def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsWithUnit(spark, dir).withColumn("block", col("label"))
+    blockedPairs(e, threshold = 0.4)
+      .withColumnRenamed("block", "label")
+      .select(col("a_id"), col("b_id"), col("label"), col("sim"))
+  }
+
+  // sign-LSH signature: bit i = (v[i] > 0) — axis-aligned random
+  // hyperplanes, reproducible from the raw floats in any engine
+  private def embeddingPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = (0 until 8)
+      .map(i => when(element_at(col("v"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val e = embeddingsWithUnit(spark, dir).withColumn("block", sig)
+    blockedPairs(e, threshold = 0.3)
+      .select(col("a_id"), col("b_id"), col("block"), col("sim"))
+  }
+
+  private def embeddingsWithUnit(spark: SparkSession, dir: String): DataFrame = {
     import graft.expressions.VectorFunctions.{dot => ndot}
-    val e = Tables.table(spark, dir, "embeddings")
+    Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
-    val a = e.select(col("vec_id").as("a_id"), col("label"), col("u").as("au"))
-    val b = e.select(col("vec_id").as("b_id"), col("label").as("l2"), col("u").as("bu"))
-    a.join(b, col("label") === col("l2") && col("a_id") < col("b_id"))
+  }
+
+  /** Same-block pairs above the cosine threshold; expects (vec_id, block, u). */
+  private def blockedPairs(e: DataFrame, threshold: Double): DataFrame = {
+    import graft.expressions.VectorFunctions.{dot => ndot}
+    val a = e.select(col("vec_id").as("a_id"), col("block"), col("u").as("au"))
+    val b = e.select(col("vec_id").as("b_id"), col("block").as("b2"), col("u").as("bu"))
+    a.join(b, col("block") === col("b2") && col("a_id") < col("b_id"))
       .withColumn("sim", graft.ops.Registry.rnd(ndot(col("au"), col("bu")), 4))
-      .filter(col("sim") >= 0.4)
-      .select(col("a_id"), col("b_id"), col("label"), col("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("block"), col("sim"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -249,6 +304,25 @@ object DedupQueries {
       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE CAST(round(CAST(list_dot_product(a.u, b.u) AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.4
       |ORDER BY a_id, b_id""".stripMargin
+
+  private lazy val embeddingPairsLshSql = {
+    val sig = (0 until 8)
+      .map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+       |  FROM embeddings
+       |), sig AS (
+       |  SELECT vec_id, u, CAST($sig AS BIGINT) AS block FROM e
+       |)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.block AS block,
+       |  CAST(round(CAST(list_dot_product(a.u, b.u) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
+       |FROM sig a JOIN sig b ON a.block = b.block AND a.vec_id < b.vec_id
+       |WHERE CAST(round(CAST(list_dot_product(a.u, b.u) AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // SimHash: 63-bit fingerprint from md5 word hashes (bit votes).

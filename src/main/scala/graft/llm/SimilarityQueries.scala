@@ -22,7 +22,7 @@ object SimilarityQueries {
 
   def queries: Vector[NamedQuery] = Vector(
     NamedQuery("sim_cosine_topk", cosineTopK, Some(cosineTopKSql)),
-    NamedQuery("sim_lsh_topk", lshTopK, None),
+    NamedQuery("sim_lsh_topk", lshTopK, Some(lshTopKSql)),
     NamedQuery("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     NamedQuery("sim_quantize_error", quantizeError, Some(quantizeErrorSql)),
   )
@@ -87,20 +87,26 @@ object SimilarityQueries {
           |  (acc, b) -> (acc.col1 + if(b = 1, shiftleft(1L, acc.col2), 0L), acc.col2 + 1),
           |  acc -> acc.col1)""".stripMargin))
       .select(col("vec_id"), col("v"), col("nrm"), col("sig"))
-    // band split: two 8-bit bands; candidates share at least one band
-    // bucket (classic LSH OR-amplification — higher recall than one
-    // 16-bit bucket, still avoids the full cross join)
-    val banded = sig
-      .withColumn("band1", expr("sig % 256"))
-      .withColumn("band2", expr("sig div 256"))
+    // band split: two 8-bit bands, exploded to one row per (band,
+    // bucket) so candidate generation is a plain EQUI-join on the
+    // bucket key (classic LSH OR-amplification). An OR of the two band
+    // predicates would force BroadcastNestedLoopJoin — every candidate
+    // tested against every query, the full scan LSH exists to avoid.
+    val banded = sig.select(col("vec_id"), col("v"), col("nrm"), explode(array(
+        struct(lit(0).as("band"), expr("sig % 256").as("bucket")),
+        struct(lit(1).as("band"), expr("sig div 256").as("bucket")))).as("bb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val q = banded.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        col("band1").as("qb1"), col("band2").as("qb2"))
+        col("band"), col("bucket"))
     val cand = banded.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"),
-      col("band1"), col("band2"))
-    // bucket join on either band (the ANN candidate generation step)
-    val pairs = cand.join(broadcast(q),
-        (col("qb1") === col("band1") || col("qb2") === col("band2")) && col("q_id") =!= col("n_id"))
+      col("band"), col("bucket"))
+    // hash equi-join on (band, bucket); a pair sharing both bands
+    // matches twice, so dedup the (small) candidate set before ranking
+    val pairs = cand.join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
       .withColumn("sim",
         graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
@@ -108,6 +114,47 @@ object SimilarityQueries {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[lshTopK]]: the seed-deterministic hyperplanes are
+    * inlined as array literals (shortest-roundtrip double reprs parse to
+    * identical bits), so the oracle reproduces signatures, buckets and
+    * ranking exactly. */
+  private lazy val lshTopKSql: String = {
+    val planeLits = planes(16, 64)
+      .map(p => p.mkString("[", ", ", "]"))
+    val sigExpr = planeLits.zipWithIndex
+      .map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << i} ELSE 0 END)"
+      }
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), sig AS (
+       |  SELECT vec_id, v, nrm, CAST($sigExpr AS BIGINT) AS sig FROM e
+       |), banded AS (
+       |  SELECT vec_id, v, nrm, 0 AS band, sig % 256 AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT vec_id, v, nrm, 1 AS band, sig // 256 AS bucket FROM sig
+       |), pairs AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+       |  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+       |), sims AS (
+       |  SELECT p.q_id, p.n_id,
+       |    CAST(round(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
+       |  FROM pairs p
+       |  JOIN e a ON a.vec_id = p.q_id
+       |  JOIN e b ON b.vec_id = p.n_id
+       |), ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -126,12 +173,22 @@ object SimilarityQueries {
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     val c = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val assign = e.crossJoin(broadcast(c))
-      .withColumn("csim", graft.ops.Registry.rnd(ndot(col("v"), col("cv")) / (col("nrm") * col("cn")), 4))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+    // assignment is a pure PROJECTION: the codebook collapses to a
+    // one-row array (broadcast), and each vector folds over it for its
+    // own argmax — no window, no exchange. A row_number over
+    // Window.partitionBy(vec_id) here would shuffle+sort the whole
+    // corpus just to pick a per-row max against broadcast data.
+    val cb = c.agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cb"))
+    val best =
+      """aggregate(
+        |  transform(cb, t -> named_struct(
+        |    's', cast(round(cast(aggregate(zip_with(v, t.cv, (a, b) -> a * b), 0D, (p, q) -> p + q) / (nrm * t.cn) AS decimal(18,8)), 4) AS double),
+        |    'c', t.cid)),
+        |  named_struct('s', cast(-2.0 AS double), 'c', cast(-1 AS bigint)),
+        |  (acc, y) -> if(y.s > acc.s OR (y.s = acc.s AND y.c < acc.c), y, acc))""".stripMargin
+    val assign = e.crossJoin(broadcast(cb))
+      .withColumn("best", expr(best))
+      .select(col("vec_id"), col("best.c").as("cid"), col("v"), col("nrm"))
     val q = assign.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("cid").as("qcid"), col("v").as("qv"), col("nrm").as("qn"))
     val pairs = assign.select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))

@@ -608,8 +608,6 @@ object Relational {
       |  json_extract_string(props, '$.missing') IS NULL AS missing_absent
       |FROM events ORDER BY event_id""".stripMargin
 
-  // approximate sketches (HLL distinct, quantile) — engine-internal
-  // sketch algorithms differ, so this is a rows-only capability check.
   // Sketch internals (HLL registers, KLL buffers) differ per engine, so
   // the sketch outputs themselves can never hash-match an oracle. What
   // CAN be checked: the exact values, plus a boolean asserting each

@@ -68,6 +68,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning"), "probe side must be fanned out across cores")
   }
 
+  test("LSH candidate generation is a hash equi-join on (band, bucket), not a nested loop") {
+    val p = plan("sim_lsh_topk")
+    assert(!p.contains("BroadcastNestedLoop"),
+      "OR-of-bands predicate would plan as BNLJ = full scan per query")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("IVF cell assignment is a projection over the broadcast codebook, not a window") {
+    val p = plan("sim_ivf_topk")
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "per-row argmax against broadcast data must not shuffle the corpus")
+  }
+
   test("minhash pair generation has no join (posting-list explode)") {
     val p = plan("dedup_minhash_pairs")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
