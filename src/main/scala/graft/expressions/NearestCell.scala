@@ -1,0 +1,87 @@
+package graft.expressions
+
+import java.math.RoundingMode
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** IVF cell assignment as a native per-row argmax: given a vector, its
+  * norm, and the (broadcast) codebook as `array<struct<cid, cv, cn>>`,
+  * return the centroid id with the highest 4-dp-rounded cosine
+  * (centroid-id ascending breaks ties).
+  *
+  * The composable forms both lose at scale: a `row_number` window
+  * partitioned by vec_id shuffles+sorts the whole corpus, a `max_by`
+  * aggregation still exchanges one row per vector, and an `aggregate`
+  * lambda fold evaluates interpreted closures with a `zip_with`
+  * allocation per centroid per row. This is a primitive loop reusing
+  * [[VectorMath.dot]], inlines into whole-stage codegen, and needs no
+  * exchange at all — assignment stays a projection.
+  *
+  * Rounding replicates `Registry.rnd(_, 4)` exactly (double →
+  * DECIMAL(18,8) → HALF_UP round to 4 → double), so results are
+  * bitwise-identical to the relational form the DuckDB oracle runs.
+  */
+case class NearestCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_cell"
+
+  override def nullSafeEval(v: Any, nrm: Any, cells: Any): Any =
+    CellMath.nearest(v.asInstanceOf[ArrayData], nrm.asInstanceOf[Double],
+      cells.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, n, c) => s"graft.expressions.CellMath.nearest($v, $n, $c)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCell =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object CellMath {
+  /** Decimal-exact 4-dp rounding: the same value path as
+    * `round(cast(x AS decimal(18,8)), 4)` (toString-based BigDecimal,
+    * HALF_UP at scale 8 then 4). */
+  def rnd4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(8, RoundingMode.HALF_UP)
+      .setScale(4, RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Called from generated code via the static forwarder. `cells` rows
+    * are struct(cid: long, cv: array<double>, cn: double). */
+  def nearest(v: ArrayData, nrm: Double, cells: ArrayData): Long = {
+    var bestSim = -2.0
+    var bestCid = -1L
+    var i = 0
+    val n = cells.numElements()
+    while (i < n) {
+      val c = cells.getStruct(i, 3)
+      val cid = c.getLong(0)
+      val sim = rnd4(VectorMath.dot(v, c.getArray(1)) / (nrm * c.getDouble(2)))
+      if (sim > bestSim || (sim == bestSim && cid < bestCid)) {
+        bestSim = sim
+        bestCid = cid
+      }
+      i += 1
+    }
+    bestCid
+  }
+}
+
+object CellFunctions {
+  /** Column form: nearest-centroid id for an array<double> vector
+    * against an array<struct<cid, cv, cn>> codebook. */
+  def nearestCell(v: Column, nrm: Column, cells: Column): Column =
+    GraftColumnBridge.column(NearestCell(
+      GraftColumnBridge.expression(v),
+      GraftColumnBridge.expression(nrm),
+      GraftColumnBridge.expression(cells)))
+}

@@ -325,12 +325,14 @@ object DedupQueries {
   }
 
   // ---------------------------------------------------------------
-  // SimHash: 63-bit fingerprint from md5 word hashes (bit votes).
-  // One wide aggregation (63 conditional sums) instead of exploding a
+  // SimHash: 60-bit fingerprint from md5 word hashes (bit votes).
+  // One wide aggregation (60 conditional sums) instead of exploding a
   // row per (word, bit) — single pass over the word rows, all codegen.
-  // Bit i of a word's hash is nibble-bit (i % 4) of hex char (i / 4 + 1)
-  // of md5(w): the same md5+substring trick that made minhash
-  // oracle-portable, so the whole SimHash family is DuckDB-checked.
+  // A word's hash is the first 15 hex chars of md5(w) parsed as a
+  // 60-bit integer — ONE string parse per word (conv here, a '0x' cast
+  // in DuckDB), after which every bit vote is pure integer arithmetic;
+  // the same md5-slice trick that made minhash oracle-portable, so the
+  // whole SimHash family is DuckDB-checked.
   private def simhash(spark: SparkSession, dir: String): DataFrame =
     fingerprints(spark, dir).orderBy(col("doc_id"))
 
@@ -339,51 +341,41 @@ object DedupQueries {
        |SELECT doc_id, simhash, prefix16 FROM fp ORDER BY doc_id""".stripMargin
 
   private def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    // 16 nibble columns (one instr per hex char), computed once per word
-    // row; each of the 63 bit votes reads its nibble's bit arithmetically
-    val nibbles = (0 until 16).map { j =>
-      (expr(s"instr('0123456789abcdef', substring(h, ${j + 1}, 1))") - 1).as(s"v$j")
-    }
     val words = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
-      .select(col("doc_id") +: nibbles: _*)
-    val voteAggs = (0 until 63).map { i =>
-      sum(when(expr(s"(v${i / 4} div ${1 << (i % 4)}) % 2 = 1"), 1).otherwise(-1)).as(s"s$i")
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)").as("hl"))
+    val voteAggs = (0 until 60).map { i =>
+      sum(when(expr(s"(hl div ${1L << i}L) % 2 = 1"), 1).otherwise(-1)).as(s"s$i")
     }
-    val assemble = (0 until 63)
+    val assemble = (0 until 60)
       .map(i => s"if(s$i > 0, ${1L << i}L, 0L)").mkString(" + ")
     words.groupBy(col("doc_id"))
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"), expr(assemble).as("simhash"))
-      .withColumn("prefix16", expr(s"simhash div ${1L << 47}L"))
+      .withColumn("prefix16", expr(s"simhash div ${1L << 44}L"))
   }
 
   /** DuckDB twin of [[fingerprints]], shared by both simhash oracles. */
   private lazy val fingerprintCtes: String = {
-    val nibbles = (0 until 16)
-      .map(j => s"instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1 AS v$j")
+    val votes = (0 until 60)
+      .map(i => s"sum(CASE WHEN (hl // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
       .mkString(",\n    ")
-    val votes = (0 until 63)
-      .map(i => s"sum(CASE WHEN (v${i / 4} // ${1 << (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
-      .mkString(",\n    ")
-    val assemble = (0 until 63)
+    val assemble = (0 until 60)
       .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
     s"""words AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-       |), nib AS (
-       |  SELECT doc_id,
-       |    $nibbles
-       |  FROM (SELECT doc_id, md5(w) AS h FROM words)
+       |), hashes AS (
+       |  SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS hl FROM words
        |), votes AS (
        |  SELECT doc_id,
        |    $votes
-       |  FROM nib GROUP BY doc_id
+       |  FROM hashes GROUP BY doc_id
        |), fp0 AS (
        |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes
        |), fp AS (
-       |  SELECT doc_id, simhash, simhash // ${1L << 47} AS prefix16 FROM fp0
+       |  SELECT doc_id, simhash, simhash // ${1L << 44} AS prefix16 FROM fp0
        |)""".stripMargin
   }
 }

@@ -174,21 +174,16 @@ object SimilarityQueries {
     val c = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     // assignment is a pure PROJECTION: the codebook collapses to a
-    // one-row array (broadcast), and each vector folds over it for its
-    // own argmax — no window, no exchange. A row_number over
+    // one-row array (broadcast), and each vector takes its own argmax
+    // via the native NearestCell expression — no window, no exchange,
+    // no interpreted lambda. A row_number over
     // Window.partitionBy(vec_id) here would shuffle+sort the whole
     // corpus just to pick a per-row max against broadcast data.
     val cb = c.agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cb"))
-    val best =
-      """aggregate(
-        |  transform(cb, t -> named_struct(
-        |    's', cast(round(cast(aggregate(zip_with(v, t.cv, (a, b) -> a * b), 0D, (p, q) -> p + q) / (nrm * t.cn) AS decimal(18,8)), 4) AS double),
-        |    'c', t.cid)),
-        |  named_struct('s', cast(-2.0 AS double), 'c', cast(-1 AS bigint)),
-        |  (acc, y) -> if(y.s > acc.s OR (y.s = acc.s AND y.c < acc.c), y, acc))""".stripMargin
     val assign = e.crossJoin(broadcast(cb))
-      .withColumn("best", expr(best))
-      .select(col("vec_id"), col("best.c").as("cid"), col("v"), col("nrm"))
+      .withColumn("cid",
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), col("cb")))
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
     val q = assign.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("cid").as("qcid"), col("v").as("qv"), col("nrm").as("qn"))
     val pairs = assign.select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
