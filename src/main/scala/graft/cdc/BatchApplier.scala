@@ -80,9 +80,18 @@ object BatchApplier {
 
     val all = sourceRows.foldLeft(stateRows.unionByName(eventRows))(_ unionByName _)
 
-    all.groupByKey(_.id)
-      .flatMapGroups { (id, it) =>
-        val rows = it.toVector
+    // One explicit hash shuffle on the key + an in-partition sort, then
+    // contiguous runs of the same id form the groups. Equivalent to
+    // groupByKey(_.id).flatMapGroups, minus one full deserialization
+    // pass (the key lambda) — and the explicit partition count keeps
+    // AQE from size-coalescing this CPU-heavy fold onto too few tasks
+    // (the shuffled bytes are small; the per-key fold work is not).
+    val n = spark.sessionState.conf.numShufflePartitions
+    all.repartition(n, col("id"))
+      .sortWithinPartitions(col("id"))
+      .as[ApplyRow]
+      .mapPartitions(it => groupRuns(it).flatMap { rows =>
+        val id = rows.head.id
         val stateRow = rows.find(_.kind == 0)
         val evs = rows.filter(_.kind == 2)
         if (evs.isEmpty) {
@@ -141,7 +150,20 @@ object BatchApplier {
             else Iterator.single((id, winner._4, winner._5, winner._1))
           }
         }
-      }(Encoders.product[(String, String, String, Long)])
+      })(Encoders.product[(String, String, String, Long)])
       .toDF("id", "doc", "parent", "ts")
   }
+
+  /** Group an id-sorted row iterator into contiguous same-id runs. */
+  private def groupRuns(it: Iterator[ApplyRow]): Iterator[Vector[ApplyRow]] =
+    new Iterator[Vector[ApplyRow]] {
+      private val b = it.buffered
+      def hasNext: Boolean = b.hasNext
+      def next(): Vector[ApplyRow] = {
+        val id = b.head.id
+        val v = Vector.newBuilder[ApplyRow]
+        while (b.hasNext && b.head.id == id) v += b.next()
+        v.result()
+      }
+    }
 }

@@ -67,10 +67,12 @@ class OplogJsonTable(path: String) extends Table with SupportsRead {
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OplogScanBuilder(path,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue),
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue))
 }
 
-class OplogScanBuilder(path: String, maxFilesPerTrigger: Int = Int.MaxValue)
+class OplogScanBuilder(path: String, maxFilesPerTrigger: Int = Int.MaxValue,
+    maxRowsPerTrigger: Long = Long.MaxValue)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -95,7 +97,8 @@ class OplogScanBuilder(path: String, maxFilesPerTrigger: Int = Int.MaxValue)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new OplogScan(path, pushed, required, maxFilesPerTrigger)
+  override def build(): Scan =
+    new OplogScan(path, pushed, required, maxFilesPerTrigger, maxRowsPerTrigger)
 }
 
 case class OplogFilePartition(file: String) extends InputPartition
@@ -112,7 +115,7 @@ object OplogScan {
 }
 
 class OplogScan(path: String, pushed: Array[Filter], required: StructType,
-    maxFilesPerTrigger: Int = Int.MaxValue)
+    maxFilesPerTrigger: Int = Int.MaxValue, maxRowsPerTrigger: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -126,7 +129,8 @@ class OplogScan(path: String, pushed: Array[Filter], required: StructType,
     new OplogReaderFactory(pushed, required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new OplogMicroBatchStream(path, pushed, required, maxFilesPerTrigger, checkpointLocation)
+    new OplogMicroBatchStream(path, pushed, required, maxFilesPerTrigger,
+      maxRowsPerTrigger, checkpointLocation)
 }
 
 /** Streaming form: the offset counts files consumed from an
@@ -148,7 +152,7 @@ final case class OplogFileOffset(n: Int) extends Offset {
 }
 
 class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: StructType,
-    maxFilesPerTrigger: Int, checkpointLocation: String)
+    maxFilesPerTrigger: Int, maxRowsPerTrigger: Long, checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // driver-side append-only discovery list, mirrored to a log file in
@@ -196,19 +200,60 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
-  override def getDefaultReadLimit: ReadLimit =
-    if (maxFilesPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
-    else ReadLimit.maxFiles(maxFilesPerTrigger)
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      Option.when(maxFilesPerTrigger != Int.MaxValue)(ReadLimit.maxFiles(maxFilesPerTrigger)),
+      Option.when(maxRowsPerTrigger != Long.MaxValue)(ReadLimit.maxRows(maxRowsPerTrigger)),
+    ).flatten
+    limits match {
+      case Nil      => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  // per-file row counts for maxRows admission, counted once at
+  // admission time (non-empty lines = the rows the reader can yield).
+  // At real scale the manifest/WAL carries these counts; here a
+  // newline count over small local dump files stands in.
+  private val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private def rowCount(file: String): Long =
+    rowCounts.computeIfAbsent(file, { f =>
+      val s = java.nio.file.Files.lines(java.nio.file.Paths.get(f))
+      try s.filter(l => !l.isEmpty).count()
+      finally s.close()
+    })
+
+  /** Files admitted from `from` under the limit — file granularity
+    * (a file is never split): maxFiles caps the count, maxRows admits
+    * files until the row budget is spent, always taking at least one
+    * available file so the stream cannot stall (the same contract as
+    * Spark's file source with maxBytesPerTrigger — the reference's
+    * docs/sec token bucket likewise lets the batch in flight finish,
+    * processor.ts:31-49). Composite limits take the strictest cap. */
+  private def admit(from: Int, total: Int, limit: ReadLimit): Int = limit match {
+    case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+      math.min(total, from + m.maxFiles())
+    case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+      var end = from
+      var budget = m.maxRows()
+      while (end < total && {
+        val c = rowCount(discovered.get(end))
+        end == from || c <= budget
+      }) {
+        budget -= rowCount(discovered.get(end))
+        end += 1
+      }
+      end
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.map(admit(from, total, _)).min
+    case _ => total
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val total = discover()
     val from = start.asInstanceOf[OplogFileOffset].n
-    val capped = limit match {
-      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        math.min(total, from + m.maxFiles())
-      case _ => total
-    }
-    OplogFileOffset(capped)
+    OplogFileOffset(admit(from, total, limit))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -81,6 +81,41 @@ class OplogJsonSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM oplog_stream_out").collect().head.getLong(0) === 4L)
   }
 
+  test("maxRowsPerTrigger admission caps rows per micro-batch (docs/sec token-bucket analog)") {
+    val dir = writeFixture() // f1: 4 non-empty lines, f2: 2
+    val ckpt = Files.createTempDirectory("oplog-rows-ckpt").toString
+    val q = spark.readStream
+      .format("graft.source.v2.OplogJsonSource")
+      .option("path", dir)
+      .option("maxRowsPerTrigger", "3")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("oplog_rows_out").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).toSeq
+    q.stop()
+    // file granularity, ≥1 file per trigger: f1 alone busts the 3-row
+    // budget (admitted alone, 3 valid rows out), then f2 (2 rows)
+    assert(batches === Seq(3, 2), batches.mkString(","))
+  }
+
+  test("maxRowsPerTrigger large enough admits everything in one batch") {
+    val dir = writeFixture()
+    val ckpt = Files.createTempDirectory("oplog-rows1-ckpt").toString
+    val q = spark.readStream
+      .format("graft.source.v2.OplogJsonSource")
+      .option("path", dir)
+      .option("maxRowsPerTrigger", "100")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("oplog_rows1_out").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches === 1)
+    assert(spark.sql("SELECT count(*) FROM oplog_rows1_out").collect().head.getLong(0) === 5L)
+  }
+
   test("IsNotNull is NOT pushed: rows with missing keys still filter correctly") {
     val dir = Files.createTempDirectory("oplog-nulls").toString
     Files.write(java.nio.file.Paths.get(dir, "p.jsonl"), Seq(
