@@ -61,10 +61,42 @@ final case class ControlsSpec(
 
 final case class EngineConfig(
     mongodbUrl: String,
+    mongodbOptions: DObj, // MongoClientOptions passthrough (auth/TLS/pool, config.ts:5-12)
     elasticsearchHost: String,
+    elasticsearchOptions: DObj, // es ConfigOptions passthrough (config.ts:14-22)
+    elasticsearchIndices: Vector[DObj], // IndicesCreateParams[] for index init (config.ts:16,21)
     controls: ControlsSpec,
     tasks: Vector[TaskDef],
-)
+) {
+  /** The connector option surface (reference config.ts:5-22): connection
+    * URL plus the client-options object flattened to string options, the
+    * way a `spark.read.format(...).options(...)` connector receives
+    * them. Nested objects flatten with dotted keys (`ssl.enabled`). */
+  def mongoSourceOptions: Map[String, String] =
+    Map("url" -> mongodbUrl) ++ flatten("", mongodbOptions)
+
+  def esSinkOptions: Map[String, String] =
+    Map("host" -> elasticsearchHost) ++ flatten("", elasticsearchOptions)
+
+  /** Source admission options realizing the S4 controls: the reference's
+    * docs/sec read capacity × the micro-batch trigger interval is the
+    * per-trigger row budget (`maxRowsPerTrigger` on the DSv2 source). */
+  def sourceAdmissionOptions: Map[String, String] =
+    controls.mongodbReadCapacity.map { cap =>
+      "maxRowsPerTrigger" ->
+        math.max(1L, cap * controls.elasticsearchBulkInterval / 1000L).toString
+    }.toMap
+
+  private def flatten(prefix: String, o: DObj): Map[String, String] =
+    o.fields.flatMap {
+      case (k, nested: DObj) => flatten(s"$prefix$k.", nested)
+      case (k, DStr(v))      => Map(s"$prefix$k" -> v)
+      case (k, DInt(v))      => Map(s"$prefix$k" -> v.toString)
+      case (k, DDbl(v))      => Map(s"$prefix$k" -> v.toString)
+      case (k, DBool(v))     => Map(s"$prefix$k" -> v.toString)
+      case _                 => Map.empty[String, String]
+    }.toMap
+}
 
 object EngineConfig {
 
@@ -100,9 +132,16 @@ object EngineConfig {
       case _                 => Vector.empty
     }
 
+    val esO = obj(root, "elasticsearch")
     EngineConfig(
       mongodbUrl = str(obj(root, "mongodb"), "url").getOrElse(""),
-      elasticsearchHost = str(obj(obj(root, "elasticsearch"), "options"), "host").getOrElse(""),
+      mongodbOptions = obj(obj(root, "mongodb"), "options"),
+      elasticsearchHost = str(obj(esO, "options"), "host").getOrElse(""),
+      elasticsearchOptions = obj(esO, "options"),
+      elasticsearchIndices = esO.get("indices") match {
+        case Some(DArr(items)) => items.collect { case d: DObj => d }
+        case _                 => Vector.empty
+      },
       controls = controls,
       tasks = tasks,
     )

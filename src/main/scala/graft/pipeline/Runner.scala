@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.cdc.StateStore
-import graft.model.{EngineConfig, TaskDef, TaskSpec}
+import graft.model.{CheckpointHooks, CheckpointSpec, EngineConfig, TaskDef, TaskSpec}
 
 /** Per-task orchestration (§3.1, reference src/index.ts:7-39): the
   * scan-then-tail lifecycle.
@@ -29,6 +29,7 @@ object Runner {
       triggerMs: Long = 5000L,
       skipScan: Boolean = false, // from.phase == "tail": no backfill
       fromTs: Long = 0L, // tail start (packed BSON ts lower bound, P3)
+      name: String = "", // checkpoint name for the user hooks
   )
 
   /** Run (or skip, on restart) the scan backfill, then start the tail.
@@ -40,15 +41,20 @@ object Runner {
       sourceSnapshot: DataFrame,
       oplogStream: DataFrame,
       cfg: TaskPipeline,
+      hooks: Option[CheckpointHooks] = None,
   ): StreamingQuery = {
     val alreadyScanned = StateStore.currentVersion(cfg.stateDir).isDefined
     if (!alreadyScanned && !cfg.skipScan) {
       ScanJob.backfill(sourceSnapshot, cfg.task, cfg.stateDir)
+      // the endScan phase flip (reference src/config.ts:77-81): tell
+      // user persistence the backfill is done and tailing begins
+      CheckpointHooks.save(hooks, cfg.name, CheckpointHooks.tailNow())
     }
     TailQuery.start(
       oplogStream, cfg.task, cfg.ns, fromTs = cfg.fromTs,
       stateDir = cfg.stateDir, checkpointDir = cfg.checkpointDir,
-      source = Some(sourceSnapshot), triggerMs = cfg.triggerMs)
+      source = Some(sourceSnapshot), triggerMs = cfg.triggerMs,
+      taskName = cfg.name, hooks = hooks)
   }
 
   /** Multi-task orchestration (reference src/index.ts:7-39): backfills
@@ -59,9 +65,10 @@ object Runner {
   def runAll(
       spark: SparkSession,
       tasks: Seq[(TaskPipeline, DataFrame, DataFrame)], // (cfg, snapshot, stream)
+      hooks: Option[CheckpointHooks] = None,
   ): Seq[StreamingQuery] =
     tasks.map { case (cfg, snapshot, stream) =>
-      bootstrapAndTail(spark, snapshot, stream, cfg)
+      bootstrapAndTail(spark, snapshot, stream, cfg, hooks)
     }
 
   /** The `run(config)` equivalent (reference src/index.ts:7-39,
@@ -88,8 +95,16 @@ object Runner {
       config: EngineConfig,
       baseDir: String,
       adapters: TaskDef => (DataFrame, DataFrame), // task -> (snapshot, oplog stream)
-  ): Seq[StreamingQuery] =
+      hooks: Option[CheckpointHooks] = None,
+  ): Seq[StreamingQuery] = {
+    // sink DDL first (reference src/index.ts:11 Indices.init): every
+    // task's output table exists with its mapping-declared types and
+    // blue/green suffix before any data flows
+    graft.sink.Ddl.initFromConfig(spark, config, Some(s"$baseDir/tables"))
     runAll(spark, config.tasks.map { td =>
+      // a checkpoint from user persistence OVERRIDES the configured
+      // `from` (reference src/index.ts:14-21)
+      val from: CheckpointSpec = CheckpointHooks.load(hooks, td.name).getOrElse(td.from)
       val dirName = td.name + config.controls.indexNameSuffix
       val cfg = TaskPipeline(
         task = td.transform,
@@ -97,16 +112,18 @@ object Runner {
         stateDir = s"$baseDir/$dirName/state",
         checkpointDir = s"$baseDir/$dirName/ckpt",
         triggerMs = config.controls.elasticsearchBulkInterval.toLong,
-        skipScan = td.from.phase == "tail",
-        fromTs = td.from.timeEpochSeconds.map(_ << 32).getOrElse(0L),
+        skipScan = from.phase == "tail",
+        fromTs = from.timeEpochSeconds.map(_ << 32).getOrElse(0L),
+        name = td.name,
       )
       val (snapshot, stream) = adapters(td)
       // scan-phase resume predicate (reference src/mongodb.ts:35-39)
-      val resumed = td.from.id match {
-        case Some(resumeId) if td.from.phase == "scan" =>
+      val resumed = from.id match {
+        case Some(resumeId) if from.phase == "scan" =>
           snapshot.filter(org.apache.spark.sql.functions.col("id") >= resumeId)
         case _ => snapshot
       }
       (cfg, resumed, stream)
-    })
+    }, hooks)
+  }
 }

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.cdc.{BatchApplier, Compactor, OplogRow, StateStore}
-import graft.model.TaskSpec
+import graft.model.{CheckpointHooks, TaskSpec}
 
 /** The streaming tail phase (reference src/processor.ts:332-396,
   * SURVEY.md §3.3) on Structured Streaming:
@@ -34,6 +34,8 @@ object TailQuery {
       checkpointDir: String,
       source: Option[DataFrame] = None,
       triggerMs: Long = 5000L,
+      taskName: String = "",
+      hooks: Option[CheckpointHooks] = None,
   ): StreamingQuery = {
     val spark = oplogStream.sparkSession
     import OplogRow.encoder
@@ -46,6 +48,10 @@ object TailQuery {
         // fused compact+dispatch+merge: one co-grouped shuffle per batch
         val newState = BatchApplier.applyOplogBatch(batch.as[OplogRow], st, task, source)
         StateStore.write(newState, stateDir)
+        // mirror tail progress to user persistence (L4 side channel,
+        // reference src/processor.ts:384-390); failures never kill the
+        // batch — the authoritative checkpoint is Spark's
+        CheckpointHooks.save(hooks, taskName, CheckpointHooks.tailNow())
         ()
       }
       .start()

@@ -67,4 +67,41 @@ object Ddl {
 
   def exists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(name)
+
+  /** Field types out of an ES put-mapping body (reference
+    * examples/config.json:62-79): either `{properties: {f: {type}}}` or
+    * the 6.x-era `{<type>: {properties: ...}}` nesting. */
+  def fieldTypesFromMapping(body: DVal): Map[String, String] = {
+    def props(o: graft.model.DObj): Map[String, String] =
+      o.get("properties") match {
+        case Some(p: graft.model.DObj) =>
+          p.fields.collect {
+            case (f, fo: graft.model.DObj) =>
+              fo.get("type").collect { case DStr(t) => f -> t }
+          }.flatten.toMap
+        case _ => Map.empty
+      }
+    body match {
+      case o: graft.model.DObj if o.contains("properties") => props(o)
+      case o: graft.model.DObj =>
+        o.fields.collectFirst { case (_, n: graft.model.DObj) if n.contains("properties") => props(n) }
+          .getOrElse(Map.empty)
+      case _ => Map.empty
+    }
+  }
+
+  /** The reference's `Indices.init` (src/index.ts:11, src/indices.ts):
+    * create every task's sink table with its mapping-declared field
+    * types and the blue/green suffix, before any data flows. */
+  def initFromConfig(
+      spark: SparkSession,
+      config: graft.model.EngineConfig,
+      locationBase: Option[String] = None,
+  ): Seq[String] =
+    config.tasks.map { td =>
+      val fieldTypes = td.load.mappingBody.map(fieldTypesFromMapping).getOrElse(Map.empty)
+      createSinkTable(spark, td.load.index, td.transform, fieldTypes,
+        suffix = config.controls.indexNameSuffix.stripPrefix("_"),
+        location = locationBase.map(b => s"$b/${td.load.index}${config.controls.indexNameSuffix}"))
+    }
 }

@@ -82,6 +82,41 @@ class EngineConfigSpec extends AnyFunSuite {
     ))
   }
 
+  test("connector option surface maps through: urls, client options, indices") {
+    val cfg = EngineConfig.fromJson(referenceShaped)
+    assert(cfg.mongoSourceOptions("url").contains("replicaSet=rs0"))
+    assert(cfg.mongoSourceOptions("readPreference") === "secondaryPreferred")
+    assert(cfg.esSinkOptions("host") === "http://host:9200")
+    assert(cfg.esSinkOptions("apiVersion") === "5.2")
+    assert(cfg.elasticsearchIndices.map(_.get("index")) === Vector(Some(DStr("banner"))))
+  }
+
+  test("nested client options flatten with dotted keys") {
+    val cfg = EngineConfig.fromJson(
+      """{"mongodb": {"url": "mongodb://h/db",
+        |  "options": {"ssl": {"enabled": true}, "poolSize": 5}}, "tasks": []}""".stripMargin)
+    assert(cfg.mongoSourceOptions === Map(
+      "url" -> "mongodb://h/db", "ssl.enabled" -> "true", "poolSize" -> "5"))
+  }
+
+  test("read capacity becomes the per-trigger row budget (docs/sec x interval)") {
+    val cfg = EngineConfig.fromJson(referenceShaped)
+    // 10000 docs/sec x 5 s trigger = 50000 rows per micro-batch
+    assert(cfg.sourceAdmissionOptions === Map("maxRowsPerTrigger" -> "50000"))
+    val unbounded = EngineConfig.fromJson("""{"tasks": []}""")
+    assert(unbounded.sourceAdmissionOptions === Map.empty)
+  }
+
+  test("field types extract from both put-mapping body shapes") {
+    import graft.sink.Ddl
+    val flat = Json.parseObj("""{"properties": {"name": {"type": "text"}, "n": {"type": "long"}}}""")
+    assert(Ddl.fieldTypesFromMapping(flat) === Map("name" -> "text", "n" -> "long"))
+    val nested = Json.parseObj(
+      """{"banner": {"properties": {"deleted": {"type": "boolean"}}}}""")
+    assert(Ddl.fieldTypesFromMapping(nested) === Map("deleted" -> "boolean"))
+    assert(Ddl.fieldTypesFromMapping(Json.parseObj("""{"dynamic": false}""")) === Map.empty)
+  }
+
   test("defaults match the code (not README) defaults") {
     val cfg = EngineConfig.fromJson("""{"tasks": []}""")
     assert(cfg.controls.mongodbReadCapacity === None) // Infinity in code

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.types._
 import graft.TestSpark
@@ -240,6 +241,72 @@ class RunnerSpec extends AnyFunSuite {
       .collect().map(_.getAs[String]("id")).toSet
     // no backfill (no "seed"), pre-window event filtered (no "old")
     assert(got === Set("new"))
+  }
+
+  test("checkpoint hooks: saves fire at scan end and per tail batch; onLoad overrides from") {
+    val base = Files.createTempDirectory("runner-hooks").toString
+    val oplogDir = s"$base/oplog"
+    Files.createDirectories(java.nio.file.Paths.get(oplogDir))
+    Files.write(java.nio.file.Paths.get(oplogDir, "b1.jsonl"),
+      """{"ts":100,"op":"i","ns":"app.users","id":"c","doc":{"_id":"c","score":3.0}}""".getBytes)
+
+    val config = graft.model.EngineConfig.fromJson(
+      """{
+        |  "tasks": [{
+        |    "from": {"phase": "scan"},
+        |    "extract": {"db": "app", "collection": "users"},
+        |    "transform": {"mapping": {"score": "score"}},
+        |    "load": {"index": "users", "type": "user"}
+        |  }]
+        |}""".stripMargin)
+    val snapshot = spark.createDataFrame(
+      Seq(("a", """{"_id":"a","score":1.0}"""))).toDF("id", "doc")
+
+    // in-memory "Redis": record every save, serve loads
+    val saves = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
+    var loaded: Option[graft.model.CheckpointSpec] = None
+    val hooks = new graft.model.CheckpointHooks {
+      def onSave(name: String, cp: graft.model.CheckpointSpec): Unit =
+        saves.add(name -> cp.phase)
+      def onLoad(name: String): Option[graft.model.CheckpointSpec] = loaded
+    }
+
+    def runOnce(dir: String) = Runner.fromConfig(spark, config, dir, _ => {
+      (snapshot, spark.readStream
+        .format("graft.source.v2.OplogJsonSource").option("path", oplogDir).load())
+    }, hooks = Some(hooks))
+
+    runOnce(base).foreach { q => q.processAllAvailable(); q.stop() }
+    val name = "app.users___users.user"
+    // endScan fired once, then one tail batch
+    assert(saves.asScala.toSeq === Seq(name -> "tail", name -> "tail"))
+    val state1 = StateStore.read(spark, s"$base/$name/state")
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(state1 === Set("a", "c"))
+
+    // a loaded tail-phase checkpoint overrides the configured scan phase:
+    // fresh dirs, yet NO backfill runs ("a" absent)
+    loaded = Some(graft.model.CheckpointSpec("tail", None, None))
+    val base2 = Files.createTempDirectory("runner-hooks2").toString
+    runOnce(base2).foreach { q => q.processAllAvailable(); q.stop() }
+    val state2 = StateStore.read(spark, s"$base2/$name/state")
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(state2 === Set("c"), "loaded checkpoint must skip the backfill")
+
+    // a failing hook never kills the pipeline
+    val bomb = new graft.model.CheckpointHooks {
+      def onSave(name: String, cp: graft.model.CheckpointSpec): Unit = sys.error("redis down")
+      def onLoad(name: String): Option[graft.model.CheckpointSpec] = sys.error("redis down")
+    }
+    val base3 = Files.createTempDirectory("runner-hooks3").toString
+    val qs = Runner.fromConfig(spark, config, base3, _ => {
+      (snapshot, spark.readStream
+        .format("graft.source.v2.OplogJsonSource").option("path", oplogDir).load())
+    }, hooks = Some(bomb))
+    qs.foreach { q => q.processAllAvailable(); q.stop() }
+    val state3 = StateStore.read(spark, s"$base3/$name/state")
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(state3 === Set("a", "c"))
   }
 
   test("fromConfig honors from.id: the scan resumes at the checkpointed id") {
