@@ -20,7 +20,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the executor pool AND the operator/codegen classes the suite
+    // exercises (aggregate, window, join, generate, typed map): the
+    // first query to touch each path otherwise pays its classloading +
+    // compiler-JIT inside its own cold timing.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.range(1000).selectExpr("id % 10 AS k", "id").createOrReplaceTempView("bench_warm")
+    spark.sql("SELECT k, row_number() OVER (PARTITION BY k ORDER BY id) FROM bench_warm").collect()
+    spark.sql("SELECT count(*) FROM bench_warm a JOIN bench_warm b ON a.k = b.k").collect()
+    spark.sql("SELECT explode(sequence(1, 2)) FROM bench_warm LIMIT 4").collect()
+    locally { import spark.implicits._
+      spark.range(100).as[Long].mapPartitions(it => it.map(x => x + 1L)).collect() }
+    spark.catalog.dropTempView("bench_warm")
     def timeAll(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
