@@ -56,23 +56,39 @@ object CellMath {
       .doubleValue()
 
   /** Called from generated code via the static forwarder. `cells` rows
-    * are struct(cid: long, cv: array<double>, cn: double). */
+    * are struct(cid: long, cv: array<double>, cn: double).
+    *
+    * Non-finite sims (zero-norm vector or centroid) rank like the
+    * relational form's NULLs: below every finite sim (DESC ordering is
+    * nulls-last), min-cid tie-break among themselves — and never crash
+    * (`BigDecimal.valueOf(NaN)` would; the decimal cast in the
+    * relational form yields NULL instead). */
   def nearest(v: ArrayData, nrm: Double, cells: ArrayData): Long = {
-    var bestSim = -2.0
+    var bestSim = -2.0 // below any finite cosine
     var bestCid = -1L
+    var haveFinite = false
+    var fallbackCid = -1L // min cid among non-finite candidates
+    var haveFallback = false
     var i = 0
     val n = cells.numElements()
     while (i < n) {
       val c = cells.getStruct(i, 3)
       val cid = c.getLong(0)
-      val sim = rnd4(VectorMath.dot(v, c.getArray(1)) / (nrm * c.getDouble(2)))
-      if (sim > bestSim || (sim == bestSim && cid < bestCid)) {
-        bestSim = sim
-        bestCid = cid
+      val raw = VectorMath.dot(v, c.getArray(1)) / (nrm * c.getDouble(2))
+      if (java.lang.Double.isFinite(raw)) {
+        val sim = rnd4(raw)
+        if (!haveFinite || sim > bestSim || (sim == bestSim && cid < bestCid)) {
+          haveFinite = true
+          bestSim = sim
+          bestCid = cid
+        }
+      } else if (!haveFallback || cid < fallbackCid) {
+        haveFallback = true
+        fallbackCid = cid
       }
       i += 1
     }
-    bestCid
+    if (haveFinite) bestCid else fallbackCid
   }
 }
 

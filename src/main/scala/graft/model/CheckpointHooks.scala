@@ -39,10 +39,14 @@ object CheckpointHooks {
     }
 
   /** Run `onLoad` under the swallow-errors contract; only checkpoints
-    * with a valid phase override the configured `from`. */
+    * with a valid phase AND a parseable time (user persistence may hold
+    * legacy formats) override the configured `from` — an invalid one is
+    * ignored, never allowed to kill startup. */
   def load(hooks: Option[CheckpointHooks], name: String): Option[CheckpointSpec] =
     hooks.flatMap { h =>
-      try h.onLoad(name).filter(cp => cp.phase == "scan" || cp.phase == "tail")
+      try h.onLoad(name)
+        .filter(cp => cp.phase == "scan" || cp.phase == "tail")
+        .filter(cp => scala.util.Try(cp.timeEpochSeconds).isSuccess)
       catch {
         case e: Exception =>
           System.err.println(s"[graft] on load checkpoint $name: ${e.getMessage}")

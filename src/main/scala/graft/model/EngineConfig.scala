@@ -94,7 +94,16 @@ final case class EngineConfig(
       case (k, DInt(v))      => Map(s"$prefix$k" -> v.toString)
       case (k, DDbl(v))      => Map(s"$prefix$k" -> v.toString)
       case (k, DBool(v))     => Map(s"$prefix$k" -> v.toString)
-      case _                 => Map.empty[String, String]
+      // scalar arrays (e.g. an ES hosts list) join comma-separated —
+      // the conventional connector-option encoding; anything deeper
+      // passes through as JSON for the connector to parse
+      case (k, DArr(items)) if items.forall(i => !i.isInstanceOf[DObj] && !i.isInstanceOf[DArr]) =>
+        Map(s"$prefix$k" -> items.map {
+          case DStr(s) => s
+          case other   => other.render
+        }.mkString(","))
+      case (k, arr: DArr) => Map(s"$prefix$k" -> arr.render)
+      case _              => Map.empty[String, String]
     }.toMap
 }
 

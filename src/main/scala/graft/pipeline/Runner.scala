@@ -88,15 +88,22 @@ object Runner {
     * admission knobs (`elasticsearchBulkSize`, `mongodbReadCapacity`)
     * apply where sources are built — adapters set them as source
     * options (e.g. the connector's `maxFilesPerTrigger`), since
-    * admission is a property of the source, not the pipeline.
+    * admission is a property of the source, not the pipeline. The
+    * adapter receives that option surface pre-built: connection options
+    * from the config (`mongoSourceOptions`) merged with the admission
+    * budget (`sourceAdmissionOptions`, e.g. `maxRowsPerTrigger` from
+    * `mongodbReadCapacity` × trigger interval) — apply them with
+    * `.options(opts)` when building the source.
     */
   def fromConfig(
       spark: SparkSession,
       config: EngineConfig,
       baseDir: String,
-      adapters: TaskDef => (DataFrame, DataFrame), // task -> (snapshot, oplog stream)
+      // (task, source options) -> (snapshot, oplog stream)
+      adapters: (TaskDef, Map[String, String]) => (DataFrame, DataFrame),
       hooks: Option[CheckpointHooks] = None,
   ): Seq[StreamingQuery] = {
+    val sourceOpts = config.mongoSourceOptions ++ config.sourceAdmissionOptions
     // sink DDL first (reference src/index.ts:11 Indices.init): every
     // task's output table exists with its mapping-declared types and
     // blue/green suffix before any data flows
@@ -116,7 +123,7 @@ object Runner {
         fromTs = from.timeEpochSeconds.map(_ << 32).getOrElse(0L),
         name = td.name,
       )
-      val (snapshot, stream) = adapters(td)
+      val (snapshot, stream) = adapters(td, sourceOpts)
       // scan-phase resume predicate (reference src/mongodb.ts:35-39)
       val resumed = from.id match {
         case Some(resumeId) if from.phase == "scan" =>

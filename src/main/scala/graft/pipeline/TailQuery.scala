@@ -44,14 +44,20 @@ object TailQuery {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val st = StateStore.read(spark, stateDir)
-        // fused compact+dispatch+merge: one co-grouped shuffle per batch
-        val newState = BatchApplier.applyOplogBatch(batch.as[OplogRow], st, task, source)
-        StateStore.write(newState, stateDir)
-        // mirror tail progress to user persistence (L4 side channel,
-        // reference src/processor.ts:384-390); failures never kill the
-        // batch — the authoritative checkpoint is Spark's
-        CheckpointHooks.save(hooks, taskName, CheckpointHooks.tailNow())
+        // an empty trigger applies nothing: no state rewrite, no hook —
+        // the reference likewise only checkpoints batches that loaded
+        // IRs (src/processor.ts:382-390)
+        if (!batch.isEmpty) {
+          val st = StateStore.read(spark, stateDir)
+          // fused compact+dispatch+merge: one co-grouped shuffle per batch
+          val newState = BatchApplier.applyOplogBatch(batch.as[OplogRow], st, task, source)
+          StateStore.write(newState, stateDir)
+          // mirror tail progress to user persistence (L4 side channel);
+          // failures never kill the batch — the authoritative
+          // checkpoint is Spark's
+          if (taskName.nonEmpty)
+            CheckpointHooks.save(hooks, taskName, CheckpointHooks.tailNow())
+        }
         ()
       }
       .start()

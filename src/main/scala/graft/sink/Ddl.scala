@@ -92,7 +92,13 @@ object Ddl {
 
   /** The reference's `Indices.init` (src/index.ts:11, src/indices.ts):
     * create every task's sink table with its mapping-declared field
-    * types and the blue/green suffix, before any data flows. */
+    * types and the blue/green suffix, before any data flows.
+    *
+    * IF NOT EXISTS semantics, like the reference's index check: an
+    * existing table (including its registered LOCATION) is left
+    * untouched. Redeploying to a different baseDir therefore requires a
+    * new `indexNameSuffix` — which is exactly what the suffix is for
+    * (blue/green: new suffix → new table, old one stays queryable). */
   def initFromConfig(
       spark: SparkSession,
       config: graft.model.EngineConfig,

@@ -212,10 +212,14 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
     }
   }
 
-  // per-file row counts for maxRows admission, counted once at
-  // admission time (non-empty lines = the rows the reader can yield).
-  // At real scale the manifest/WAL carries these counts; here a
-  // newline count over small local dump files stands in.
+  // per-file row counts for maxRows admission: non-empty lines, i.e.
+  // what the source must READ (malformed lines cost IO/parse and debit
+  // the budget even though the reader drops them — a rate limiter
+  // bounds work, not survivors; the reference's token bucket likewise
+  // debits documents fetched, processor.ts:31-49). Counted once per
+  // file: discovery-log files are immutable-once-seen, the same
+  // append-only contract every file streaming source assumes. At real
+  // scale the manifest/WAL carries these counts.
   private val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private def rowCount(file: String): Long =
     rowCounts.computeIfAbsent(file, { f =>

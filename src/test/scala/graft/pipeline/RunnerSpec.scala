@@ -170,7 +170,9 @@ class RunnerSpec extends AnyFunSuite {
 
     val config = graft.model.EngineConfig.fromJson(
       """{
-        |  "controls": {"elasticsearchBulkInterval": 100, "indexNameSuffix": "_v1"},
+        |  "controls": {"elasticsearchBulkInterval": 100, "indexNameSuffix": "_v1",
+        |    "mongodbReadCapacity": 50},
+        |  "mongodb": {"url": "mongodb://h/app", "options": {"readPreference": "secondaryPreferred"}},
         |  "tasks": [{
         |    "from": {"phase": "scan"},
         |    "extract": {"db": "app", "collection": "users", "projection": {"score": 1}},
@@ -184,11 +186,17 @@ class RunnerSpec extends AnyFunSuite {
       ("b", """{"_id":"b","score":2.0}"""),
     )).toDF("id", "doc")
 
-    val queries = Runner.fromConfig(spark, config, base, td => {
+    val queries = Runner.fromConfig(spark, config, base, (td, opts) => {
       assert(td.extract.ns === "app.users")
+      // the full connector option surface arrives pre-built: connection
+      // options + the admission budget (50 docs/s x 0.1 s trigger = 5)
+      assert(opts("url") === "mongodb://h/app")
+      assert(opts("readPreference") === "secondaryPreferred")
+      assert(opts("maxRowsPerTrigger") === "5")
       val stream = spark.readStream
         .format("graft.source.v2.OplogJsonSource")
         .option("path", oplogDir)
+        .option("maxRowsPerTrigger", opts("maxRowsPerTrigger"))
         .load()
       (snapshot, stream)
     })
@@ -229,7 +237,7 @@ class RunnerSpec extends AnyFunSuite {
 
     val snapshot = spark.createDataFrame(
       Seq(("seed", """{"_id":"seed","score":0.0}"""))).toDF("id", "doc")
-    val queries = Runner.fromConfig(spark, config, base, _ => {
+    val queries = Runner.fromConfig(spark, config, base, (_, _) => {
       val stream = spark.readStream
         .format("graft.source.v2.OplogJsonSource")
         .option("path", oplogDir).load()
@@ -271,7 +279,7 @@ class RunnerSpec extends AnyFunSuite {
       def onLoad(name: String): Option[graft.model.CheckpointSpec] = loaded
     }
 
-    def runOnce(dir: String) = Runner.fromConfig(spark, config, dir, _ => {
+    def runOnce(dir: String) = Runner.fromConfig(spark, config, dir, (_, _) => {
       (snapshot, spark.readStream
         .format("graft.source.v2.OplogJsonSource").option("path", oplogDir).load())
     }, hooks = Some(hooks))
@@ -299,7 +307,7 @@ class RunnerSpec extends AnyFunSuite {
       def onLoad(name: String): Option[graft.model.CheckpointSpec] = sys.error("redis down")
     }
     val base3 = Files.createTempDirectory("runner-hooks3").toString
-    val qs = Runner.fromConfig(spark, config, base3, _ => {
+    val qs = Runner.fromConfig(spark, config, base3, (_, _) => {
       (snapshot, spark.readStream
         .format("graft.source.v2.OplogJsonSource").option("path", oplogDir).load())
     }, hooks = Some(bomb))
@@ -331,7 +339,7 @@ class RunnerSpec extends AnyFunSuite {
       ("bbb", """{"_id":"bbb","score":2.0}"""),
       ("ccc", """{"_id":"ccc","score":3.0}"""),
     )).toDF("id", "doc")
-    val queries = Runner.fromConfig(spark, config, base, _ => {
+    val queries = Runner.fromConfig(spark, config, base, (_, _) => {
       (snapshot, spark.readStream
         .format("graft.source.v2.OplogJsonSource").option("path", oplogDir).load())
     })
