@@ -68,11 +68,13 @@ class OplogJsonTable(path: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OplogScanBuilder(path,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue),
-      Option(options.get("maxRowsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue))
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
+      Option(options.get("splitSizeBytes")).map(_.toLong).getOrElse(OplogScan.DefaultSplitSize))
 }
 
 class OplogScanBuilder(path: String, maxFilesPerTrigger: Int = Int.MaxValue,
-    maxRowsPerTrigger: Long = Long.MaxValue)
+    maxRowsPerTrigger: Long = Long.MaxValue,
+    splitSizeBytes: Long = OplogScan.DefaultSplitSize)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -98,12 +100,21 @@ class OplogScanBuilder(path: String, maxFilesPerTrigger: Int = Int.MaxValue,
     required = requiredSchema
 
   override def build(): Scan =
-    new OplogScan(path, pushed, required, maxFilesPerTrigger, maxRowsPerTrigger)
+    new OplogScan(path, pushed, required, maxFilesPerTrigger, maxRowsPerTrigger, splitSizeBytes)
 }
 
-case class OplogFilePartition(file: String) extends InputPartition
+/** One byte range [start, end) of one JSON-lines file. Range ownership
+  * follows the Hadoop line-reader contract: a reader owns every line
+  * whose FIRST byte lies in its range (a non-zero start discards the
+  * partial line it lands in — the previous range reads past its `end`
+  * to finish it), so any split points yield exactly-once lines. */
+case class OplogFilePartition(file: String, start: Long, end: Long) extends InputPartition
 
 object OplogScan {
+  /** Default split: 128 MB, the parquet/Hadoop convention — at 100 TB a
+    * dump file is split across the cluster instead of pinning one core. */
+  val DefaultSplitSize: Long = 128L * 1024 * 1024
+
   def listFiles(path: String): Array[String] = {
     val dir = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(dir)) {
@@ -112,10 +123,23 @@ object OplogScan {
       finally s.close()
     } else Array(path)
   }
+
+  /** Split one file into range partitions of at most `splitSize` bytes
+    * (newlines split JSON-lines cleanly, so byte ranges are safe). */
+  def splitFile(file: String, splitSize: Long): Array[InputPartition] = {
+    val size =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(file))
+      catch { case _: java.io.IOException => 0L }
+    if (size <= splitSize) Array(OplogFilePartition(file, 0L, Long.MaxValue))
+    else (0L until size by splitSize)
+      .map(s => OplogFilePartition(file, s, math.min(s + splitSize, size)): InputPartition)
+      .toArray
+  }
 }
 
 class OplogScan(path: String, pushed: Array[Filter], required: StructType,
-    maxFilesPerTrigger: Int = Int.MaxValue, maxRowsPerTrigger: Long = Long.MaxValue)
+    maxFilesPerTrigger: Int = Int.MaxValue, maxRowsPerTrigger: Long = Long.MaxValue,
+    splitSizeBytes: Long = OplogScan.DefaultSplitSize)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -123,14 +147,14 @@ class OplogScan(path: String, pushed: Array[Filter], required: StructType,
     s"OplogJsonScan(path=$path, pushed=${pushed.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] =
-    OplogScan.listFiles(path).map(f => OplogFilePartition(f): InputPartition)
+    OplogScan.listFiles(path).flatMap(OplogScan.splitFile(_, splitSizeBytes))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OplogReaderFactory(pushed, required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new OplogMicroBatchStream(path, pushed, required, maxFilesPerTrigger,
-      maxRowsPerTrigger, checkpointLocation)
+      maxRowsPerTrigger, splitSizeBytes, checkpointLocation)
 }
 
 /** Streaming form: the offset counts files consumed from an
@@ -152,7 +176,8 @@ final case class OplogFileOffset(n: Int) extends Offset {
 }
 
 class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: StructType,
-    maxFilesPerTrigger: Int, maxRowsPerTrigger: Long, checkpointLocation: String)
+    maxFilesPerTrigger: Int, maxRowsPerTrigger: Long, splitSizeBytes: Long,
+    checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // driver-side append-only discovery list, mirrored to a log file in
@@ -265,7 +290,9 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
     if (discovered.size() < e) discover()
     require(discovered.size() >= e,
       s"offset range [$s, $e) exceeds the ${discovered.size()}-file discovery log")
-    (s until e).map(i => OplogFilePartition(discovered.get(i)): InputPartition).toArray
+    // offsets stay file-granular (admission, checkpointing); execution
+    // parallelism within the admitted files comes from range splitting
+    (s until e).flatMap(i => OplogScan.splitFile(discovered.get(i), splitSizeBytes)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -277,16 +304,62 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
 
 class OplogReaderFactory(pushed: Array[Filter], required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OplogPartitionReader(partition.asInstanceOf[OplogFilePartition].file, pushed, required)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OplogFilePartition]
+    new OplogPartitionReader(p.file, p.start, p.end, pushed, required)
+  }
+}
+
+/** Buffered byte-range line iterator implementing the Hadoop split
+  * contract: owns lines whose first byte is in [start, end); a
+  * non-zero start positions at `start - 1` and discards one line (so a
+  * split landing exactly on a line boundary keeps that line), and the
+  * final owned line is read to completion past `end`. Splitting at
+  * byte granularity is safe for JSON-lines: '\n' (0x0A) cannot occur
+  * inside a UTF-8 multi-byte sequence. */
+private[v2] class LineRangeIterator(file: String, start: Long, end: Long) {
+  private val in = new java.io.BufferedInputStream(
+    new java.io.FileInputStream(file), 1 << 16)
+  private var pos = 0L
+  private val buf = new java.io.ByteArrayOutputStream(256)
+  locally {
+    if (start > 0) {
+      var toSkip = start - 1
+      while (toSkip > 0) {
+        val s = in.skip(toSkip)
+        if (s <= 0) toSkip = 0 else toSkip -= s
+      }
+      pos = start - 1
+      readLine() // the partial line belongs to the previous range
+    }
+  }
+
+  /** Next owned line, or null when the range (or file) is exhausted. */
+  def nextLine(): String =
+    if (pos >= end) null else readLine()
+
+  private def readLine(): String = {
+    buf.reset()
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') {
+      buf.write(b)
+      pos += 1
+      b = in.read()
+    }
+    if (b == '\n') pos += 1
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def close(): Unit = in.close()
 }
 
 /** Line-by-line reader: parse -> pushed-filter -> project. */
-class OplogPartitionReader(file: String, pushed: Array[Filter], required: StructType)
+class OplogPartitionReader(file: String, startByte: Long, endByte: Long,
+    pushed: Array[Filter], required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(file))
-  private val it = lines.iterator()
+  private val lines = new LineRangeIterator(file, startByte, endByte)
   private var current: InternalRow = _
 
   // every accepted filter is enforced: multiple ns equalities must ALL
@@ -302,8 +375,8 @@ class OplogPartitionReader(file: String, pushed: Array[Filter], required: Struct
   }
 
   override def next(): Boolean = {
-    while (it.hasNext) {
-      val line = it.next()
+    var line = lines.nextLine()
+    while (line != null) {
       if (line.nonEmpty) {
         // per-event error contract: malformed lines drop, the scan
         // lives. A line without an integer ts IS malformed — the packed
@@ -342,6 +415,7 @@ class OplogPartitionReader(file: String, pushed: Array[Filter], required: Struct
           }
         }
       }
+      line = lines.nextLine()
     }
     false
   }

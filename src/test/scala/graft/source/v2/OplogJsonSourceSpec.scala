@@ -116,6 +116,58 @@ class OplogJsonSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM oplog_rows1_out").collect().head.getLong(0) === 5L)
   }
 
+  test("byte-range splitting: a large file fans out to many partitions, rows exactly once") {
+    val dir = Files.createTempDirectory("oplog-split").toString
+    val rows = (0 until 200).map { i =>
+      s"""{"ts":$i,"op":"i","ns":"db.c","id":"k$i","doc":{"_id":"k$i","v":$i}}"""
+    }
+    Files.write(java.nio.file.Paths.get(dir, "big.jsonl"), rows.mkString("\n").getBytes)
+    val unsplit = load(dir).collect().map(_.getAs[String]("id")).sorted
+    assert(unsplit.length === 200)
+    // force many ranges: split size far below file size, boundaries
+    // landing mid-line almost everywhere
+    for (split <- Seq(64L, 301L, 997L)) {
+      val df = spark.read.format("graft.source.v2.OplogJsonSource")
+        .option("path", dir).option("splitSizeBytes", split.toString).load()
+      assert(df.rdd.getNumPartitions > 1, s"split=$split must yield multiple partitions")
+      val got = df.collect().map(_.getAs[String]("id")).sorted
+      assert(got === unsplit, s"split=$split lost or duplicated lines")
+    }
+  }
+
+  test("byte-range splitting: boundary exactly on a line start keeps the line once") {
+    val dir = Files.createTempDirectory("oplog-split-edge").toString
+    val l1 = """{"ts":1,"op":"i","ns":"db.c","id":"a","doc":{"_id":"a"}}"""
+    val l2 = """{"ts":2,"op":"i","ns":"db.c","id":"b","doc":{"_id":"b"}}"""
+    Files.write(java.nio.file.Paths.get(dir, "edge.jsonl"), s"$l1\n$l2".getBytes)
+    // split size = len(l1)+1: range 2 starts exactly at l2's first byte
+    val split = l1.getBytes.length + 1
+    val df = spark.read.format("graft.source.v2.OplogJsonSource")
+      .option("path", dir).option("splitSizeBytes", split.toString).load()
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.collect().map(_.getAs[String]("id")).sorted.toSeq === Seq("a", "b"))
+  }
+
+  test("streaming also range-splits admitted files (offsets stay file-granular)") {
+    val dir = Files.createTempDirectory("oplog-split-stream").toString
+    val ckpt = Files.createTempDirectory("oplog-split-stream-ckpt").toString
+    val rows = (0 until 50).map { i =>
+      s"""{"ts":$i,"op":"i","ns":"db.c","id":"s$i","doc":{"_id":"s$i"}}"""
+    }
+    Files.write(java.nio.file.Paths.get(dir, "big.jsonl"), rows.mkString("\n").getBytes)
+    val q = spark.readStream
+      .format("graft.source.v2.OplogJsonSource")
+      .option("path", dir).option("splitSizeBytes", "128")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("split_stream_out").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.sql("SELECT count(DISTINCT id) FROM split_stream_out")
+      .collect().head.getLong(0) === 50L)
+    assert(spark.sql("SELECT count(*) FROM split_stream_out")
+      .collect().head.getLong(0) === 50L)
+  }
+
   test("IsNotNull is NOT pushed: rows with missing keys still filter correctly") {
     val dir = Files.createTempDirectory("oplog-nulls").toString
     Files.write(java.nio.file.Paths.get(dir, "p.jsonl"), Seq(
