@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{NamedQuery, Tables}
+
+/** Dataset-assembly operators over `documents` — the steps between a
+  * cleaned corpus and a training run:
+  *
+  *  - [[splitAssign]] — deterministic hash-based train/val/test assignment.
+  *    A pure projection (hash of the stable key, no RNG, no shuffle):
+  *    the assignment is reproducible across runs/engines and stable
+  *    under corpus growth — adding documents never moves existing ones
+  *    between splits, the property that keeps eval sets uncontaminated
+  *    across dataset versions.
+  *  - [[pack]] — contiguous-fill sequence packing: per language, docs in
+  *    stable order accumulate into fixed token-budget bins (the context-
+  *    window packing a pretraining run does). One window over (lang) —
+  *    equivalently a shuffle by the packing block key; the bin id is a
+  *    running-sum division, so packing is deterministic and restartable.
+  *  - [[decontaminate]] — n-gram overlap flagging against a benchmark
+  *    set: any document sharing an 8-word shingle with a benchmark doc
+  *    is flagged. Shingle hashes equi-join (bucket-bounded, like every
+  *    near-dup op here); the benchmark side is tiny and broadcasts. At
+  *    100 TB this is the standard eval-leakage sweep (shingle the
+  *    benchmarks once, broadcast, one pass over the corpus).
+  */
+object PipelineQueries {
+
+  def queries: Vector[NamedQuery] = Vector(
+    NamedQuery("pipeline_split_assign", splitAssign, Some(splitSql)),
+    NamedQuery("pipeline_pack_sequences", pack, Some(packSql)),
+    NamedQuery("pipeline_decontaminate", decontaminate, Some(decontaminateSql)),
+  )
+
+  // ---------------------------------------------------------------
+  // 90/5/5 split from the first 8 md5 hex chars of the doc id — the
+  // same engine-portable hash-slice trick as minhash/simhash.
+  private def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100")
+          .as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
+  private val splitSql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Contiguous-fill packing into 512-token bins per language: bin id =
+  // (tokens before me in stable order) div budget; the offset is where
+  // this doc starts inside its bin's running stream.
+  private def pack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_after", sum(col("n_tokens")).over(w))
+      .withColumn("before", col("cum_after") - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"before div $budget").as("bin"),
+        expr(s"before % $budget").as("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val packSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS before
+      |  FROM t
+      |)
+      |SELECT doc_id, lang, n_tokens,
+      |  CAST(before // 512 AS BIGINT) AS bin,
+      |  CAST(before % 512 AS BIGINT) AS bin_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Benchmark stand-in: every 97th document. A doc is contaminated if
+  // it shares any 8-word shingle with a DIFFERENT benchmark doc.
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    def shingles(df: DataFrame): DataFrame = df
+      .withColumn("ws", org.apache.spark.sql.functions.split(col("text"), " "))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-8), i -> md5(concat_ws(' ', slice(ws, i+1, 8))))")).as("sh"))
+    val bench = shingles(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id").as("b_id"), col("sh"))
+    val hits = shingles(docs)
+      .join(broadcast(bench), Seq("sh"))
+      .filter(col("doc_id") =!= col("b_id"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+      |    i -> md5(list_aggregate(w[i:i+7], 'string_agg', ' ')))) AS sh
+      |  FROM ws
+      |), hits AS (
+      |  SELECT DISTINCT s.doc_id
+      |  FROM sh s JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b
+      |    ON s.sh = b.sh AND s.doc_id <> b.doc_id
+      |)
+      |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+}

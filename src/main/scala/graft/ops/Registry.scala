@@ -35,5 +35,6 @@ object Registry {
   def all: Vector[NamedQuery] =
     Relational.queries ++ MoreRelational.queries ++ CdcQueries.queries ++
       graft.llm.DedupQueries.queries ++ graft.llm.SimilarityQueries.queries ++
-      graft.llm.TextQueries.queries ++ graft.llm.MultimodalQueries.queries
+      graft.llm.TextQueries.queries ++ graft.llm.MultimodalQueries.queries ++
+      graft.llm.PipelineQueries.queries
 }
