@@ -108,7 +108,9 @@ object PipelineQueries {
       .filter(col("doc_id") =!= col("b_id"))
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
-    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+    // the flagged-id set is bounded by the benchmark's match reach —
+    // small; broadcast it so the corpus side never shuffles
+    docs.select(col("doc_id")).join(broadcast(hits), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
       .orderBy(col("doc_id"))
   }

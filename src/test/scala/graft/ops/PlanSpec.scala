@@ -81,6 +81,20 @@ class PlanSpec extends AnyFunSuite {
       "per-row argmax against broadcast data must not shuffle the corpus")
   }
 
+  test("decontamination broadcasts the benchmark shingles (no shuffle of the corpus side)") {
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "benchmark side is small by construction and must broadcast")
+  }
+
+  test("split assignment is a pure projection (no exchange, no join)") {
+    val p = plan("pipeline_split_assign")
+    assert(!p.contains("Exchange") || p.indexOf("Exchange") > p.indexOf("Sort"),
+      "hash-split must not shuffle before the output sort: " + p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+  }
+
   test("minhash pair generation has no join (posting-list explode)") {
     val p = plan("dedup_minhash_pairs")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
