@@ -29,12 +29,13 @@ import graft.model.{DBool, DInt, DObj, DStr, Json}
   *    columns (`ReadSchema`), so e.g. a count over `ns` never builds
   *    `doc` strings.
   *
-  * One InputPartition per file (JSON-lines split cleanly on newlines, so
-  * a byte-range splitter is possible; per-file granularity keeps the
-  * demo honest — real dumps are many files, which is the parallelism
-  * unit here, as with every file-based source). Parsing uses the
-  * engine's own [[graft.model.Json]] codec; malformed lines follow the
-  * per-event error contract (dropped, not fatal).
+  * Partitioning: files at or below `splitSizeBytes` (default 128 MB)
+  * are one InputPartition each; larger files split into byte ranges
+  * under the Hadoop line-reader contract (see [[OplogFilePartition]]),
+  * so a multi-GB dump fans out across the cluster instead of pinning
+  * one core. Parsing uses the engine's own [[graft.model.Json]] codec;
+  * malformed lines follow the per-event error contract (dropped, not
+  * fatal).
   *
   * Usage: `spark.read.format("graft.source.v2.OplogJsonSource")
   *   .option("path", dir).load()`
@@ -125,12 +126,16 @@ object OplogScan {
   }
 
   /** Split one file into range partitions of at most `splitSize` bytes
-    * (newlines split JSON-lines cleanly, so byte ranges are safe). */
+    * (newlines split JSON-lines cleanly, so byte ranges are safe).
+    * `end` is always the size observed at PLANNING time — bytes
+    * appended to a file after planning are invisible to this batch
+    * regardless of whether the file split, so a streaming replay of a
+    * committed offset range reads the same rows it did the first time.
+    * A vanished file fails here, at planning, with the real cause. */
   def splitFile(file: String, splitSize: Long): Array[InputPartition] = {
-    val size =
-      try java.nio.file.Files.size(java.nio.file.Paths.get(file))
-      catch { case _: java.io.IOException => 0L }
-    if (size <= splitSize) Array(OplogFilePartition(file, 0L, Long.MaxValue))
+    require(splitSize > 0, s"splitSizeBytes must be positive, got $splitSize")
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(file))
+    if (size <= splitSize) Array(OplogFilePartition(file, 0L, size))
     else (0L until size by splitSize)
       .map(s => OplogFilePartition(file, s, math.min(s + splitSize, size)): InputPartition)
       .toArray
@@ -310,25 +315,26 @@ class OplogReaderFactory(pushed: Array[Filter], required: StructType)
   }
 }
 
-/** Buffered byte-range line iterator implementing the Hadoop split
-  * contract: owns lines whose first byte is in [start, end); a
-  * non-zero start positions at `start - 1` and discards one line (so a
-  * split landing exactly on a line boundary keeps that line), and the
-  * final owned line is read to completion past `end`. Splitting at
-  * byte granularity is safe for JSON-lines: '\n' (0x0A) cannot occur
-  * inside a UTF-8 multi-byte sequence. */
+/** Byte-range line iterator implementing the Hadoop split contract:
+  * owns lines whose first byte is in [start, end); a non-zero start
+  * positions at `start - 1` and discards one line (so a split landing
+  * exactly on a line boundary keeps that line), and the final owned
+  * line is read to completion past `end`. Splitting at byte
+  * granularity is safe for JSON-lines: '\n' (0x0A) cannot occur inside
+  * a UTF-8 multi-byte sequence. Lines are '\n'-delimited (the
+  * JSON-lines contract); a trailing '\r' is stripped so CRLF dumps
+  * parse. Reads scan a 64 KB chunk buffer directly — no per-byte
+  * stream call on the path this feature exists to make fast. */
 private[v2] class LineRangeIterator(file: String, start: Long, end: Long) {
-  private val in = new java.io.BufferedInputStream(
-    new java.io.FileInputStream(file), 1 << 16)
-  private var pos = 0L
-  private val buf = new java.io.ByteArrayOutputStream(256)
+  private val in = new java.io.FileInputStream(file)
+  private val chunk = new Array[Byte](1 << 16)
+  private var chunkLen = 0 // valid bytes in `chunk`
+  private var chunkPos = 0 // next unread index in `chunk`
+  private var pos = 0L // absolute file offset of chunk(chunkPos)
+  private val line = new java.io.ByteArrayOutputStream(256)
   locally {
     if (start > 0) {
-      var toSkip = start - 1
-      while (toSkip > 0) {
-        val s = in.skip(toSkip)
-        if (s <= 0) toSkip = 0 else toSkip -= s
-      }
+      in.getChannel.position(start - 1)
       pos = start - 1
       readLine() // the partial line belongs to the previous range
     }
@@ -338,17 +344,40 @@ private[v2] class LineRangeIterator(file: String, start: Long, end: Long) {
   def nextLine(): String =
     if (pos >= end) null else readLine()
 
+  private def refill(): Boolean = {
+    chunkLen = in.read(chunk)
+    chunkPos = 0
+    chunkLen > 0
+  }
+
   private def readLine(): String = {
-    buf.reset()
-    var b = in.read()
-    if (b == -1) return null
-    while (b != -1 && b != '\n') {
-      buf.write(b)
-      pos += 1
-      b = in.read()
+    line.reset()
+    var sawAny = false
+    while (true) {
+      if (chunkPos >= chunkLen && !refill()) {
+        // EOF: the last line may lack a terminator
+        if (!sawAny) return null
+        return finish()
+      }
+      sawAny = true
+      var i = chunkPos
+      while (i < chunkLen && chunk(i) != '\n') i += 1
+      line.write(chunk, chunkPos, i - chunkPos)
+      pos += i - chunkPos
+      chunkPos = i
+      if (i < chunkLen) { // found the newline
+        chunkPos += 1
+        pos += 1
+        return finish()
+      }
     }
-    if (b == '\n') pos += 1
-    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    null // unreachable
+  }
+
+  private def finish(): String = {
+    val bytes = line.toByteArray
+    val len = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1 else bytes.length
+    new String(bytes, 0, len, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   def close(): Unit = in.close()

@@ -90,8 +90,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("split assignment is a pure projection (no exchange, no join)") {
     val p = plan("pipeline_split_assign")
-    assert(!p.contains("Exchange") || p.indexOf("Exchange") > p.indexOf("Sort"),
-      "hash-split must not shuffle before the output sort: " + p.take(600))
+    // the ONLY exchange allowed is the output sort's rangepartitioning
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(_ == "rangepartitioning"),
+      s"hash-split must not shuffle except for the output sort: $exchanges\n" + p.take(600))
     assert(!p.contains("Join"), p.take(600))
   }
 

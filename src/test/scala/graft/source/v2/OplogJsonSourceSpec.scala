@@ -168,6 +168,27 @@ class OplogJsonSourceSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 50L)
   }
 
+  test("CRLF line endings parse and empty files yield no rows") {
+    val dir = Files.createTempDirectory("oplog-crlf").toString
+    Files.write(java.nio.file.Paths.get(dir, "crlf.jsonl"), (
+      """{"ts":1,"op":"i","ns":"db.c","id":"a","doc":{"_id":"a"}}""" + "\r\n" +
+      """{"ts":2,"op":"i","ns":"db.c","id":"b","doc":{"_id":"b"}}""" + "\r\n").getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "empty.jsonl"), Array.empty[Byte])
+    val ids = load(dir).collect().map(_.getAs[String]("id")).sorted.toSeq
+    assert(ids === Seq("a", "b"))
+  }
+
+  test("non-positive splitSizeBytes fails fast instead of silently dropping data") {
+    val dir = writeFixture()
+    val df = spark.read.format("graft.source.v2.OplogJsonSource")
+      .option("path", dir).option("splitSizeBytes", "-1").load()
+    val e = intercept[Exception] { df.count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("splitSizeBytes")), e.toString)
+  }
+
   test("IsNotNull is NOT pushed: rows with missing keys still filter correctly") {
     val dir = Files.createTempDirectory("oplog-nulls").toString
     Files.write(java.nio.file.Paths.get(dir, "p.jsonl"), Seq(

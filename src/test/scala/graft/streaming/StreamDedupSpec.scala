@@ -25,6 +25,19 @@ class StreamDedupSpec extends AnyFunSuite {
     // batch 2: a content-duplicate of doc 1 (different id), plus a new doc
     Seq(StreamDoc(t(102), 3L, "the quick brown fox"), StreamDoc(t(103), 4L, "a third document"))
       .toDS().coalesce(1).write.parquet(s"$base/in/p2")
+    // FileStreamSource orders by modification time; pin it so p1 is
+    // always the first micro-batch (equal mtimes would flip which
+    // duplicate survives)
+    def touch(dir: String, sec: Long): Unit = {
+      val d = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.list(d)
+      try (java.util.stream.Stream.concat(java.util.stream.Stream.of(d), s)).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(sec * 1000L))
+      } finally s.close()
+    }
+    touch(s"$base/in/p1", 1000L)
+    touch(s"$base/in/p2", 2000L)
 
     val stream = spark.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[StreamDoc]].schema)
