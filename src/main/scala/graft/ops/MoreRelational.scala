@@ -44,7 +44,79 @@ object MoreRelational {
     NamedQuery("scalar_conditional_funcs", scalarCond, Some(scalarCondSql)),
     NamedQuery("scalar_bitwise_funcs", scalarBitwise, Some(scalarBitwiseSql)),
     NamedQuery("scalar_regexp_funcs", scalarRegexp, Some(scalarRegexpSql)),
+    NamedQuery("sql_recursive_cte", recursiveCte, Some(recursiveCteSql)),
+    NamedQuery("join_lateral_topn", lateralTopN, Some(lateralTopNSql)),
   )
+
+  // ---------------------------------------------------------------
+  // Recursive CTE (Spark 4 WITH RECURSIVE): walk the region -> nation
+  // -> customer containment hierarchy as a genuine edge-list recursion.
+  // Each iteration is one join against the previous frontier — Spark
+  // executes it as iterative union steps, exactly the way a recursive
+  // query scales (per-level joins, no unbounded driver loop).
+  private def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "region").createOrReplaceTempView("region_rc")
+    table(spark, dir, "nation").createOrReplaceTempView("nation_rc")
+    table(spark, dir, "customer").createOrReplaceTempView("customer_rc")
+    spark.sql(
+      """WITH RECURSIVE walk(node, lvl) AS (
+        |  SELECT concat('R', CAST(r_regionkey AS STRING)), 0 FROM region_rc
+        |  UNION ALL
+        |  SELECT e.child, w.lvl + 1
+        |  FROM walk w
+        |  JOIN (
+        |    SELECT concat('R', CAST(n_regionkey AS STRING)) AS parent,
+        |           concat('N', CAST(n_nationkey AS STRING)) AS child FROM nation_rc
+        |    UNION ALL
+        |    SELECT concat('N', CAST(c_nationkey AS STRING)),
+        |           concat('C', CAST(c_custkey AS STRING)) FROM customer_rc
+        |  ) e ON e.parent = w.node
+        |)
+        |SELECT node, lvl FROM walk ORDER BY lvl, node""".stripMargin)
+  }
+
+  private val recursiveCteSql =
+    """WITH RECURSIVE walk(node, lvl) AS (
+      |  SELECT concat('R', CAST(r_regionkey AS VARCHAR)), 0 FROM region
+      |  UNION ALL
+      |  SELECT e.child, w.lvl + 1
+      |  FROM walk w
+      |  JOIN (
+      |    SELECT concat('R', CAST(n_regionkey AS VARCHAR)) AS parent,
+      |           concat('N', CAST(n_nationkey AS VARCHAR)) AS child FROM nation
+      |    UNION ALL
+      |    SELECT concat('N', CAST(c_nationkey AS VARCHAR)),
+      |           concat('C', CAST(c_custkey AS VARCHAR)) FROM customer
+      |  ) e ON e.parent = w.node
+      |)
+      |SELECT node, CAST(lvl AS INT) AS lvl FROM walk ORDER BY lvl, node""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Correlated LATERAL subquery with LIMIT: per-group top-N without a
+  // window function — the decorrelation plans one ranked join, not a
+  // per-group re-scan.
+  private def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("customer_lat")
+    spark.sql(
+      """SELECT s.c_mktsegment, l.c_custkey, l.c_acctbal
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer_lat) s,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer_lat c
+        |  WHERE c.c_mktsegment = s.c_mktsegment
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        |) l
+        |ORDER BY s.c_mktsegment, l.c_acctbal DESC, l.c_custkey""".stripMargin)
+  }
+
+  private val lateralTopNSql =
+    """SELECT s.c_mktsegment, l.c_custkey, l.c_acctbal
+      |FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+      |LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer c
+      |  WHERE c.c_mktsegment = s.c_mktsegment
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+      |) l
+      |ORDER BY s.c_mktsegment, l.c_acctbal DESC, l.c_custkey""".stripMargin
 
   // ---------------------------------------------------------------
   // q4 (TPC-H Q4 shape): existence semi-join — orders having at least

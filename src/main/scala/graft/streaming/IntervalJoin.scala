@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream inner join within an event-time interval — the
+  * attribution shape (click joined to the view that preceded it within
+  * the horizon).
+  *
+  * Both sides carry watermarks, so Spark bounds the join state: a
+  * buffered left row can be dropped once the right watermark passes
+  * `leftTs + horizon` and vice versa. Without the interval condition
+  * the state store must hold BOTH streams forever — the unbounded-state
+  * trap; with it, state is O(rows per horizon) per side, which is what
+  * lets the join run indefinitely at ingest scale.
+  */
+object IntervalJoin {
+
+  /** Join `left` and `right` on `key`, keeping pairs where the right
+    * event happened in [left ts, left ts + horizon]. Column names on
+    * the two sides must be disjoint except for `key`. */
+  def joinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      horizon: String,
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, horizon)
+    val r = right.withWatermark(rightTs, horizon)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"))
+      .drop(r(key))
+  }
+}
