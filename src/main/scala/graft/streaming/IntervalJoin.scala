@@ -18,7 +18,14 @@ object IntervalJoin {
 
   /** Join `left` and `right` on `key`, keeping pairs where the right
     * event happened in [left ts, left ts + horizon]. Column names on
-    * the two sides must be disjoint except for `key`. */
+    * the two sides must be disjoint except for `key`.
+    *
+    * `lateness` (how long out-of-order events are tolerated, i.e. the
+    * watermark delay) is a separate knob from the join horizon —
+    * per-side state is O(horizon + lateness), so a 30-day attribution
+    * window with minutes of actual disorder should not pay a 30-day
+    * lateness allowance. It defaults to the horizon for callers that
+    * don't care. */
   def joinWithin(
       left: DataFrame,
       right: DataFrame,
@@ -26,9 +33,11 @@ object IntervalJoin {
       leftTs: String,
       rightTs: String,
       horizon: String,
+      lateness: Option[String] = None,
   ): DataFrame = {
-    val l = left.withWatermark(leftTs, horizon)
-    val r = right.withWatermark(rightTs, horizon)
+    val delay = lateness.getOrElse(horizon)
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
     l.join(r,
       l(key) === r(key) &&
         col(rightTs) >= col(leftTs) &&

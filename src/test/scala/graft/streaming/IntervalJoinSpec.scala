@@ -22,11 +22,13 @@ class IntervalJoinSpec extends AnyFunSuite {
       ViewEv("u1", t(100), "home"),
       ViewEv("u2", t(100), "search"),
       ViewEv("u3", t(100), "home"),
+      ViewEv("u5", t(200), "promo"),
     ).toDS().coalesce(1).write.parquet(s"$base/views/p1")
     Seq(
       ClickEv("u1", t(160), "ad1"),  // 60 s after the view: joins
       ClickEv("u2", t(1000), "ad2"), // 900 s after: outside horizon
       ClickEv("u4", t(160), "ad3"),  // no view at all
+      ClickEv("u5", t(150), "ad4"),  // BEFORE u5's view: lower bound rejects
     ).toDS().coalesce(1).write.parquet(s"$base/clicks/p1")
 
     def stream[A: org.apache.spark.sql.Encoder](dir: String) = spark.readStream

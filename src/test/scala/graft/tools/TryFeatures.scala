@@ -10,7 +10,8 @@ object TryFeatures {
     spark.sparkContext.setLogLevel("WARN")
     def tryq(label: String, sql: String): Unit =
       try println(s"[try] $label OK: " + spark.sql(sql).collect().take(3).mkString(";"))
-      catch { case e: Exception => println(s"[try] $label FAIL: ${e.getMessage.take(200)}") }
+      catch { case e: Exception =>
+        println(s"[try] $label FAIL: ${Option(e.getMessage).getOrElse(e.toString).take(200)}") }
     tryq("recursive_cte",
       """WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 5)
         |SELECT sum(n) FROM r""".stripMargin)
