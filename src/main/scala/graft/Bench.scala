@@ -40,17 +40,28 @@ object Bench {
       }.toMap
     // Pass 1 (cold): includes one-time per-query planning + Janino
     // codegen compilation — the dominant cost at harness scale, absent
-    // in any long-running deployment. Pass 2 (steady-state): execution
-    // with warmed code caches — the throughput-representative figure a
-    // 100 TB cluster run amortizes to. Both are reported; `value` is
-    // steady-state (see BASELINE.md for the methodology note).
+    // in any long-running deployment. Then >=3 steady-state passes:
+    // `queries` reports the PER-QUERY MEDIAN across them (and
+    // `min_queries` the per-query min), so a single GC pause or
+    // scheduler hiccup in one pass cannot masquerade as a regression —
+    // the adjudicable figure the r4 verdict asked for. `value` is the
+    // sum of the medians (see BASELINE.md for the methodology note).
+    val steadyPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
     val cold = timeAll()
-    val results = timeAll()
+    val steady = Vector.fill(steadyPasses)(timeAll())
+    def stat(f: Seq[Double] => Double): Map[String, Double] =
+      cold.keys.map(k => k -> f(steady.map(_(k)))).toMap
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = stat(median)
+    val mins = stat(_.min)
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

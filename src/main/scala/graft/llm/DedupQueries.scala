@@ -26,6 +26,7 @@ object DedupQueries {
     NamedQuery("dedup_jaccard_pairs", jaccard, Some(jaccardSql)),
     NamedQuery("dedup_jaccard_capped", jaccardCapped, Some(jaccardCappedSql)),
     NamedQuery("dedup_minhash_pairs", minhash, Some(minhashSql)),
+    NamedQuery("dedup_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
     NamedQuery("dedup_simhash", simhash, Some(simhashSql)),
     NamedQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     NamedQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
@@ -161,7 +162,10 @@ object DedupQueries {
   // per-seed row blowup), 2 bands of 2 — candidate pairs share a
   // (band, bucket). md5 is the hash family so the oracle reproduces it
   // exactly.
-  private def minhash(spark: SparkSession, dir: String): DataFrame = {
+  private def minhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir).orderBy(col("a_id"), col("b_id"))
+
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
@@ -190,11 +194,10 @@ object DedupQueries {
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
       .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
       .distinct()
-      .orderBy(col("a_id"), col("b_id"))
   }
 
-  private val minhashSql =
-    """WITH ws AS (
+  private val minhashCtes =
+    """ws AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3
       |), shingles AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
@@ -211,11 +214,82 @@ object DedupQueries {
       |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS bucket FROM mins
       |  UNION ALL
       |  SELECT doc_id, 1 AS band, m2 || '|' || m3 AS bucket FROM mins
-      |)
-      |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |FROM bands a JOIN bands b
-      |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |ORDER BY a_id, b_id""".stripMargin
+      |), mh_pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  private lazy val minhashSql =
+    s"""WITH $minhashCtes
+       |SELECT a_id, b_id FROM mh_pairs
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Near-dup cluster resolution: connected components over the minhash
+  // candidate pairs, one canonical survivor (min doc_id) per cluster —
+  // the step every real dedup pipeline runs after pair generation (the
+  // reference's analog is its one-survivor-per-key compaction,
+  // src/processor.ts:260-297).
+  //
+  // The Spark side runs iterative min-label propagation: each round is
+  // one edge-join + min-aggregation, and a component's labels converge
+  // in O(diameter) rounds — the dataflow shape of large-scale CC
+  // (large-star/small-star contraction cuts rounds to O(log n) at
+  // 100 TB, same join+agg per round). The per-round driver action is
+  // one boolean convergence check, not data; localCheckpoint keeps the
+  // plan flat instead of growing one join per round. The oracle walks
+  // the same reachability with a recursive CTE (UNION-distinct
+  // terminates on cycles) and takes min per node.
+  private def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).localCheckpoint()
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    var labels = pairs.select(explode(array(col("a_id"), col("b_id"))).as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("component"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val viaNeighbor = edges.join(labels, edges("v") === labels("node"))
+        .select(col("u").as("node"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") =!= col("old"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    // docs in no candidate pair are their own singleton component
+    Tables.table(spark, dir, "documents").select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("is_canonical", col("component") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val clusterCanonicalSql =
+    s"""WITH RECURSIVE $minhashCtes, edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM mh_pairs
+       |  UNION ALL
+       |  SELECT b_id AS u, a_id AS v FROM mh_pairs
+       |), reach(node, r) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+       |), comp AS (
+       |  SELECT node, min(r) AS component FROM reach GROUP BY node
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(c.component, d.doc_id) AS component,
+       |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_canonical
+       |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // SimHash near-dup pairs: candidates share the 16-bit prefix bucket
@@ -262,12 +336,12 @@ object DedupQueries {
   }
 
   // sign-LSH signature: bit i = (v[i] > 0) — axis-aligned random
-  // hyperplanes, reproducible from the raw floats in any engine
+  // hyperplanes, reproducible from the raw floats in any engine; the
+  // native ElementSignBits expression packs the 8 sign tests in one
+  // codegen'd loop (same SignBits family as sim_lsh_topk's signature)
   private def embeddingPairsLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = (0 until 8)
-      .map(i => when(element_at(col("v"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val e = embeddingsWithUnit(spark, dir).withColumn("block", sig)
+    val e = embeddingsWithUnit(spark, dir)
+      .withColumn("block", graft.expressions.SignFunctions.elementSignBits(col("v"), 8))
     blockedPairs(e, threshold = 0.3)
       .select(col("a_id"), col("b_id"), col("block"), col("sim"))
   }

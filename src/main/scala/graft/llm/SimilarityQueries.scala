@@ -77,15 +77,13 @@ object SimilarityQueries {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val pl = typedLit(planes(16, 64))
-    // 16-bit signature: bit i = (v . plane_i) > 0
-    val sig = e.withColumn("planes", pl)
-      .withColumn("sig", expr(
-        """aggregate(
-          |  transform(planes, p -> if(aggregate(zip_with(v, p, (x, y) -> x * y), 0D, (acc, x) -> acc + x) > 0D, 1, 0)),
-          |  (0L, 0),
-          |  (acc, b) -> (acc.col1 + if(b = 1, shiftleft(1L, acc.col2), 0L), acc.col2 + 1),
-          |  acc -> acc.col1)""".stripMargin))
+    // 16-bit signature: bit i = (v . plane_i) > 0, as the native
+    // codegen'd SignBits expression over the literal plane set — the
+    // interpreted aggregate/transform/zip_with formulation of the same
+    // fold ran three nested lambda closures per row (r4 bench: ~0.3 s
+    // of pure boxing on this query alone)
+    val sig = e.withColumn("sig",
+        graft.expressions.SignFunctions.signBits(col("v"), typedLit(planes(16, 64))))
       .select(col("vec_id"), col("v"), col("nrm"), col("sig"))
     // band split: two 8-bit bands, exploded to one row per (band,
     // bucket) so candidate generation is a plain EQUI-join on the

@@ -23,7 +23,7 @@ object CdcQueries {
     NamedQuery("cdc_resume_scan", resumeScan, Some(resumeScanSql)),
     NamedQuery("cdc_relevance_filter", relevanceFilter, Some(relevanceFilterSql)),
     NamedQuery("cdc_annihilation", annihilation, Some(annihilationSql)),
-    NamedQuery("cdc_pipeline_state", pipelineState, None), // typed deep-merge path: not SQL-expressible
+    NamedQuery("cdc_pipeline_state", pipelineState, Some(pipelineStateSql)),
     NamedQuery("events_hourly_stats", hourlyStats, Some(hourlyStatsSql)),
     NamedQuery("events_sessionize", sessionize, Some(sessionizeSql)),
     NamedQuery("events_tumbling_window", tumbling, Some(tumblingSql)),
@@ -31,6 +31,7 @@ object CdcQueries {
     NamedQuery("events_session_window", sessionWindow, Some(sessionWindowSql)),
     NamedQuery("agg_pivot_event_types", pivotTypes, Some(pivotTypesSql)),
     NamedQuery("cdc_lww_udaf", lwwUdaf, Some(lwwUdafSql)),
+    NamedQuery("join_interval_within", intervalWithin, Some(intervalWithinSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -140,9 +141,25 @@ object CdcQueries {
 
   // ---------------------------------------------------------------
   // The full typed pipeline (compact -> dispatch -> LWW merge) at the
-  // given scale dir. Deep-merge/$set-fold semantics are not ANSI-SQL
-  // expressible — rows-only harness check; exactness is pinned by the
-  // pure-core goldens and the Spark-vs-model test suite.
+  // given scale dir, with the state doc's mapped fields extracted back
+  // to typed columns so the DuckDB oracle can hash-check the fold
+  // (value/k/last_type round-trip exactly: shortest-decimal JSON
+  // rendering is parse-exact both ways). The raw doc JSON form stays
+  // pinned by the reference goldens + the Spark-vs-model suite.
+  //
+  // The oracle rebuilds the compaction automaton relationally. Per key,
+  // with events ordered by the packed oplog ts, let the BOUNDARY be the
+  // last insert-or-delete event:
+  //  - boundary = i: the folded insert survives; per mapped field the
+  //    latest non-null value at-or-after the boundary wins (a $set only
+  //    carries non-null fields — to_json drops nulls); ts = the last
+  //    contributing event's second.
+  //  - boundary = d with >=1 update after it: the compacted update
+  //    dispatches against empty sink state, so the state is rebuilt
+  //    from the source snapshot (the key's EARLIEST signup doc,
+  //    projected as-is — dispatch does not re-apply the $set; the
+  //    source is authoritative); ts = the last update's second.
+  //  - boundary = d with nothing after, or no signup ever: no row.
   private def pipelineState(spark: SparkSession, dir: String): DataFrame = {
     import graft.cdc.{BatchApplier, OplogRow, StateStore}
     import graft.source.EventsOplog
@@ -152,8 +169,98 @@ object CdcQueries {
     BatchApplier.applyOplogBatch(
       oplog, StateStore.empty(spark), graft.SparkEntry.flagshipTask,
       source = Some(EventsOplog.sourceSnapshotRaw(events)))
+      .select(col("id"),
+        get_json_object(col("doc"), "$.value").cast("double").as("value"),
+        get_json_object(col("doc"), "$.k").cast("long").as("k"),
+        get_json_object(col("doc"), "$.last_type").as("last_type"),
+        col("ts"))
       .orderBy(col("id"))
   }
+
+  private val pipelineStateSql =
+    """WITH e AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS id,
+      |    epoch_ns(ts)//1000000000 AS sec,
+      |    (epoch_ns(ts)//1000000000)*4294967296 + event_id % 2147483648 AS ord,
+      |    CASE WHEN event_type = 'signup' THEN 'i'
+      |         WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+      |    value,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |    event_type
+      |  FROM events
+      |), bnd AS (
+      |  SELECT id, max(ord) FILTER (WHERE op IN ('i', 'd')) AS bord
+      |  FROM e GROUP BY id
+      |), btype AS (
+      |  SELECT b.id, b.bord, e.op AS bop
+      |  FROM bnd b JOIN e ON e.id = b.id AND e.ord = b.bord
+      |), firstsig AS (
+      |  SELECT id, value, k FROM (
+      |    SELECT id, value, k,
+      |      row_number() OVER (PARTITION BY id ORDER BY ord) AS rn
+      |    FROM e WHERE op = 'i'
+      |  ) WHERE rn = 1
+      |), caseb AS (
+      |  SELECT bt.id,
+      |    arg_max(e.value, e.ord) FILTER (WHERE e.value IS NOT NULL) AS value,
+      |    arg_max(e.k, e.ord) FILTER (WHERE e.k IS NOT NULL) AS k,
+      |    arg_max(e.event_type, e.ord) AS last_type,
+      |    max(e.sec) AS ts
+      |  FROM btype bt JOIN e ON e.id = bt.id AND e.ord >= bt.bord
+      |  WHERE bt.bop = 'i'
+      |  GROUP BY bt.id
+      |), casea AS (
+      |  SELECT bt.id, f.value, f.k, 'signup' AS last_type, max(e2.sec) AS ts
+      |  FROM btype bt
+      |  JOIN e e2 ON e2.id = bt.id AND e2.ord > bt.bord AND e2.op = 'u'
+      |  JOIN firstsig f ON f.id = bt.id
+      |  WHERE bt.bop = 'd'
+      |  GROUP BY bt.id, f.value, f.k
+      |)
+      |SELECT id, value, k, last_type, ts FROM caseb
+      |UNION ALL
+      |SELECT id, value, k, last_type, ts FROM casea
+      |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Batch twin of the stream-stream interval join: each view paired
+  // with the same user's clicks inside [view ts, view ts + 30 min] —
+  // the attribution shape. It calls the SAME IntervalJoin.joinWithin
+  // the streaming path runs (withWatermark is a no-op in batch), so the
+  // streaming operator's join semantics get a DuckDB hash-checked pin,
+  // not just a spec test. Comparison happens at the full microsecond
+  // timestamps; output rides as epoch seconds + event ids.
+  private def intervalWithin(spark: SparkSession, dir: String): DataFrame = {
+    val events = ev(spark, dir)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"),
+        col("ts").as("v_ts"), col("sec").as("v_sec"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"), col("sec").as("c_sec"))
+    graft.streaming.IntervalJoin.joinWithin(
+      views, clicks, key = "user_id",
+      leftTs = "v_ts", rightTs = "c_ts", horizon = "30 minutes")
+      .select(col("user_id"), col("v_id"), col("c_id"),
+        col("v_sec"), col("c_sec"))
+      .orderBy(col("v_id"), col("c_id"))
+  }
+
+  // µs-precision range predicate, matching Spark's timestamp compare
+  // (the parquet ns timestamps floor to µs on the Spark side)
+  private val intervalWithinSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts)//1000 AS us, epoch_ns(ts)//1000000000 AS sec
+      |  FROM events
+      |)
+      |SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,
+      |  v.sec AS v_sec, c.sec AS c_sec
+      |FROM e v JOIN e c
+      |  ON v.event_type = 'view' AND c.event_type = 'click'
+      |  AND v.user_id = c.user_id
+      |  AND c.us >= v.us AND c.us <= v.us + 1800000000
+      |ORDER BY v_id, c_id""".stripMargin
 
   // ---------------------------------------------------------------
   // C3-analog windowed aggregation: tumbling 1-hour buckets.

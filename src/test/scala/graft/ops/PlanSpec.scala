@@ -75,6 +75,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
 
+  test("LSH signatures are the native sign_bits expression, not interpreted lambdas") {
+    val p = plan("sim_lsh_topk")
+    assert(p.contains("sign_bits"), p.take(600))
+    assert(!p.contains("zip_with"),
+      "signature must not fall back to the interpreted aggregate/zip_with fold")
+    val q = plan("dedup_embedding_pairs_lsh")
+    assert(q.contains("element_sign_bits"), q.take(600))
+  }
+
   test("IVF cell assignment is a projection over the broadcast codebook, not a window") {
     val p = plan("sim_ivf_topk")
     assert(!p.contains("windowspecdefinition(vec_id"),
