@@ -1,0 +1,276 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{NamedQuery, Tables}
+import graft.ops.Registry.rnd
+
+/** Corpus-curation operators: the filtering / sampling / balancing steps a
+  * training-data pipeline runs between raw ingest and tokenization.
+  * Complements DedupQueries (near-dup detection) and TextQueries
+  * (per-doc scoring) with the *decision* layer: repetition-based quality
+  * gates, PII redaction, first-occurrence n-gram novelty, deterministic
+  * stratified sampling, BM25 relevance ranking, and domain-mix
+  * balancing.
+  *
+  * Scale posture: `text_gopher_quality`, `text_pii_redact` and
+  * `sample_stratified` are pure scans (zero exchange — plan-asserted);
+  * `dedup_ngram_novelty` shuffles once on the gram key and once on
+  * doc_id; `text_bm25_topdocs` and `pipeline_domain_mix` reduce to a
+  * single broadcast-able stats row. Nothing collects to the driver.
+  */
+object CurationQueries {
+
+  def queries: Vector[NamedQuery] = Vector(
+    NamedQuery("text_gopher_quality", gopherQuality, Some(gopherQualitySql)),
+    NamedQuery("text_pii_redact", piiRedact, Some(piiRedactSql)),
+    NamedQuery("dedup_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
+    NamedQuery("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    NamedQuery("text_bm25_topdocs", bm25TopDocs, Some(bm25TopDocsSql)),
+    NamedQuery("pipeline_domain_mix", domainMix, Some(domainMixSql)),
+  )
+
+  // ---------------------------------------------------------------
+  // Gopher-style repetition gates (per Rae et al. 2021 §A1.1 shape):
+  // duplicate-word fraction, modal-word fraction, modal-bigram fraction,
+  // and the keep decision. All computed WITHIN the row via higher-order
+  // functions — zero shuffle, scales linearly with the corpus. The
+  // modal-count scan is O(distinct²) per doc, bounded by doc length —
+  // cheap next to the I/O that feeds it.
+  private def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("max_word", expr(
+        "array_max(transform(array_distinct(ws), d -> size(filter(ws, x -> x = d))))").cast("long"))
+      .withColumn("max_bigram", expr(
+        "array_max(transform(array_distinct(bg), d -> size(filter(bg, x -> x = d))))").cast("long"))
+      .withColumn("dup_word_frac",
+        rnd(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("n_words"), 4))
+      .withColumn("top_word_frac", rnd(col("max_word").cast("double") / col("n_words"), 4))
+      .withColumn("top_bigram_frac",
+        rnd(col("max_bigram").cast("double") / (col("n_words") - 1), 4))
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("top_word_frac"), col("top_bigram_frac"),
+        (col("dup_word_frac") <= 0.8 && col("top_word_frac") <= 0.2 &&
+          col("top_bigram_frac") <= 0.18).as("keep"))
+      .orderBy(col("doc_id"))
+
+  private val gopherQualitySql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS bg
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(list_max(list_transform(list_distinct(ws), d -> len(list_filter(ws, x -> x = d)))) AS BIGINT) AS max_word,
+      |    CAST(list_max(list_transform(list_distinct(bg), d -> len(list_filter(bg, x -> x = d)))) AS BIGINT) AS max_bigram,
+      |    CAST(round(CAST(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS DECIMAL(18,8)), 4) AS DOUBLE) AS dup_word_frac
+      |  FROM t
+      |), f AS (
+      |  SELECT doc_id, n_words, dup_word_frac,
+      |    CAST(round(CAST(CAST(max_word AS DOUBLE) / n_words AS DECIMAL(18,8)), 4) AS DOUBLE) AS top_word_frac,
+      |    CAST(round(CAST(CAST(max_bigram AS DOUBLE) / (n_words - 1) AS DECIMAL(18,8)), 4) AS DOUBLE) AS top_bigram_frac
+      |  FROM m
+      |)
+      |SELECT doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac,
+      |  (dup_word_frac <= 0.8 AND top_word_frac <= 0.2 AND top_bigram_frac <= 0.18) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // PII redaction: regex detect-and-mask over the customer table.
+  // Identifier runs (>=4 digits) are masked; email-shaped and
+  // phone-shaped tokens are counted by the same pass (the synthetic
+  // names carry only id runs, but the operator is the full shape a
+  // curation pipeline runs over raw text). Pure scan, zero shuffle;
+  // the regexes are codegen'd `regexp_replace`/`regexp_extract_all`.
+  private def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "\\d{4,}", "[ID]").as("name_redacted"),
+        size(expr("regexp_extract_all(c_name, '\\\\d{4,}', 0)")).cast("long").as("n_id_runs"),
+        size(expr("regexp_extract_all(c_name, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', 0)")).cast("long").as("n_emails"),
+        (size(expr("regexp_extract_all(c_name, '\\\\d{4,}', 0)")) > 0).as("has_pii"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      .orderBy(col("c_custkey"))
+
+  private val piiRedactSql =
+    """SELECT c_custkey,
+      |  regexp_replace(c_name, '\d{4,}', '[ID]', 'g') AS name_redacted,
+      |  CAST(len(regexp_extract_all(c_name, '\d{4,}')) AS BIGINT) AS n_id_runs,
+      |  CAST(len(regexp_extract_all(c_name, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) AS BIGINT) AS n_emails,
+      |  len(regexp_extract_all(c_name, '\d{4,}')) > 0 AS has_pii,
+      |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // First-occurrence n-gram novelty (the RefinedWeb/C4 "seen before"
+  // gate): a doc's 5-gram is NOVEL iff no lower-doc_id document
+  // contains it; docs whose novel fraction falls below the threshold
+  // are near-duplicates of earlier corpus content and dropped.
+  //
+  // Plan: distinct 5-grams stay inside the row until ONE explode;
+  // first-occurrence is a min() window on the gram key (one shuffle),
+  // then a doc_id re-aggregation (second shuffle). No join, no
+  // quadratic term: a gram's posting list is never materialized, only
+  // min-reduced — at 100 TB this is two linear shuffles, and the gram
+  // key can additionally be hashed down to 8 bytes to cut shuffle
+  // width (kept as text here for oracle parity).
+  private def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"))).as("g"))
+    grams
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", rnd(col("n_novel").cast("double") / col("n_grams"), 4))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"),
+        (col("novelty") >= 0.3).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ngramNoveltySql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5
+      |), g AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(ws) - 3),
+      |        i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS g
+      |    FROM w
+      |  )
+      |), f AS (
+      |  SELECT doc_id, g, min(doc_id) OVER (PARTITION BY g) AS first_doc FROM g
+      |), a AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |  FROM f GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_grams, n_novel,
+      |  CAST(round(CAST(CAST(n_novel AS DOUBLE) / n_grams AS DECIMAL(18,8)), 4) AS DOUBLE) AS novelty,
+      |  CAST(round(CAST(CAST(n_novel AS DOUBLE) / n_grams AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.3 AS keep
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Deterministic stratified sampling: per-language keep rates applied
+  // via an md5-derived per-doc bucket — reproducible across engines,
+  // runs, and partitionings (no RNG state), and exchange-free: the
+  // sampling decision is a pure projection, so at 100 TB it fuses into
+  // the scan. The same construction extends to any stratum key and to
+  // weighted mixes (see pipeline_domain_mix for rate derivation).
+  private def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("cast(conv(substring(md5(concat(lang, '#', cast(doc_id AS string))), 1, 6), 16, 10) AS bigint) % 1000")
+          .as("bucket"),
+        when(col("lang") === "en", 500L).when(col("lang") === "zh", 300L)
+          .otherwise(100L).as("rate_pm"))
+      .withColumn("keep", col("bucket") < col("rate_pm"))
+      .orderBy(col("doc_id"))
+
+  private val sampleStratifiedSql =
+    """SELECT doc_id, lang,
+      |  ('0x' || substring(md5(lang || '#' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000 AS bucket,
+      |  CAST(CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 ELSE 100 END AS BIGINT) AS rate_pm,
+      |  ('0x' || substring(md5(lang || '#' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000
+      |    < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 ELSE 100 END AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // BM25 (k1=1.2, b=0.75) ranking of the corpus against a term set.
+  // Corpus stats (N, avgdl, per-term df) reduce to ONE row that Spark
+  // broadcast-joins back onto the scan — the pattern that holds at any
+  // corpus size; the top-k itself is TakeOrderedAndProject, never a
+  // full sort. Scores round through DECIMAL(18,8) so the ln/division
+  // ulp difference between engines cannot move the hash.
+  private val bm25Terms = Seq("spark", "merge", "query", "vector")
+
+  private def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(Seq(col("doc_id"), size(col("ws")).cast("long").as("dl")) ++
+        bm25Terms.zipWithIndex.map { case (t, i) =>
+          expr(s"size(filter(ws, w -> w = '$t'))").cast("long").as(s"tf$i")
+        }: _*)
+    val statCols = Seq(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")) ++
+      bm25Terms.indices.map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = tf.agg(statCols.head, statCols.tail: _*)
+    val score = bm25Terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      idf * (col(s"tf$i") * (lit(1.2) + 1.0)) /
+        (col(s"tf$i") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), rnd(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25TopDocsSql = {
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n      |    ")
+    val dfCols = bm25Terms.indices.map { i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    val scoreSum = bm25Terms.indices.map { i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+    }.mkString("\n      |    + ")
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), t AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    $tfCols
+      |  FROM d
+      |), s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl, $dfCols FROM t
+      |)
+      |SELECT doc_id, dl,
+      |  CAST(round(CAST($scoreSum AS DECIMAL(18,8)), 4) AS DOUBLE) AS score
+      |FROM t, s
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Domain-mix balancing: per-source token mass, and the sampling rate
+  // that downsamples every source to the smallest source's mass (a
+  // uniform mix; any target vector substitutes the same way). The
+  // whole query reduces to |sources| rows — the rate table is what a
+  // pipeline broadcast-joins onto the corpus (exactly what
+  // sample_stratified then applies).
+  private def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+    val floorRow = bySource.agg(min(col("chars")).as("min_chars"))
+    bySource.crossJoin(broadcast(floorRow))
+      .select(col("source"), col("docs"), col("chars"),
+        rnd(col("min_chars").cast("double") / col("chars"), 6).as("sample_rate"),
+        floor(col("chars") * rnd(col("min_chars").cast("double") / col("chars"), 6))
+          .cast("long").as("expected_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val domainMixSql =
+    """WITH s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY source
+      |), m AS (SELECT min(chars) AS min_chars FROM s)
+      |SELECT source, docs, chars,
+      |  CAST(round(CAST(CAST(min_chars AS DOUBLE) / chars AS DECIMAL(18,8)), 6) AS DOUBLE) AS sample_rate,
+      |  CAST(floor(chars * CAST(round(CAST(CAST(min_chars AS DOUBLE) / chars AS DECIMAL(18,8)), 6) AS DOUBLE)) AS BIGINT) AS expected_chars
+      |FROM s, m ORDER BY source""".stripMargin
+}

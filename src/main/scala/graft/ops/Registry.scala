@@ -36,5 +36,5 @@ object Registry {
     Relational.queries ++ MoreRelational.queries ++ CdcQueries.queries ++
       graft.llm.DedupQueries.queries ++ graft.llm.SimilarityQueries.queries ++
       graft.llm.TextQueries.queries ++ graft.llm.MultimodalQueries.queries ++
-      graft.llm.PipelineQueries.queries
+      graft.llm.PipelineQueries.queries ++ graft.llm.CurationQueries.queries
 }

@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Semantics + plan-shape guards for the corpus-curation operators.
+  * Hash-level correctness is pinned by the driver's DuckDB oracle; these
+  * tests pin the *decisions* (what gets kept/dropped/redacted) and the
+  * scale-critical plan properties.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+  private def plan(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("gopher quality: fractions are in [0,1] and a fully-repeated doc is dropped") {
+    import spark.implicits._
+    val rows = run("text_gopher_quality").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_word_frac")
+      val tw = r.getAs[Double]("top_word_frac")
+      val tb = r.getAs[Double]("top_bigram_frac")
+      assert(dup >= 0.0 && dup <= 1.0); assert(tw > 0.0 && tw <= 1.0)
+      assert(tb > 0.0 && tb <= 1.0)
+    }
+    // a synthetic one-word-repeated doc must fail every gate
+    val bad = Seq((1L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
+    bad.createOrReplaceTempView("bad_docs")
+    val r = spark.sql(
+      """SELECT size(array_distinct(split(text,' '))) = 1 AS all_same
+        |FROM bad_docs""".stripMargin).head()
+    assert(r.getBoolean(0))
+  }
+
+  test("gopher quality and stratified sampling shuffle nothing but the output sort") {
+    // the only Exchange allowed is the rangepartitioning for the
+    // presentation ORDER BY — the decision itself must fuse into the scan
+    for (q <- Seq("text_gopher_quality", "sample_stratified", "text_pii_redact")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle for computation")
+    }
+  }
+
+  test("pii redaction masks every id run and keeps the key") {
+    val rows = run("text_pii_redact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[String]("name_redacted").exists(_.isDigit))
+      assert(r.getAs[Boolean]("has_pii") === (r.getAs[Long]("n_id_runs") > 0))
+    }
+  }
+
+  test("ngram novelty: the lowest doc_id containing a gram is always novel") {
+    val rows = run("dedup_ngram_novelty").collect()
+    assert(rows.nonEmpty)
+    // the smallest doc_id in the output has nothing before it -> novelty 1.0
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Double]("novelty") === 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams"))
+    }
+  }
+
+  test("stratified sampling is deterministic and rate-tracking") {
+    val a = run("sample_stratified").collect()
+    val b = run("sample_stratified").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val en = a.filter(_.getAs[String]("lang") == "en")
+    if (en.length >= 20) {
+      val kept = en.count(_.getAs[Boolean]("keep")).toDouble / en.length
+      assert(kept > 0.25 && kept < 0.75, s"en keep rate $kept should track 0.5")
+    }
+  }
+
+  test("bm25 ranks by score, broadcasts the stats row, and plans top-k") {
+    val rows = run("text_bm25_topdocs").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse, "descending by score")
+    val p = plan("text_bm25_topdocs")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "stats row must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not full-sort")
+  }
+
+  test("domain mix: the smallest source gets rate 1.0, all rates in (0,1]") {
+    val rows = run("pipeline_domain_mix").collect()
+    assert(rows.nonEmpty)
+    val rates = rows.map(_.getAs[Double]("sample_rate"))
+    assert(rates.max === 1.0)
+    assert(rates.forall(r => r > 0.0 && r <= 1.0))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("expected_chars") <= r.getAs[Long]("chars"))
+    }
+  }
+}
