@@ -32,12 +32,17 @@ object Bench {
     locally { import spark.implicits._
       spark.range(100).as[Long].mapPartitions(it => it.map(x => x + 1L)).collect() }
     spark.catalog.dropTempView("bench_warm")
+    // Optional comma-separated name filter for focused profiling runs
+    // (e.g. SPARK_GRAFT_ONLY=cdc_pipeline_state,dedup_minhash_pairs).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     def timeAll(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
     // Pass 1 (cold): includes one-time per-query planning + Janino
     // codegen compilation — the dominant cost at harness scale, absent
     // in any long-running deployment. Then >=3 steady-state passes:

@@ -39,10 +39,21 @@ object CurationQueries {
   // modal-count scan is O(distinct²) per doc, bounded by doc length —
   // cheap next to the I/O that feeds it.
   private def gopherQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "documents")
+    gopherGate(Tables.table(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** The repetition gate over any documents-shaped frame (doc_id, text) —
+    * exposed so callers (and the spec) can gate arbitrary corpora, not
+    * just the harness table. */
+  def gopherGate(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
+      // sub-2-word docs: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+      // (not empty like DuckDB's end-exclusive range), and element_at(_, 0)
+      // throws — guard so the empty case degrades to NULL fracs exactly
+      // like the twin (list_max([]) is NULL)
       .withColumn("bg", expr(
-        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) ELSE array() END"))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("max_word", expr(
         "array_max(transform(array_distinct(ws), d -> size(filter(ws, x -> x = d))))").cast("long"))
@@ -52,12 +63,12 @@ object CurationQueries {
         rnd(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("n_words"), 4))
       .withColumn("top_word_frac", rnd(col("max_word").cast("double") / col("n_words"), 4))
       .withColumn("top_bigram_frac",
-        rnd(col("max_bigram").cast("double") / (col("n_words") - 1), 4))
+        when(col("n_words") >= 2,
+          rnd(col("max_bigram").cast("double") / (col("n_words") - 1), 4)))
       .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
         col("top_word_frac"), col("top_bigram_frac"),
         (col("dup_word_frac") <= 0.8 && col("top_word_frac") <= 0.2 &&
           col("top_bigram_frac") <= 0.18).as("keep"))
-      .orderBy(col("doc_id"))
 
   private val gopherQualitySql =
     """WITH t AS (
@@ -121,22 +132,36 @@ object CurationQueries {
   // min-reduced — at 100 TB this is two linear shuffles, and the gram
   // key can additionally be hashed down to 8 bytes to cut shuffle
   // width (kept as text here for oracle parity).
-  private def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.table(spark, dir, "documents")
+  private def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyGate(Tables.table(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** The novelty gate over any documents-shaped frame (doc_id, text). */
+  def ngramNoveltyGate(docs: DataFrame): DataFrame = {
+    val grams = docs
       .withColumn("ws", split(col("text"), " "))
       .where(size(col("ws")) >= 5)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"))).as("g"))
-    grams
+    val scored = grams
       .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("g"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty", rnd(col("n_novel").cast("double") / col("n_grams"), 4))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"),
-        (col("novelty") >= 0.3).as("keep"))
-      .orderBy(col("doc_id"))
+    // the decision table covers EVERY doc: sub-5-word docs carry no
+    // 5-gram evidence, so they surface with n_grams = 0, NULL novelty
+    // and keep = true (no duplication signal -> no drop) instead of
+    // silently vanishing from the output
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        col("novelty"),
+        when(col("n_grams").isNull, lit(true))
+          .otherwise(col("novelty") >= 0.3).as("keep"))
   }
 
   private val ngramNoveltySql =
@@ -157,10 +182,15 @@ object CurationQueries {
       |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
       |  FROM f GROUP BY doc_id
       |)
-      |SELECT doc_id, n_grams, n_novel,
-      |  CAST(round(CAST(CAST(n_novel AS DOUBLE) / n_grams AS DECIMAL(18,8)), 4) AS DOUBLE) AS novelty,
-      |  CAST(round(CAST(CAST(n_novel AS DOUBLE) / n_grams AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.3 AS keep
-      |FROM a ORDER BY doc_id""".stripMargin
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_grams, 0) AS n_grams,
+      |  COALESCE(a.n_novel, 0) AS n_novel,
+      |  CAST(round(CAST(CAST(a.n_novel AS DOUBLE) / a.n_grams AS DECIMAL(18,8)), 4) AS DOUBLE) AS novelty,
+      |  CASE WHEN a.n_grams IS NULL THEN true
+      |    ELSE CAST(round(CAST(CAST(a.n_novel AS DOUBLE) / a.n_grams AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.3
+      |  END AS keep
+      |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // Deterministic stratified sampling: per-language keep rates applied

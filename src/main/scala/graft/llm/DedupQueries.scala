@@ -238,32 +238,41 @@ object DedupQueries {
   // (large-star/small-star contraction cuts rounds to O(log n) at
   // 100 TB, same join+agg per round). The per-round driver action is
   // one boolean convergence check, not data; localCheckpoint keeps the
-  // plan flat instead of growing one join per round. The oracle walks
-  // the same reachability with a recursive CTE (UNION-distinct
-  // terminates on cycles) and takes min per node.
+  // plan flat instead of growing one join per round, the previous
+  // round's blocks are unpersisted as soon as the next round is
+  // materialized (a long bench session would otherwise accumulate
+  // them), and the convergence check carries the old label through the
+  // round's aggregation so it is a filter over the just-checkpointed
+  // result, not a second shuffle join. The oracle walks the same
+  // reachability with a recursive CTE (UNION-distinct terminates on
+  // cycles) and takes min per node.
   private def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir).localCheckpoint()
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint()
     var labels = pairs.select(explode(array(col("a_id"), col("b_id"))).as("node"))
       .distinct()
       .select(col("node"), col("node").as("component"))
       .localCheckpoint()
+    pairs.unpersist()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
       val viaNeighbor = edges.join(labels, edges("v") === labels("node"))
-        .select(col("u").as("node"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("node"))
-        .agg(min(col("component")).as("component"))
+        .groupBy(edges("u").as("node"))
+        .agg(min(col("component")).as("nb"))
+      val next = labels.join(viaNeighbor, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nb"), col("component"))).as("component"),
+          col("component").as("old"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "old"), "node")
-        .filter(col("component") =!= col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next.select(col("node"), col("component"))
       rounds += 1
     }
+    edges.unpersist()
     // docs in no candidate pair are their own singleton component
     Tables.table(spark, dir, "documents").select(col("doc_id"))
       .join(labels, col("doc_id") === col("node"), "left")

@@ -27,13 +27,49 @@ class CurationSpec extends AnyFunSuite {
       assert(dup >= 0.0 && dup <= 1.0); assert(tw > 0.0 && tw <= 1.0)
       assert(tb > 0.0 && tb <= 1.0)
     }
-    // a synthetic one-word-repeated doc must fail every gate
+    // a synthetic one-word-repeated doc must fail the ACTUAL gate
     val bad = Seq((1L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
-    bad.createOrReplaceTempView("bad_docs")
-    val r = spark.sql(
-      """SELECT size(array_distinct(split(text,' '))) = 1 AS all_same
-        |FROM bad_docs""".stripMargin).head()
-    assert(r.getBoolean(0))
+    val gated = CurationQueries.gopherGate(bad).head()
+    assert(gated.getAs[Boolean]("keep") === false)
+    assert(gated.getAs[Double]("dup_word_frac") > 0.8)
+    assert(gated.getAs[Double]("top_word_frac") === 1.0)
+    assert(gated.getAs[Double]("top_bigram_frac") === 1.0)
+  }
+
+  test("gopher quality degrades on sub-2-word docs instead of throwing") {
+    import spark.implicits._
+    val shorts = Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text")
+    val rows = CurationQueries.gopherGate(shorts).orderBy("doc_id").collect()
+    // 1-word doc: no bigram evidence -> NULL frac (like the DuckDB
+    // twin's empty range), and crucially no index error; keep is false
+    // (not NULL) because top_word_frac = 1.0 already fails its gate and
+    // false AND NULL = false in both engines
+    assert(rows(0).getAs[Long]("n_words") === 1L)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("top_bigram_frac")))
+    assert(rows(0).getAs[Boolean]("keep") === false)
+    assert(rows(1).getAs[Double]("top_bigram_frac") === 1.0)
+  }
+
+  test("ngram novelty emits a decision for EVERY doc, short docs keep=true") {
+    import spark.implicits._
+    val total = graft.ops.Tables.table(spark, dir, "documents").count()
+    assert(run("dedup_ngram_novelty").count() === total,
+      "decision table must cover every doc_id")
+    // synthetic: a sub-5-word doc gets an explicit keep=true row, and a
+    // doc repeating an earlier doc's grams is dropped
+    val mixed = Seq(
+      (1L, "one two three four five six"),
+      (2L, "way too short"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val rows = CurationQueries.ngramNoveltyGate(mixed)
+      .orderBy("doc_id").collect()
+    assert(rows.length === 3)
+    assert(rows(1).getAs[Long]("n_grams") === 0L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("novelty")))
+    assert(rows(1).getAs[Boolean]("keep") === true)
+    assert(rows(0).getAs[Double]("novelty") === 1.0)
+    assert(rows(2).getAs[Double]("novelty") === 0.0)
+    assert(rows(2).getAs[Boolean]("keep") === false)
   }
 
   test("gopher quality and stratified sampling shuffle nothing but the output sort") {
