@@ -52,8 +52,14 @@ object Bench {
     // the adjudicable figure the r4 verdict asked for. `value` is the
     // sum of the medians (see BASELINE.md for the methodology note).
     val steadyPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
+    // Drain accumulated dead RDD/broadcast references at pass
+    // boundaries: ContextCleaner unpersists via driver weak refs, so
+    // without an explicit GC those cleanups fire mid-query in a later
+    // pass and land in that query's wall time (a long-running service
+    // GCs naturally; a 4-pass bench JVM may not).
+    def gcPause(): Unit = { System.gc(); Thread.sleep(200) }
     val cold = timeAll()
-    val steady = Vector.fill(steadyPasses)(timeAll())
+    val steady = Vector.fill(steadyPasses) { gcPause(); timeAll() }
     def stat(f: Seq[Double] => Double): Map[String, Double] =
       cold.keys.map(k => k -> f(steady.map(_(k)))).toMap
     def median(xs: Seq[Double]): Double = {

@@ -31,6 +31,8 @@ object DedupQueries {
     NamedQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     NamedQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
     NamedQuery("dedup_embedding_pairs_lsh", embeddingPairsLsh, Some(embeddingPairsLshSql)),
+    NamedQuery("dedup_substring_frac", substringFrac, Some(substringFracSql)),
+    NamedQuery("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
   )
 
   // ---------------------------------------------------------------
@@ -461,4 +463,140 @@ object DedupQueries {
        |  SELECT doc_id, simhash, simhash // ${1L << 44} AS prefix16 FROM fp0
        |)""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Exact-substring window dedup (the Lee et al. 2022 "duplicated
+  // training-data span" shape): every K-token window is hashed; a
+  // window is DUP iff the same hash occurs in at least one OTHER doc.
+  //
+  // Plan: one explode keeps windows inside the scan task; the dup flag
+  // is min!=max-doc over the hash key (ONE shuffle, no join — the
+  // ngram-novelty trick); per-doc stats re-aggregate on doc_id (second
+  // linear shuffle). At 100 TB the only refinement is skew: a
+  // boilerplate window shared by millions of docs makes a hot hash
+  // partition, and the window formulation would sort it — swap the
+  // flag to groupBy(h).agg(min,max) (map-side combine flattens the hot
+  // key) + a join back. The hash itself is an md5 prefix for oracle
+  // parity; a deployment would use xxhash64 (same plan, 4x cheaper).
+  private val winK = 8
+
+  /** (doc_id, pos, h) for every K-token window; pos is the 1-based
+    * start-token index. */
+  private def substringWindows(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= winK)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${winK - 1}), " +
+          s"i -> substring(md5(concat_ws(' ', slice(ws, i, $winK))), 1, 16))"))
+        .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+
+  private def dupFlagged(docs: DataFrame): DataFrame = {
+    val byH = Window.partitionBy(col("h"))
+    substringWindows(docs)
+      .withColumn("dup",
+        min(col("doc_id")).over(byH) =!= max(col("doc_id")).over(byH))
+  }
+
+  /** Per-doc duplicated-window fraction + keep gate; covers EVERY doc
+    * (sub-K-word docs surface with n_windows = 0, keep = true). */
+  def substringFracGate(docs: DataFrame): DataFrame = {
+    val scored = dupFlagged(docs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        graft.ops.Registry.rnd(col("n_dup").cast("double") / col("n_windows"), 4))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        col("dup_frac"),
+        when(col("n_windows").isNull, lit(true))
+          .otherwise(col("dup_frac") <= 0.5).as("keep"))
+  }
+
+  private def substringFrac(spark: SparkSession, dir: String): DataFrame =
+    substringFracGate(Tables.table(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val substringWindowsSql =
+    s"""w AS (
+       |  SELECT doc_id, ws FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  ) WHERE len(ws) >= $winK
+       |), win AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(ws) - ${winK - 2})) AS pos,
+       |    unnest(list_transform(range(1, len(ws) - ${winK - 2}),
+       |      i -> substring(md5(array_to_string(list_slice(ws, i, i + ${winK - 1}), ' ')), 1, 16))) AS h
+       |  FROM w
+       |), d AS (
+       |  SELECT doc_id, pos,
+       |    min(doc_id) OVER (PARTITION BY h) <> max(doc_id) OVER (PARTITION BY h) AS dup
+       |  FROM win
+       |)""".stripMargin
+
+  private lazy val substringFracSql =
+    s"""WITH $substringWindowsSql, a AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM d GROUP BY doc_id
+       |)
+       |SELECT x.doc_id,
+       |  CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup,
+       |  CAST(round(CAST(CAST(a.n_dup AS DOUBLE) / a.n_windows AS DECIMAL(18,8)), 4) AS DOUBLE) AS dup_frac,
+       |  CASE WHEN a.n_windows IS NULL THEN true
+       |    ELSE CAST(round(CAST(CAST(a.n_dup AS DOUBLE) / a.n_windows AS DECIMAL(18,8)), 4) AS DOUBLE) <= 0.5
+       |  END AS keep
+       |FROM documents x LEFT JOIN a ON a.doc_id = x.doc_id
+       |ORDER BY x.doc_id""".stripMargin
+
+  /** Merged duplicated spans per doc: consecutive dup windows whose
+    * starts are within K tokens chain into one [span_start,
+    * span_end_excl) token range — the unit a substring-dedup pipeline
+    * actually cuts. Same sessionize shape as events_sessionize: lag +
+    * running sum over (doc_id, pos). */
+  private def substringSpans(spark: SparkSession, dir: String): DataFrame =
+    substringSpansOf(Tables.table(spark, dir, "documents"))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** The span extractor over any documents-shaped frame (doc_id, text). */
+  def substringSpansOf(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val running = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupFlagged(docs)
+      .filter(col("dup"))
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > winK, 1L).otherwise(0L))
+      .withColumn("span", sum(col("brk")).over(running))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + winK).as("span_end_excl"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end_excl"), col("n_windows"))
+  }
+
+  private lazy val substringSpansSql =
+    s"""WITH $substringWindowsSql, f AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $winK
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM d WHERE dup
+       |), n AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+       |  FROM f
+       |)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + $winK AS BIGINT) AS span_end_excl,
+       |  CAST(count(*) AS BIGINT) AS n_windows
+       |FROM n GROUP BY doc_id, span
+       |ORDER BY doc_id, span_start""".stripMargin
 }

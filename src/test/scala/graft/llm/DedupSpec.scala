@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Decision-level semantics for the dedup operators whose hash parity
+  * lives in the driver's DuckDB compare: substring-window dedup on
+  * synthetic docs with known shared runs, and the structural invariants
+  * of near-dup cluster resolution.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  // ten shared tokens -> with K=8, windows at starts 1..3 of the run are
+  // identical across docs 1 and 2; doc 3 shares nothing
+  private val sharedRun = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+  private def synth = {
+    import spark.implicits._
+    Seq(
+      (1L, s"unique one two $sharedRun tail1 tail2"),
+      (2L, s"other prefix words here $sharedRun different ending"),
+      (3L, "totally fresh content with no overlap at all whatsoever in any window"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("substring spans: shared K-token runs are found and merged, non-shared docs emit none") {
+    val spans = DedupQueries.substringSpansOf(synth).collect()
+    val byDoc = spans.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.contains(1L) && byDoc.contains(2L))
+    assert(!byDoc.contains(3L), "doc 3 shares no window")
+    // doc 1: shared run spans tokens 4..13 (1-based); dup windows start
+    // at 4..6 and merge into ONE span [4, 14)
+    val d1 = byDoc(1L)
+    assert(d1.length === 1, s"overlapping windows must merge: ${d1.toSeq}")
+    assert(d1.head.getAs[Long]("span_start") === 4L)
+    assert(d1.head.getAs[Long]("span_end_excl") === 14L)
+    assert(d1.head.getAs[Long]("n_windows") === 3L)
+  }
+
+  test("substring frac: covers every doc, flags only docs with cross-doc windows") {
+    val rows = DedupQueries.substringFracGate(synth)
+      .orderBy("doc_id").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getAs[Long]("n_dup") === 3L)
+    assert(rows(1).getAs[Long]("n_dup") === 3L)
+    assert(rows(2).getAs[Long]("n_dup") === 0L)
+    assert(rows(2).getAs[Boolean]("keep") === true)
+    // a doc dominated by shared content is dropped
+    import spark.implicits._
+    val pair = Seq(
+      (1L, sharedRun), (2L, s"$sharedRun"),
+    ).toDF("doc_id", "text")
+    val gated = DedupQueries.substringFracGate(pair).orderBy("doc_id").collect()
+    assert(gated.forall(_.getAs[Double]("dup_frac") === 1.0))
+    assert(gated.forall(_.getAs[Boolean]("keep") === false))
+  }
+
+  test("substring frac: sub-K-word docs get an explicit keep=true row") {
+    import spark.implicits._
+    val short = Seq((7L, "too short for any window")).toDF("doc_id", "text")
+    val r = DedupQueries.substringFracGate(short).head()
+    assert(r.getAs[Long]("n_windows") === 0L)
+    assert(r.isNullAt(r.fieldIndex("dup_frac")))
+    assert(r.getAs[Boolean]("keep") === true)
+  }
+
+  test("cluster resolution: component = min member id, exactly one canonical per component") {
+    val rows = run("dedup_cluster_canonical").collect()
+    assert(rows.nonEmpty)
+    val byComp = rows.groupBy(_.getAs[Long]("component"))
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min === comp,
+        s"component label must be the min member id (component $comp)")
+      assert(members.count(_.getAs[Boolean]("is_canonical")) === 1,
+        s"exactly one canonical survivor in component $comp")
+    }
+    // canonical iff the doc IS the component label
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_canonical") ===
+        (r.getAs[Long]("doc_id") === r.getAs[Long]("component")))
+    }
+  }
+}
