@@ -17,6 +17,12 @@ object Bench {
       // partitions right-sized instead
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // The generated-class cache defaults to 100 entries; the suite's
+      // ~100 queries x ~6 codegen segments each evict constantly, so
+      // every "steady" pass silently re-pays Janino compilation (and
+      // grows metaspace until class-unload pauses land inside query
+      // timings). A long-running service sizes this to its workload.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
