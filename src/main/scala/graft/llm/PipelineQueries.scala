@@ -1,6 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{NamedQuery, Tables}
@@ -25,6 +28,23 @@ import graft.ops.{NamedQuery, Tables}
   *    near-dup op here); the benchmark side is tiny and broadcasts. At
   *    100 TB this is the standard eval-leakage sweep (shingle the
   *    benchmarks once, broadcast, one pass over the corpus).
+  *  - [[decontaminateBloom]] — same semantics with a bloom prefilter:
+  *    Spark's own runtime-filter expressions ([[BloomFilterAggregate]]
+  *    / [[BloomFilterMightContain]], both codegen'd — the machinery
+  *    behind `spark.sql.optimizer.runtime.bloomFilter`) are applied
+  *    explicitly. The benchmark shingles aggregate into one compact
+  *    bitmap on the driver (a sketch, not data); corpus shingles pass
+  *    through `might_contain` BEFORE the exact-confirm join. Exact
+  *    output is unchanged (no false negatives; the join removes false
+  *    positives), but the join's probe side shrinks from every corpus
+  *    shingle to true matches + fpp — the difference between shuffling
+  *    100 TB of shingles and shuffling megabytes when the benchmark
+  *    set outgrows the broadcast threshold.
+  *  - [[chunkOverlap]] — RAG/context-window chunking: overlapping
+  *    word windows (64 words, stride 48) per document. A pure
+  *    projection + explode — no shuffle, fully pipelined; chunk count
+  *    derives from integer arithmetic so the layout is deterministic
+  *    and engine-portable.
   */
 object PipelineQueries {
 
@@ -32,6 +52,8 @@ object PipelineQueries {
     NamedQuery("pipeline_split_assign", splitAssign, Some(splitSql)),
     NamedQuery("pipeline_pack_sequences", pack, Some(packSql)),
     NamedQuery("pipeline_decontaminate", decontaminate, Some(decontaminateSql)),
+    NamedQuery("pipeline_decontaminate_bloom", decontaminateBloom, Some(decontaminateSql)),
+    NamedQuery("pipeline_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
   )
 
   // ---------------------------------------------------------------
@@ -114,6 +136,91 @@ object PipelineQueries {
       .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  // ---------------------------------------------------------------
+  // Bloom-prefiltered decontamination: identical output to
+  // `decontaminate` (same oracle SQL), different plan. The benchmark
+  // shingle set folds into one BloomFilter binary via Spark's
+  // runtime-filter aggregate (xxhash64 keying on both sides, as
+  // InjectRuntimeFilter does); the corpus side is prefiltered by the
+  // codegen'd might_contain before the exact-confirm join.
+  private def bloomAgg(c: Column, expectedItems: Long): Column =
+    GraftColumnBridge.column(new BloomFilterAggregate(
+      new XxHash64(Seq(GraftColumnBridge.expression(c))), expectedItems)
+      .toAggregateExpression())
+
+  private def mightContain(bloomBytes: Array[Byte], c: Column): Column =
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes),
+      new XxHash64(Seq(GraftColumnBridge.expression(c)))))
+
+  private def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    def shingles(df: DataFrame): DataFrame = df
+      .withColumn("ws", org.apache.spark.sql.functions.split(col("text"), " "))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-8), i -> md5(concat_ws(' ', slice(ws, i+1, 8))))")).as("sh"))
+    val bench = shingles(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id").as("b_id"), col("sh"))
+    // One compact bitmap on the driver (~1.2 MB at 1M items / 3% fpp);
+    // at scale this is a broadcast variable, never a data collect.
+    val bloom: Array[Byte] =
+      bench.agg(bloomAgg(col("sh"), 1L << 20).as("bf")).head.getAs[Array[Byte]](0)
+    // an empty benchmark side folds to a null bloom: nothing can be
+    // contaminated, and the empty confirm join already yields that
+    val pre: Column = if (bloom == null) lit(true) else mightContain(bloom, col("sh"))
+    val hits = shingles(docs)
+      .filter(pre)
+      .join(broadcast(bench), Seq("sh"))
+      .filter(col("doc_id") =!= col("b_id"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    docs.select(col("doc_id")).join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // Overlapping chunking: windows of 64 words at stride 48. Chunk
+  // count from integer math — ceil((n-64)/48)+1 for n>64, else 1 —
+  // so both engines lay out identical chunks; the final chunk is the
+  // only one allowed to be short.
+  private def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .withColumn("ws", org.apache.spark.sql.functions.split(col("text"), " "))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("nc",
+        when(col("n") <= 64L, 1L)
+          .otherwise(expr("(n - 64 + 47) div 48") + 1L))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(expr("sequence(0L, nc - 1)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * 48L).as("start_word"),
+        least(lit(64L), col("n") - col("chunk_idx") * 48L).as("n_words"),
+        md5(concat_ws(" ",
+          expr("slice(ws, cast(chunk_idx*48+1 AS int), cast(least(64L, n - chunk_idx*48) AS int))")))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val chunkOverlapSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, w, n,
+      |    CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc
+      |  FROM t
+      |), e AS (
+      |  SELECT doc_id, w, n, unnest(range(0, nc)) AS chunk_idx FROM c
+      |)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(chunk_idx * 48 AS BIGINT) AS start_word,
+      |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_words,
+      |  md5(list_aggregate(w[chunk_idx*48+1 : chunk_idx*48 + least(64, n - chunk_idx*48)],
+      |    'string_agg', ' ')) AS chunk_hash
+      |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
 
   private val decontaminateSql =
     """WITH ws AS (

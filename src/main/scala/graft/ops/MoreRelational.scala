@@ -46,6 +46,7 @@ object MoreRelational {
     NamedQuery("scalar_regexp_funcs", scalarRegexp, Some(scalarRegexpSql)),
     NamedQuery("sql_recursive_cte", recursiveCte, Some(recursiveCteSql)),
     NamedQuery("join_lateral_topn", lateralTopN, Some(lateralTopNSql)),
+    NamedQuery("agg_approx_topk", approxTopK, Some(approxTopKSql)),
   )
 
   // ---------------------------------------------------------------
@@ -705,4 +706,24 @@ object MoreRelational {
       |  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
       |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
       |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Heavy hitters via the datasketches frequent-items aggregate
+  // (Spark 4's approx_top_k): single partial/final aggregation whose
+  // state is a fixed-size sketch, not the group-by hash map — the
+  // 100 TB shape for "top items over a high-cardinality column". With
+  // the column's distinct count far below the sketch capacity the
+  // result is exact (no purges), so the oracle is the exact GROUP BY;
+  // the explode + re-sort pins a deterministic output order either way.
+  private def approxTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(expr("approx_top_k(event_type, 10)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+
+  private val approxTopKSql =
+    """SELECT event_type, count(*) AS cnt
+      |FROM events GROUP BY event_type
+      |ORDER BY cnt DESC, event_type""".stripMargin
 }

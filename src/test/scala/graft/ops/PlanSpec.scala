@@ -97,6 +97,29 @@ class PlanSpec extends AnyFunSuite {
       "benchmark side is small by construction and must broadcast")
   }
 
+  test("bloom decontamination prefilters with the codegen'd might_contain before the confirm join") {
+    val p = plan("pipeline_decontaminate_bloom")
+    assert(p.contains("might_contain"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "the confirm join's probe side is bloom-prefiltered and the build side broadcasts")
+  }
+
+  test("chunking is a pure explode projection (no join, no shuffle but the output sort)") {
+    val p = plan("pipeline_chunk_overlap")
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(_ == "rangepartitioning"),
+      s"chunking must stay narrow except for the output sort: $exchanges\n" + p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+  }
+
+  test("approx top-k aggregates a sketch with a map-side partial, not a group-by hash map") {
+    val p = plan("agg_approx_topk")
+    assert(p.contains("approx_top_k"), p.take(800))
+    assert(p.contains("partial_approx_top_k") || p.contains("partial_"),
+      "sketch must combine map-side: " + p.take(800))
+  }
+
   test("split assignment is a pure projection (no exchange, no join)") {
     val p = plan("pipeline_split_assign")
     // the ONLY exchange allowed is the output sort's rangepartitioning
