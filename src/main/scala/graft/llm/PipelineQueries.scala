@@ -54,6 +54,7 @@ object PipelineQueries {
     NamedQuery("pipeline_decontaminate", decontaminate, Some(decontaminateSql)),
     NamedQuery("pipeline_decontaminate_bloom", decontaminateBloom, Some(decontaminateSql)),
     NamedQuery("pipeline_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
+    NamedQuery("pipeline_curate_corpus", curateCorpus, Some(curateCorpusSql)),
   )
 
   // ---------------------------------------------------------------
@@ -116,8 +117,9 @@ object PipelineQueries {
   // ---------------------------------------------------------------
   // Benchmark stand-in: every 97th document. A doc is contaminated if
   // it shares any 8-word shingle with a DIFFERENT benchmark doc.
-  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(spark, dir, "documents")
+  /** Per-doc contamination flags (doc_id, contaminated) — the shared
+    * core of [[decontaminate]] and [[curateCorpus]]. */
+  private def contaminationFlags(docs: DataFrame): DataFrame = {
     def shingles(df: DataFrame): DataFrame = df
       .withColumn("ws", org.apache.spark.sql.functions.split(col("text"), " "))
       .filter(size(col("ws")) >= 8)
@@ -134,8 +136,11 @@ object PipelineQueries {
     // small; broadcast it so the corpus side never shuffles
     docs.select(col("doc_id")).join(broadcast(hits), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
-      .orderBy(col("doc_id"))
   }
+
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    contaminationFlags(Tables.table(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------
   // Bloom-prefiltered decontamination: identical output to
@@ -202,6 +207,77 @@ object PipelineQueries {
           expr("slice(ws, cast(chunk_idx*48+1 AS int), cast(least(64L, n - chunk_idx*48) AS int))")))
           .as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+
+  // ---------------------------------------------------------------
+  // The composed corpus-curation decision table: what an actual
+  // pretraining data pipeline runs as its final selection pass. One
+  // scan fans out into three per-doc decisions and re-joins on doc_id:
+  //  - is_canonical: exact-dedup survivor (min doc_id per content
+  //    hash) — one hash shuffle on md5(text);
+  //  - quality_ok: the Gopher repetition gate — per-row, zero shuffle
+  //    (NULL fracs on degenerate docs degrade to false);
+  //  - contaminated: benchmark shingle overlap — broadcast joins only.
+  // selected = canonical AND quality AND clean. Every step is a
+  // harness query in its own right; this pins their composition.
+  private def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val canon = docs.select(col("doc_id"),
+      (col("doc_id") === min(col("doc_id"))
+        .over(Window.partitionBy(md5(col("text"))))).as("is_canonical"))
+    val quality = CurationQueries.gopherGate(docs)
+      .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("quality_ok"))
+    val cont = contaminationFlags(docs)
+    canon
+      .join(quality, Seq("doc_id"))
+      .join(cont, Seq("doc_id"))
+      .select(col("doc_id"), col("is_canonical"), col("quality_ok"), col("contaminated"),
+        (col("is_canonical") && col("quality_ok") && !col("contaminated")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val curateCorpusSql =
+    """WITH canon AS (
+      |  SELECT doc_id,
+      |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+      |  FROM documents
+      |), gt AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS bg
+      |  FROM documents
+      |), gm AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(list_max(list_transform(list_distinct(ws), d -> len(list_filter(ws, x -> x = d)))) AS BIGINT) AS max_word,
+      |    CAST(list_max(list_transform(list_distinct(bg), d -> len(list_filter(bg, x -> x = d)))) AS BIGINT) AS max_bigram,
+      |    CAST(round(CAST(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS DECIMAL(18,8)), 4) AS DOUBLE) AS dup_word_frac
+      |  FROM gt
+      |), gq AS (
+      |  SELECT doc_id, coalesce(
+      |    dup_word_frac <= 0.8
+      |    AND CAST(round(CAST(CAST(max_word AS DOUBLE) / n_words AS DECIMAL(18,8)), 4) AS DOUBLE) <= 0.2
+      |    AND CAST(round(CAST(CAST(max_bigram AS DOUBLE) / (n_words - 1) AS DECIMAL(18,8)), 4) AS DOUBLE) <= 0.18,
+      |    false) AS quality_ok
+      |  FROM gm
+      |), ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+      |    i -> md5(list_aggregate(w[i:i+7], 'string_agg', ' ')))) AS sh
+      |  FROM ws
+      |), hits AS (
+      |  SELECT DISTINCT s.doc_id
+      |  FROM sh s JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b
+      |    ON s.sh = b.sh AND s.doc_id <> b.doc_id
+      |)
+      |SELECT d.doc_id, c.is_canonical, g.quality_ok,
+      |  (h.doc_id IS NOT NULL) AS contaminated,
+      |  (c.is_canonical AND g.quality_ok AND h.doc_id IS NULL) AS selected
+      |FROM documents d
+      |JOIN canon c ON d.doc_id = c.doc_id
+      |JOIN gq g ON d.doc_id = g.doc_id
+      |LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   private val chunkOverlapSql =
     """WITH t AS (
