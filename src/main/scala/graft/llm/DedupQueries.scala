@@ -33,6 +33,7 @@ object DedupQueries {
     NamedQuery("dedup_embedding_pairs_lsh", embeddingPairsLsh, Some(embeddingPairsLshSql)),
     NamedQuery("dedup_substring_frac", substringFrac, Some(substringFracSql)),
     NamedQuery("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
+    NamedQuery("dedup_containment_pairs", containmentPairs, Some(containmentSql)),
   )
 
   // ---------------------------------------------------------------
@@ -157,6 +158,57 @@ object DedupQueries {
 
   private lazy val jaccardSql = jaccardSqlFor(None)
   private lazy val jaccardCappedSql = jaccardSqlFor(Some(64))
+
+  // ---------------------------------------------------------------
+  // Containment (asymmetric overlap): inter / |smaller set|. Jaccard
+  // misses a short doc pasted inside a much longer one (the union term
+  // drowns it); containment is the signal sub-document duplication
+  // actually emits. Same single-shuffle posting-list plan as jaccard —
+  // only the final score arithmetic differs — so the scale properties
+  // (pipelined i<j pair explode, broadcast size joins, DF-cappable
+  // lists) carry over unchanged.
+  private def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val words = docs.select(col("doc_id"), col("lang"), col("source"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sizes = docs.select(col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).as("sz"))
+    val posting = words.groupBy(col("lang"), col("source"), col("w"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pairs = posting
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
+      .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
+    val inter = pairs.groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sa")), "a_id")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sb")), "b_id")
+      .withColumn("containment",
+        graft.ops.Registry.rnd(col("inter").cast("double") / least(col("sa"), col("sb")), 4))
+      .filter(col("containment") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val containmentSql =
+    """WITH words AS (
+      |  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM words a JOIN words b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT a_id, b_id,
+      |  CAST(round(CAST(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS DECIMAL(18,8)), 4) AS DOUBLE) AS containment
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = a_id
+      |JOIN sizes sb ON sb.doc_id = b_id
+      |WHERE CAST(round(CAST(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------
   // MinHash + LSH banding: 3-word shingles, 4 hash functions taken as

@@ -47,6 +47,7 @@ object MoreRelational {
     NamedQuery("sql_recursive_cte", recursiveCte, Some(recursiveCteSql)),
     NamedQuery("join_lateral_topn", lateralTopN, Some(lateralTopNSql)),
     NamedQuery("agg_approx_topk", approxTopK, Some(approxTopKSql)),
+    NamedQuery("events_funnel_steps", funnelSteps, Some(funnelStepsSql)),
   )
 
   // ---------------------------------------------------------------
@@ -726,4 +727,45 @@ object MoreRelational {
     """SELECT event_type, count(*) AS cnt
       |FROM events GROUP BY event_type
       |ORDER BY cnt DESC, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Sequential funnel over the event stream: per user, the earliest
+  // click, the earliest view AT-OR-AFTER that click, the earliest
+  // purchase within the hour after that view; a step counts users
+  // whose chain reaches it. Three same-partitioning window passes — Catalyst plans
+  // them over ONE user_id exchange (each step's predicate references
+  // the previous step's min, so this is not a single conditional
+  // aggregate) — then one global 3-row fold.
+  private def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t1", min(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "view" && col("ts") >= col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") >= col("t2")
+        && col("ts") <= col("t2") + expr("INTERVAL 1 HOUR"), col("ts"))).over(w))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3")).distinct()
+      .agg(count(col("t1")).as("u1"), count(col("t2")).as("u2"), count(col("t3")).as("u3"))
+      .selectExpr(
+        "stack(3, 1L, 'click', u1, 2L, 'click>view', u2, 3L, 'click>view>purchase', u3) AS (step_no, step, users)")
+      .orderBy(col("step_no"))
+  }
+
+  private val funnelStepsSql =
+    """WITH a AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS t1
+      |  FROM events GROUP BY user_id
+      |), b AS (
+      |  SELECT e.user_id, min(CASE WHEN e.event_type = 'view' AND e.ts >= a.t1 THEN e.ts END) AS t2
+      |  FROM events e JOIN a ON e.user_id = a.user_id GROUP BY e.user_id
+      |), c AS (
+      |  SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase'
+      |    AND e.ts >= b.t2 AND e.ts <= b.t2 + INTERVAL 1 HOUR THEN e.ts END) AS t3
+      |  FROM events e JOIN b ON e.user_id = b.user_id GROUP BY e.user_id
+      |)
+      |SELECT step_no, step, users FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step_no, 'click' AS step, count(t1) AS users FROM a
+      |  UNION ALL SELECT 2, 'click>view', count(t2) FROM b
+      |  UNION ALL SELECT 3, 'click>view>purchase', count(t3) FROM c
+      |) ORDER BY step_no""".stripMargin
 }

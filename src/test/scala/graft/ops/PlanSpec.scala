@@ -120,6 +120,13 @@ class PlanSpec extends AnyFunSuite {
       "sketch must combine map-side: " + p.take(800))
   }
 
+  test("funnel's three window passes share one user_id exchange") {
+    val p = plan("events_funnel_steps")
+    val exchanges = "hashpartitioning\\(user_id".r.findAllMatchIn(p).size
+    assert(exchanges <= 1,
+      s"sequential funnel windows must reuse the same partitioning, found $exchanges\n" + p.take(800))
+  }
+
   test("split assignment is a pure projection (no exchange, no join)") {
     val p = plan("pipeline_split_assign")
     // the ONLY exchange allowed is the output sort's rangepartitioning
