@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{NamedQuery, Tables}
+import graft.ops.Registry.rnd
+import graft.ops.Tables.table
+
+/** Corpus-selection signals that need a sampling or information-theory
+  * twist the rest of the suite lacks:
+  *
+  *  - [[sampleWeighted]] — deterministic weighted sampling without
+  *    replacement (per-language bottom-k by hash-derived priority).
+  *  - [[unigramEntropy]] — per-document token-distribution entropy, the
+  *    curation gate that separates repetitive/boilerplate docs from
+  *    genuinely diverse text (Gopher's frac gates catch the extreme
+  *    cases; entropy ranks the middle).
+  */
+object SamplingQueries {
+
+  def queries: Vector[NamedQuery] = Vector(
+    NamedQuery("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
+    NamedQuery("text_entropy", unigramEntropy, Some(unigramEntropySql)),
+  )
+
+  // ---------------------------------------------------------------
+  // Deterministic weighted sample: A-ES-style priority sampling where
+  // the usual u^(1/w) exponential key is replaced by INTEGER division
+  // of a 60-bit uniform hash by the weight (n_chars) — longer docs get
+  // proportionally smaller keys, so the per-language bottom-25 is a
+  // weight-biased sample, and the integer math is bit-identical in any
+  // engine (no pow/log float divergence, no RNG, stable under corpus
+  // growth). One hash + one bounded per-group top-k: the same
+  // rank-within-partition shape as win_top_orders_per_cust, which
+  // scales as a single shuffle on the group key.
+  private def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = table(spark, dir, "documents")
+      .withColumn("h", expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) AS bigint)"))
+      .withColumn("pri", expr("h DIV n_chars"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))
+    keyed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 25)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"), col("pri"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val sampleWeightedSql =
+    """WITH d AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT // n_chars AS pri
+      |  FROM documents
+      |)
+      |SELECT lang, rk, doc_id, n_chars, pri FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
+      |  FROM d
+      |) t
+      |WHERE rk <= 25
+      |ORDER BY lang, rk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Unigram entropy per document (bits). Computed entirely row-local
+  // with higher-order functions — count each distinct word inside the
+  // row, fold -p*log2(p) — so the operator is a pure projection: zero
+  // shuffle, perfect parallelism at any scale (the per-row cost is
+  // O(words * distinct), bounded by document length). The oracle twin
+  // computes the identical sum relationally (explode -> two GROUP BYs);
+  // summation order differs, which rnd(_, 6) absorbs.
+  private def unigramEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(table(spark, dir, "documents"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")))
+      .withColumn("counts", expr("transform(array_distinct(ws), w -> size(filter(ws, x -> x = w)))"))
+      .withColumn("entropy_bits", rnd(expr(
+        "-aggregate(counts, 0.0D, (acc, c) -> acc + (c / cast(n as double)) * ln(c / cast(n as double))) / ln(2.0)"), 6))
+      .select(
+        col("doc_id"),
+        col("n").as("n_words"),
+        size(col("counts")).as("n_distinct"),
+        col("entropy_bits"),
+        (col("entropy_bits") >= 4.5).as("keep"))
+      .orderBy(col("doc_id"))
+
+  private val unigramEntropySql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |), c AS (
+      |  SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word
+      |), n AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS INT) AS n_distinct
+      |  FROM c GROUP BY doc_id
+      |), e AS (
+      |  SELECT c.doc_id,
+      |    CAST(n.n AS INT) AS n_words,
+      |    n.n_distinct,
+      |    CAST(round(CAST(-sum((c.cnt / n.n) * ln(c.cnt / n.n)) / ln(2.0)
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS entropy_bits
+      |  FROM c JOIN n USING (doc_id)
+      |  GROUP BY c.doc_id, n.n, n.n_distinct
+      |)
+      |SELECT doc_id, n_words, n_distinct, entropy_bits,
+      |  entropy_bits >= 4.5 AS keep
+      |FROM e ORDER BY doc_id""".stripMargin
+}

@@ -48,6 +48,7 @@ object MoreRelational {
     NamedQuery("join_lateral_topn", lateralTopN, Some(lateralTopNSql)),
     NamedQuery("agg_approx_topk", approxTopK, Some(approxTopKSql)),
     NamedQuery("events_funnel_steps", funnelSteps, Some(funnelStepsSql)),
+    NamedQuery("events_retention_cohorts", retentionCohorts, Some(retentionCohortsSql)),
   )
 
   // ---------------------------------------------------------------
@@ -768,4 +769,40 @@ object MoreRelational {
       |  UNION ALL SELECT 2, 'click>view', count(t2) FROM b
       |  UNION ALL SELECT 3, 'click>view>purchase', count(t3) FROM c
       |) ORDER BY step_no""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Cohort retention matrix: users bucketed by first-seen week, then
+  // distinct actives per (cohort week, weeks since). Both aggregates
+  // and the join key on user_id, so the first exchange (groupBy user)
+  // is REUSED by the join — one user_id shuffle total, then a tiny
+  // final aggregate. Week arithmetic stays integral (both engines
+  // truncate to Monday, so the day delta is an exact multiple of 7).
+  private def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("long").as("wk"))
+    val firsts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week_sec"))
+    ev.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_week_sec"),
+        ((col("wk") - col("cohort_week_sec")) / 604800).cast("int").as("week_no"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("cohort_week_sec"), col("week_no"))
+  }
+
+  private val retentionCohortsSql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    epoch_ms(CAST(date_trunc('week', ts) AS TIMESTAMP)) // 1000 AS wk
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, min(wk) AS cohort_week_sec FROM ev GROUP BY user_id
+      |)
+      |SELECT cohort_week_sec,
+      |  CAST((wk - cohort_week_sec) // 604800 AS INT) AS week_no,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events
+      |FROM ev JOIN f USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 }

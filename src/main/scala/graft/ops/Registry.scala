@@ -33,8 +33,10 @@ object Registry {
     round(c.cast("decimal(18,8)"), scale).cast("double")
 
   def all: Vector[NamedQuery] =
-    Relational.queries ++ MoreRelational.queries ++ CdcQueries.queries ++
+    Relational.queries ++ MoreRelational.queries ++ TpchDeep.queries ++
+      CdcQueries.queries ++
       graft.llm.DedupQueries.queries ++ graft.llm.SimilarityQueries.queries ++
       graft.llm.TextQueries.queries ++ graft.llm.MultimodalQueries.queries ++
-      graft.llm.PipelineQueries.queries ++ graft.llm.CurationQueries.queries
+      graft.llm.PipelineQueries.queries ++ graft.llm.CurationQueries.queries ++
+      graft.llm.SamplingQueries.queries
 }

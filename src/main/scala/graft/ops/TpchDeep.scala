@@ -1,0 +1,347 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Registry.{dec, rnd}
+import Tables.table
+
+/** The deeper TPC-H patterns (Q7/Q8/Q9/Q13/Q15/Q17/Q21/Q22 shapes),
+  * adapted to the harness schema (no partsupp table, no
+  * commit/receipt dates — lateness is the q4/q12 house definition
+  * `l_shipdate > o_orderdate + 60 days`). Each exercises a distinct
+  * plan shape the rest of the suite lacks: two-sided dimension
+  * aliasing (Q7), conditional share-of-total (Q8), multi-dimension
+  * profit rollup (Q9), outer-join count distribution (Q13), agg-max
+  * scalar selection (Q15), decorrelated per-group threshold (Q17),
+  * sole-cause attribution via grouped distinct counts (Q21), and
+  * scalar-subquery + anti-join prospect selection (Q22).
+  *
+  * Scale notes: the fact-side joins key on l_orderkey/o_custkey (the
+  * minimum shuffles); nation/region/supplier and every derived
+  * threshold/scalar are broadcast. Revenue sums route through
+  * DECIMAL(18,4) (Registry.dec) for cross-engine determinism.
+  */
+object TpchDeep {
+
+  def queries: Vector[NamedQuery] = Vector(
+    NamedQuery("q7_volume_shipping", q7, Some(q7Sql)),
+    NamedQuery("q8_market_share", q8, Some(q8Sql)),
+    NamedQuery("q9_profit_by_nation", q9, Some(q9Sql)),
+    NamedQuery("q13_order_distribution", q13, Some(q13Sql)),
+    NamedQuery("q15_top_supplier", q15, Some(q15Sql)),
+    NamedQuery("q17_small_qty_revenue", q17, Some(q17Sql)),
+    NamedQuery("q21_late_sole_supplier", q21, Some(q21Sql)),
+    NamedQuery("q22_dormant_prospects", q22, Some(q22Sql)),
+  )
+
+  private def revenueCol =
+    dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+
+  /** nation⋈region restricted to the two trading regions, keyed and
+    * named for one side of the trade — tiny, broadcast. */
+  private def regionDim(spark: SparkSession, dir: String, keyAs: String, nameAs: String): DataFrame =
+    table(spark, dir, "nation")
+      .join(table(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("EUROPE", "ASIA"))
+      .select(col("n_nationkey").as(keyAs), col("r_name").as(nameAs))
+
+  // ---------------------------------------------------------------
+  // q7 (TPC-H Q7 shape): bilateral trade volume between two regions by
+  // ship year. Both direction filters ride in on two aliased broadcast
+  // copies of the nation⋈region dim (inner joins double as the pair
+  // filter); the only shuffles are the lineitem⋈orders and
+  // orders⋈customer key joins plus the final small aggregate.
+  private def q7(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(regionDim(spark, dir, "sn_key", "supp_region")), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(regionDim(spark, dir, "cn_key", "cust_region")), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_region") =!= col("cust_region"))
+      .groupBy(col("supp_region"), col("cust_region"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(revenueCol), 2).cast("double").as("revenue"))
+      .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
+
+  private val q7Sql =
+    """SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |WHERE r1.r_name IN ('EUROPE', 'ASIA') AND r2.r_name IN ('EUROPE', 'ASIA')
+      |  AND r1.r_name <> r2.r_name
+      |  AND year(l_shipdate) IN (1996, 1997)
+      |GROUP BY r1.r_name, r2.r_name, CAST(year(l_shipdate) AS INT)
+      |ORDER BY supp_region, cust_region, l_year""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q8 (TPC-H Q8 shape): one nation's market share of ASIA-customer
+  // revenue per order year. Conditional numerator + total in ONE
+  // aggregate pass; the share divides the two rounded doubles so both
+  // engines divide identical values.
+  private def q8(spark: SparkSession, dir: String): DataFrame = {
+    val asiaCust = broadcast(table(spark, dir, "nation")
+      .join(table(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey").as("cn_key")))
+    val suppNation = broadcast(table(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(asiaCust, col("c_nationkey") === col("cn_key"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_7", revenueCol)
+          .otherwise(lit(0).cast("decimal(18,4)"))), 2).cast("double").as("nation_revenue"),
+        round(sum(revenueCol), 2).cast("double").as("total_revenue"))
+      .withColumn("mkt_share", rnd(col("nation_revenue") / col("total_revenue"), 6))
+      .orderBy(col("o_year"))
+  }
+
+  private val q8Sql =
+    """WITH s AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(round(sum(CASE WHEN n1.n_name = 'NATION_7'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS nation_revenue,
+      |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region ON n2.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY CAST(year(o_orderdate) AS INT)
+      |)
+      |SELECT o_year, nation_revenue, total_revenue,
+      |  CAST(round(CAST(nation_revenue / total_revenue AS DECIMAL(18,8)), 6) AS DOUBLE) AS mkt_share
+      |FROM s ORDER BY o_year""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q9 (TPC-H Q9 shape): profit by supplier nation and order year for
+  // one part family. No partsupp in the harness schema, so cost is the
+  // retail-price proxy `0.1 * p_retailprice * l_quantity`; the product
+  // is computed in double then pinned to DECIMAL(18,4) (exact at <= 3
+  // decimals, so both engines round identically).
+  private def q9(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = broadcast(table(spark, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice")))
+    val suppNation = broadcast(table(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation")))
+    val amount = revenueCol -
+      dec(col("p_retailprice") * col("l_quantity") * lit(0.1))
+    table(spark, dir, "lineitem")
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("sn_key"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9Sql =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(round(sum(
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |    - CAST(p_retailprice * l_quantity * 0.1 AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q13 (TPC-H Q13 shape): distribution of customers by order count —
+  // left outer join so zero-order customers land in the c_count = 0
+  // bucket, then a second (tiny) aggregate over the counts. The
+  // priority filter stands in for TPC-H's comment NOT LIKE.
+  private def q13(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '5-LOW') o
+      |    ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q15 (TPC-H Q15 shape): the top supplier(s) by revenue over one
+  // quarter. The max is a one-row aggregate of the (already tiny)
+  // per-supplier revenue, broadcast back as the selection key —
+  // equality on identically-rounded doubles, so ties surface exactly
+  // as in the oracle.
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(revenueCol), 2).cast("double").as("total_revenue"))
+    rev
+      .join(broadcast(rev.agg(max(col("total_revenue")).as("mr"))), col("total_revenue") === col("mr"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q17 (TPC-H Q17 shape): revenue from small-quantity lines of one
+  // brand, annualized. The correlated `0.2 * avg(per part)` threshold
+  // is written as its decorrelated form — per-part aggregate joined
+  // back — which is exactly what Catalyst rewrites the subquery to;
+  // the threshold rounds to DECIMAL scale 4 so the `<` compares
+  // bit-identical values in both engines.
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    val brandLines = table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")
+        .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+    val thresholds = brandLines
+      .groupBy(col("l_partkey"))
+      .agg(rnd(avg(dec(col("l_quantity"))) * lit(0.2), 4).as("qty_thr"))
+    brandLines
+      .join(broadcast(thresholds), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_thr"))
+      .agg(rnd(sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0), 2).as("avg_yearly"))
+  }
+
+  private val q17Sql =
+    """WITH li AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#13'
+      |), thr AS (
+      |  SELECT l_partkey,
+      |    CAST(round(CAST(avg(CAST(l_quantity AS DECIMAL(18,4))) * 0.2 AS DECIMAL(18,8)), 4) AS DOUBLE) AS qty_thr
+      |  FROM li GROUP BY l_partkey
+      |)
+      |SELECT CAST(round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS DECIMAL(18,8)), 2) AS DOUBLE) AS avg_yearly
+      |FROM li JOIN thr USING (l_partkey)
+      |WHERE l_quantity < qty_thr""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q21 (TPC-H Q21 shape): suppliers solely responsible for a late
+  // multi-supplier order. The reference formulation is EXISTS + NOT
+  // EXISTS self-joins; the scale form used here folds both into ONE
+  // grouped pass over the order's lines (distinct-supplier counts and
+  // the sole late supplier id), turning two shuffled self-joins into
+  // a single l_orderkey aggregate — the right plan when lineitem is
+  // the 100 TB fact.
+  private def q21(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late_supp_or_null",
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), col("l_suppkey")))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("late_supp_or_null")).as("n_late_supp"),
+        max(col("late_supp_or_null")).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(table(spark, dir, "supplier")), col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+
+  private val q21Sql =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS n_late_supp,
+      |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS late_supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY l_orderkey
+      |)
+      |SELECT s_name, count(*) AS numwait
+      |FROM per_order JOIN supplier ON late_supp = s_suppkey
+      |WHERE n_supp >= 2 AND n_late_supp = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q22 (TPC-H Q22 shape): dormant high-balance prospects — customers
+  // in three segments with above-average positive balance and no order
+  // since 2000 (the harness has no phone prefixes, and "never ordered
+  // at all" is empty at sf0.001, so dormancy is date-bounded). The
+  // global average is a broadcast one-row scalar; the dormancy test is
+  // an anti join against the pre-filtered recent-orders keys.
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val avgBal = broadcast(table(spark, dir, "customer")
+      .filter(col("c_acctbal") > 0)
+      .agg(rnd(avg(dec(col("c_acctbal"))), 4).as("ab")))
+    val recent = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    table(spark, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+      .crossJoin(avgBal)
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        round(sum(dec(col("c_acctbal"))), 2).cast("double").as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q22Sql =
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+      |  AND c_acctbal > (
+      |    SELECT CAST(round(CAST(avg(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,8)), 4) AS DOUBLE)
+      |    FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+}
