@@ -141,4 +141,51 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "pairs must come from per-bucket posting lists, not a self-join")
   }
+
+  test("q7's dimension sides all broadcast; no cartesian from the pair filter") {
+    val p = plan("q7_volume_shipping")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the region-pair filter must ride the broadcast dims, not a nested loop")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 3, p.take(800))
+  }
+
+  test("q21 reads lineitem once (sole-late attribution is one grouped pass, not self-joins)") {
+    val p = plan("q21_late_sole_supplier")
+    val lineitemScans = "lineitem\\.parquet".r.findAllMatchIn(p).size
+    assert(lineitemScans == 1,
+      s"expected a single lineitem scan, found $lineitemScans\n" + p.take(800))
+  }
+
+  test("q22's average balance and dormancy checks don't shuffle the customer side twice") {
+    val p = plan("q22_dormant_prospects")
+    assert(p.contains("LeftAnti"), "dormancy must plan as an anti join")
+    assert(!p.contains("CartesianProduct"),
+      "the one-row scalar average must broadcast, not cartesian")
+  }
+
+  test("entropy gate is a pure projection (no join, no aggregate exchange)") {
+    val p = plan("text_entropy")
+    assert(!p.contains("Join"), p.take(600))
+    // allowed exchanges: the fanOut repartition + the output sort
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(e => e == "rangepartitioning" || e == "hashpartitioning"),
+      s"unexpected exchange kinds: $exchanges")
+    assert(!p.contains("HashAggregate"),
+      "entropy must fold inside the row, not aggregate across rows")
+  }
+
+  test("weighted sample is one lang-partitioned window, no join") {
+    val p = plan("sample_weighted")
+    assert(!p.contains("Join"), p.take(600))
+    val langExchanges = "hashpartitioning\\(lang".r.findAllMatchIn(p).size
+    assert(langExchanges <= 1,
+      s"bottom-k per language must shuffle on lang once, found $langExchanges")
+  }
+
+  test("retention reuses the user_id exchange between the cohort agg and the join") {
+    val p = plan("events_retention_cohorts")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllMatchIn(p).size
+    assert(userExchanges <= 1,
+      s"cohort agg and join must share one user_id partitioning, found $userExchanges\n" + p.take(800))
+  }
 }
