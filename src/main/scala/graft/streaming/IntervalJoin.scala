@@ -44,4 +44,32 @@ object IntervalJoin {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"))
       .drop(r(key))
   }
+
+  /** Left-outer variant: every left event is emitted exactly once —
+    * joined rows as matches arrive, unmatched rows with nulls once the
+    * watermark proves no match can still come (right watermark past
+    * `leftTs + horizon`). This is the "every impression gets a verdict"
+    * attribution shape: the null rows ARE the negative results, and
+    * they cost no extra state — the same horizon+lateness bound that
+    * lets the inner join evict a buffered row is what triggers the
+    * null emission here. */
+  def joinWithinLeftOuter(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      horizon: String,
+      lateness: Option[String] = None,
+  ): DataFrame = {
+    val delay = lateness.getOrElse(horizon)
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"),
+      "leftOuter")
+      .drop(r(key))
+  }
 }
