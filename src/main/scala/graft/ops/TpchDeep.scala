@@ -265,21 +265,23 @@ object TpchDeep {
   // q21 (TPC-H Q21 shape): suppliers solely responsible for a late
   // multi-supplier order. The reference formulation is EXISTS + NOT
   // EXISTS self-joins; the scale form used here folds both into ONE
-  // grouped pass over the order's lines (distinct-supplier counts and
-  // the sole late supplier id), turning two shuffled self-joins into
-  // a single l_orderkey aggregate — the right plan when lineitem is
-  // the 100 TB fact.
-  private def q21(spark: SparkSession, dir: String): DataFrame =
+  // grouped pass over the order's lines. Distinct-supplier counts come
+  // from collect_set sizes, not countDistinct — two distinct aggs on
+  // one grouping would Expand (double the fact rows) plus re-shuffle,
+  // while the sets stay bounded by lines-per-order, so this is a
+  // single l_orderkey exchange end to end — the right plan when
+  // lineitem is the 100 TB fact.
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    val lateSupp =
+      when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), col("l_suppkey"))
     table(spark, dir, "lineitem")
       .join(table(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
-      .withColumn("late_supp_or_null",
-        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), col("l_suppkey")))
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(col("late_supp_or_null")).as("n_late_supp"),
-        max(col("late_supp_or_null")).as("late_supp"))
+        size(collect_set(col("l_suppkey"))).as("n_supp"),
+        size(collect_set(lateSupp)).as("n_late_supp"),
+        max(lateSupp).as("late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .groupBy(col("late_supp"))
       .agg(count(lit(1)).as("numwait"))
@@ -287,6 +289,7 @@ object TpchDeep {
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
+  }
 
   private val q21Sql =
     """WITH per_order AS (
