@@ -22,6 +22,7 @@ object SamplingQueries {
   def queries: Vector[NamedQuery] = Vector(
     NamedQuery("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     NamedQuery("text_entropy", unigramEntropy, Some(unigramEntropySql)),
+    NamedQuery("text_cross_entropy", crossEntropy, Some(crossEntropySql)),
   )
 
   // ---------------------------------------------------------------
@@ -102,4 +103,45 @@ object SamplingQueries {
       |SELECT doc_id, n_words, n_distinct, entropy_bits,
       |  entropy_bits >= 4.5 AS keep
       |FROM e ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Cross-entropy of each document against the corpus unigram model —
+  // the perplexity-filter analog without an LM: a doc full of globally
+  // rare tokens scores high (gibberish/noise), one of common tokens
+  // low (boilerplate); the band in between is natural text. Two
+  // passes: the corpus frequency table (one word aggregate — the
+  // vocabulary, which is orders of magnitude smaller than the corpus,
+  // so it broadcasts), then a per-doc average of -ln p(word). At 100 TB
+  // the vocab table is still bounded (Heaps' law) but if it outgrew
+  // the broadcast threshold the same plan works with the join left as
+  // a shuffle — nothing else changes.
+  private def crossEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.fanOut(table(spark, dir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val freqs = words.groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val total = freqs.agg(sum(col("wc")).cast("double").as("total"))
+    words
+      .join(broadcast(freqs), Seq("word"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_words"),
+        rnd(avg(-log(col("wc") / col("total"))), 6).as("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val crossEntropySql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |), f AS (
+      |  SELECT word, count(*) AS wc FROM w GROUP BY word
+      |), t AS (
+      |  SELECT CAST(sum(wc) AS DOUBLE) AS total FROM f
+      |)
+      |SELECT doc_id,
+      |  CAST(count(*) AS INT) AS n_words,
+      |  CAST(round(CAST(avg(-ln(wc / total)) AS DECIMAL(18,8)), 6) AS DOUBLE) AS cross_entropy
+      |FROM w JOIN f USING (word), t
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

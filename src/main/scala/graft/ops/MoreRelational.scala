@@ -49,6 +49,7 @@ object MoreRelational {
     NamedQuery("agg_approx_topk", approxTopK, Some(approxTopKSql)),
     NamedQuery("events_funnel_steps", funnelSteps, Some(funnelStepsSql)),
     NamedQuery("events_retention_cohorts", retentionCohorts, Some(retentionCohortsSql)),
+    NamedQuery("agg_histogram", histogram, Some(histogramSql)),
   )
 
   // ---------------------------------------------------------------
@@ -805,4 +806,31 @@ object MoreRelational {
       |FROM ev JOIN f USING (user_id)
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Fixed-width histogram of extended price: the bucket id is integer
+  // floor division (identical in both engines — no width_bucket, which
+  // DuckDB lacks), the shuffle carries only (bucket, partial agg) so
+  // the histogram is a pure map-side-combine aggregate regardless of
+  // fact size.
+  private def histogram(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .withColumn("bucket", floor(col("l_extendedprice") / 5000.0).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sumDec2(col("l_extendedprice")).as("sum_price"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))
+      .orderBy(col("bucket"))
+
+  private val histogramSql =
+    """SELECT CAST(floor(l_extendedprice / 5000.0) AS INT) AS bucket,
+      |  count(*) AS cnt,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+      |  round(min(l_extendedprice), 2) AS min_price,
+      |  round(max(l_extendedprice), 2) AS max_price
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }

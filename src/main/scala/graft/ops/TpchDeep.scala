@@ -32,6 +32,8 @@ object TpchDeep {
     NamedQuery("q17_small_qty_revenue", q17, Some(q17Sql)),
     NamedQuery("q21_late_sole_supplier", q21, Some(q21Sql)),
     NamedQuery("q22_dormant_prospects", q22, Some(q22Sql)),
+    NamedQuery("q2_min_price_supplier", q2, Some(q2Sql)),
+    NamedQuery("q16_supplier_variety", q16, Some(q16Sql)),
   )
 
   private def revenueCol =
@@ -347,4 +349,71 @@ object TpchDeep {
       |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q2 (TPC-H Q2 shape): per-part argmin — the cheapest supplier of
+  // each small part. No partsupp, so "cost" is the supplier's average
+  // sold price for the part. The argmin is min + equality join back on
+  // the SAME key the averages grouped on, so the min aggregate and the
+  // join reuse one (l_partkey) partitioning; ties keep every minimal
+  // supplier, exactly as the oracle's filter does. Averages round to
+  // scale 2 so the equality compares identical doubles in both engines.
+  private def q2(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(round(avg(dec(col("l_extendedprice"))), 2).cast("double").as("avg_price"))
+    val minPerPart = perSupp
+      .groupBy(col("l_partkey"))
+      .agg(min(col("avg_price")).as("min_price"))
+    perSupp
+      .join(minPerPart, Seq("l_partkey"))
+      .filter(col("avg_price") === col("min_price"))
+      .join(broadcast(table(spark, dir, "part")
+        .filter(col("p_size") <= 10).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("avg_price"))
+      .orderBy(col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  private val q2Sql =
+    """WITH per_supp AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(round(avg(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_price
+      |  FROM lineitem
+      |  GROUP BY l_partkey, l_suppkey
+      |), min_part AS (
+      |  SELECT l_partkey, min(avg_price) AS min_price FROM per_supp GROUP BY l_partkey
+      |)
+      |SELECT p_partkey, p_brand, s_name, avg_price
+      |FROM per_supp
+      |JOIN min_part USING (l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE avg_price = min_price AND p_size <= 10
+      |ORDER BY p_partkey, s_name
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q16 (TPC-H Q16 shape): supplier variety per part attribute slice —
+  // how many distinct suppliers shipped each (brand, size) outside one
+  // excluded brand. A single distinct aggregate plans as the two-phase
+  // partial-distinct HashAggregate (no Expand — that only appears with
+  // two+ distinct columns, see q21), so the dedup happens map-side
+  // before the (p_brand, p_size) shuffle.
+  private def q16(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part").filter(col("p_brand") =!= "Brand#13")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+
+  private val q16Sql =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#13'
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
 }
