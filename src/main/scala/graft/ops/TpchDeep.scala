@@ -353,13 +353,17 @@ object TpchDeep {
   // ---------------------------------------------------------------
   // q2 (TPC-H Q2 shape): per-part argmin — the cheapest supplier of
   // each small part. No partsupp, so "cost" is the supplier's average
-  // sold price for the part. The argmin is min + equality join back on
-  // the SAME key the averages grouped on, so the min aggregate and the
-  // join reuse one (l_partkey) partitioning; ties keep every minimal
-  // supplier, exactly as the oracle's filter does. Averages round to
-  // scale 2 so the equality compares identical doubles in both engines.
+  // sold price for the part. The explicit l_partkey repartition makes
+  // every stage above it — the (partkey, suppkey) averages, the
+  // per-part min, and the equality join back — cluster-compatible with
+  // ONE partitioning, so no stage re-shuffles and AQE reuses the
+  // single exchange across the min branch and the join branch; ties
+  // keep every minimal supplier, exactly as the oracle's filter does.
+  // Averages round to scale 2 so the equality compares identical
+  // doubles in both engines.
   private def q2(spark: SparkSession, dir: String): DataFrame = {
     val perSupp = table(spark, dir, "lineitem")
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(round(avg(dec(col("l_extendedprice"))), 2).cast("double").as("avg_price"))
     val minPerPart = perSupp

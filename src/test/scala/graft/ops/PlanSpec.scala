@@ -182,6 +182,32 @@ class PlanSpec extends AnyFunSuite {
       s"bottom-k per language must shuffle on lang once, found $langExchanges")
   }
 
+  test("q2's argmin stages share one l_partkey partitioning (no per-stage re-shuffle)") {
+    val p = plan("q2_min_price_supplier")
+    assert(!p.contains("Expand"), "argmin must not expand")
+    val keyed = "Exchange hashpartitioning\\(([^,]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keyed.forall(_.startsWith("l_partkey")),
+      s"every hash exchange must key on l_partkey alone: $keyed")
+  }
+
+  test("q16's single distinct stacks aggregates instead of Expand") {
+    val p = plan("q16_supplier_variety")
+    assert(!p.contains("Expand"),
+      "one distinct column must plan as partial-dedup aggregates, not Expand")
+  }
+
+  test("cross-entropy broadcasts the vocabulary and the total") {
+    val p = plan("text_cross_entropy")
+    assert(p.contains("BroadcastHashJoin"), "the word-frequency join must broadcast")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
+  test("histogram is a map-side-combine aggregate") {
+    val p = plan("agg_histogram")
+    assert(p.contains("partial_count") || p.contains("partial_"), p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+  }
+
   test("retention reuses the user_id exchange between the cohort agg and the join") {
     val p = plan("events_retention_cohorts")
     val userExchanges = "hashpartitioning\\(user_id".r.findAllMatchIn(p).size
