@@ -353,24 +353,22 @@ object TpchDeep {
   // ---------------------------------------------------------------
   // q2 (TPC-H Q2 shape): per-part argmin — the cheapest supplier of
   // each small part. No partsupp, so "cost" is the supplier's average
-  // sold price for the part. The explicit l_partkey repartition makes
-  // every stage above it — the (partkey, suppkey) averages, the
-  // per-part min, and the equality join back — cluster-compatible with
-  // ONE partitioning, so no stage re-shuffles and AQE reuses the
-  // single exchange across the min branch and the join branch; ties
-  // keep every minimal supplier, exactly as the oracle's filter does.
-  // Averages round to scale 2 so the equality compares identical
-  // doubles in both engines.
+  // sold price for the part. The argmin is a partition-wide window min
+  // over the (partkey, suppkey) averages — NOT a min-aggregate joined
+  // back, which would compute the ~|part|x|supp-per-part| aggregate
+  // twice (Spark doesn't materialize shared subplans); the explicit
+  // l_partkey repartition makes the aggregate and the window
+  // cluster-compatible, so the whole argmin is one exchange and one
+  // partition-local sort. Ties keep every minimal supplier, exactly as
+  // the oracle's filter does; averages round to scale 2 so the
+  // equality compares identical doubles in both engines.
   private def q2(spark: SparkSession, dir: String): DataFrame = {
-    val perSupp = table(spark, dir, "lineitem")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    table(spark, dir, "lineitem")
       .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(round(avg(dec(col("l_extendedprice"))), 2).cast("double").as("avg_price"))
-    val minPerPart = perSupp
-      .groupBy(col("l_partkey"))
-      .agg(min(col("avg_price")).as("min_price"))
-    perSupp
-      .join(minPerPart, Seq("l_partkey"))
+      .withColumn("min_price", min(col("avg_price")).over(w))
       .filter(col("avg_price") === col("min_price"))
       .join(broadcast(table(spark, dir, "part")
         .filter(col("p_size") <= 10).select(col("p_partkey"), col("p_brand"))),
