@@ -5,15 +5,18 @@ import org.apache.spark.sql.functions._
 import Registry.{dec, rnd}
 import Tables.table
 
-/** The deeper TPC-H patterns (Q7/Q8/Q9/Q13/Q15/Q17/Q21/Q22 shapes),
-  * adapted to the harness schema (no partsupp table, no
-  * commit/receipt dates — lateness is the q4/q12 house definition
-  * `l_shipdate > o_orderdate + 60 days`). Each exercises a distinct
-  * plan shape the rest of the suite lacks: two-sided dimension
-  * aliasing (Q7), conditional share-of-total (Q8), multi-dimension
-  * profit rollup (Q9), outer-join count distribution (Q13), agg-max
-  * scalar selection (Q15), decorrelated per-group threshold (Q17),
-  * sole-cause attribution via grouped distinct counts (Q21), and
+/** The deeper TPC-H patterns (Q2/Q7/Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q20/
+  * Q21/Q22 shapes — with these, all 22 TPC-H query shapes have an
+  * analog in the suite), adapted to the harness schema (no partsupp
+  * table, no commit/receipt dates — lateness is the q4/q12 house
+  * definition `l_shipdate > o_orderdate + 60 days`). Each exercises a
+  * distinct plan shape the rest of the suite lacks: per-key argmin
+  * (Q2), two-sided dimension aliasing (Q7), conditional
+  * share-of-total (Q8), multi-dimension profit rollup (Q9),
+  * global-scalar HAVING (Q11), outer-join count distribution (Q13),
+  * agg-max scalar selection (Q15), Expand-free distinct counting
+  * (Q16), decorrelated per-group threshold (Q17), fraction-of-group
+  * dominance + semi join (Q20), sole-cause attribution (Q21), and
   * scalar-subquery + anti-join prospect selection (Q22).
   *
   * Scale notes: the fact-side joins key on l_orderkey/o_custkey (the
@@ -34,6 +37,8 @@ object TpchDeep {
     NamedQuery("q22_dormant_prospects", q22, Some(q22Sql)),
     NamedQuery("q2_min_price_supplier", q2, Some(q2Sql)),
     NamedQuery("q16_supplier_variety", q16, Some(q16Sql)),
+    NamedQuery("q11_revenue_concentration", q11, Some(q11Sql)),
+    NamedQuery("q20_dominant_suppliers", q20, Some(q20Sql)),
   )
 
   private def revenueCol =
@@ -418,4 +423,85 @@ object TpchDeep {
       |WHERE p_brand <> 'Brand#13'
       |GROUP BY p_brand, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q11 (TPC-H Q11 shape): revenue concentration — parts whose revenue
+  // exceeds a fraction of the total. No partsupp, so "value" is part
+  // revenue. The global total sums the SAME rounded per-part values
+  // the filter reads (one tiny second aggregate over the first, not a
+  // second fact scan), broadcast as a one-row scalar; the relative
+  // threshold makes the query meaningful at any scale factor. Both
+  // engines compare bit-identical doubles (same rounded operands, same
+  // IEEE multiply).
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(revenueCol), 2).cast("double").as("part_value"))
+    perPart
+      .crossJoin(broadcast(perPart.agg(sum(col("part_value")).as("total_value"))))
+      .filter(col("part_value") > lit(0.0002) * col("total_value"))
+      .withColumn("share", rnd(col("part_value") / col("total_value"), 6))
+      .select(col("l_partkey"), col("part_value"), col("share"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  private val q11Sql =
+    """WITH per_part AS (
+      |  SELECT l_partkey,
+      |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS part_value
+      |  FROM lineitem
+      |  GROUP BY l_partkey
+      |), t AS (
+      |  SELECT sum(part_value) AS total_value FROM per_part
+      |)
+      |SELECT l_partkey, part_value,
+      |  CAST(round(CAST(part_value / total_value AS DECIMAL(18,8)), 6) AS DOUBLE) AS share
+      |FROM per_part, t
+      |WHERE part_value > 0.0002 * total_value
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q20 (TPC-H Q20 shape): suppliers who dominate a part family — a
+  // supplier qualifies when its 1996 shipments of a green part exceed
+  // half that part's total 1996 shipments. The per-(part, supplier)
+  // quantities and the per-part total share one l_partkey window
+  // partitioning (the q2 pattern); quantities are integral so the
+  // half-of-total comparison is exact in both engines. The qualifying
+  // supplier set then semi-joins the supplier dim.
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val dominant = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .join(broadcast(table(spark, dir, "part")
+        .filter(col("p_name").contains("blue")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+      .withColumn("part_qty", sum(col("supp_qty")).over(w))
+      .filter(col("supp_qty") > lit(0.5) * col("part_qty"))
+      .select(col("l_suppkey")).distinct()
+    table(spark, dir, "supplier")
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q20Sql =
+    """WITH per_supp AS (
+      |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%blue%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l_partkey, l_suppkey
+      |), dom AS (
+      |  SELECT DISTINCT l_suppkey FROM (
+      |    SELECT l_suppkey, supp_qty, sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+      |    FROM per_supp) x
+      |  WHERE supp_qty > 0.5 * part_qty
+      |)
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM dom WHERE l_suppkey = s_suppkey)
+      |ORDER BY s_suppkey""".stripMargin
 }
