@@ -428,11 +428,13 @@ object TpchDeep {
   // q11 (TPC-H Q11 shape): revenue concentration — parts whose revenue
   // exceeds a fraction of the total. No partsupp, so "value" is part
   // revenue. The global total sums the SAME rounded per-part values
-  // the filter reads (one tiny second aggregate over the first, not a
-  // second fact scan), broadcast as a one-row scalar; the relative
-  // threshold makes the query meaningful at any scale factor. Both
-  // engines compare bit-identical doubles (same rounded operands, same
-  // IEEE multiply).
+  // the filter reads, broadcast as a one-row scalar (Spark re-derives
+  // the per-part aggregate for that branch — no shared-subplan
+  // materialization; at production scale you persist the part-sized
+  // intermediate and the total becomes a trivial second pass). The
+  // relative threshold makes the query meaningful at any scale factor,
+  // and both engines compare bit-identical doubles (same rounded
+  // operands, same IEEE multiply).
   private def q11(spark: SparkSession, dir: String): DataFrame = {
     val perPart = table(spark, dir, "lineitem")
       .groupBy(col("l_partkey"))
