@@ -39,7 +39,13 @@ object TailQuery {
   ): StreamingQuery = {
     val spark = oplogStream.sparkSession
     import OplogRow.encoder
-    Compactor.streamFilters(oplogStream, ns, fromTs)
+    val metricsName = if (taskName.nonEmpty) s"tail_$taskName" else "tail"
+    // in-flight quality metrics (rows, null ids, ts high-water mark)
+    // per micro-batch — readable from progress.observedMetrics by any
+    // monitoring hook, at zero extra passes over the batch
+    graft.streaming.Observability
+      .observedStream(Compactor.streamFilters(oplogStream, ns, fromTs),
+        metricsName, keyCol = "id", tsCol = "ts")
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))

@@ -57,6 +57,11 @@ class TailQuerySpec extends AnyFunSuite {
       stream, task, ns = "db.c", fromTs = 0L,
       stateDir = s"$base/state", checkpointDir = s"$base/ckpt")
     q.processAllAvailable()
+    // the tail surfaces in-flight quality metrics on every non-empty
+    // micro-batch (Observability wired into the stream itself)
+    val observed = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("tail")))
+    assert(observed.map(_.getAs[Long]("rows")).sum > 0L,
+      "tail stream must report observed row counts")
     q.stop()
 
     val state = StateStore.read(spark, s"$base/state")
