@@ -54,4 +54,24 @@ class PartitioningSpec extends AnyFunSuite {
       .agg(sum("sum_l_quantity")).collect().head.getDouble(0)
     assert(math.abs(saltedSum - plainSum) < 1e-6)
   }
+
+  test("join-strategy hints override the planner's pick (the manual tuning lever)") {
+    val li = Tables.table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.table(spark, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+    def planOf(j: org.apache.spark.sql.DataFrame) = j.queryExecution.executedPlan.toString
+
+    // a hinted shuffle-hash join must plan as ShuffledHashJoin even
+    // where size stats would pick broadcast or sort-merge
+    val hashed = li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+    assert(planOf(hashed).contains("ShuffledHashJoin"), planOf(hashed).take(500))
+
+    // a hinted merge join must plan as SortMergeJoin even under the
+    // broadcast threshold
+    val merged = li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+    assert(planOf(merged).contains("SortMergeJoin"), planOf(merged).take(500))
+
+    // all strategies agree on the result
+    val n = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    assert(hashed.count() === n && merged.count() === n)
+  }
 }
