@@ -23,6 +23,7 @@ object SamplingQueries {
     NamedQuery("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     NamedQuery("text_entropy", unigramEntropy, Some(unigramEntropySql)),
     NamedQuery("text_cross_entropy", crossEntropy, Some(crossEntropySql)),
+    NamedQuery("text_tfidf_keyword", tfidfKeyword, Some(tfidfKeywordSql)),
   )
 
   // ---------------------------------------------------------------
@@ -143,5 +144,51 @@ object SamplingQueries {
       |  CAST(round(CAST(avg(-ln(wc / total)) AS DECIMAL(18,8)), 6) AS DOUBLE) AS cross_entropy
       |FROM w JOIN f USING (word), t
       |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // TF-IDF keyword extraction: each document's most distinctive term.
+  // Per-(doc, word) term frequencies shuffle once on doc_id; document
+  // frequencies are the vocabulary-sized broadcast (same Heaps-law
+  // argument as cross-entropy); the per-doc argmax is a row_number
+  // window on the EXISTING doc_id partitioning. Scores are rounded to
+  // 1e-6 BEFORE ranking so near-ties collapse to exact ties broken by
+  // the word — a last-ulp ln() difference between engines can never
+  // flip the chosen keyword.
+  private def tfidfKeyword(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.fanOut(table(spark, dir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = words.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = table(spark, dir, "documents").agg(count(lit(1)).cast("double").as("n_docs"))
+    val byScore = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(dfreq), Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", rnd(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rk", row_number().over(byScore))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("word").as("keyword"), col("tf").as("keyword_tf"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tfidfKeywordSql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+      |), dfreq AS (
+      |  SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word
+      |), n AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT doc_id, word, tf,
+      |    CAST(round(CAST(tf * ln(n_docs / df) AS DECIMAL(18,8)), 6) AS DOUBLE) AS score
+      |  FROM tf JOIN dfreq USING (word), n
+      |)
+      |SELECT doc_id, word AS keyword, tf AS keyword_tf, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+      |  FROM scored) t
+      |WHERE rk = 1
       |ORDER BY doc_id""".stripMargin
 }

@@ -50,6 +50,8 @@ object MoreRelational {
     NamedQuery("events_funnel_steps", funnelSteps, Some(funnelStepsSql)),
     NamedQuery("events_retention_cohorts", retentionCohorts, Some(retentionCohortsSql)),
     NamedQuery("agg_histogram", histogram, Some(histogramSql)),
+    NamedQuery("events_activity_streaks", activityStreaks, Some(activityStreaksSql)),
+    NamedQuery("events_transitions", transitions, Some(transitionsSql)),
   )
 
   // ---------------------------------------------------------------
@@ -833,4 +835,70 @@ object MoreRelational {
       |FROM lineitem
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Gaps-and-islands: each user's longest run of consecutive active
+  // days. The island key is the difference-of-sequences trick
+  // (day - row_number is constant within a consecutive run) — the
+  // set-based formulation of what looks like an iterative problem, so
+  // it runs as two window passes and two aggregates ALL on the same
+  // user_id partitioning (one exchange). Dates travel as epoch-day
+  // ints so neither engine's date rendering is in the hash.
+  private def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .distinct()
+    val streaks = days
+      .withColumn("grp", col("d") - row_number().over(byUser))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).cast("int").as("len"), min(col("d")).as("start_day"), max(col("d")).as("end_day"))
+    streaks
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("len").desc, col("start_day"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("len").as("longest_streak"), col("start_day"), col("end_day"))
+      .orderBy(col("user_id"))
+  }
+
+  private val activityStreaksSql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS d FROM events
+      |), isl AS (
+      |  SELECT user_id, d,
+      |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |  FROM days
+      |), streaks AS (
+      |  SELECT user_id, grp, CAST(count(*) AS INT) AS len,
+      |    min(d) AS start_day, max(d) AS end_day
+      |  FROM isl GROUP BY user_id, grp
+      |)
+      |SELECT user_id, len AS longest_streak, start_day, end_day FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_day) AS rk
+      |  FROM streaks) t
+      |WHERE rk = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Event-type transition matrix (first-order Markov counts): what
+  // follows what, per user timeline. One lag window over the user_id
+  // partitioning, then a tiny aggregate over the (from, to) pairs —
+  // the behavioral-model input that funnels/sessionization don't give.
+  private def transitions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+
+  private val transitionsSql =
+    """SELECT from_type, event_type AS to_type, count(*) AS n FROM (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM events) t
+      |WHERE from_type IS NOT NULL
+      |GROUP BY from_type, event_type
+      |ORDER BY from_type, to_type""".stripMargin
 }
