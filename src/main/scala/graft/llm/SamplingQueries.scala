@@ -37,7 +37,11 @@ object SamplingQueries {
   // rank-within-partition shape as win_top_orders_per_cust, which
   // scales as a single shuffle on the group key.
   private def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    // weight 0 means "never sample" — filtering also keeps the two
+    // engines aligned on the edge (Spark's DIV by zero yields NULL,
+    // DuckDB's // raises)
     val keyed = table(spark, dir, "documents")
+      .filter(col("n_chars") > 0)
       .withColumn("h", expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) AS bigint)"))
       .withColumn("pri", expr("h DIV n_chars"))
     val w = Window.partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))
@@ -53,6 +57,7 @@ object SamplingQueries {
       |  SELECT lang, doc_id, n_chars,
       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT // n_chars AS pri
       |  FROM documents
+      |  WHERE n_chars > 0
       |)
       |SELECT lang, rk, doc_id, n_chars, pri FROM (
       |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk

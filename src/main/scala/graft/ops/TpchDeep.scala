@@ -290,11 +290,15 @@ object TpchDeep {
         size(collect_set(lateSupp)).as("n_late_supp"),
         max(lateSupp).as("late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      // group and tiebreak on the supplier KEY (the oracle twin must do
+      // the same): grouping on s_name alone would merge two suppliers
+      // that share a name, and a name-only sort leaves the LIMIT
+      // boundary nondeterministic between engines
       .groupBy(col("late_supp"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(table(spark, dir, "supplier")), col("late_supp") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
-      .orderBy(col("numwait").desc, col("s_name"))
+      .select(col("s_name"), col("numwait"), col("late_supp"))
+      .orderBy(col("numwait").desc, col("s_name"), col("late_supp"))
       .limit(20)
   }
 
@@ -308,11 +312,11 @@ object TpchDeep {
       |  WHERE o_orderstatus = 'F'
       |  GROUP BY l_orderkey
       |)
-      |SELECT s_name, count(*) AS numwait
+      |SELECT s_name, count(*) AS numwait, late_supp
       |FROM per_order JOIN supplier ON late_supp = s_suppkey
       |WHERE n_supp >= 2 AND n_late_supp = 1
-      |GROUP BY s_name
-      |ORDER BY numwait DESC, s_name
+      |GROUP BY s_name, late_supp
+      |ORDER BY numwait DESC, s_name, late_supp
       |LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------
@@ -439,8 +443,12 @@ object TpchDeep {
     val perPart = table(spark, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(round(sum(revenueCol), 2).cast("double").as("part_value"))
+    // the grand total ALSO routes through DECIMAL: a raw double sum is
+    // association-order dependent, and the threshold filter would then
+    // compare against a value that can differ between engines/runs
     perPart
-      .crossJoin(broadcast(perPart.agg(sum(col("part_value")).as("total_value"))))
+      .crossJoin(broadcast(perPart
+        .agg(round(sum(dec(col("part_value"))), 2).cast("double").as("total_value"))))
       .filter(col("part_value") > lit(0.0002) * col("total_value"))
       .withColumn("share", rnd(col("part_value") / col("total_value"), 6))
       .select(col("l_partkey"), col("part_value"), col("share"))
@@ -454,7 +462,7 @@ object TpchDeep {
       |  FROM lineitem
       |  GROUP BY l_partkey
       |), t AS (
-      |  SELECT sum(part_value) AS total_value FROM per_part
+      |  SELECT CAST(round(sum(CAST(part_value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value FROM per_part
       |)
       |SELECT l_partkey, part_value,
       |  CAST(round(CAST(part_value / total_value AS DECIMAL(18,8)), 6) AS DOUBLE) AS share
@@ -464,7 +472,7 @@ object TpchDeep {
 
   // ---------------------------------------------------------------
   // q20 (TPC-H Q20 shape): suppliers who dominate a part family — a
-  // supplier qualifies when its 1996 shipments of a green part exceed
+  // supplier qualifies when its 1996 shipments of a blue part exceed
   // half that part's total 1996 shipments. The per-(part, supplier)
   // quantities and the per-part total share one l_partkey window
   // partitioning (the q2 pattern); quantities are integral so the

@@ -50,20 +50,29 @@ object TailQuery {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // an empty trigger applies nothing: no state rewrite, no hook —
-        // the reference likewise only checkpoints batches that loaded
-        // IRs (src/processor.ts:382-390)
-        if (!batch.isEmpty) {
-          val st = StateStore.read(spark, stateDir)
-          // fused compact+dispatch+merge: one co-grouped shuffle per batch
-          val newState = BatchApplier.applyOplogBatch(batch.as[OplogRow], st, task, source)
-          StateStore.write(newState, stateDir)
-          // mirror tail progress to user persistence (L4 side channel);
-          // failures never kill the batch — the authoritative
-          // checkpoint is Spark's
-          if (taskName.nonEmpty)
-            CheckpointHooks.save(hooks, taskName, CheckpointHooks.tailNow())
-        }
+        // Cache, then exactly ONE materializing pass over the source
+        // plan: every further action reads the cache. This keeps the
+        // observed metrics exact (each uncached action would re-run the
+        // CollectMetrics node and inflate the counters — an isEmpty
+        // probe alone adds its scanned row) and reads the micro-batch
+        // files once instead of twice.
+        batch.persist()
+        try {
+          // an empty trigger applies nothing: no state rewrite, no
+          // hook — the reference likewise only checkpoints batches
+          // that loaded IRs (src/processor.ts:382-390)
+          if (batch.count() > 0) {
+            val st = StateStore.read(spark, stateDir)
+            // fused compact+dispatch+merge: one co-grouped shuffle per batch
+            val newState = BatchApplier.applyOplogBatch(batch.as[OplogRow], st, task, source)
+            StateStore.write(newState, stateDir)
+            // mirror tail progress to user persistence (L4 side channel);
+            // failures never kill the batch — the authoritative
+            // checkpoint is Spark's
+            if (taskName.nonEmpty)
+              CheckpointHooks.save(hooks, taskName, CheckpointHooks.tailNow())
+          }
+        } finally batch.unpersist()
         ()
       }
       .start()

@@ -34,16 +34,8 @@ object IntervalJoin {
       rightTs: String,
       horizon: String,
       lateness: Option[String] = None,
-  ): DataFrame = {
-    val delay = lateness.getOrElse(horizon)
-    val l = left.withWatermark(leftTs, delay)
-    val r = right.withWatermark(rightTs, delay)
-    l.join(r,
-      l(key) === r(key) &&
-        col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"))
-      .drop(r(key))
-  }
+  ): DataFrame =
+    joinImpl(left, right, key, leftTs, rightTs, horizon, lateness, "inner")
 
   /** Left-outer variant: every left event is emitted exactly once —
     * joined rows as matches arrive, unmatched rows with nulls once the
@@ -61,6 +53,18 @@ object IntervalJoin {
       rightTs: String,
       horizon: String,
       lateness: Option[String] = None,
+  ): DataFrame =
+    joinImpl(left, right, key, leftTs, rightTs, horizon, lateness, "leftOuter")
+
+  private def joinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      horizon: String,
+      lateness: Option[String],
+      joinType: String,
   ): DataFrame = {
     val delay = lateness.getOrElse(horizon)
     val l = left.withWatermark(leftTs, delay)
@@ -69,7 +73,7 @@ object IntervalJoin {
       l(key) === r(key) &&
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"),
-      "leftOuter")
+      joinType)
       .drop(r(key))
   }
 }

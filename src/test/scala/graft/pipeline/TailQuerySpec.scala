@@ -58,10 +58,14 @@ class TailQuerySpec extends AnyFunSuite {
       stateDir = s"$base/state", checkpointDir = s"$base/ckpt")
     q.processAllAvailable()
     // the tail surfaces in-flight quality metrics on every non-empty
-    // micro-batch (Observability wired into the stream itself)
+    // micro-batch (Observability wired into the stream itself). The
+    // count is EXACT — 2 rows in batch 1, 3 surviving P3 in batch 2 —
+    // because foreachBatch materializes the observed plan exactly once
+    // (a second uncached action would re-fire CollectMetrics and
+    // inflate the counters)
     val observed = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("tail")))
-    assert(observed.map(_.getAs[Long]("rows")).sum > 0L,
-      "tail stream must report observed row counts")
+    assert(observed.map(_.getAs[Long]("rows")).sum === 5L,
+      "tail stream must report exact observed row counts")
     q.stop()
 
     val state = StateStore.read(spark, s"$base/state")
