@@ -52,6 +52,7 @@ object MoreRelational {
     NamedQuery("agg_histogram", histogram, Some(histogramSql)),
     NamedQuery("events_activity_streaks", activityStreaks, Some(activityStreaksSql)),
     NamedQuery("events_transitions", transitions, Some(transitionsSql)),
+    NamedQuery("events_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
   )
 
   // ---------------------------------------------------------------
@@ -901,4 +902,50 @@ object MoreRelational {
       |WHERE from_type IS NOT NULL
       |GROUP BY from_type, event_type
       |ORDER BY from_type, to_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Trailing-window z-score — the rolling-baseline anomaly shape every
+  // monitoring pipeline runs: each event scored against its user's
+  // previous 24 h (RANGE frame over epoch seconds, so both engines
+  // build identical frames; the fixture's per-user event density makes
+  // an hourly frame too sparse to ever reach 5 samples, so the day
+  // frame is the smallest that yields a non-degenerate baseline at
+  // every sf). Every scored row is emitted with its
+  // outlier flag rather than pre-filtered — the fixture's uniform
+  // values bound |z| below classic anomaly cuts, and a decision table
+  // that covers every event composes downstream either way. The z
+  // rounds to 1e-4 before the flag so engine ulp drift in avg/stddev
+  // cannot flip it.
+  private def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val win = Window.partitionBy(col("user_id")).orderBy(col("sec")).rangeBetween(-86400, 0)
+    Tables.events(spark, dir)
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("n_win", count(lit(1)).over(win))
+      .withColumn("mu", avg(col("value")).over(win))
+      .withColumn("sd", stddev_samp(col("value")).over(win))
+      .filter(col("n_win") >= 5 && col("sd") > 0)
+      .withColumn("z", rnd((col("value") - col("mu")) / col("sd"), 4))
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        col("n_win"), col("z"),
+        (abs(col("z")) >= 1.5).as("is_outlier"))
+      .orderBy(col("event_id"))
+  }
+
+  private val anomalyZscoreSql =
+    """WITH w AS (
+      |  SELECT event_id, user_id, value,
+      |    count(*) OVER win AS n_win,
+      |    avg(value) OVER win AS mu,
+      |    stddev_samp(value) OVER win AS sd
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
+      |                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id, user_id, value, n_win,
+      |  CAST(round(CAST((value - mu) / sd AS DECIMAL(18,8)), 4) AS DOUBLE) AS z,
+      |  abs(CAST(round(CAST((value - mu) / sd AS DECIMAL(18,8)), 4) AS DOUBLE)) >= 1.5 AS is_outlier
+      |FROM w
+      |WHERE n_win >= 5 AND sd > 0
+      |ORDER BY event_id""".stripMargin
 }
