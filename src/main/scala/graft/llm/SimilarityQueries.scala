@@ -25,6 +25,7 @@ object SimilarityQueries {
     NamedQuery("sim_lsh_topk", lshTopK, Some(lshTopKSql)),
     NamedQuery("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     NamedQuery("sim_quantize_error", quantizeError, Some(quantizeErrorSql)),
+    NamedQuery("sim_kmeans_update", kmeansUpdate, Some(kmeansUpdateSql)),
   )
 
   private val dot =
@@ -256,4 +257,66 @@ object SimilarityQueries {
       |  CAST(round(CAST(list_sum(list_transform(v, x ->
       |    abs(x - (lo + CAST(round(CAST((x - lo) * 255.0 / (hi - lo) AS DECIMAL(18,8)), 0) AS DOUBLE) * (hi - lo) / 255.0)))) / len(v) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_abs_err
       |FROM mm ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // One Lloyd (k-means) iteration — the centroid-training step that
+  // turns the IVF path's deterministic seed codebook into a real
+  // index: assign every vector to its nearest of k=8 fixed seeds
+  // (vec_id < 8), then recompute each centroid as the element-wise
+  // member mean. Emitted in LONG form (cid, pos, c_val, n_members) so
+  // every output cell is scalar — k*64 rows at ANY corpus size.
+  //
+  // Scale shape: assignment is the same zero-exchange native
+  // NearestCell projection as sim_ivf_topk. The update posexplodes to
+  // (cid, pos, val) — a 64x row fan-out, but hash aggregation combines
+  // map-side, so the shuffle carries at most partitions x k x 64
+  // partial sums, not the exploded corpus. Iterating to convergence
+  // repeats this same dataflow with the previous round's centroids as
+  // the codebook; one iteration is the representative (and oracle-able)
+  // unit.
+  private def kmeansUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cb = c.agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cb"))
+    val assign = e.crossJoin(broadcast(cb))
+      .withColumn("cid",
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), col("cb")))
+      .select(col("cid"), col("v"))
+    assign
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos0", "val")))
+      .groupBy(col("cid"), (col("pos0") + 1).cast("long").as("pos"))
+      .agg(graft.ops.Registry.rnd(avg(col("val")), 4).as("c_val"),
+        count(lit(1)).as("n_members"))
+      .select(col("cid"), col("pos"), col("c_val"), col("n_members"))
+      .orderBy(col("cid"), col("pos"))
+  }
+
+  private val kmeansUpdateSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 8
+      |), assign AS (
+      |  SELECT vec_id, cid, v FROM (
+      |    SELECT e.vec_id, c.cid, e.v,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c
+      |  ) WHERE rn = 1
+      |), exploded AS (
+      |  SELECT cid, CAST(generate_subscripts(v, 1) AS BIGINT) AS pos, unnest(v) AS val
+      |  FROM assign
+      |)
+      |SELECT cid, pos,
+      |  CAST(round(CAST(avg(val) AS DECIMAL(18,8)), 4) AS DOUBLE) AS c_val,
+      |  count(*) AS n_members
+      |FROM exploded
+      |GROUP BY cid, pos
+      |ORDER BY cid, pos""".stripMargin
 }

@@ -214,4 +214,19 @@ class PlanSpec extends AnyFunSuite {
     assert(userExchanges <= 1,
       s"cohort agg and join must share one user_id partitioning, found $userExchanges\n" + p.take(800))
   }
+
+  test("k-means update: native assignment, map-side-combined centroid sums") {
+    val p = plan("sim_kmeans_update")
+    assert(p.contains("nearest_cell"),
+      "assignment must be the native zero-exchange argmax projection: " + p.take(600))
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "assignment must not shuffle the corpus through a per-vector window")
+    // the exploded (cid, pos, val) rows must partial-aggregate before the
+    // shuffle: the exchange then carries only partitions x k x dim rows
+    assert(p.contains("partial_avg") || p.contains("partial_"),
+      "centroid means must combine map-side: " + p.take(800))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(hashExchanges <= 1,
+      s"one (cid,pos) exchange expected, found $hashExchanges\n" + p.take(800))
+  }
 }
