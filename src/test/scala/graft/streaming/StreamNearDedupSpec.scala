@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.streaming.Trigger
+import graft.TestSpark
+
+/** Watermark-bounded streaming NEAR-dedup: near-duplicates (small
+  * SimHash Hamming distance) arriving within the horizon collapse onto
+  * the earliest canonical across micro-batches; entries past the
+  * horizon are evicted so the same content becomes canonical again. */
+class StreamNearDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def t(sec: Long) = new Timestamp(sec * 1000L)
+
+  private val textA = "the quick brown fox jumps over the lazy dog while autumn " +
+    "leaves drift slowly across the quiet meadow under a pale morning sky as " +
+    "birds circle high above the distant hills"
+  // one word changed: same 16-bit prefix bucket, Hamming 1 (asserted below)
+  private val textA2 = textA.replace("autumn", "winter")
+  private val textB = "completely unrelated content about database engines and " +
+    "distributed query planning with adaptive execution and columnar storage"
+  private val textC = "yet another independent document concerning maritime " +
+    "navigation and the history of celestial wayfinding across open oceans"
+  private val textD = "late era filler document that only exists to push the " +
+    "event time watermark far past every earlier arrival in the stream"
+
+  test("simhash60 is bit-identical to the batch SQL fingerprint") {
+    import spark.implicits._
+    val docs = Seq((1L, textA), (2L, textA2), (3L, textB), (4L, "solo"),
+      (5L, "repeat repeat repeat distinct")).toDF("doc_id", "text")
+    val voteAggs = (0 until 60).map { i =>
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.expr(
+        s"CASE WHEN (hl div ${1L << i}L) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$i")
+    }
+    val assemble = (0 until 60).map(i => s"if(s$i > 0, ${1L << i}L, 0L)").mkString(" + ")
+    val sqlFps = docs
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+      .selectExpr("doc_id", "cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) AS hl")
+      .groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .selectExpr("doc_id", s"$assemble AS simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L -> textA, 2L -> textA2, 3L -> textB, 4L -> "solo",
+      5L -> "repeat repeat repeat distinct").foreach { case (id, txt) =>
+      assert(StreamNearDedup.simhash60(txt) === sqlFps(id), s"doc $id")
+    }
+  }
+
+  test("fixture pair shares the LSH bucket at small Hamming distance") {
+    val fa = StreamNearDedup.simhash60(textA)
+    val fb = StreamNearDedup.simhash60(textA2)
+    assert(StreamNearDedup.prefix16(fa) === StreamNearDedup.prefix16(fb))
+    val ham = java.lang.Long.bitCount(fa ^ fb)
+    assert(ham > 0 && ham <= 12, s"hamming $ham")
+  }
+
+  test("near-dups collapse within the horizon and re-canonicalize after it") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sneardedup").toString
+    // batch 1: canonical A + unrelated B
+    Seq(StreamNearDedup.Doc(t(100), 1L, textA), StreamNearDedup.Doc(t(101), 2L, textB))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p1")
+    // batch 2: near-dup of A (one word changed, different id) + new C
+    Seq(StreamNearDedup.Doc(t(150), 3L, textA2), StreamNearDedup.Doc(t(160), 4L, textC))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p2")
+    // batch 3: far-future doc pushes the watermark past t(100)+horizon
+    Seq(StreamNearDedup.Doc(t(10000), 5L, textD))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p3")
+    // batch 4: textA again, outside the horizon of doc 1 -> canonical
+    Seq(StreamNearDedup.Doc(t(10050), 6L, textA))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p4")
+    // FileStreamSource orders by modification time; pin batch order
+    def touch(dir: String, sec: Long): Unit = {
+      val d = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.list(d)
+      try (java.util.stream.Stream.concat(java.util.stream.Stream.of(d), s)).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(sec * 1000L))
+      } finally s.close()
+    }
+    touch(s"$base/in/p1", 1000L)
+    touch(s"$base/in/p2", 2000L)
+    touch(s"$base/in/p3", 3000L)
+    touch(s"$base/in/p4", 4000L)
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamNearDedup.Doc]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+      .as[StreamNearDedup.Doc]
+
+    val q = StreamNearDedup.decisions(stream, horizonSec = 600L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sneardedup_out")
+      .trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT doc_id, is_dup, dup_of FROM sneardedup_out")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(rows.size === 6, "every arrival gets a decision row")
+    assert(rows(1L) === ((false, 1L)), "first arrival is canonical")
+    assert(rows(2L) === ((false, 2L)))
+    assert(rows(3L) === ((true, 1L)), "near-dup within horizon collapses onto doc 1")
+    assert(rows(4L) === ((false, 4L)))
+    assert(rows(5L) === ((false, 5L)))
+    assert(rows(6L) === ((false, 6L)), "same text past the horizon re-canonicalizes")
+  }
+}
