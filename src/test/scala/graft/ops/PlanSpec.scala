@@ -215,6 +215,15 @@ class PlanSpec extends AnyFunSuite {
       s"cohort agg and join must share one user_id partitioning, found $userExchanges\n" + p.take(800))
   }
 
+  test("anomaly z-score computes all three window aggregates in one user_id pass") {
+    val p = plan("events_anomaly_zscore")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllMatchIn(p).size
+    assert(userExchanges <= 1,
+      s"count/avg/stddev share one RANGE frame and must share one exchange, found $userExchanges\n" + p.take(800))
+    val windowOps = "\\bWindow\\b".r.findAllMatchIn(p).size
+    assert(windowOps <= 1, s"expected a single Window operator, found $windowOps\n" + p.take(800))
+  }
+
   test("k-means update: native assignment, map-side-combined centroid sums") {
     val p = plan("sim_kmeans_update")
     assert(p.contains("nearest_cell"),
