@@ -20,6 +20,7 @@ object TextQueries {
     NamedQuery("doc_stats_by_lang", stats, Some(statsSql)),
     NamedQuery("text_top_terms", topTerms, Some(topTermsSql)),
     NamedQuery("text_edit_distance_pairs", editPairs, Some(editPairsSql)),
+    NamedQuery("text_bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
   )
 
   // ---------------------------------------------------------------
@@ -203,4 +204,48 @@ object TextQueries {
       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       |WHERE levenshtein(substring(a.text, 1, 24), substring(b.text, 1, 24)) <= 10
       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // One BPE merge step — the tokenizer-training unit (Sennrich et al.
+  // 2016 shape): count adjacent character pairs across the corpus and
+  // surface the top merge candidates. The scale move is counting over
+  // the WEIGHTED VOCABULARY, not the raw text: identical words collapse
+  // to (word, freq) first (Heaps-bounded — vocabulary grows ~sqrt of
+  // corpus), so the quadratic-ish char-pair explode runs over distinct
+  // words only and every later merge iteration reuses the same tiny
+  // relation. Two shuffles: the word count (map-side combined) and the
+  // pair sum (alphabet² keys at most); top-20 plans as
+  // TakeOrderedAndProject, never a global sort.
+  private def bpeMergeStep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    val top = vocab
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+    // rank assignment runs on the 20 surviving rows only
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+      .select(col("rank"), col("pair"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
+  private val bpeMergeStepSql =
+    """WITH vocab AS (
+      |  SELECT w, count(*) AS wf FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |  ) WHERE len(w) >= 2 GROUP BY w
+      |), pairs AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i + 1])) AS pair, wf
+      |  FROM vocab
+      |), agg AS (
+      |  SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+      |)
+      |SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
+      |FROM agg ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 }
