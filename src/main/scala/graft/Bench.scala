@@ -86,9 +86,12 @@ object Bench {
     // LAST — headline totals plus only the top-10 slowest medians —
     // guaranteed to fit the tail window whole and parse standalone.
     val slowest = results.toSeq.sortBy(-_._2).take(10)
+    // Locale.ROOT: the default-locale f"" interpolator would emit comma
+    // decimal separators (invalid JSON) on non-dot-decimal JVMs
+    def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def js3(m: Seq[(String, Double)]) =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"cold_total":${f"$coldTotal%.3f"},"steady_passes":$steadyPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}""")
+      m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"steady_passes":$steadyPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

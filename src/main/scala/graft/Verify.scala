@@ -17,13 +17,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev-only: SPARK_GRAFT_ONLY=a,b,c restricts the dump to named
-    // queries for fast single-query oracle iteration. The driver never
-    // sets it, so its full-suite runs are unaffected.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // queries for fast single-query oracle iteration (same parsing as
+    // Bench's filter: trimmed names). The driver never sets it, so its
+    // full-suite runs are unaffected.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    if (selected.isEmpty)
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY=${only.getOrElse(Set())} matched no queries")
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -288,7 +288,11 @@ object SimilarityQueries {
     assign
       .select(col("cid"), posexplode(col("v")).as(Seq("pos0", "val")))
       .groupBy(col("cid"), (col("pos0") + 1).cast("long").as("pos"))
-      .agg(graft.ops.Registry.rnd(avg(col("val")), 4).as("c_val"),
+      // avg over DECIMAL, not raw doubles: decimal summation is exact
+      // and order-independent, so partition order can't flip c_val at a
+      // 4th-decimal rounding boundary (the repo's cross-row aggregation
+      // rule, Registry.dec)
+      .agg(graft.ops.Registry.rnd(avg(graft.ops.Registry.dec(col("val"))), 4).as("c_val"),
         count(lit(1)).as("n_members"))
       .select(col("cid"), col("pos"), col("c_val"), col("n_members"))
       .orderBy(col("cid"), col("pos"))
@@ -314,7 +318,7 @@ object SimilarityQueries {
       |  FROM assign
       |)
       |SELECT cid, pos,
-      |  CAST(round(CAST(avg(val) AS DECIMAL(18,8)), 4) AS DOUBLE) AS c_val,
+      |  CAST(round(CAST(avg(CAST(val AS DECIMAL(18,4))) AS DECIMAL(18,8)), 4) AS DOUBLE) AS c_val,
       |  count(*) AS n_members
       |FROM exploded
       |GROUP BY cid, pos

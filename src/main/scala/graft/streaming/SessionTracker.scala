@@ -41,16 +41,26 @@ object SessionTracker {
         key: Long, rows: Iterator[Ev], timers: TimerValues): Iterator[Session] = {
       val prev = if (sess.exists()) sess.get() else null
       var agg = prev
-      rows.foreach { e =>
+      val closed = Vector.newBuilder[Session]
+      // event-time order, and close ON ARRIVAL when an event lands more
+      // than `gap` after the open session's end: the split must not
+      // depend on the watermark (other keys' traffic) having already
+      // fired the close timer — a backfill delivering both sides of a
+      // gap in one micro-batch still yields two sessions
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
         agg =
           if (agg == null) SessAgg(t, t, 1L, e.value)
-          else SessAgg(math.min(agg.startMs, t), math.max(agg.endMs, t),
+          else if (t > agg.endMs + gapMs) {
+            closed += Session(key, new Timestamp(agg.startMs),
+              new Timestamp(agg.endMs), agg.n, agg.total)
+            SessAgg(t, t, 1L, e.value)
+          } else SessAgg(math.min(agg.startMs, t), math.max(agg.endMs, t),
             agg.n + 1L, agg.total + e.value)
       }
       if (agg != null) {
         // keep exactly one armed timer per key: re-arm at the (possibly
-        // extended) session end
+        // extended or re-opened) session end
         val newExpiry = agg.endMs + gapMs
         if (prev != null && prev.endMs + gapMs != newExpiry)
           getHandle.deleteTimer(prev.endMs + gapMs)
@@ -58,7 +68,7 @@ object SessionTracker {
           getHandle.registerTimer(newExpiry)
         sess.update(agg)
       }
-      Iterator.empty
+      closed.result().iterator
     }
 
     override def handleExpiredTimer(

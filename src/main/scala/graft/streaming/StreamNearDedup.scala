@@ -54,7 +54,10 @@ object StreamNearDedup {
   def simhash60(text: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](60)
-    text.split(" ").foreach { w =>
+    // limit -1: keep trailing empty strings, like Spark SQL's
+    // split(text, ' ') — Java's default split would drop them and
+    // break the bit-identical contract on trailing whitespace
+    text.split(" ", -1).foreach { w =>
       val d = md.digest(w.getBytes("UTF-8"))
       md.reset()
       // first 15 hex chars = high 60 bits of the first 7.5 bytes

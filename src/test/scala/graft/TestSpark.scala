@@ -17,4 +17,16 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Pin a directory's (and its files') mtimes so FileStreamSource —
+    * which orders files by modification time — processes fixture
+    * batches in the intended order. Shared by the streaming specs. */
+  def touch(dir: String, sec: Long): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.list(d)
+    try (java.util.stream.Stream.concat(java.util.stream.Stream.of(d), s)).forEach { p =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(sec * 1000L))
+    } finally s.close()
+  }
 }

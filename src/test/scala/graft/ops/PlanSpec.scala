@@ -232,7 +232,7 @@ class PlanSpec extends AnyFunSuite {
       "assignment must not shuffle the corpus through a per-vector window")
     // the exploded (cid, pos, val) rows must partial-aggregate before the
     // shuffle: the exchange then carries only partitions x k x dim rows
-    assert(p.contains("partial_avg") || p.contains("partial_"),
+    assert(p.contains("partial_avg"),
       "centroid means must combine map-side: " + p.take(800))
     val hashExchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
     assert(hashExchanges <= 1,

@@ -18,16 +18,8 @@ class RunningProfileSpec extends AnyFunSuite {
       .toDS().coalesce(1).write.parquet(s"$base/in/p1")
     Seq(ProfileEvent(1L, 10.0), ProfileEvent(3L, 7.0))
       .toDS().coalesce(1).write.parquet(s"$base/in/p2")
-    def touch(dir: String, sec: Long): Unit = {
-      val d = java.nio.file.Paths.get(dir)
-      val s = java.nio.file.Files.list(d)
-      try (java.util.stream.Stream.concat(java.util.stream.Stream.of(d), s)).forEach { p =>
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(sec * 1000L))
-      } finally s.close()
-    }
-    touch(s"$base/in/p1", 1000L)
-    touch(s"$base/in/p2", 2000L)
+    graft.TestSpark.touch(s"$base/in/p1", 1000L)
+    graft.TestSpark.touch(s"$base/in/p2", 2000L)
 
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -32,18 +32,10 @@ class SessionTrackerSpec extends AnyFunSuite {
     // if no-data batches were disabled
     Seq(SessionTracker.Ev(t(2100), 3L, 0.1))
       .toDS().coalesce(1).write.parquet(s"$base/in/p4")
-    def touch(dir: String, sec: Long): Unit = {
-      val d = java.nio.file.Paths.get(dir)
-      val s = java.nio.file.Files.list(d)
-      try (java.util.stream.Stream.concat(java.util.stream.Stream.of(d), s)).forEach { p =>
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(sec * 1000L))
-      } finally s.close()
-    }
-    touch(s"$base/in/p1", 1000L)
-    touch(s"$base/in/p2", 2000L)
-    touch(s"$base/in/p3", 3000L)
-    touch(s"$base/in/p4", 4000L)
+    graft.TestSpark.touch(s"$base/in/p1", 1000L)
+    graft.TestSpark.touch(s"$base/in/p2", 2000L)
+    graft.TestSpark.touch(s"$base/in/p3", 3000L)
+    graft.TestSpark.touch(s"$base/in/p4", 4000L)
 
     // transformWithState requires the RocksDB state store provider;
     // scope it to this query and restore the session default after
@@ -87,5 +79,51 @@ class SessionTrackerSpec extends AnyFunSuite {
     assert(rows.keySet === Set(1L, 2L))
     assert(rows(1L) === ((100L, 200L, 2L, 4.0)), "extended session spans both batches")
     assert(rows(2L) === ((150L, 150L, 1L, 2.0)), "singleton session")
+  }
+
+  test("a gap wider than the window splits sessions on arrival, even within one batch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sesssplit").toString
+    // both events in ONE batch, 900s apart with a 300s gap: the close
+    // must not wait for the watermark (no other traffic advances it)
+    Seq(SessionTracker.Ev(t(100), 7L, 1.5), SessionTracker.Ev(t(1000), 7L, 2.5))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p1")
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[SessionTracker.Ev]].schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$base/in")
+        .as[SessionTracker.Ev]
+      val q = SessionTracker.sessions(stream, gapSec = 300L, lateSec = 10L)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("sesssplit_out")
+        .trigger(Trigger.ProcessingTime(100))
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+
+    val rows = spark.sql(
+      "SELECT session_start, session_end, n_events, total_value FROM sesssplit_out")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000,
+        r.getLong(2), r.getDouble(3)))
+      .toSet
+    // first session emitted on arrival of the out-of-gap event; the
+    // second stays open (nothing advances the watermark past its close)
+    assert(rows === Set((100L, 100L, 1L, 1.5)))
   }
 }

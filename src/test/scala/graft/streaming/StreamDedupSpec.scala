@@ -28,16 +28,8 @@ class StreamDedupSpec extends AnyFunSuite {
     // FileStreamSource orders by modification time; pin it so p1 is
     // always the first micro-batch (equal mtimes would flip which
     // duplicate survives)
-    def touch(dir: String, sec: Long): Unit = {
-      val d = java.nio.file.Paths.get(dir)
-      val s = java.nio.file.Files.list(d)
-      try (java.util.stream.Stream.concat(java.util.stream.Stream.of(d), s)).forEach { p =>
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(sec * 1000L))
-      } finally s.close()
-    }
-    touch(s"$base/in/p1", 1000L)
-    touch(s"$base/in/p2", 2000L)
+    graft.TestSpark.touch(s"$base/in/p1", 1000L)
+    graft.TestSpark.touch(s"$base/in/p2", 2000L)
 
     val stream = spark.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[StreamDoc]].schema)

@@ -29,8 +29,10 @@ class StreamNearDedupSpec extends AnyFunSuite {
 
   test("simhash60 is bit-identical to the batch SQL fingerprint") {
     import spark.implicits._
+    // doc 6 pins trailing-whitespace parity: Spark SQL's split keeps the
+    // trailing empty string (md5("") votes), so simhash60 must too
     val docs = Seq((1L, textA), (2L, textA2), (3L, textB), (4L, "solo"),
-      (5L, "repeat repeat repeat distinct")).toDF("doc_id", "text")
+      (5L, "repeat repeat repeat distinct"), (6L, "trailing space ")).toDF("doc_id", "text")
     val voteAggs = (0 until 60).map { i =>
       org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.expr(
         s"CASE WHEN (hl div ${1L << i}L) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$i")
@@ -43,7 +45,7 @@ class StreamNearDedupSpec extends AnyFunSuite {
       .selectExpr("doc_id", s"$assemble AS simhash")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     Seq(1L -> textA, 2L -> textA2, 3L -> textB, 4L -> "solo",
-      5L -> "repeat repeat repeat distinct").foreach { case (id, txt) =>
+      5L -> "repeat repeat repeat distinct", 6L -> "trailing space ").foreach { case (id, txt) =>
       assert(StreamNearDedup.simhash60(txt) === sqlFps(id), s"doc $id")
     }
   }
@@ -72,18 +74,10 @@ class StreamNearDedupSpec extends AnyFunSuite {
     Seq(StreamNearDedup.Doc(t(10050), 6L, textA))
       .toDS().coalesce(1).write.parquet(s"$base/in/p4")
     // FileStreamSource orders by modification time; pin batch order
-    def touch(dir: String, sec: Long): Unit = {
-      val d = java.nio.file.Paths.get(dir)
-      val s = java.nio.file.Files.list(d)
-      try (java.util.stream.Stream.concat(java.util.stream.Stream.of(d), s)).forEach { p =>
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(sec * 1000L))
-      } finally s.close()
-    }
-    touch(s"$base/in/p1", 1000L)
-    touch(s"$base/in/p2", 2000L)
-    touch(s"$base/in/p3", 3000L)
-    touch(s"$base/in/p4", 4000L)
+    graft.TestSpark.touch(s"$base/in/p1", 1000L)
+    graft.TestSpark.touch(s"$base/in/p2", 2000L)
+    graft.TestSpark.touch(s"$base/in/p3", 3000L)
+    graft.TestSpark.touch(s"$base/in/p4", 4000L)
 
     val stream = spark.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[StreamNearDedup.Doc]].schema)
