@@ -38,11 +38,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(children.length == 1, "json_all_keys_dollar expects exactly 1 argument")
       JsonAllKeysDollar(children.head)
     }
+    val sign: FunctionBuilder = { (children: Seq[Expression]) =>
+      require(children.length == 2, "sign_bits expects exactly 2 arguments")
+      SignBits(children(0), children(1))
+    }
+    val elemSign: FunctionBuilder = { (children: Seq[Expression]) =>
+      require(children.length == 2, "element_sign_bits expects exactly 2 arguments")
+      children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+          ElementSignBits(children(0), n)
+        case other => throw new IllegalArgumentException(
+          s"element_sign_bits expects a literal int bit-count, got $other")
+      }
+    }
+    val nearest: FunctionBuilder = { (children: Seq[Expression]) =>
+      require(children.length == 3, "nearest_cell expects exactly 3 arguments")
+      NearestCell(children(0), children(1), children(2))
+    }
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - sequential dot product of two array<double> columns"),
       dot))
     ext.injectFunction((FunctionIdentifier("json_all_keys_dollar"),
       info("json_all_keys_dollar", "json_all_keys_dollar(doc) - true iff every top-level key of the JSON object starts with '$'"),
       allDollar))
+    ext.injectFunction((FunctionIdentifier("sign_bits"),
+      info("sign_bits", "sign_bits(v, planes) - LSH signature: bit i set iff dot(v, planes[i]) >= 0"),
+      sign))
+    ext.injectFunction((FunctionIdentifier("element_sign_bits"),
+      info("element_sign_bits", "element_sign_bits(v, n) - bit i set iff v[i] >= 0, for the first n elements (n a literal int)"),
+      elemSign))
+    ext.injectFunction((FunctionIdentifier("nearest_cell"),
+      info("nearest_cell", "nearest_cell(v, nrm, cells) - centroid id with the highest 4-dp-rounded cosine against the array<struct<cid, cv, cn>> codebook"),
+      nearest))
   }
 }
