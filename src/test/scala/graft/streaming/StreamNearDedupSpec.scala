@@ -50,6 +50,33 @@ class StreamNearDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash60 matches the batch SQL fingerprint on random texts (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // alphabet biased toward collisions and edge shapes: repeated words,
+    // single chars, multi-space runs (empty words), trailing spaces
+    val words = Vector("a", "b", "ab", "the", "quick", "zz9", "", "x")
+    val texts = (0 until 40).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(12))).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val voteAggs = (0 until 60).map { i =>
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.expr(
+        s"CASE WHEN (hl div ${1L << i}L) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$i")
+    }
+    val assemble = (0 until 60).map(i => s"if(s$i > 0, ${1L << i}L, 0L)").mkString(" + ")
+    val sqlFps = docs
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+      .selectExpr("doc_id", "cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) AS hl")
+      .groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .selectExpr("doc_id", s"$assemble AS simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, txt) =>
+      assert(StreamNearDedup.simhash60(txt) === sqlFps(id),
+        s"doc $id text=${txt.map(c => if (c == ' ') '_' else c)}")
+    }
+  }
+
   test("fixture pair shares the LSH bucket at small Hamming distance") {
     val fa = StreamNearDedup.simhash60(textA)
     val fb = StreamNearDedup.simhash60(textA2)
