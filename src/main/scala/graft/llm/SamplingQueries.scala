@@ -24,7 +24,58 @@ object SamplingQueries {
     NamedQuery("text_entropy", unigramEntropy, Some(unigramEntropySql)),
     NamedQuery("text_cross_entropy", crossEntropy, Some(crossEntropySql)),
     NamedQuery("text_tfidf_keyword", tfidfKeyword, Some(tfidfKeywordSql)),
+    NamedQuery("text_kl_by_source", klBySource, Some(klBySourceSql)),
   )
+
+  // ---------------------------------------------------------------
+  // Per-source distribution drift: KL(source ‖ corpus) over the word
+  // distributions — the monitoring signal that flags a crawl source
+  // whose content shifted (spam injection, template change, language
+  // drift) relative to the corpus at large. Shape: one (source, word)
+  // aggregation (the only corpus-sized shuffle), then everything else
+  // is vocabulary-bounded — per-source totals and the corpus frequency
+  // table both broadcast, and the final per-source reduce is one tiny
+  // exchange. Since every source's words are a subset of the corpus,
+  // q(w) > 0 always and KL is finite by construction.
+  private def klBySource(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.fanOut(table(spark, dir, "documents"))
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val sc = words.groupBy(col("source"), col("word")).agg(count(lit(1)).as("sc"))
+    val st = sc.groupBy(col("source"))
+      .agg(sum(col("sc")).as("st"), count(lit(1)).as("n_terms"))
+    val wc = words.groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val t = wc.agg(sum(col("wc")).cast("double").as("t"))
+    val p = col("sc").cast("double") / col("st").cast("double")
+    val q = col("wc").cast("double") / col("t")
+    sc.join(broadcast(st), "source")
+      .join(broadcast(wc), "word")
+      .crossJoin(broadcast(t))
+      .groupBy(col("source"), col("st").as("n_tokens"), col("n_terms"))
+      .agg(rnd(sum(p * log(p / q)), 6).as("kl"))
+      .select(col("source"), col("n_tokens"), col("n_terms"), col("kl"))
+      .orderBy(col("source"))
+  }
+
+  private val klBySourceSql =
+    """WITH w AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+      |), sc AS (
+      |  SELECT source, word, count(*) AS sc FROM w GROUP BY source, word
+      |), st AS (
+      |  SELECT source, CAST(sum(sc) AS BIGINT) AS st,
+      |    CAST(count(*) AS BIGINT) AS n_terms
+      |  FROM sc GROUP BY source
+      |), f AS (
+      |  SELECT word, count(*) AS wc FROM w GROUP BY word
+      |), t AS (
+      |  SELECT CAST(sum(wc) AS DOUBLE) AS t FROM f
+      |)
+      |SELECT sc.source, st.st AS n_tokens, st.n_terms,
+      |  CAST(round(CAST(sum((sc.sc / st.st) * ln((sc.sc / st.st) / (f.wc / t.t)))
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS kl
+      |FROM sc JOIN st USING (source) JOIN f USING (word), t
+      |GROUP BY sc.source, st.st, st.n_terms
+      |ORDER BY sc.source""".stripMargin
 
   // ---------------------------------------------------------------
   // Deterministic weighted sample: A-ES-style priority sampling where

@@ -53,6 +53,7 @@ object MoreRelational {
     NamedQuery("events_activity_streaks", activityStreaks, Some(activityStreaksSql)),
     NamedQuery("events_transitions", transitions, Some(transitionsSql)),
     NamedQuery("events_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
+    NamedQuery("events_attribution_last_touch", attributionLastTouch, Some(attributionLastTouchSql)),
   )
 
   // ---------------------------------------------------------------
@@ -947,5 +948,54 @@ object MoreRelational {
       |  abs(CAST(round(CAST((value - mu) / sd AS DECIMAL(18,8)), 4) AS DOUBLE)) >= 1.5 AS is_outlier
       |FROM w
       |WHERE n_win >= 5 AND sd > 0
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Last-touch attribution: each purchase credited to the user's most
+  // recent non-purchase event within the preceding hour. One window
+  // carries the last non-purchase (sec, id, type) struct forward with
+  // IGNORE NULLS over (sec, event_id) ROWS ordering — identical frames
+  // in both engines — and the hour cut is applied after, so a stale
+  // touch yields an explicit unattributed purchase row (touch columns
+  // NULL) rather than a dropped one. One user_id exchange; the frame
+  // never materializes history, it carries a single struct.
+  private def attributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inWindow = col("touch").isNotNull && col("touch.t_sec") >= col("sec") - 3600
+    Tables.events(spark, dir)
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase",
+          struct(col("sec").as("t_sec"), col("event_id").as("t_id"),
+            col("event_type").as("t_type"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("sec"), col("value"),
+        when(inWindow, col("touch.t_id")).as("touch_event_id"),
+        when(inWindow, col("touch.t_type")).as("touch_type"),
+        when(inWindow, col("sec") - col("touch.t_sec")).as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  private val attributionLastTouchSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    epoch_ns(ts) // 1000000000 AS sec
+      |  FROM events
+      |), t AS (
+      |  SELECT event_id, user_id, event_type, value, sec,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN sec END IGNORE NULLS) OVER win AS t_sec,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS) OVER win AS t_id,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER win AS t_type
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY sec, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_id, user_id, sec, value,
+      |  CASE WHEN t_sec >= sec - 3600 THEN t_id END AS touch_event_id,
+      |  CASE WHEN t_sec >= sec - 3600 THEN t_type END AS touch_type,
+      |  CASE WHEN t_sec >= sec - 3600 THEN sec - t_sec END AS gap_sec
+      |FROM t WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 }
