@@ -43,7 +43,10 @@ object SamplingQueries {
     val sc = words.groupBy(col("source"), col("word")).agg(count(lit(1)).as("sc"))
     val st = sc.groupBy(col("source"))
       .agg(sum(col("sc")).as("st"), count(lit(1)).as("n_terms"))
-    val wc = words.groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    // corpus frequencies DERIVE from the per-source counts — the
+    // corpus-sized explode+shuffle runs once; this rollup reduces
+    // |sources × vocab| rows, not the corpus
+    val wc = sc.groupBy(col("word")).agg(sum(col("sc")).as("wc"))
     val t = wc.agg(sum(col("wc")).cast("double").as("t"))
     val p = col("sc").cast("double") / col("st").cast("double")
     val q = col("wc").cast("double") / col("t")
@@ -66,7 +69,7 @@ object SamplingQueries {
       |    CAST(count(*) AS BIGINT) AS n_terms
       |  FROM sc GROUP BY source
       |), f AS (
-      |  SELECT word, count(*) AS wc FROM w GROUP BY word
+      |  SELECT word, CAST(sum(sc) AS BIGINT) AS wc FROM sc GROUP BY word
       |), t AS (
       |  SELECT CAST(sum(wc) AS DOUBLE) AS t FROM f
       |)
