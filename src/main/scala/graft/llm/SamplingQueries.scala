@@ -40,12 +40,16 @@ object SamplingQueries {
   private def klBySource(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.fanOut(table(spark, dir, "documents"))
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    // localCheckpoint: four consumers (sc itself, st, wc, t) would each
+    // re-run the corpus explode+shuffle lineage — Spark has no shared-
+    // subplan materialization (same q2/cluster_canonical note). The
+    // checkpointed relation is |sources × vocab| rows (vocabulary-
+    // bounded), so pinning it is cheap at any corpus size and every
+    // rollup below reduces it, not the corpus.
     val sc = words.groupBy(col("source"), col("word")).agg(count(lit(1)).as("sc"))
+      .localCheckpoint()
     val st = sc.groupBy(col("source"))
       .agg(sum(col("sc")).as("st"), count(lit(1)).as("n_terms"))
-    // corpus frequencies DERIVE from the per-source counts — the
-    // corpus-sized explode+shuffle runs once; this rollup reduces
-    // |sources × vocab| rows, not the corpus
     val wc = sc.groupBy(col("word")).agg(sum(col("sc")).as("wc"))
     val t = wc.agg(sum(col("wc")).cast("double").as("t"))
     val p = col("sc").cast("double") / col("st").cast("double")

@@ -224,6 +224,32 @@ class PlanSpec extends AnyFunSuite {
     assert(windowOps <= 1, s"expected a single Window operator, found $windowOps\n" + p.take(800))
   }
 
+  test("KL drift: one corpus-sized shuffle; corpus frequencies derive from source counts") {
+    val p = plan("text_kl_by_source")
+    assert(!p.contains("SortMergeJoin"),
+      "per-source totals and corpus frequencies are vocabulary-bounded and must broadcast")
+    // at most one explode of the corpus in the final plan: the (source,
+    // word) counts are localCheckpointed (their own single explode job)
+    // and every rollup must reuse that pinned relation, not re-explode
+    // the documents scan per consumer
+    val generates = "Generate explode".r.findAllMatchIn(p).size
+    assert(generates <= 1, s"expected at most one corpus explode, found $generates\n" + p.take(800))
+    assert(p.contains("ExistingRDD"),
+      "the shared (source, word) counts must be the checkpointed relation")
+  }
+
+  test("last-touch attribution shares one user_id exchange for the window carry") {
+    val p = plan("events_attribution_last_touch")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllMatchIn(p).size
+    assert(userExchanges <= 1, s"found $userExchanges\n" + p.take(800))
+    assert(!p.contains("Join"), "attribution is a window carry, not a self-join")
+  }
+
+  test("BPE merge step takes top-20 via TakeOrderedAndProject, not a global sort") {
+    val p = plan("text_bpe_merge_step")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("k-means update: native assignment, map-side-combined centroid sums") {
     val p = plan("sim_kmeans_update")
     assert(p.contains("nearest_cell"),
