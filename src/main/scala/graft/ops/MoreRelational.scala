@@ -54,6 +54,8 @@ object MoreRelational {
     NamedQuery("events_transitions", transitions, Some(transitionsSql)),
     NamedQuery("events_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
     NamedQuery("events_attribution_last_touch", attributionLastTouch, Some(attributionLastTouchSql)),
+    NamedQuery("agg_mad_robust", madRobust, Some(madRobustSql)),
+    NamedQuery("events_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
   )
 
   // ---------------------------------------------------------------
@@ -998,4 +1000,75 @@ object MoreRelational {
       |  CASE WHEN t_sec >= sec - 3600 THEN sec - t_sec END AS gap_sec
       |FROM t WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Robust dispersion per event class: median + MAD (median absolute
+  // deviation), the outlier-resistant twin of avg/stddev — a handful
+  // of fat-finger values shift stddev arbitrarily but move MAD by at
+  // most one order statistic. Two grouped EXACT percentile passes with
+  // the (5-row) median table broadcast between them; exact percentile
+  // per group is an O(group) sort at worst, the right trade below the
+  // approx_percentile crossover, and the group count here is bounded
+  // by the event-type domain.
+  private def madRobust(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(first(col("med")), 6).as("median_value"),
+        rnd(expr("percentile(dev, 0.5D)"), 6).as("mad"))
+      .orderBy(col("event_type"))
+  }
+
+  private val madRobustSql =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(round(CAST(m.med AS DECIMAL(18,8)), 6) AS DOUBLE) AS median_value,
+      |  CAST(round(CAST(quantile_cont(abs(e.value - m.med), 0.5) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mad
+      |FROM events e JOIN med m USING (event_type)
+      |GROUP BY e.event_type, m.med
+      |ORDER BY e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Time-weighted average per user — the telemetry/billing mean where
+  // each reading holds until the next one, so sparse bursts don't
+  // dominate: weight = seconds until the user's next event (lead
+  // window), TWA = Σ(value·dur)/Σ(dur). Users with one event (or only
+  // simultaneous events) have no holding intervals and surface with
+  // n_intervals = 0 rather than dropping out. One user_id exchange
+  // serves both the lead window and the final aggregation.
+  private def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("dur", lead(col("sec"), 1).over(w) - col("sec"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("dur") > 0, 1).otherwise(0)).cast("long").as("n_intervals"),
+        coalesce(sum(when(col("dur") > 0, col("dur"))), lit(0L)).as("span_sec"),
+        rnd(sum(when(col("dur") > 0, col("value") * col("dur"))) /
+          sum(when(col("dur") > 0, col("dur"))), 6).as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  private val timeWeightedAvgSql =
+    """WITH d AS (
+      |  SELECT user_id, value,
+      |    lead(epoch_ns(ts) // 1000000000) OVER win - epoch_ns(ts) // 1000000000 AS dur
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000, event_id)
+      |)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN dur > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals,
+      |  COALESCE(CAST(sum(CASE WHEN dur > 0 THEN dur END) AS BIGINT), 0) AS span_sec,
+      |  CAST(round(CAST(sum(CASE WHEN dur > 0 THEN value * dur END)
+      |    / sum(CASE WHEN dur > 0 THEN dur END) AS DECIMAL(18,8)), 6) AS DOUBLE) AS twa
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 }
