@@ -245,6 +245,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "attribution is a window carry, not a self-join")
   }
 
+  test("time-weighted average shares one user_id exchange between window and agg") {
+    val p = plan("events_time_weighted_avg")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllMatchIn(p).size
+    assert(userExchanges <= 1, s"found $userExchanges\n" + p.take(800))
+  }
+
+  test("MAD broadcasts the per-class medians between the two percentile passes") {
+    val p = plan("agg_mad_robust")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "the median table is bounded by the event-type domain and must broadcast")
+  }
+
   test("BPE merge step takes top-20 via TakeOrderedAndProject, not a global sort") {
     val p = plan("text_bpe_merge_step")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
