@@ -45,10 +45,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val elemSign: FunctionBuilder = { (children: Seq[Expression]) =>
       require(children.length == 2, "element_sign_bits expects exactly 2 arguments")
       children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
-          ElementSignBits(children(0), n)
+        case org.apache.spark.sql.catalyst.expressions.Literal(n, _)
+            if n.isInstanceOf[Byte] || n.isInstanceOf[Short] ||
+              n.isInstanceOf[Int] || n.isInstanceOf[Long] =>
+          val v = n match {
+            case b: Byte => b.toLong; case s: Short => s.toLong
+            case i: Int  => i.toLong; case l: Long  => l
+          }
+          require(v >= 0 && v <= 64, s"element_sign_bits bit count must be in [0, 64], got $v")
+          ElementSignBits(children(0), v.toInt)
         case other => throw new IllegalArgumentException(
-          s"element_sign_bits expects a literal int bit-count, got $other")
+          s"element_sign_bits expects a literal integral bit-count, got $other")
       }
     }
     val nearest: FunctionBuilder = { (children: Seq[Expression]) =>

@@ -26,13 +26,28 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
 object StreamAnomaly {
 
   final case class Ev(ts: Timestamp, user_id: Long, event_id: Long, value: Double)
-  final case class Welford(n: Long, mean: Double, m2: Double)
+
+  final case class Welford(n: Long, mean: Double, m2: Double) {
+    /** One Welford step — the single production update, also exercised
+      * directly by the spec's numeric reference test. */
+    def add(x: Double): Welford = {
+      val n1 = n + 1
+      val d = x - mean
+      val mean1 = mean + d / n1
+      Welford(n1, mean1, m2 + d * (x - mean1))
+    }
+    def sampleVariance: Double = if (n >= 2) m2 / (n - 1) else 0.0
+  }
   final case class Scored(
       ts: Timestamp, user_id: Long, event_id: Long, value: Double,
       n_baseline: Long, z: Double, is_outlier: Boolean)
 
-  /** Minimum baseline size before scoring — matches the batch query's
-    * `n_win >= 5` floor. */
+  /** Minimum baseline size (strict predecessors) before scoring. The
+    * batch twin's `n_win >= 5` RANGE frame INCLUDES the scored event,
+    * so this floor is one event stricter — deliberately: the streaming
+    * baseline is self-exclusive (the event never contributes to the
+    * mean/sd it is judged against), which is the whole point of
+    * pre-update scoring. */
   val MinBaseline = 5L
 
   final class Processor(zCut: Double, ttl: TTLConfig)
@@ -49,17 +64,12 @@ object StreamAnomaly {
       // event-time order within the batch: the baseline each event sees
       // is exactly the set of its predecessors
       rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val variance = if (w.n >= 2) w.m2 / (w.n - 1) else 0.0
-        val sd = math.sqrt(variance)
+        val sd = math.sqrt(w.sampleVariance)
         val scorable = w.n >= MinBaseline && sd > 0
         val z = if (scorable) (e.value - w.mean) / sd else 0.0
         out += Scored(e.ts, key, e.event_id, e.value, w.n,
-          if (scorable) z else 0.0, scorable && math.abs(z) >= zCut)
-        // Welford update AFTER scoring
-        val n1 = w.n + 1
-        val d = e.value - w.mean
-        val mean1 = w.mean + d / n1
-        w = Welford(n1, mean1, w.m2 + d * (e.value - mean1))
+          z, scorable && math.abs(z) >= zCut)
+        w = w.add(e.value) // AFTER scoring
       }
       st.update(w)
       out.result().iterator

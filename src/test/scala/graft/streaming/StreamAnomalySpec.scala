@@ -16,15 +16,12 @@ class StreamAnomalySpec extends AnyFunSuite {
 
   test("welford matches the two-pass mean/stddev on a reference sequence") {
     val xs = Vector(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)
-    var w = StreamAnomaly.Welford(0L, 0.0, 0.0)
-    xs.foreach { x =>
-      val n1 = w.n + 1; val d = x - w.mean; val mean1 = w.mean + d / n1
-      w = StreamAnomaly.Welford(n1, mean1, w.m2 + d * (x - mean1))
-    }
+    // the PRODUCTION update (Welford.add), not an inline re-derivation
+    val w = xs.foldLeft(StreamAnomaly.Welford(0L, 0.0, 0.0))(_.add(_))
     val mean = xs.sum / xs.size
     val varS = xs.map(x => (x - mean) * (x - mean)).sum / (xs.size - 1)
     assert(math.abs(w.mean - mean) < 1e-12)
-    assert(math.abs(w.m2 / (w.n - 1) - varS) < 1e-12)
+    assert(math.abs(w.sampleVariance - varS) < 1e-12)
   }
 
   test("outliers flag against the pre-update baseline, across micro-batches") {
