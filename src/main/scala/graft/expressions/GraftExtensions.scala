@@ -69,10 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("json_all_keys_dollar", "json_all_keys_dollar(doc) - true iff every top-level key of the JSON object starts with '$'"),
       allDollar))
     ext.injectFunction((FunctionIdentifier("sign_bits"),
-      info("sign_bits", "sign_bits(v, planes) - LSH signature: bit i set iff dot(v, planes[i]) >= 0"),
+      info("sign_bits", "sign_bits(v, planes) - LSH signature: bit i set iff dot(v, planes[i]) > 0 (strict, matching the batch lambda)"),
       sign))
     ext.injectFunction((FunctionIdentifier("element_sign_bits"),
-      info("element_sign_bits", "element_sign_bits(v, n) - bit i set iff v[i] >= 0, for the first n elements (n a literal int)"),
+      info("element_sign_bits", "element_sign_bits(v, n) - bit i set iff v[i] > 0 (strict), for the first n elements (n a literal int)"),
       elemSign))
     ext.injectFunction((FunctionIdentifier("nearest_cell"),
       info("nearest_cell", "nearest_cell(v, nrm, cells) - centroid id with the highest 4-dp-rounded cosine against the array<struct<cid, cv, cn>> codebook"),

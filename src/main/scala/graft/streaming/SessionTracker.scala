@@ -40,25 +40,30 @@ object SessionTracker {
     override def handleInputRows(
         key: Long, rows: Iterator[Ev], timers: TimerValues): Iterator[Session] = {
       val prev = if (sess.exists()) sess.get() else null
-      var agg = prev
-      val closed = Vector.newBuilder[Session]
-      // event-time order, and close ON ARRIVAL when an event lands more
-      // than `gap` after the open session's end: the split must not
-      // depend on the watermark (other keys' traffic) having already
-      // fired the close timer — a backfill delivering both sides of a
-      // gap in one micro-batch still yields two sessions
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime
-        agg =
-          if (agg == null) SessAgg(t, t, 1L, e.value)
-          else if (t > agg.endMs + gapMs) {
-            closed += Session(key, new Timestamp(agg.startMs),
-              new Timestamp(agg.endMs), agg.n, agg.total)
-            SessAgg(t, t, 1L, e.value)
-          } else SessAgg(math.min(agg.startMs, t), math.max(agg.endMs, t),
-            agg.n + 1L, agg.total + e.value)
-      }
-      if (agg != null) {
+      // Interval sweep-merge: the stored session and each arrival are
+      // spans; spans whose silence is within `gap` coalesce. Splits must
+      // not depend on the watermark (other keys' traffic) having fired
+      // the close timer, and they must work on BOTH sides — a backfill
+      // delivering both sides of a gap in one batch yields two sessions,
+      // and an admissible out-of-order event more than `gap` EARLIER
+      // than the open session's start forms (and closes) its own
+      // session rather than merging across the silence. Everything but
+      // the latest span closes on the spot; only the latest can still
+      // grow under the watermark.
+      val items = (Option(prev).toList ++ rows.map(e =>
+          SessAgg(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+        .sortBy(a => (a.startMs, a.endMs))
+      val merged = items.foldLeft(List.empty[SessAgg]) {
+        case (Nil, it) => it :: Nil
+        case (cur :: done, it) =>
+          if (it.startMs <= cur.endMs + gapMs)
+            SessAgg(cur.startMs, math.max(cur.endMs, it.endMs),
+              cur.n + it.n, cur.total + it.total) :: done
+          else it :: cur :: done
+      }.reverse
+      val closed = merged.dropRight(1).map(a =>
+        Session(key, new Timestamp(a.startMs), new Timestamp(a.endMs), a.n, a.total))
+      merged.lastOption.foreach { agg =>
         // keep exactly one armed timer per key: re-arm at the (possibly
         // extended or re-opened) session end
         val newExpiry = agg.endMs + gapMs
@@ -68,7 +73,7 @@ object SessionTracker {
           getHandle.registerTimer(newExpiry)
         sess.update(agg)
       }
-      closed.result().iterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(

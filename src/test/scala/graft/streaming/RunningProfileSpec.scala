@@ -21,10 +21,7 @@ class RunningProfileSpec extends AnyFunSuite {
     graft.TestSpark.touch(s"$base/in/p1", 1000L)
     graft.TestSpark.touch(s"$base/in/p2", 2000L)
 
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    graft.TestSpark.withRocksDB {
       val stream = spark.readStream
         .schema(implicitly[org.apache.spark.sql.Encoder[ProfileEvent]].schema)
         .option("maxFilesPerTrigger", "1")
@@ -50,11 +47,6 @@ class RunningProfileSpec extends AnyFunSuite {
           |  FROM rprof_out) WHERE rn = 1""".stripMargin)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(last === Set((1L, 3L, 15.0), (2L, 1L, 5.0), (3L, 1L, 7.0)))
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 }

@@ -39,33 +39,24 @@ class SessionTrackerSpec extends AnyFunSuite {
 
     // transformWithState requires the RocksDB state store provider;
     // scope it to this query and restore the session default after
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val stream = spark.readStream
-        .schema(implicitly[org.apache.spark.sql.Encoder[SessionTracker.Ev]].schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(s"$base/in")
-        .as[SessionTracker.Ev]
+    graft.TestSpark.withRocksDB {
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionTracker.Ev]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+      .as[SessionTracker.Ev]
 
-      val q = SessionTracker.sessions(stream, gapSec = 300L, lateSec = 10L)
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName("sesstrack_out")
-        .trigger(Trigger.ProcessingTime(100))
-        .option("checkpointLocation", s"$base/ckpt")
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None    => spark.conf.unset(providerKey)
-      }
+    val q = SessionTracker.sessions(stream, gapSec = 300L, lateSec = 10L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sesstrack_out")
+      .trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
     }
 
     val rows = spark.sql(
@@ -81,6 +72,51 @@ class SessionTrackerSpec extends AnyFunSuite {
     assert(rows(2L) === ((150L, 150L, 1L, 2.0)), "singleton session")
   }
 
+  test("an admissible out-of-order event beyond the gap forms its own earlier session") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sessearly").toString
+    // batch 1: the open session starts at t=1000 (watermark -> 400 with
+    // lateSec=600, so t=500 and t=900 below are both admissible)
+    Seq(SessionTracker.Ev(t(1000), 8L, 1.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p1")
+    // batch 2, out of order: t=500 sits more than the 300s gap BEFORE
+    // the open session's start -> its own (closed) session; t=900 is
+    // within the gap -> merges into the open session
+    Seq(SessionTracker.Ev(t(500), 8L, 2.0), SessionTracker.Ev(t(900), 8L, 3.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p2")
+    graft.TestSpark.touch(s"$base/in/p1", 1000L)
+    graft.TestSpark.touch(s"$base/in/p2", 2000L)
+
+    graft.TestSpark.withRocksDB {
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionTracker.Ev]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+      .as[SessionTracker.Ev]
+    val q = SessionTracker.sessions(stream, gapSec = 300L, lateSec = 600L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessearly_out")
+      .trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    }
+
+    val rows = spark.sql(
+      "SELECT session_start, session_end, n_events, total_value FROM sessearly_out")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000,
+        r.getLong(2), r.getDouble(3)))
+      .toSet
+    // only the early orphan closed; the (merged) 900..1000 session is
+    // still open awaiting its timer
+    assert(rows === Set((500L, 500L, 1L, 2.0)))
+  }
+
   test("a gap wider than the window splits sessions on arrival, even within one batch") {
     import spark.implicits._
     val base = Files.createTempDirectory("sesssplit").toString
@@ -89,31 +125,22 @@ class SessionTrackerSpec extends AnyFunSuite {
     Seq(SessionTracker.Ev(t(100), 7L, 1.5), SessionTracker.Ev(t(1000), 7L, 2.5))
       .toDS().coalesce(1).write.parquet(s"$base/in/p1")
 
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val stream = spark.readStream
-        .schema(implicitly[org.apache.spark.sql.Encoder[SessionTracker.Ev]].schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(s"$base/in")
-        .as[SessionTracker.Ev]
-      val q = SessionTracker.sessions(stream, gapSec = 300L, lateSec = 10L)
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName("sesssplit_out")
-        .trigger(Trigger.ProcessingTime(100))
-        .option("checkpointLocation", s"$base/ckpt")
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None    => spark.conf.unset(providerKey)
-      }
+    graft.TestSpark.withRocksDB {
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionTracker.Ev]].schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+      .as[SessionTracker.Ev]
+    val q = SessionTracker.sessions(stream, gapSec = 300L, lateSec = 10L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sesssplit_out")
+      .trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
     }
 
     val rows = spark.sql(

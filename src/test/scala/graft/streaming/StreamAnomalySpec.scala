@@ -38,35 +38,26 @@ class StreamAnomalySpec extends AnyFunSuite {
     graft.TestSpark.touch(s"$base/in/p1", 1000L)
     graft.TestSpark.touch(s"$base/in/p2", 2000L)
 
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val stream = spark.readStream
-        .schema(implicitly[org.apache.spark.sql.Encoder[StreamAnomaly.Ev]].schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(s"$base/in")
-        .as[StreamAnomaly.Ev]
-      // ttl = None: TimeMode.None lets processAllAvailable observe the
-      // drained stream (the TTL variant's ProcessingTime trigger loop
-      // never goes idle and must be driven by sink progress instead)
-      val q = StreamAnomaly.scored(stream, zCut = 3.0, ttl = None)
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName("sanomaly_out")
-        .trigger(Trigger.ProcessingTime(100))
-        .option("checkpointLocation", s"$base/ckpt")
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None    => spark.conf.unset(providerKey)
-      }
+    graft.TestSpark.withRocksDB {
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamAnomaly.Ev]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+      .as[StreamAnomaly.Ev]
+    // ttl = None: TimeMode.None lets processAllAvailable observe the
+    // drained stream (the TTL variant's ProcessingTime trigger loop
+    // never goes idle and must be driven by sink progress instead)
+    val q = StreamAnomaly.scored(stream, zCut = 3.0, ttl = None)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sanomaly_out")
+      .trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
     }
 
     val rows = spark.sql(
@@ -94,38 +85,29 @@ class StreamAnomalySpec extends AnyFunSuite {
     } :+ StreamAnomaly.Ev(t(200), 1L, 5L, 50.0))
       .toDS().coalesce(1).write.parquet(s"$base/in/p1")
 
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val stream = spark.readStream
-        .schema(implicitly[org.apache.spark.sql.Encoder[StreamAnomaly.Ev]].schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(s"$base/in")
-        .as[StreamAnomaly.Ev]
-      val q = StreamAnomaly.scored(stream, zCut = 3.0,
-          ttl = Some(java.time.Duration.ofHours(1)))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName("sanomaly_ttl_out")
-        .trigger(Trigger.ProcessingTime(100))
-        .option("checkpointLocation", s"$base/ckpt")
-        .start()
-      // the ProcessingTime trigger loop never goes idle, so await the
-      // sink instead of processAllAvailable (see StreamAnomaly.scored)
-      def emitted(): Long =
-        spark.sql("SELECT count(*) FROM sanomaly_ttl_out").head().getLong(0)
-      val deadline = System.currentTimeMillis() + 120000
-      while (emitted() < 6 && System.currentTimeMillis() < deadline) Thread.sleep(200)
-      q.stop()
-      assert(emitted() === 6, "all six events scored")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None    => spark.conf.unset(providerKey)
-      }
+    graft.TestSpark.withRocksDB {
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamAnomaly.Ev]].schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+      .as[StreamAnomaly.Ev]
+    val q = StreamAnomaly.scored(stream, zCut = 3.0,
+        ttl = Some(java.time.Duration.ofHours(1)))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sanomaly_ttl_out")
+      .trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    // the ProcessingTime trigger loop never goes idle, so await the
+    // sink instead of processAllAvailable (see StreamAnomaly.scored)
+    def emitted(): Long =
+      spark.sql("SELECT count(*) FROM sanomaly_ttl_out").head().getLong(0)
+    val deadline = System.currentTimeMillis() + 120000
+    while (emitted() < 6 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    q.stop()
+    assert(emitted() === 6, "all six events scored")
     }
     val spike = spark.sql(
       "SELECT n_baseline, is_outlier FROM sanomaly_ttl_out WHERE event_id = 5").head()

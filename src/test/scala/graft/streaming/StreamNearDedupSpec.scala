@@ -27,31 +27,36 @@ class StreamNearDedupSpec extends AnyFunSuite {
   private val textD = "late era filler document that only exists to push the " +
     "event time watermark far past every earlier arrival in the stream"
 
-  test("simhash60 is bit-identical to the batch SQL fingerprint") {
+  /** Batch-side fingerprint of (doc_id, text) pairs via the SAME SQL
+    * vote aggregation as `DedupQueries.fingerprints` — the reference
+    * both parity tests compare simhash60 against. */
+  private def sqlFingerprints(texts: Seq[(Long, String)]): Map[Long, Long] = {
     import spark.implicits._
-    // doc 6 pins trailing-whitespace parity: Spark SQL's split keeps the
-    // trailing empty string (md5("") votes), so simhash60 must too
-    val docs = Seq((1L, textA), (2L, textA2), (3L, textB), (4L, "solo"),
-      (5L, "repeat repeat repeat distinct"), (6L, "trailing space ")).toDF("doc_id", "text")
     val voteAggs = (0 until 60).map { i =>
       org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.expr(
         s"CASE WHEN (hl div ${1L << i}L) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$i")
     }
     val assemble = (0 until 60).map(i => s"if(s$i > 0, ${1L << i}L, 0L)").mkString(" + ")
-    val sqlFps = docs
+    texts.toDF("doc_id", "text")
       .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
       .selectExpr("doc_id", "cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) AS hl")
       .groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
       .selectExpr("doc_id", s"$assemble AS simhash")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    Seq(1L -> textA, 2L -> textA2, 3L -> textB, 4L -> "solo",
-      5L -> "repeat repeat repeat distinct", 6L -> "trailing space ").foreach { case (id, txt) =>
+  }
+
+  test("simhash60 is bit-identical to the batch SQL fingerprint") {
+    // doc 6 pins trailing-whitespace parity: Spark SQL's split keeps the
+    // trailing empty string (md5("") votes), so simhash60 must too
+    val texts = Seq(1L -> textA, 2L -> textA2, 3L -> textB, 4L -> "solo",
+      5L -> "repeat repeat repeat distinct", 6L -> "trailing space ")
+    val sqlFps = sqlFingerprints(texts)
+    texts.foreach { case (id, txt) =>
       assert(StreamNearDedup.simhash60(txt) === sqlFps(id), s"doc $id")
     }
   }
 
   test("simhash60 matches the batch SQL fingerprint on random texts (property)") {
-    import spark.implicits._
     val rnd = new scala.util.Random(42)
     // alphabet biased toward collisions and edge shapes: repeated words,
     // single chars, multi-space runs (empty words), trailing spaces
@@ -59,18 +64,7 @@ class StreamNearDedupSpec extends AnyFunSuite {
     val texts = (0 until 40).map { i =>
       (i.toLong, (0 until (1 + rnd.nextInt(12))).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
     }
-    val docs = texts.toDF("doc_id", "text")
-    val voteAggs = (0 until 60).map { i =>
-      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.expr(
-        s"CASE WHEN (hl div ${1L << i}L) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$i")
-    }
-    val assemble = (0 until 60).map(i => s"if(s$i > 0, ${1L << i}L, 0L)").mkString(" + ")
-    val sqlFps = docs
-      .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
-      .selectExpr("doc_id", "cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) AS hl")
-      .groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-      .selectExpr("doc_id", s"$assemble AS simhash")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sqlFps = sqlFingerprints(texts)
     texts.foreach { case (id, txt) =>
       assert(StreamNearDedup.simhash60(txt) === sqlFps(id),
         s"doc $id text=${txt.map(c => if (c == ' ') '_' else c)}")
