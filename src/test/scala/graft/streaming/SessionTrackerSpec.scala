@@ -117,6 +117,67 @@ class SessionTrackerSpec extends AnyFunSuite {
     assert(rows === Set((500L, 500L, 1L, 2.0)))
   }
 
+  test("state and timers survive a checkpoint restart (exactly-once sessions)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sessrestart").toString
+    // phase 1 (first query run): session opens and extends
+    Seq(SessionTracker.Ev(t(100), 9L, 1.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p1")
+    Seq(SessionTracker.Ev(t(200), 9L, 2.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p2")
+    graft.TestSpark.touch(s"$base/in/p1", 1000L)
+    graft.TestSpark.touch(s"$base/in/p2", 2000L)
+
+    // the memory sink cannot recover from a checkpoint; the parquet
+    // file sink is the fault-tolerant exactly-once path and the point
+    // of this test
+    def run(): Unit = graft.TestSpark.withRocksDB {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[SessionTracker.Ev]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$base/in")
+        .as[SessionTracker.Ev]
+      val q = SessionTracker.sessions(stream, gapSec = 300L, lateSec = 10L)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$base/out")
+        .trigger(Trigger.ProcessingTime(100))
+        .option("checkpointLocation", s"$base/ckpt") // SAME checkpoint
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    run() // processes p1 + p2, then the query STOPS
+
+    // phase 2: new files arrive while no query runs; the restarted query
+    // must resume from the checkpointed state (open session 100..200)
+    // and timers, not re-emit or lose it
+    Seq(SessionTracker.Ev(t(2000), 10L, 9.9))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p3")
+    Seq(SessionTracker.Ev(t(2100), 10L, 0.1))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p4")
+    graft.TestSpark.touch(s"$base/in/p3", 3000L)
+    graft.TestSpark.touch(s"$base/in/p4", 4000L)
+
+    run()
+
+    // the file sink holds the complete output across both runs: the
+    // pre-restart session must close exactly once, with the aggregate
+    // built from state recovered at restart
+    val rows = spark.read.parquet(s"$base/out")
+      .selectExpr("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getTimestamp(2).getTime / 1000, r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(rows.size === 1, s"exactly one session row, got $rows")
+    assert(rows.head === ((9L, 100L, 200L, 2L, 3.0)),
+      "the pre-restart session closes exactly once with its full aggregate")
+  }
+
   test("a gap wider than the window splits sessions on arrival, even within one batch") {
     import spark.implicits._
     val base = Files.createTempDirectory("sesssplit").toString
