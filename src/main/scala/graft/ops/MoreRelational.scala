@@ -56,6 +56,8 @@ object MoreRelational {
     NamedQuery("events_attribution_last_touch", attributionLastTouch, Some(attributionLastTouchSql)),
     NamedQuery("agg_mad_robust", madRobust, Some(madRobustSql)),
     NamedQuery("events_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
+    NamedQuery("events_top_paths", topPaths, Some(topPathsSql)),
+    NamedQuery("audit_referential", auditReferential, Some(auditReferentialSql)),
   )
 
   // ---------------------------------------------------------------
@@ -1071,4 +1073,91 @@ object MoreRelational {
       |  CAST(round(CAST(sum(CASE WHEN dur > 0 THEN value * dur END)
       |    / sum(CASE WHEN dur > 0 THEN dur END) AS DECIMAL(18,8)), 6) AS DOUBLE) AS twa
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Sequence mining: the most-traveled 3-step event paths — the
+  // navigation-analysis extension of the 2-step transition matrix.
+  // Two lag windows on ONE user_id partitioning extract each
+  // consecutive triple (ordered by (sec, event_id) so ties are
+  // deterministic in both engines), then a tiny |event_types|³-bounded
+  // aggregation ranks them; top-10 with a path tiebreak.
+  private def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("e1", lag(col("event_type"), 2).over(w))
+      .withColumn("e2", lag(col("event_type"), 1).over(w))
+      .filter(col("e1").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("event_type")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("path"))).cast("long"))
+      .select(col("rank"), col("path"), col("n"))
+      .orderBy(col("rank"))
+  }
+
+  private val topPathsSql =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    lag(event_type, 2) OVER win AS e1,
+      |    lag(event_type, 1) OVER win AS e2,
+      |    event_type AS e3
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id
+      |                 ORDER BY epoch_ns(ts) // 1000000000, event_id)
+      |), p AS (
+      |  SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |  FROM s WHERE e1 IS NOT NULL GROUP BY 1
+      |)
+      |SELECT row_number() OVER (ORDER BY n DESC, path) AS rank, path, n
+      |FROM p ORDER BY n DESC, path LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Referential-integrity audit — the data-quality gate a pipeline
+  // runs before trusting a snapshot: orphan lineitems (no parent
+  // order), childless orders, orders whose o_totalprice disagrees with
+  // the computed lineitem total beyond a tolerance, and null-key rows.
+  // Shape: the child side aggregates to one row per parent BEFORE the
+  // join (map-side combined), then one orderkey full-outer join carries
+  // every violation class; the output is a fixed handful of metric
+  // rows at any scale. TPC-H's o_totalprice is computed with taxes and
+  // discounts, so the naive extendedprice sum differs — the audit
+  // reports the violation count under the exact reconstruction
+  // formula, making "0 orphans, 0 mismatches" a real invariant.
+  private def auditReferential(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(Registry.rnd(sum(Registry.dec(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))), 2)
+        .as("li_total"), count(lit(1)).as("n_lines"))
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val joined = o.join(li, col("o_orderkey") === col("l_orderkey"), "full_outer")
+    joined.agg(
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long").as("orphan_lineitem_orders"),
+        sum(when(col("l_orderkey").isNull, 1).otherwise(0)).cast("long").as("childless_orders"),
+        sum(when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull &&
+            abs(col("o_totalprice") - col("li_total")) > 0.011, 1).otherwise(0))
+          .cast("long").as("price_mismatches"),
+        count(lit(1)).as("n_audited"))
+  }
+
+  private val auditReferentialSql =
+    """WITH li AS (
+      |  SELECT l_orderkey,
+      |    CAST(round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DECIMAL(18,8)), 2) AS DOUBLE) AS li_total,
+      |    count(*) AS n_lines
+      |  FROM lineitem GROUP BY l_orderkey
+      |), j AS (
+      |  SELECT o.o_orderkey, o.o_totalprice, li.l_orderkey, li.li_total
+      |  FROM orders o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+      |)
+      |SELECT
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_lineitem_orders,
+      |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS childless_orders,
+      |  CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+      |    AND abs(o_totalprice - li_total) > 0.011 THEN 1 ELSE 0 END) AS BIGINT) AS price_mismatches,
+      |  count(*) AS n_audited
+      |FROM j""".stripMargin
 }
