@@ -21,13 +21,24 @@ import graft.expressions.VectorFunctions.{dot => ndot}
   * The returned per-round objective (sum of each vector's cosine to
   * its centroid) is non-decreasing by the standard spherical-k-means
   * argument: assignment maximizes it given centroids, the mean update
-  * maximizes it given assignments (up to the 4-dp assignment rounding,
-  * which bounds any dip at 5e-5 per vector). KMeansSpec pins that
+  * maximizes it given assignments — up to the 4-dp assignment
+  * rounding, whose HALF_UP half-ulp on each side of a near-tie bounds
+  * any legitimate dip at 1e-4 per vector. KMeansSpec pins that
   * property on real data.
   */
 object KMeans {
 
-  /** Returns (final codebook (cid, cv, cn), per-round objective). */
+  /** Returns (final codebook (cid, cv, cn), per-round objective).
+    *
+    * Seeds are the first k vectors in vec_id ORDER (no contiguity
+    * assumption); a cluster that loses every member keeps its previous
+    * centroid, so the codebook never silently shrinks below k. The
+    * corpus and each round's assignment persist once and are
+    * unpersisted when superseded — only the (k-row) codebook
+    * checkpoints, which truncate the iterative lineage, outlive the
+    * call. Centroid means route through DECIMAL like the
+    * oracle-checked single step, so identical inputs give identical
+    * codebooks regardless of partition order. */
   def train(
       spark: SparkSession, dir: String,
       k: Int = 8, rounds: Int = 3,
@@ -35,8 +46,8 @@ object KMeans {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-      .localCheckpoint() // read the corpus once across all rounds
-    var cb = e.filter(col("vec_id") < k)
+      .persist() // read the corpus once across all rounds
+    var cb = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
       .localCheckpoint()
     val objectives = Vector.newBuilder[Double]
@@ -46,17 +57,26 @@ object KMeans {
         .withColumn("cid",
           graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), col("cb")))
         .select(col("cid"), col("v"), col("nrm"))
-      objectives += assigned.join(broadcast(cb), "cid")
+        .persist() // one assignment compute serves objective AND update
+      val objRow = assigned.join(broadcast(cb), "cid")
         .select((ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("sim"))
-        .agg(sum(col("sim"))).head().getDouble(0)
-      cb = assigned
+        .agg(sum(col("sim"))).head()
+      objectives += (if (objRow.isNullAt(0)) 0.0 else objRow.getDouble(0))
+      val rebuilt = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("val")).as("c"))
+        .groupBy(col("cid"), col("pos"))
+        // DECIMAL summation: order-independent means (Registry.dec rule)
+        .agg(graft.ops.Registry.rnd(avg(graft.ops.Registry.dec(col("val"))), 4).as("c"))
         .groupBy(col("cid"))
         .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
         .withColumn("cn", sqrt(ndot(col("cv"), col("cv"))))
-        .localCheckpoint()
+      // a cluster that lost all members keeps its previous centroid
+      val kept = cb.join(rebuilt.select(col("cid")), Seq("cid"), "left_anti")
+      val next = rebuilt.unionByName(kept).localCheckpoint()
+      assigned.unpersist()
+      cb = next
     }
+    e.unpersist()
     (cb, objectives.result())
   }
 }

@@ -1087,7 +1087,10 @@ object MoreRelational {
       .withColumn("sec", col("ts").cast("long"))
       .withColumn("e1", lag(col("event_type"), 2).over(w))
       .withColumn("e2", lag(col("event_type"), 1).over(w))
-      .filter(col("e1").isNotNull)
+      // all three legs non-null: Spark's concat_ws would silently SKIP a
+      // null middle/last leg (2-segment path) where the DuckDB twin's ||
+      // nulls the whole path — guard both engines identically instead
+      .filter(col("e1").isNotNull && col("e2").isNotNull && col("event_type").isNotNull)
       .select(concat_ws(">", col("e1"), col("e2"), col("event_type")).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path")).limit(10)
@@ -1108,7 +1111,8 @@ object MoreRelational {
       |                 ORDER BY epoch_ns(ts) // 1000000000, event_id)
       |), p AS (
       |  SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
-      |  FROM s WHERE e1 IS NOT NULL GROUP BY 1
+      |  FROM s WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
+      |  GROUP BY 1
       |)
       |SELECT row_number() OVER (ORDER BY n DESC, path) AS rank, path, n
       |FROM p ORDER BY n DESC, path LIMIT 10""".stripMargin
@@ -1134,9 +1138,16 @@ object MoreRelational {
     val o = Tables.table(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
     val joined = o.join(li, col("o_orderkey") === col("l_orderkey"), "full_outer")
+    // a NULL-key row on either side never joins (NULL != NULL), so it
+    // surfaces with BOTH keys null after the outer join — its own
+    // violation class, not an orphan or a childless order
     joined.agg(
-        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long").as("orphan_lineitem_orders"),
-        sum(when(col("l_orderkey").isNull, 1).otherwise(0)).cast("long").as("childless_orders"),
+        sum(when(col("o_orderkey").isNull && col("l_orderkey").isNotNull, 1).otherwise(0))
+          .cast("long").as("orphan_lineitem_orders"),
+        sum(when(col("l_orderkey").isNull && col("o_orderkey").isNotNull, 1).otherwise(0))
+          .cast("long").as("childless_orders"),
+        sum(when(col("o_orderkey").isNull && col("l_orderkey").isNull, 1).otherwise(0))
+          .cast("long").as("null_key_rows"),
         sum(when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull &&
             abs(col("o_totalprice") - col("li_total")) > 0.011, 1).otherwise(0))
           .cast("long").as("price_mismatches"),
@@ -1154,8 +1165,9 @@ object MoreRelational {
       |  FROM orders o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
       |)
       |SELECT
-      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_lineitem_orders,
-      |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS childless_orders,
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL AND l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_lineitem_orders,
+      |  CAST(sum(CASE WHEN l_orderkey IS NULL AND o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS childless_orders,
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL AND l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key_rows,
       |  CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
       |    AND abs(o_totalprice - li_total) > 0.011 THEN 1 ELSE 0 END) AS BIGINT) AS price_mismatches,
       |  count(*) AS n_audited

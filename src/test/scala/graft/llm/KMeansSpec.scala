@@ -13,8 +13,9 @@ class KMeansSpec extends AnyFunSuite {
   test("cosine objective is non-decreasing over rounds; codebook stays complete") {
     val (cb, objs) = KMeans.train(spark, "/root/testdata/sf0.01", k = 8, rounds = 3)
     assert(objs.size === 3)
-    // assignment rounding bounds any dip at 5e-5 per vector (500 here)
-    val eps = 500 * 5e-5
+    // assignment rounding permits a 1e-4 per-vector dip (two HALF_UP
+    // half-ulps across a near-tie); 500 vectors here
+    val eps = 500 * 1e-4
     objs.sliding(2).foreach { case Seq(a, b) =>
       assert(b >= a - eps, s"objective worsened: $objs")
     }
