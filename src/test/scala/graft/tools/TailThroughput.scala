@@ -1,0 +1,68 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only streaming-throughput probe: pushes the sf events table,
+  * converted to oplog form, through the FULL tail phase (P3 filters →
+  * compact → dispatch → LWW MERGE into state) as one Structured
+  * Streaming run, and prints events/second end-to-end — the number
+  * that compares directly against the reference's 10,000 docs/s
+  * read-capacity ceiling (BASELINE.md §1).
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.tools.TailThroughput /root/testdata/sf0.1"
+  */
+object TailThroughput {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Files.createTempDirectory("tail_tp").toString
+    val oplog = graft.source.EventsOplog.fromEvents(
+      graft.ops.Tables.events(spark, sfDir))
+    val n = oplog.count()
+    oplog.repartition(cpus.toInt).write.parquet(s"$base/in")
+
+    // warm codegen/classloading on a copy of the pipeline so the timed
+    // run measures throughput, not one-time JIT (same rationale as Bench)
+    val warmBase = Files.createTempDirectory("tail_tp_warm").toString
+    oplog.limit(1000).repartition(1).write.parquet(s"$warmBase/in")
+    runOnce(spark, warmBase)
+
+    val t0 = System.nanoTime()
+    runOnce(spark, base)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"tail_events_per_sec","value":${n / sec}%.0f,"events":$n,"wall_sec":$sec%.3f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  private def runOnce(spark: SparkSession, base: String): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ns", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("fromMigrate", org.apache.spark.sql.types.BooleanType),
+    ))
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+    val q = graft.pipeline.TailQuery.start(
+      stream, graft.SparkEntry.flagshipTask, ns = "app.users", fromTs = 0L,
+      stateDir = s"$base/state", checkpointDir = s"$base/ckpt",
+      triggerMs = 100L)
+    q.processAllAvailable()
+    q.stop()
+  }
+}
