@@ -120,7 +120,9 @@ object OplogScan {
     val dir = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(dir)) {
       val s = java.nio.file.Files.list(dir)
-      try s.iterator().asScala.filter(_.toString.endsWith(".jsonl")).map(_.toString).toArray.sorted
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".jsonl") || p.toString.endsWith(".jsonl.gz"))
+        .map(_.toString).toArray.sorted
       finally s.close()
     } else Array(path)
   }
@@ -131,11 +133,18 @@ object OplogScan {
     * appended to a file after planning are invisible to this batch
     * regardless of whether the file split, so a streaming replay of a
     * committed offset range reads the same rows it did the first time.
-    * A vanished file fails here, at planning, with the real cause. */
+    * A vanished file fails here, at planning, with the real cause.
+    *
+    * Gzip dumps (`.gz`) are NOT seekable, so they plan as exactly one
+    * whole-file partition regardless of size — the same non-splittable
+    * contract Hadoop applies to gzip. The scale guidance is therefore
+    * the standard one: compress large dumps in split-sized chunks (or
+    * use a splittable codec) if read parallelism matters. */
   def splitFile(file: String, splitSize: Long): Array[InputPartition] = {
     require(splitSize > 0, s"splitSizeBytes must be positive, got $splitSize")
     val size = java.nio.file.Files.size(java.nio.file.Paths.get(file))
-    if (size <= splitSize) Array(OplogFilePartition(file, 0L, size))
+    if (file.endsWith(".gz")) Array(OplogFilePartition(file, 0L, Long.MaxValue))
+    else if (size <= splitSize) Array(OplogFilePartition(file, 0L, size))
     else (0L until size by splitSize)
       .map(s => OplogFilePartition(file, s, math.min(s + splitSize, size)): InputPartition)
       .toArray
@@ -326,15 +335,22 @@ class OplogReaderFactory(pushed: Array[Filter], required: StructType)
   * parse. Reads scan a 64 KB chunk buffer directly — no per-byte
   * stream call on the path this feature exists to make fast. */
 private[v2] class LineRangeIterator(file: String, start: Long, end: Long) {
-  private val in = new java.io.FileInputStream(file)
+  private val fis = new java.io.FileInputStream(file)
+  // gzip dumps decompress inline; they always arrive as one whole-file
+  // range (planning never splits them), so positioning is never needed
+  private val in: java.io.InputStream =
+    if (file.endsWith(".gz")) {
+      require(start == 0L, s"gzip file $file is not seekable; got start=$start")
+      new java.util.zip.GZIPInputStream(fis, 1 << 16)
+    } else fis
   private val chunk = new Array[Byte](1 << 16)
   private var chunkLen = 0 // valid bytes in `chunk`
   private var chunkPos = 0 // next unread index in `chunk`
-  private var pos = 0L // absolute file offset of chunk(chunkPos)
+  private var pos = 0L // absolute (decompressed) offset of chunk(chunkPos)
   private val line = new java.io.ByteArrayOutputStream(256)
   locally {
     if (start > 0) {
-      in.getChannel.position(start - 1)
+      fis.getChannel.position(start - 1)
       pos = start - 1
       readLine() // the partial line belongs to the previous range
     }

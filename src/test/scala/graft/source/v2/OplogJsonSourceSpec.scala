@@ -168,6 +168,31 @@ class OplogJsonSourceSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 50L)
   }
 
+  test("gzip dumps decompress, mix with plain files, and never byte-split") {
+    val dir = Files.createTempDirectory("oplog-gz").toString
+    val rows = (0 until 200).map { i =>
+      s"""{"ts":$i,"op":"i","ns":"db.c","id":"g$i","doc":{"_id":"g$i","v":$i}}"""
+    }
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/dump.jsonl.gz"))
+    gz.write(rows.mkString("\n").getBytes); gz.close()
+    Files.write(java.nio.file.Paths.get(dir, "plain.jsonl"),
+      """{"ts":999,"op":"i","ns":"db.c","id":"p","doc":{"_id":"p","v":9}}""".getBytes)
+
+    val got = load(dir).collect().map(_.getAs[String]("id")).sorted
+    assert(got.length === 201, "all gzip rows + the plain row")
+    assert(got.contains("g0") && got.contains("g199") && got.contains("p"))
+
+    // gzip is not seekable: even a tiny splitSizeBytes must plan the
+    // .gz as ONE whole-file partition (the plain file may still split)
+    val parts = OplogScan.splitFile(s"$dir/dump.jsonl.gz", 64L)
+    assert(parts.length === 1, "gzip file must never byte-split")
+    val df = spark.read.format("graft.source.v2.OplogJsonSource")
+      .option("path", dir).option("splitSizeBytes", "64").load()
+    assert(df.collect().map(_.getAs[String]("id")).sorted === got,
+      "tiny split size must not lose or duplicate gzip rows")
+  }
+
   test("CRLF line endings parse and empty files yield no rows") {
     val dir = Files.createTempDirectory("oplog-crlf").toString
     Files.write(java.nio.file.Paths.get(dir, "crlf.jsonl"), (
