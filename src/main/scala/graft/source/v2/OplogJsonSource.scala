@@ -149,6 +149,23 @@ object OplogScan {
       .map(s => OplogFilePartition(file, s, math.min(s + splitSize, size)): InputPartition)
       .toArray
   }
+
+  /** Open a dump for reading, decoding gzip inline. A gzip header that
+    * cannot be read (zero-byte or truncated `.gz`) yields an EMPTY
+    * stream with the fd closed — an empty/corrupt gzip dump behaves
+    * like an empty `.jsonl` instead of killing the scan, matching the
+    * per-event error contract malformed LINES already follow. */
+  def openDecoded(file: String): java.io.InputStream = {
+    val fis = new java.io.FileInputStream(file)
+    if (!file.endsWith(".gz")) fis
+    else
+      try new java.util.zip.GZIPInputStream(fis, 1 << 16)
+      catch {
+        case _: java.io.IOException =>
+          fis.close()
+          new java.io.ByteArrayInputStream(Array.emptyByteArray)
+      }
+  }
 }
 
 class OplogScan(path: String, pushed: Array[Filter], required: StructType,
@@ -262,9 +279,17 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
   private val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private def rowCount(file: String): Long =
     rowCounts.computeIfAbsent(file, { f =>
-      val s = java.nio.file.Files.lines(java.nio.file.Paths.get(f))
-      try s.filter(l => !l.isEmpty).count()
-      finally s.close()
+      // gzip dumps must decode through the codec — Files.lines on the
+      // raw compressed bytes throws MalformedInputException and would
+      // kill latestOffset (and with it the whole streaming query)
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        OplogScan.openDecoded(f), java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var n = 0L
+        var line = reader.readLine()
+        while (line != null) { if (line.nonEmpty) n += 1; line = reader.readLine() }
+        n
+      } finally reader.close()
     })
 
   /** Files admitted from `from` under the limit — file granularity
@@ -335,14 +360,14 @@ class OplogReaderFactory(pushed: Array[Filter], required: StructType)
   * parse. Reads scan a 64 KB chunk buffer directly — no per-byte
   * stream call on the path this feature exists to make fast. */
 private[v2] class LineRangeIterator(file: String, start: Long, end: Long) {
-  private val fis = new java.io.FileInputStream(file)
-  // gzip dumps decompress inline; they always arrive as one whole-file
-  // range (planning never splits them), so positioning is never needed
-  private val in: java.io.InputStream =
-    if (file.endsWith(".gz")) {
+  // gzip dumps decompress inline (empty/corrupt headers degrade to an
+  // empty stream, fd closed — see OplogScan.openDecoded); they always
+  // arrive as one whole-file range, so positioning is never needed
+  locally {
+    if (file.endsWith(".gz"))
       require(start == 0L, s"gzip file $file is not seekable; got start=$start")
-      new java.util.zip.GZIPInputStream(fis, 1 << 16)
-    } else fis
+  }
+  private val in: java.io.InputStream = OplogScan.openDecoded(file)
   private val chunk = new Array[Byte](1 << 16)
   private var chunkLen = 0 // valid bytes in `chunk`
   private var chunkPos = 0 // next unread index in `chunk`
@@ -350,7 +375,8 @@ private[v2] class LineRangeIterator(file: String, start: Long, end: Long) {
   private val line = new java.io.ByteArrayOutputStream(256)
   locally {
     if (start > 0) {
-      fis.getChannel.position(start - 1)
+      // start > 0 implies a plain (splittable) file — see the require
+      in.asInstanceOf[java.io.FileInputStream].getChannel.position(start - 1)
       pos = start - 1
       readLine() // the partial line belongs to the previous range
     }

@@ -193,6 +193,32 @@ class OplogJsonSourceSpec extends AnyFunSuite {
       "tiny split size must not lose or duplicate gzip rows")
   }
 
+  test("gzip dumps stream under maxRowsPerTrigger admission; empty gz yields no rows") {
+    val dir = Files.createTempDirectory("oplog-gz-stream").toString
+    val rows = (0 until 20).map { i =>
+      s"""{"ts":$i,"op":"i","ns":"db.c","id":"s$i","doc":{"_id":"s$i","v":$i}}"""
+    }
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/dump.jsonl.gz"))
+    gz.write(rows.mkString("\n").getBytes); gz.close()
+    // a zero-byte .gz: behaves like an empty .jsonl, not a scan-killer
+    Files.write(java.nio.file.Paths.get(dir, "empty.jsonl.gz"), Array.emptyByteArray)
+
+    // row-budget admission must COUNT the gzip file's lines (decoded),
+    // not die decoding compressed bytes in latestOffset
+    val out = Files.createTempDirectory("oplog-gz-stream-out").toString
+    val q = spark.readStream.format("graft.source.v2.OplogJsonSource")
+      .option("path", dir).option("maxRowsPerTrigger", "7").load()
+      .writeStream.format("memory").queryName("gz_admit_out")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT id FROM gz_admit_out")
+      .collect().map(_.getString(0)).sorted
+    assert(got.length === 20, "all decoded rows arrive; the empty gz adds none")
+  }
+
   test("CRLF line endings parse and empty files yield no rows") {
     val dir = Files.createTempDirectory("oplog-crlf").toString
     Files.write(java.nio.file.Paths.get(dir, "crlf.jsonl"), (

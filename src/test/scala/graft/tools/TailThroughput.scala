@@ -28,15 +28,17 @@ object TailThroughput {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = Files.createTempDirectory("tail_tp").toString
-    val oplog = graft.source.EventsOplog.fromEvents(
-      graft.ops.Tables.events(spark, sfDir))
-    val n = oplog.count()
-    oplog.repartition(cpus.toInt).write.parquet(s"$base/in")
+    // build the oplog projection once: write it, then derive the count
+    // and the warm-up slice from the written files
+    graft.source.EventsOplog.fromEvents(graft.ops.Tables.events(spark, sfDir))
+      .repartition(cpus.toInt).write.parquet(s"$base/in")
+    val written = spark.read.parquet(s"$base/in")
+    val n = written.count()
 
     // warm codegen/classloading on a copy of the pipeline so the timed
     // run measures throughput, not one-time JIT (same rationale as Bench)
     val warmBase = Files.createTempDirectory("tail_tp_warm").toString
-    oplog.limit(1000).repartition(1).write.parquet(s"$warmBase/in")
+    written.limit(1000).repartition(1).write.parquet(s"$warmBase/in")
     runOnce(spark, warmBase)
 
     val t0 = System.nanoTime()
@@ -47,15 +49,7 @@ object TailThroughput {
   }
 
   private def runOnce(spark: SparkSession, base: String): Unit = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("ns", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("doc", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("fromMigrate", org.apache.spark.sql.types.BooleanType),
-    ))
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(graft.source.v2.OplogJsonTable.SCHEMA)
       .option("recursiveFileLookup", "true")
       .parquet(s"$base/in")
     val q = graft.pipeline.TailQuery.start(
