@@ -40,7 +40,8 @@ class BulkJsonSink extends TableProvider {
       properties: util.Map[String, String]): Table =
     new BulkJsonTable(properties.get("path"),
       Option(properties.get("index")).getOrElse("index"),
-      Option(properties.get("type")).getOrElse("_doc"))
+      Option(properties.get("type")).getOrElse("_doc"),
+      Option(properties.get("compress")).exists(_.toBoolean))
 }
 
 object BulkJsonSink {
@@ -57,7 +58,7 @@ object BulkJsonSink {
     graft.model.Json.render(graft.model.DStr(s))
 }
 
-class BulkJsonTable(path: String, index: String, esType: String)
+class BulkJsonTable(path: String, index: String, esType: String, compress: Boolean = false)
     extends Table with SupportsWrite {
   override def name(): String = s"bulk_json($path)"
   override def schema(): StructType = BulkJsonSink.EXPECTED
@@ -66,16 +67,16 @@ class BulkJsonTable(path: String, index: String, esType: String)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new BulkBatchWrite(path, index, esType)
+        override def toBatch: BatchWrite = new BulkBatchWrite(path, index, esType, compress)
       }
     }
 }
 
 final case class BulkCommit(finalFile: String) extends WriterCommitMessage
 
-class BulkBatchWrite(path: String, index: String, esType: String) extends BatchWrite {
+class BulkBatchWrite(path: String, index: String, esType: String, compress: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new BulkWriterFactory(path, index, esType)
+    new BulkWriterFactory(path, index, esType, compress)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // a zero-partition write runs no task writers, so the directory may
     // not exist yet — an empty successful job still gets its marker
@@ -92,19 +93,27 @@ class BulkBatchWrite(path: String, index: String, esType: String) extends BatchW
     }
 }
 
-class BulkWriterFactory(path: String, index: String, esType: String) extends DataWriterFactory {
+class BulkWriterFactory(path: String, index: String, esType: String, compress: Boolean)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BulkDataWriter(path, index, esType, partitionId, taskId)
+    new BulkDataWriter(path, index, esType, partitionId, taskId, compress)
 }
 
-class BulkDataWriter(path: String, index: String, esType: String, partitionId: Int, taskId: Long)
+class BulkDataWriter(path: String, index: String, esType: String, partitionId: Int,
+    taskId: Long, compress: Boolean = false)
     extends DataWriter[InternalRow] {
   import BulkJsonSink.esc
 
   private val dir = java.nio.file.Paths.get(path)
   java.nio.file.Files.createDirectories(dir)
   private val staging = dir.resolve(f".part-$partitionId%05d-$taskId")
-  private val out = java.nio.file.Files.newBufferedWriter(staging)
+  // gzip bodies ship as Content-Encoding: gzip bulk requests — 5-10x
+  // smaller on the wire for JSON; each part file stays one request
+  private val out =
+    if (compress) new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(staging)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    else java.nio.file.Files.newBufferedWriter(staging)
 
   override def write(row: InternalRow): Unit = {
     val action = row.getUTF8String(0).toString
@@ -126,7 +135,8 @@ class BulkDataWriter(path: String, index: String, esType: String, partitionId: I
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    val fin = dir.resolve(f"part-$partitionId%05d-$taskId.bulk")
+    val suffix = if (compress) ".bulk.gz" else ".bulk"
+    val fin = dir.resolve(f"part-$partitionId%05d-$taskId$suffix")
     java.nio.file.Files.move(staging, fin,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     BulkCommit(fin.toString)

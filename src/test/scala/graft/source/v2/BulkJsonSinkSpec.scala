@@ -45,4 +45,29 @@ class BulkJsonSinkSpec extends AnyFunSuite {
     assert(!Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
       .exists(_.getFileName.toString.startsWith(".part-")))
   }
+
+  test("compress=true gzips each part file; bodies decode byte-identical") {
+    import IRRow.encoder
+    val dir = Files.createTempDirectory("bulk-sink-gz").toString
+    val irs = spark.createDataset(Seq(
+      IRRow("upsert", "a", """{"v":1}""", null, 10L),
+      IRRow("delete", "c", null, null, 12L),
+    ))
+    irs.coalesce(1).write
+      .format("graft.source.v2.BulkJsonSink")
+      .option("path", dir).option("index", "users_v1")
+      .option("compress", "true")
+      .mode("append").save()
+
+    val gzFiles = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".bulk.gz")).toSeq
+    assert(gzFiles.size === 1)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.util.zip.GZIPInputStream(Files.newInputStream(gzFiles.head))))
+    val lines = try Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+    finally in.close()
+    assert(lines.length === 3) // 1 upsert x 2 + 1 delete x 1
+    assert(lines(0).startsWith("""{"index":""") && lines(1) === """{"v":1}""")
+    assert(lines(2).startsWith("""{"delete":"""))
+  }
 }
