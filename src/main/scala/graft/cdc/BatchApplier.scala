@@ -57,6 +57,22 @@ object BatchApplier {
       task: TaskSpec,
       source: Option[DataFrame] = None,
       dropped: Option[org.apache.spark.util.LongAccumulator] = None,
+  ): DataFrame =
+    applyOplogBatchKeepDeletes(events, state, task, source, dropped)
+      .filter(col("action") =!= "delete")
+      .drop("action")
+
+  /** [[applyOplogBatch]] keeping per-key DELETE outcomes as explicit
+    * tombstone rows `(id, null, null, ts, "delete")` instead of dropping
+    * them. The incremental bucketed store needs tombstones: its delta
+    * files record per-key outcomes, and an absent row means "untouched",
+    * not "deleted" — exactly a log-structured MERGE's encoding. */
+  def applyOplogBatchKeepDeletes(
+      events: Dataset[OplogRow],
+      state: DataFrame,
+      task: TaskSpec,
+      source: Option[DataFrame] = None,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None,
   ): DataFrame = {
     val spark = events.sparkSession
     implicit val applyEnc = Encoders.product[ApplyRow]
@@ -96,7 +112,7 @@ object BatchApplier {
         val evs = rows.filter(_.kind == 2)
         if (evs.isEmpty) {
           // untouched key: state passes through unchanged
-          stateRow.iterator.map(r => (r.id, r.doc, r.parent, r.ts))
+          stateRow.iterator.map(r => (r.id, r.doc, r.parent, r.ts, "upsert"))
         } else {
           // per-event error tolerance: malformed events are dropped, the
           // batch lives on (reference src/processor.ts:219-222 swallows
@@ -146,12 +162,12 @@ object BatchApplier {
           if (candidates.isEmpty) Iterator.empty // all events dropped, no prior state
           else {
             val winner = candidates.maxBy(c => (c._1, c._2))
-            if (winner._3 == "delete") Iterator.empty
-            else Iterator.single((id, winner._4, winner._5, winner._1))
+            if (winner._3 == "delete") Iterator.single((id, null: String, null: String, winner._1, "delete"))
+            else Iterator.single((id, winner._4, winner._5, winner._1, "upsert"))
           }
         }
-      })(Encoders.product[(String, String, String, Long)])
-      .toDF("id", "doc", "parent", "ts")
+      })(Encoders.product[(String, String, String, Long, String)])
+      .toDF("id", "doc", "parent", "ts", "action")
   }
 
   /** Group an id-sorted row iterator into contiguous same-id runs. */

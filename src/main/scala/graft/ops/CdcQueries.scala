@@ -24,6 +24,7 @@ object CdcQueries {
     NamedQuery("cdc_relevance_filter", relevanceFilter, Some(relevanceFilterSql)),
     NamedQuery("cdc_annihilation", annihilation, Some(annihilationSql)),
     NamedQuery("cdc_pipeline_state", pipelineState, Some(pipelineStateSql)),
+    NamedQuery("cdc_bucketed_state", bucketedState, Some(pipelineStateSql)),
     NamedQuery("events_hourly_stats", hourlyStats, Some(hourlyStatsSql)),
     NamedQuery("events_sessionize", sessionize, Some(sessionizeSql)),
     NamedQuery("events_tumbling_window", tumbling, Some(tumblingSql)),
@@ -175,6 +176,51 @@ object CdcQueries {
         get_json_object(col("doc"), "$.last_type").as("last_type"),
         col("ts"))
       .orderBy(col("id"))
+  }
+
+  // The SAME pipeline through the incremental BucketedStateStore, in
+  // three micro-batches: per batch, prior state arrives by point lookup
+  // (broadcast key join over dirty buckets only) and the outcomes commit
+  // as per-bucket delta files; compaction, manifest swap and vacuum run
+  // live. Batches are split BY KEY (user_id mod 3) so each key's full
+  // history folds in one batch — the per-batch compaction automaton is
+  // then exactly the single-batch oracle's. (A time-range split would
+  // NOT match: the reference's in-batch insert+delete annihilation
+  // drops the pair without emitting a delete, so prior state from an
+  // earlier batch would survive a later annihilated i..d run — faithful
+  // per batch, but a different composition than one big batch. Nor is a
+  // verbatim replay batch hash-stable: a delete-then-update key takes
+  // the source-fallback doc on first apply but re-applies its $set to
+  // the sink doc on replay — the same divergence the reference's
+  // Mongo-refetch path has. Cross-batch prior-state merging is pinned
+  // instead by BucketedStoreSpec's legacy-equivalence test.)
+  private def bucketedState(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.{BucketedStateStore, OplogRow, StateStore}
+    import graft.source.EventsOplog
+    val events = Tables.events(spark, dir)
+    import OplogRow.encoder
+    val oplog = EventsOplog.fromEvents(events).as[OplogRow].persist()
+    try {
+      val stateDir = java.nio.file.Files.createTempDirectory("graft-bucketed-state").toString
+      val spec = BucketedStateStore.Spec(nBuckets = 16, compactThreshold = 2)
+      val src = EventsOplog.sourceSnapshotRaw(events)
+      val group = pmod(col("id").cast("long"), lit(3))
+      Seq(
+        oplog.filter(group === 0),
+        oplog.filter(group === 1),
+        oplog.filter(group === 2),
+      ).foreach { b =>
+        BucketedStateStore.applyBatch(
+          b.as[OplogRow], graft.SparkEntry.flagshipTask, stateDir, spec, Some(src))
+      }
+      StateStore.read(spark, stateDir)
+        .select(col("id"),
+          get_json_object(col("doc"), "$.value").cast("double").as("value"),
+          get_json_object(col("doc"), "$.k").cast("long").as("k"),
+          get_json_object(col("doc"), "$.last_type").as("last_type"),
+          col("ts"))
+        .orderBy(col("id"))
+    } finally { oplog.unpersist(); () }
   }
 
   private val pipelineStateSql =

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.cdc.StateStore
+import graft.cdc.{BucketedStateStore, StateStore}
 import graft.model.{CheckpointHooks, CheckpointSpec, EngineConfig, TaskDef, TaskSpec}
 
 /** Per-task orchestration (§3.1, reference src/index.ts:7-39): the
@@ -30,6 +30,9 @@ object Runner {
       skipScan: Boolean = false, // from.phase == "tail": no backfill
       fromTs: Long = 0L, // tail start (packed BSON ts lower bound, P3)
       name: String = "", // checkpoint name for the user hooks
+      // Some(spec): incremental bucketed state (the at-scale default via
+      // fromConfig); None: legacy full-rewrite versioned state
+      buckets: Option[BucketedStateStore.Spec] = None,
   )
 
   /** Run (or skip, on restart) the scan backfill, then start the tail.
@@ -43,9 +46,9 @@ object Runner {
       cfg: TaskPipeline,
       hooks: Option[CheckpointHooks] = None,
   ): StreamingQuery = {
-    val alreadyScanned = StateStore.currentVersion(cfg.stateDir).isDefined
+    val alreadyScanned = StateStore.exists(cfg.stateDir)
     if (!alreadyScanned && !cfg.skipScan) {
-      ScanJob.backfill(sourceSnapshot, cfg.task, cfg.stateDir)
+      ScanJob.backfill(sourceSnapshot, cfg.task, cfg.stateDir, cfg.buckets)
       // the endScan phase flip (reference src/config.ts:77-81): tell
       // user persistence the backfill is done and tailing begins
       CheckpointHooks.save(hooks, cfg.name, CheckpointHooks.tailNow())
@@ -54,7 +57,7 @@ object Runner {
       oplogStream, cfg.task, cfg.ns, fromTs = cfg.fromTs,
       stateDir = cfg.stateDir, checkpointDir = cfg.checkpointDir,
       source = Some(sourceSnapshot), triggerMs = cfg.triggerMs,
-      taskName = cfg.name, hooks = hooks)
+      taskName = cfg.name, hooks = hooks, buckets = cfg.buckets)
   }
 
   /** Multi-task orchestration (reference src/index.ts:7-39): backfills
@@ -102,6 +105,9 @@ object Runner {
       // (task, source options) -> (snapshot, oplog stream)
       adapters: (TaskDef, Map[String, String]) => (DataFrame, DataFrame),
       hooks: Option[CheckpointHooks] = None,
+      // config-driven engine runs default to the incremental bucketed
+      // state: per-trigger cost tracks the batch, not the state size
+      buckets: Option[BucketedStateStore.Spec] = Some(BucketedStateStore.Spec()),
   ): Seq[StreamingQuery] = {
     val sourceOpts = config.mongoSourceOptions ++ config.sourceAdmissionOptions
     // sink DDL first (reference src/index.ts:11 Indices.init): every
@@ -122,6 +128,7 @@ object Runner {
         skipScan = from.phase == "tail",
         fromTs = from.timeEpochSeconds.map(_ << 32).getOrElse(0L),
         name = td.name,
+        buckets = buckets,
       )
       val (snapshot, stream) = adapters(td, sourceOpts)
       // scan-phase resume predicate (reference src/mongodb.ts:35-39)

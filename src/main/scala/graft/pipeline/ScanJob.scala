@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import graft.cdc.{IRRow, StateStore}
+import graft.cdc.{BucketedStateStore, IRRow, StateStore}
 import graft.core.Transformer
 import graft.model.{Json, TaskSpec}
 
@@ -36,12 +36,23 @@ object ScanJob {
   }
 
   /** Backfill: scan -> IRs -> seed the state store (phase transition L5
-    * start; reference src/index.ts:27-32). Returns the seeded state. */
-  def backfill(source: DataFrame, task: TaskSpec, stateDir: String): DataFrame = {
+    * start; reference src/index.ts:27-32). Returns the seeded state.
+    * With `buckets` set, seeds the incremental [[BucketedStateStore]]
+    * (one id-sorted base file per bucket) instead of the legacy
+    * versioned layout. */
+  def backfill(
+      source: DataFrame,
+      task: TaskSpec,
+      stateDir: String,
+      buckets: Option[BucketedStateStore.Spec] = None,
+  ): DataFrame = {
     val spark = source.sparkSession
     val irs = run(source, task)
     val state = StateStore.applyIRs(StateStore.empty(spark), irs)
-    StateStore.write(state, stateDir)
+    buckets match {
+      case Some(spec) => BucketedStateStore.seed(state, stateDir, spec)
+      case None       => StateStore.write(state, stateDir)
+    }
     StateStore.read(spark, stateDir)
   }
 }

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.cdc.{BatchApplier, Compactor, OplogRow, StateStore}
+import graft.cdc.{BatchApplier, BucketedStateStore, Compactor, OplogRow, StateStore}
 import graft.model.{CheckpointHooks, TaskSpec}
 
 /** The streaming tail phase (reference src/processor.ts:332-396,
@@ -24,7 +24,12 @@ import graft.model.{CheckpointHooks, TaskSpec}
 object TailQuery {
 
   /** Start the tail stream. `oplogStream` must be a streaming DataFrame
-    * with the OplogRow schema (ts, op, ns, id, doc, fromMigrate). */
+    * with the OplogRow schema (ts, op, ns, id, doc, fromMigrate).
+    *
+    * `buckets = Some(spec)` selects the incremental
+    * [[BucketedStateStore]]: per trigger, point-lookup the batch's keys
+    * and append per-bucket deltas — O(batch) cost, the 100 TB path.
+    * `None` keeps the legacy full-state-rewrite versioned store. */
   def start(
       oplogStream: DataFrame,
       task: TaskSpec,
@@ -36,6 +41,7 @@ object TailQuery {
       triggerMs: Long = 5000L,
       taskName: String = "",
       hooks: Option[CheckpointHooks] = None,
+      buckets: Option[BucketedStateStore.Spec] = None,
   ): StreamingQuery = {
     val spark = oplogStream.sparkSession
     import OplogRow.encoder
@@ -62,10 +68,17 @@ object TailQuery {
           // hook — the reference likewise only checkpoints batches
           // that loaded IRs (src/processor.ts:382-390)
           if (batch.count() > 0) {
-            val st = StateStore.read(spark, stateDir)
-            // fused compact+dispatch+merge: one co-grouped shuffle per batch
-            val newState = BatchApplier.applyOplogBatch(batch.as[OplogRow], st, task, source)
-            StateStore.write(newState, stateDir)
+            buckets match {
+              case Some(spec) =>
+                // incremental: touch only the batch's keys and buckets
+                BucketedStateStore.applyBatch(
+                  batch.as[OplogRow], task, stateDir, spec, source)
+              case None =>
+                val st = StateStore.read(spark, stateDir)
+                // fused compact+dispatch+merge: one co-grouped shuffle per batch
+                val newState = BatchApplier.applyOplogBatch(batch.as[OplogRow], st, task, source)
+                StateStore.write(newState, stateDir)
+            }
             // mirror tail progress to user persistence (L4 side channel);
             // failures never kill the batch — the authoritative
             // checkpoint is Spark's

@@ -1,0 +1,181 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths => JPaths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.model.{BsonTs, TaskSpec}
+
+/** The incremental bucketed state store: per-micro-batch cost must track
+  * the BATCH (dirty buckets only), never the full state — and the result
+  * must be indistinguishable from the legacy full-rewrite path. */
+class BucketedStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val task = TaskSpec(Vector("value" -> "value"))
+  val spec = BucketedStateStore.Spec(nBuckets = 8, compactThreshold = 3, retainManifests = 2)
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def ev(sec: Int, ord: Int, op: String, id: String, doc: String) =
+    OplogRow(BsonTs(sec, ord).toLong, op, "db.c", id, doc)
+
+  /** Three micro-batches covering insert/update/delete/re-insert and a
+    * $set against a never-seen key (source fallback). */
+  private val batches: Seq[Seq[OplogRow]] = Seq(
+    Seq(
+      ev(1, 0, "i", "a", """{"_id":"a","value":1.0}"""),
+      ev(1, 1, "i", "b", """{"_id":"b","value":2.0}"""),
+      ev(1, 2, "i", "c", """{"_id":"c","value":3.0}""")),
+    Seq(
+      ev(2, 0, "u", "a", """{"$set":{"value":11.0}}"""),
+      ev(2, 1, "d", "b", """{"_id":"b"}"""),
+      ev(2, 2, "u", "z", """{"$set":{"value":99.0}}""")), // z: source fallback
+    Seq(
+      ev(3, 0, "i", "b", """{"_id":"b","value":22.0}"""),
+      ev(3, 1, "d", "c", """{"_id":"c"}"""),
+      ev(3, 2, "u", "a", """{"$set":{"value":12.0}}""")),
+  )
+
+  private val source = Seq(
+    ("z", """{"_id":"z","value":50.0}"""),
+    ("y", """{"_id":"y","value":60.0}""")).toDF("id", "doc")
+
+  private def readMap(dir: String): Map[String, (String, Long)] =
+    StateStore.read(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> (r.getAs[String]("doc"), r.getAs[Long]("ts"))).toMap
+
+  test("multi-batch apply matches the legacy full-rewrite path exactly") {
+    val bdir = tmp("bucketed-eq")
+    val ldir = tmp("legacy-eq")
+    batches.foreach { b =>
+      val ds = spark.createDataset(b)
+      BucketedStateStore.applyBatch(ds, task, bdir, spec, Some(source))
+      val st = StateStore.read(spark, ldir)
+      StateStore.write(BatchApplier.applyOplogBatch(ds, st, task, Some(source)), ldir)
+    }
+    val got = readMap(bdir)
+    val want = readMap(ldir)
+    assert(got === want)
+    // and the values are what the CDC semantics demand
+    assert(got("a")._1 === """{"_id":"a","value":12.0}""")
+    assert(got("b")._1 === """{"_id":"b","value":22.0}""")
+    assert(!got.contains("c"))
+    assert(got("z")._1 === """{"_id":"z","value":50.0}""") // source-authoritative fallback
+    assert(!got.contains("y")) // untouched source keys never enter state
+  }
+
+  test("a commit writes deltas only for dirty buckets; cold buckets' files are untouched") {
+    val dir = tmp("bucketed-dirty")
+    // seed 64 keys across all 8 buckets
+    val seedState = (0 until 64)
+      .map(i => (s"k$i", s"""{"_id":"k$i","value":$i.0}""", null: String, 1L))
+      .toDF("id", "doc", "parent", "ts")
+    BucketedStateStore.seed(seedState, dir, spec)
+    val m0 = BucketedStateStore.readManifest(dir).get
+    assert(m0.buckets.values.forall(b => b.base.isDefined && b.deltas.isEmpty))
+
+    // one-key batch: exactly one bucket may gain a delta
+    BucketedStateStore.applyBatch(
+      spark.createDataset(Seq(ev(5, 0, "u", "k3", """{"$set":{"value":103.0}}"""))),
+      task, dir, spec)
+    val m1 = BucketedStateStore.readManifest(dir).get
+    val changed = m1.buckets.filter { case (b, f) => m0.buckets.get(b) != Some(f) }
+    assert(changed.size === 1, s"exactly one dirty bucket, got ${changed.keys}")
+    assert(changed.head._2.deltas.size === 1)
+    // every cold bucket still points at its original (seed) base file
+    (m1.buckets.keySet - changed.head._1).foreach { b =>
+      assert(m1.buckets(b) === m0.buckets(b), s"bucket $b must be untouched")
+    }
+    assert(readMap(dir)("k3")._1 === """{"_id":"k3","value":103.0}""")
+  }
+
+  test("prior-key lookup broadcasts the keys and never shuffles the state side") {
+    val dir = tmp("bucketed-plan")
+    val seedState = (0 until 64)
+      .map(i => (s"k$i", s"""{"_id":"k$i","value":$i.0}""", null: String, 1L))
+      .toDF("id", "doc", "parent", "ts")
+    BucketedStateStore.seed(seedState, dir, spec)
+    val keys = Seq("k1", "k9", "k17").toDF("id")
+    val prior = BucketedStateStore.priorFor(spark, dir, keys)
+    val plan = prior.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"keys must broadcast:\n${plan.take(2000)}")
+    // the parquet state scan (the join's streamed branch, printed
+    // between the join node and the BroadcastExchange of the build
+    // side) must feed the join directly — no hash repartition. The key
+    // range must also reach the scan as pushed parquet filters.
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val stateSide = plan.substring(joinIdx, plan.indexOf("BroadcastExchange", joinIdx))
+    assert(!stateSide.contains("Exchange hashpartitioning"),
+      s"state scan must reach the join unshuffled:\n${stateSide.take(2500)}")
+    assert(stateSide.contains("GreaterThanOrEqual(id,") && stateSide.contains("LessThanOrEqual(id,"),
+      s"key range must be pushed to parquet:\n${stateSide.take(2500)}")
+    assert(prior.collect().map(_.getAs[String]("id")).toSet === Set("k1", "k9", "k17"))
+  }
+
+  test("delta chains compact past the threshold and tombstones are physically dropped") {
+    val dir = tmp("bucketed-compact")
+    // every batch touches the SAME key -> same bucket accumulates deltas
+    (1 to 7).foreach { sec =>
+      val op = if (sec == 4) ev(sec, 0, "d", "hot", """{"_id":"hot"}""")
+      else ev(sec, 0, "i", "hot", s"""{"_id":"hot","value":$sec.0}""")
+      BucketedStateStore.applyBatch(spark.createDataset(Seq(op)), task, dir, spec)
+    }
+    val m = BucketedStateStore.readManifest(dir).get
+    val hotBucket = m.buckets.values.toSeq
+    assert(hotBucket.forall(_.deltas.size < spec.compactThreshold),
+      s"chains must stay under the threshold: $m")
+    assert(readMap(dir)("hot")._1 === """{"_id":"hot","value":7.0}""")
+    // a compacted base holds live rows only: no delete tombstones remain
+    val live = m.allLivePaths(dir)
+    val tomb = spark.read.parquet(live: _*).filter(col("action") === "delete").count()
+    // tombstones may survive only in NOT-yet-compacted deltas of the
+    // current chain; the delete at sec=4 must have been compacted away
+    assert(tomb === 0, "compaction must drop tombstones")
+  }
+
+  test("vacuum bounds history: old manifests and unreferenced data dirs are deleted") {
+    val dir = tmp("bucketed-vacuum")
+    (1 to 6).foreach { sec =>
+      BucketedStateStore.applyBatch(
+        spark.createDataset(Seq(ev(sec, 0, "i", s"k$sec", s"""{"_id":"k$sec","value":$sec.0}"""))),
+        task, dir, spec)
+    }
+    val manifests = Files.list(JPaths.get(dir, "manifest")).count()
+    assert(manifests <= spec.retainManifests,
+      s"must retain at most ${spec.retainManifests} manifests, found $manifests")
+    // every file referenced by the current manifest still exists
+    val m = BucketedStateStore.readManifest(dir).get
+    m.allLivePaths(dir).foreach(p => assert(Files.exists(JPaths.get(p)), s"missing $p"))
+    // and reads are intact after vacuuming
+    assert(readMap(dir).keySet === (1 to 6).map(i => s"k$i").toSet)
+  }
+
+  test("replaying the same micro-batch is a value-level no-op (foreachBatch retry)") {
+    val dir = tmp("bucketed-replay")
+    val b1 = spark.createDataset(Seq(ev(1, 0, "i", "a", """{"_id":"a","value":1.0}""")))
+    val b2 = spark.createDataset(Seq(ev(2, 0, "u", "a", """{"$set":{"value":5.0}}""")))
+    BucketedStateStore.applyBatch(b1, task, dir, spec)
+    BucketedStateStore.applyBatch(b2, task, dir, spec)
+    val before = readMap(dir)
+    BucketedStateStore.applyBatch(b2, task, dir, spec) // replay
+    assert(readMap(dir) === before)
+  }
+
+  test("legacy store prunes versions older than the retention window") {
+    val dir = tmp("legacy-prune")
+    (0 until 5).foreach { i =>
+      val st = Seq((s"k$i", s"""{"_id":"k$i"}""", null: String, i.toLong))
+        .toDF("id", "doc", "parent", "ts")
+      StateStore.write(st, dir, retain = 2)
+    }
+    assert(StateStore.currentVersion(dir) === Some(4))
+    val vdirs = Files.list(JPaths.get(dir)).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (vdirs.hasNext) names += vdirs.next().getFileName.toString
+    assert(names.filter(_.startsWith("v_")).toSet === Set("v_3", "v_4"))
+    // current version still reads
+    assert(StateStore.read(spark, dir).collect().head.getAs[String]("id") === "k4")
+  }
+}
