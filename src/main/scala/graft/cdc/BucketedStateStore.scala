@@ -17,14 +17,19 @@ import graft.model.{DArr, DInt, DObj, DStr, DVal, Json, TaskSpec}
   * function of the BATCH, not the state:
   *
   *  - The key space is hash-partitioned into a FIXED number of buckets
-  *    (`pmod(hash(id), nBuckets)`), one directory family per bucket.
-  *  - Data files are immutable. A micro-batch commit appends one small
-  *    DELTA file per dirty bucket holding only that batch's per-key
-  *    outcomes (upserts + delete tombstones) — an O(batch) write.
+  *    (`pmod(hash(id), nBuckets)`); each bucket owns one BASE file
+  *    directory (id-sorted parquet).
+  *  - Data files are immutable. A micro-batch commit writes ONE shared
+  *    DELTA directory holding the batch's per-key outcomes (upserts +
+  *    delete tombstones) — an O(batch) write in O(task-count) files,
+  *    NOT one file per bucket: a hash-bucketed batch dirties many
+  *    buckets at once, and per-bucket delta files would drown the
+  *    commit in tiny-file overhead.
   *  - A versioned MANIFEST (JSON, atomically swapped pointer — the same
   *    trick a Delta/Iceberg transaction log uses) maps each bucket to
-  *    its current base file + ordered delta files. Untouched buckets
-  *    keep their old entries verbatim: zero read, zero write.
+  *    its base + the ordered delta commits that TOUCHED it. Untouched
+  *    buckets keep their entries verbatim — their read path never grows
+  *    — while dirty buckets reference the shared delta directory.
   *  - Reads resolve last-writer-wins per key across base ∪ deltas:
   *    the row from the highest commit `__seq` wins (each commit's row
   *    already beat the state visible to it, so commit order IS the
@@ -79,8 +84,12 @@ object BucketedStateStore {
   final case class Manifest(nBuckets: Int, seq: Long, buckets: Map[Int, BucketFiles]) {
     def livePaths(dir: String, bucket: Int): Seq[String] =
       buckets.get(bucket).toSeq.flatMap(_.paths).map(rel => s"$dir/$rel")
+    /** Paths for a SET of buckets, deduplicated: delta dirs are shared
+      * across the buckets one commit touched. */
+    def livePathsFor(dir: String, bs: Iterable[Int]): Seq[String] =
+      bs.toSeq.sorted.flatMap(livePaths(dir, _)).distinct
     def allLivePaths(dir: String): Seq[String] =
-      buckets.keys.toSeq.sorted.flatMap(livePaths(dir, _))
+      livePathsFor(dir, buckets.keys)
     def render: String = DObj(
       "nBuckets" -> DInt(nBuckets),
       "seq" -> DInt(seq),
@@ -200,48 +209,65 @@ object BucketedStateStore {
     readManifest(dir) match {
       case None => StateStore.empty(spark)
       case Some(m) =>
-        val dirty = keys.select(bucketCol(m.nBuckets).as("__b")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        val paths = dirty.toSeq.sorted.flatMap(m.livePaths(dir, _))
-        if (paths.isEmpty) StateStore.empty(spark)
-        else {
-          val range = keys.agg(min(col("id")).as("lo"), max(col("id")).as("hi")).head()
-          resolve(
-            scanPaths(spark, paths)
-              .filter(col("id") >= lit(range.getString(0)) && col("id") <= lit(range.getString(1)))
-              .join(broadcast(keys.select(col("id")).distinct()), Seq("id")))
-        }
+        val st = keyStats(m.nBuckets, keys)
+        priorForStats(spark, dir, m, keys, st)
     }
 
+  /** One tiny aggregate over the (persisted) key set: dirty bucket ids
+    * + the id range — everything the planner-side pruning needs, in a
+    * single job. */
+  private final case class KeyStats(dirty: Set[Int], lo: String, hi: String)
+
+  private def keyStats(nBuckets: Int, keys: DataFrame): KeyStats = {
+    val row = keys.agg(
+      collect_set(bucketCol(nBuckets)).as("bs"),
+      min(col("id")).as("lo"),
+      max(col("id")).as("hi")).head()
+    KeyStats(row.getSeq[Int](0).toSet, row.getString(1), row.getString(2))
+  }
+
+  private def priorForStats(
+      spark: SparkSession, dir: String, m: Manifest,
+      keys: DataFrame, st: KeyStats): DataFrame = {
+    val paths = m.livePathsFor(dir, st.dirty)
+    if (paths.isEmpty || st.lo == null) StateStore.empty(spark)
+    else resolve(
+      scanPaths(spark, paths)
+        .filter(col("id") >= lit(st.lo) && col("id") <= lit(st.hi))
+        .join(broadcast(keys.select(col("id")).distinct()), Seq("id")))
+  }
+
   /** Commit one micro-batch's per-key outcomes `(id, doc, parent, ts,
-    * action)` as delta files on the dirty buckets, then compact any
-    * bucket whose delta chain crossed the threshold. Returns the new
-    * manifest seq. */
-  def commitDelta(applied: DataFrame, dir: String, spec: Spec): Long = {
+    * action)` as ONE shared delta directory referenced by every dirty
+    * bucket, then compact any bucket whose delta chain crossed the
+    * threshold. Returns the new manifest seq. */
+  def commitDelta(applied: DataFrame, dir: String, spec: Spec, dirty: Set[Int]): Long = {
     val spark = applied.sparkSession
     val m = readManifest(dir).getOrElse(Manifest(spec.nBuckets, -1L, Map.empty))
     val seq = m.seq + 1
     val rel = s"data/delta_$seq"
     applied
       .withColumn("__seq", lit(seq))
-      .withColumn("__bucket", bucketCol(m.nBuckets))
-      .repartition(col("__bucket"))
-      .sortWithinPartitions(col("__bucket"), col("id"))
-      .write.partitionBy("__bucket").mode("overwrite").parquet(s"$dir/$rel")
-    val dirtyDirs = listBucketDirs(dir, rel)
-    var next = Manifest(m.nBuckets, seq, dirtyDirs.foldLeft(m.buckets) {
-      case (acc, (b, p)) =>
-        val cur = acc.getOrElse(b, BucketFiles(None, Vector.empty))
-        acc.updated(b, cur.copy(deltas = cur.deltas :+ p))
+      .sortWithinPartitions(col("id")) // row-group stats for later pruning
+      .write.mode("overwrite").parquet(s"$dir/$rel")
+    var next = Manifest(m.nBuckets, seq, dirty.foldLeft(m.buckets) { (acc, b) =>
+      val cur = acc.getOrElse(b, BucketFiles(None, Vector.empty))
+      acc.updated(b, cur.copy(deltas = cur.deltas :+ rel))
     })
     writeManifest(dir, next)
 
-    // amortized compaction: all over-threshold buckets in ONE job
+    // amortized compaction: all over-threshold buckets in ONE job. The
+    // shared delta dirs contain other buckets' rows too, so the merge
+    // filters to the compacting buckets before resolving.
     val toCompact = next.buckets.filter(_._2.deltas.size >= spec.compactThreshold).keys.toSeq.sorted
     if (toCompact.nonEmpty) {
       val cseq = next.seq + 1
       val crel = s"data/base_$cseq"
-      resolve(scanPaths(spark, toCompact.flatMap(next.livePaths(dir, _))))
+      resolve(
+        scanPaths(spark, next.livePathsFor(dir, toCompact))
+          .withColumn("__b", bucketCol(next.nBuckets))
+          .filter(col("__b").isin(toCompact.map(Integer.valueOf): _*))
+          .drop("__b"))
         .withColumn("action", lit("upsert"))
         .withColumn("__seq", lit(cseq))
         .withColumn("__bucket", bucketCol(next.nBuckets))
@@ -264,7 +290,7 @@ object BucketedStateStore {
 
   /** The full incremental micro-batch apply: point-lookup prior state
     * for the batch's keys, run the fused compact+dispatch+LWW fold, and
-    * commit the outcomes as per-bucket deltas. The source snapshot is
+    * commit the outcomes as one shared delta. The source snapshot is
     * pre-filtered to the batch's keys by the same broadcast join, so the
     * per-trigger cost never scans the (possibly huge) snapshot either.
     */
@@ -279,10 +305,14 @@ object BucketedStateStore {
     val spark = events.sparkSession
     val keys = events.select(col("id")).distinct().persist()
     try {
-      val prior = priorFor(spark, dir, keys)
+      val m = readManifest(dir)
+      val n = m.map(_.nBuckets).getOrElse(spec.nBuckets)
+      val st = keyStats(n, keys)
+      val prior = m.map(priorForStats(spark, dir, _, keys, st))
+        .getOrElse(StateStore.empty(spark))
       val src = source.map(_.join(broadcast(keys), Seq("id")))
       val applied = BatchApplier.applyOplogBatchKeepDeletes(events, prior, task, src, dropped)
-      commitDelta(applied, dir, spec)
+      commitDelta(applied, dir, spec, st.dirty)
     } finally { keys.unpersist(); () }
   }
 
@@ -309,17 +339,26 @@ object BucketedStateStore {
         .buckets.values.flatMap(_.paths).toSet
     }
     all.filterNot(m => keepSeqs.contains(m._1)).foreach(m => Files.deleteIfExists(m._2))
-    // delete unreferenced bucket leaf dirs, then empty delta/base parents
+    // two layouts live under data/: shared delta dirs (referenced as a
+    // whole, plain parquet inside) and base dirs (referenced per
+    // `__bucket=i` leaf). Delete whatever no retained manifest names.
     val data = JPaths.get(dir, "data")
     if (Files.exists(data)) {
       listDir(data).filter(Files.isDirectory(_)).foreach { commitDir =>
-        listDir(commitDir).foreach { leaf =>
-          val rel = JPaths.get(dir).relativize(leaf).toString
-          if (leaf.getFileName.toString.startsWith("__bucket=") && !referenced.contains(rel))
-            deleteRecursively(leaf)
+        val relDir = JPaths.get(dir).relativize(commitDir).toString
+        if (!referenced.contains(relDir)) {
+          val leaves = listDir(commitDir)
+            .filter(_.getFileName.toString.startsWith("__bucket="))
+          if (leaves.isEmpty) deleteRecursively(commitDir) // shared delta, unreferenced
+          else {
+            leaves.foreach { leaf =>
+              val rel = JPaths.get(dir).relativize(leaf).toString
+              if (!referenced.contains(rel)) deleteRecursively(leaf)
+            }
+            if (listDir(commitDir).forall(!_.getFileName.toString.startsWith("__bucket=")))
+              deleteRecursively(commitDir)
+          }
         }
-        if (!listDir(commitDir).exists(_.getFileName.toString.startsWith("__bucket=")))
-          deleteRecursively(commitDir)
       }
     }
   }
