@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.model.{EngineConfig, TaskDef}
+import graft.pipeline.Runner
+
+/** The engine's CLI entry point — the reference's `src/main.ts:9-21`
+  * (read config path from argv, call `run`) fused with `src/index.ts:
+  * 7-39` (`Indices.init` → per-task scan → concurrent tails) as one
+  * binary:
+  *
+  *   spark-submit --class graft.Main engine.jar config.json baseDir dataDir
+  *
+  *  - `config.json`: the reference-format config, parsed field-for-field
+  *    by [[graft.model.EngineConfig]].
+  *  - `baseDir`: engine-owned output root — sink tables (DDL), state
+  *    stores and streaming checkpoints, one subtree per task.
+  *  - `dataDir`: source root. Per task the adapters look for
+  *    `<dataDir>/<task-name>/snapshot` (parquet, columns `id`,`doc`) and
+  *    `<dataDir>/<task-name>/oplog` (JSON-lines dumps served by the
+  *    DSv2 [[graft.source.v2.OplogJsonSource]], which honors the
+  *    config's admission budget); a task dir missing both falls back to
+  *    the shared `<dataDir>/snapshot` + `<dataDir>/oplog`. On a live
+  *    deployment the same two hooks are where the Mongo collection
+  *    $snapshot and change-stream connectors plug in — the config's
+  *    connection options arrive pre-flattened either way.
+  *
+  * The process runs until any tail query fails or is stopped, exactly
+  * like the reference's long-lived daemon.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: graft.Main <config.json> <baseDir> <dataDir>")
+      sys.exit(2)
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-engine")
+      .withExtensions(new graft.expressions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val queries = run(spark, args(0), args(1), args(2))
+    if (queries.isEmpty) { spark.stop(); return }
+    spark.streams.awaitAnyTermination()
+  }
+
+  /** Wire config → DDL → scan → tails; returns the running tail
+    * queries (one per task). Separated from [[main]] so tests can
+    * drive a full config lifecycle without the terminal await. */
+  def run(spark: SparkSession, configPath: String, baseDir: String, dataDir: String): Seq[StreamingQuery] = {
+    val config = EngineConfig.fromJson(
+      new String(Files.readAllBytes(Paths.get(configPath))))
+    Runner.fromConfig(spark, config, baseDir, fileAdapters(spark, dataDir))
+  }
+
+  /** File-backed source adapters (harness form of the Mongo connectors):
+    * parquet snapshot + JSON-lines oplog stream per task. */
+  def fileAdapters(spark: SparkSession, dataDir: String)(
+      td: TaskDef, opts: Map[String, String]): (DataFrame, DataFrame) = {
+    val taskDir = s"$dataDir/${td.name}"
+    val root =
+      if (Files.exists(Paths.get(s"$taskDir/snapshot")) ||
+        Files.exists(Paths.get(s"$taskDir/oplog"))) taskDir
+      else dataDir
+    val snapshot =
+      if (Files.exists(Paths.get(s"$root/snapshot")))
+        spark.read.parquet(s"$root/snapshot").select("id", "doc")
+      else graft.cdc.StateStore.empty(spark).select("id", "doc")
+    // connection options flow through untouched; the admission budget
+    // (maxRowsPerTrigger from readCapacity × trigger) binds the stream
+    val stream = spark.readStream
+      .format("graft.source.v2.OplogJsonSource")
+      .options(opts.filter { case (k, _) => k == "maxRowsPerTrigger" || k == "maxFilesPerTrigger" })
+      .option("path", s"$root/oplog")
+      .load()
+    (snapshot, stream)
+  }
+}

@@ -432,10 +432,11 @@ object TpchDeep {
   // q11 (TPC-H Q11 shape): revenue concentration — parts whose revenue
   // exceeds a fraction of the total. No partsupp, so "value" is part
   // revenue. The global total sums the SAME rounded per-part values
-  // the filter reads, broadcast as a one-row scalar (Spark re-derives
-  // the per-part aggregate for that branch — no shared-subplan
-  // materialization; at production scale you persist the part-sized
-  // intermediate and the total becomes a trivial second pass). The
+  // the filter reads, broadcast as a one-row scalar. Spark will not
+  // share a subplan between the two consumers, so the part-sized
+  // intermediate is localCheckpointed: lineitem aggregates ONCE and the
+  // total becomes a trivial second pass over k rows (the same
+  // discipline the k-means loop and the sampling queries use). The
   // relative threshold makes the query meaningful at any scale factor,
   // and both engines compare bit-identical doubles (same rounded
   // operands, same IEEE multiply).
@@ -443,6 +444,7 @@ object TpchDeep {
     val perPart = table(spark, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(round(sum(revenueCol), 2).cast("double").as("part_value"))
+      .localCheckpoint()
     // the grand total ALSO routes through DECIMAL: a raw double sum is
     // association-order dependent, and the threshold filter would then
     // compare against a value that can differ between engines/runs

@@ -83,4 +83,17 @@ class DedupSpec extends AnyFunSuite {
         (r.getAs[Long]("doc_id") === r.getAs[Long]("component")))
     }
   }
+
+  test("embedding pairs: the block-size contract is enforced, not just documented") {
+    val e = DedupQueries.embeddingsWithUnit(spark, dir)
+      .withColumn("block", org.apache.spark.sql.functions.col("label"))
+    // a bound below the largest label block must abort with remediation
+    val ex = intercept[IllegalStateException] {
+      DedupQueries.blockedPairs(e, threshold = 0.4, maxBlock = 1L).collect()
+    }
+    assert(ex.getMessage.contains("quadratic per block"))
+    assert(ex.getMessage.contains("dedup_embedding_pairs_lsh"))
+    // and the default bound admits the harness blocks: query still runs
+    assert(run("dedup_embedding_pairs").limit(1).count() >= 0)
+  }
 }
