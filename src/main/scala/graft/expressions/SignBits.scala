@@ -65,6 +65,12 @@ object SignMath {
     var sig = 0L
     var i = 0
     val n = planes.numElements()
+    // a long holds 64 sign bits; beyond that `1L << i` wraps (shift mod
+    // 64) and would silently CORRUPT the signature — fail fast instead,
+    // matching element_sign_bits' [0, 64] range check
+    if (n > 64)
+      throw new IllegalArgumentException(
+        s"sign_bits supports at most 64 hyperplanes (one bit each in the long signature); got $n")
     while (i < n) {
       if (VectorMath.dot(v, planes.getArray(i)) > 0d) sig |= 1L << i
       i += 1

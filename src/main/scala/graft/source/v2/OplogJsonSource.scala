@@ -279,18 +279,78 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
   private val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private def rowCount(file: String): Long =
     rowCounts.computeIfAbsent(file, { f =>
-      // gzip dumps must decode through the codec — Files.lines on the
-      // raw compressed bytes throws MalformedInputException and would
-      // kill latestOffset (and with it the whole streaming query)
-      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-        OplogScan.openDecoded(f), java.nio.charset.StandardCharsets.UTF_8))
-      try {
-        var n = 0L
-        var line = reader.readLine()
-        while (line != null) { if (line.nonEmpty) n += 1; line = reader.readLine() }
-        n
-      } finally reader.close()
+      if (f.endsWith(".gz")) gzRowEstimate(f)
+      else {
+        val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.io.FileInputStream(f), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var n = 0L
+          var line = reader.readLine()
+          while (line != null) { if (line.nonEmpty) n += 1; line = reader.readLine() }
+          n
+        } finally reader.close()
+      }
     })
+
+  /** Row count for a gzip dump WITHOUT decompressing it on the driver:
+    * `latestOffset` runs this, and a full single-threaded decode of a
+    * multi-GB dump there would stall trigger planning for the whole
+    * query. Instead: decode only the first 64 KB — if the dump ends
+    * inside the sample the count is exact; otherwise extrapolate the
+    * sample's lines-per-byte over the ISIZE trailer (the gzip
+    * footer's uncompressed length, an O(1) read). Admission bounds
+    * work, so an estimate is the right trade — executors read the
+    * exact rows either way, and a torn/multi-member trailer at worst
+    * skews one trigger's batch size. */
+  private def gzRowEstimate(f: String): Long = {
+    val sampleCap = 1 << 16
+    var bytes = 0L
+    var lines = 0L
+    var sawEof = false
+    val in = OplogScan.openDecoded(f)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var last: Byte = '\n'
+      while (bytes < sampleCap && !sawEof) {
+        val n = try in.read(buf) catch { case _: java.io.IOException => -1 }
+        if (n <= 0) sawEof = true
+        else {
+          var i = 0
+          while (i < n) {
+            // count non-empty lines: a '\n' ends one iff the previous
+            // byte wasn't itself a line break
+            if (buf(i) == '\n' && last != '\n' && last != '\r') lines += 1
+            last = buf(i)
+            i += 1
+          }
+          bytes += n
+        }
+      }
+      if (sawEof) {
+        if (last != '\n' && last != '\r') lines += 1 // unterminated tail line
+        lines
+      } else {
+        val isize = gzIsize(f)
+        if (bytes == 0) 0L
+        else math.max(1L, math.round(isize.toDouble * lines / bytes))
+      }
+    } finally in.close()
+  }
+
+  /** The gzip ISIZE trailer: uncompressed size mod 2^32, last 4 bytes
+    * little-endian. */
+  private def gzIsize(f: String): Long = {
+    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(f))
+    try {
+      if (ch.size() < 4) 0L
+      else {
+        val bb = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        ch.read(bb, ch.size() - 4)
+        bb.flip()
+        bb.getInt.toLong & 0xffffffffL
+      }
+    } finally ch.close()
+  }
 
   /** Files admitted from `from` under the limit — file granularity
     * (a file is never split): maxFiles caps the count, maxRows admits
@@ -387,7 +447,14 @@ private[v2] class LineRangeIterator(file: String, start: Long, end: Long) {
     if (pos >= end) null else readLine()
 
   private def refill(): Boolean = {
-    chunkLen = in.read(chunk)
+    // a .gz truncated MID-BODY passes the constructor's header check
+    // and throws from read(); the per-event error contract (malformed
+    // input is dropped, the scan lives on) extends to it: the readable
+    // prefix is served, the torn tail is end-of-stream. Plain files
+    // keep throwing — a local read error there is real.
+    chunkLen =
+      try in.read(chunk)
+      catch { case _: java.io.IOException if file.endsWith(".gz") => -1 }
     chunkPos = 0
     chunkLen > 0
   }

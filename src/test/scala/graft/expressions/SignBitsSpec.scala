@@ -32,6 +32,19 @@ class SignBitsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("sign_bits rejects more than 64 planes instead of silently wrapping the shift") {
+    import spark.implicits._
+    val planes = Seq.fill(65)(Seq(1.0))
+    val df = Seq(Seq(1.0)).toDF("v")
+      .select(SignFunctions.signBits(col("v"), typedLit(planes)).as("s"))
+    val e = intercept[Exception] { df.collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(c => c +: causes(c.getCause))
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("at most 64 hyperplanes")),
+      s"expected the 64-plane guard, got: $e")
+  }
+
   test("element_sign_bits matches the per-element when() chain") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

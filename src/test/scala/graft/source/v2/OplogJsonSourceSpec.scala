@@ -219,6 +219,38 @@ class OplogJsonSourceSpec extends AnyFunSuite {
     assert(got.length === 20, "all decoded rows arrive; the empty gz adds none")
   }
 
+  test("a gzip dump truncated mid-body serves its readable prefix instead of killing the scan") {
+    val dir = Files.createTempDirectory("oplog-gz-torn").toString
+    val rows = (0 until 500).map { i =>
+      s"""{"ts":$i,"op":"i","ns":"db.c","id":"t$i","doc":{"_id":"t$i","v":$i}}"""
+    }
+    val full = java.nio.file.Paths.get(dir, "full.bin")
+    val gz = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(full.toFile))
+    gz.write(rows.mkString("\n").getBytes); gz.close()
+    // keep a valid header but tear the body (and the trailer with it)
+    val bytes = Files.readAllBytes(full)
+    Files.write(java.nio.file.Paths.get(dir, "torn.jsonl.gz"),
+      java.util.Arrays.copyOf(bytes, (bytes.length * 6) / 10))
+    Files.delete(full)
+
+    // batch read: the decodable prefix arrives, no exception
+    val got = load(dir).collect().map(_.getAs[String]("id"))
+    assert(got.nonEmpty && got.length < 500,
+      s"expected a proper prefix of the 500 rows, got ${got.length}")
+
+    // streaming with row-budget admission: latestOffset must not choke
+    // on the torn trailer either (the gz row count is an estimate)
+    val out = Files.createTempDirectory("oplog-gz-torn-out").toString
+    val q = spark.readStream.format("graft.source.v2.OplogJsonSource")
+      .option("path", dir).option("maxRowsPerTrigger", "100").load()
+      .writeStream.format("memory").queryName("gz_torn_out")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.sql("SELECT id FROM gz_torn_out").count() === got.length.toLong)
+  }
+
   test("CRLF line endings parse and empty files yield no rows") {
     val dir = Files.createTempDirectory("oplog-crlf").toString
     Files.write(java.nio.file.Paths.get(dir, "crlf.jsonl"), (

@@ -80,12 +80,20 @@ class SessionTrackerSpec extends AnyFunSuite {
     Seq(SessionTracker.Ev(t(1000), 8L, 1.0))
       .toDS().coalesce(1).write.parquet(s"$base/in/p1")
     // batch 2, out of order: t=500 sits more than the 300s gap BEFORE
-    // the open session's start -> its own (closed) session; t=900 is
-    // within the gap -> merges into the open session
+    // the open session's start -> its own span; t=900 is within the
+    // gap -> merges into the open session. The early span must NOT
+    // emit yet: with 600s lateness an event at ts in [400, 800] is
+    // still admissible and could extend it.
     Seq(SessionTracker.Ev(t(500), 8L, 2.0), SessionTracker.Ev(t(900), 8L, 3.0))
       .toDS().coalesce(1).write.parquet(s"$base/in/p2")
+    // batch 3: another user's event advances the watermark to 900 —
+    // past the early span's close (500+300=800), NOT past the open
+    // session's (1000+300=1300) — so exactly the early span seals
+    Seq(SessionTracker.Ev(t(1500), 9L, 0.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p3")
     graft.TestSpark.touch(s"$base/in/p1", 1000L)
     graft.TestSpark.touch(s"$base/in/p2", 2000L)
+    graft.TestSpark.touch(s"$base/in/p3", 3000L)
 
     graft.TestSpark.withRocksDB {
     val stream = spark.readStream
@@ -107,14 +115,69 @@ class SessionTrackerSpec extends AnyFunSuite {
     }
 
     val rows = spark.sql(
-      "SELECT session_start, session_end, n_events, total_value FROM sessearly_out")
+      "SELECT user_id, session_start, session_end, n_events, total_value FROM sessearly_out")
       .collect()
-      .map(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000,
-        r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000,
+        r.getLong(3), r.getDouble(4)))
       .toSet
-    // only the early orphan closed; the (merged) 900..1000 session is
-    // still open awaiting its timer
-    assert(rows === Set((500L, 500L, 1L, 2.0)))
+    // only the early orphan closed — and only once the watermark proved
+    // nothing admissible could still merge into it; the (merged)
+    // 900..1000 session is still open awaiting its timer
+    assert(rows === Set((8L, 500L, 500L, 1L, 2.0)))
+  }
+
+  test("a split span is NOT fragmented by a late merge: held until the watermark seals it") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sessfrag").toString
+    // batch 1: open session at t=1000 (watermark -> 400 with lateSec=600)
+    Seq(SessionTracker.Ev(t(1000), 8L, 1.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p1")
+    // batch 2: out-of-order t=500 forms an earlier span (expiry 800)
+    Seq(SessionTracker.Ev(t(500), 8L, 2.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p2")
+    // batch 3: t=650 is admissible (>= wm 400) and within the gap of
+    // the HELD early span (150s silence) but NOT of the open session
+    // (350s silence > 300s gap) -> must merge into the held span, not
+    // meet an already-emitted fragment
+    Seq(SessionTracker.Ev(t(650), 8L, 4.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p3")
+    // batch 4: advance the watermark past the merged span's close
+    // (650+300=950) but not the open session's (1300): wm -> 1100
+    Seq(SessionTracker.Ev(t(1700), 9L, 0.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p4")
+    graft.TestSpark.touch(s"$base/in/p1", 1000L)
+    graft.TestSpark.touch(s"$base/in/p2", 2000L)
+    graft.TestSpark.touch(s"$base/in/p3", 3000L)
+    graft.TestSpark.touch(s"$base/in/p4", 4000L)
+
+    graft.TestSpark.withRocksDB {
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionTracker.Ev]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+      .as[SessionTracker.Ev]
+    val q = SessionTracker.sessions(stream, gapSec = 300L, lateSec = 600L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessfrag_out")
+      .trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    }
+
+    val rows = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events, total_value FROM sessfrag_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000,
+        r.getLong(3), r.getDouble(4)))
+      .toSet
+    // ONE merged session 500..650 — not a (500,500) fragment plus a
+    // (650,650) leftover
+    assert(rows === Set((8L, 500L, 650L, 2L, 6.0)))
   }
 
   test("state and timers survive a checkpoint restart (exactly-once sessions)") {
@@ -181,8 +244,9 @@ class SessionTrackerSpec extends AnyFunSuite {
   test("a gap wider than the window splits sessions on arrival, even within one batch") {
     import spark.implicits._
     val base = Files.createTempDirectory("sesssplit").toString
-    // both events in ONE batch, 900s apart with a 300s gap: the close
-    // must not wait for the watermark (no other traffic advances it)
+    // both events in ONE batch, 900s apart with a 300s gap: the batch's
+    // own watermark advance (to 1000-10=990, past the first span's 400
+    // close) fires the timer — no other key's traffic needed
     Seq(SessionTracker.Ev(t(100), 7L, 1.5), SessionTracker.Ev(t(1000), 7L, 2.5))
       .toDS().coalesce(1).write.parquet(s"$base/in/p1")
 
