@@ -90,6 +90,75 @@ object CellMath {
     }
     if (haveFinite) bestCid else fallbackCid
   }
+
+  /** Top-p centroid ids by (rounded cosine DESC, cid ASC), finite sims
+    * ranking above non-finite ones (matching the relational DESC
+    * nulls-last) — a p-slot insertion sort, p tiny by construction.
+    * Called from generated code via the static forwarder. */
+  def nearestP(v: ArrayData, nrm: Double, cells: ArrayData, p: Int): ArrayData = {
+    val n = cells.numElements()
+    val k = math.min(p, n)
+    // slot arrays: sims (NaN = non-finite candidate), cids, filled count
+    val sims = new Array[Double](k)
+    val cids = new Array[Long](k)
+    var filled = 0
+    def beats(sim: Double, cid: Long, j: Int): Boolean = {
+      val sj = sims(j)
+      val fi = !sim.isNaN
+      val fj = !sj.isNaN
+      if (fi != fj) fi // finite outranks non-finite
+      else if (fi && sim != sj) sim > sj
+      else cid < cids(j)
+    }
+    var i = 0
+    while (i < n) {
+      val c = cells.getStruct(i, 3)
+      val cid = c.getLong(0)
+      val raw = VectorMath.dot(v, c.getArray(1)) / (nrm * c.getDouble(2))
+      val sim = if (java.lang.Double.isFinite(raw)) rnd4(raw) else Double.NaN
+      // find insertion position among the filled slots
+      var pos = filled
+      while (pos > 0 && beats(sim, cid, pos - 1)) pos -= 1
+      if (pos < k) {
+        val last = math.min(filled, k - 1)
+        var j = last
+        while (j > pos) { sims(j) = sims(j - 1); cids(j) = cids(j - 1); j -= 1 }
+        sims(pos) = sim
+        cids(pos) = cid
+        if (filled < k) filled += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(cids, filled))
+  }
+}
+
+/** Multi-probe form of [[NearestCell]]: the `p` nearest centroid ids,
+  * rank order (rounded-cosine DESC, cid ASC ties — the exact ordering
+  * the relational `row_number` oracle uses). Still a pure projection:
+  * the standard IVF recall knob (probe p cells instead of 1) costs a
+  * p-slot insertion pass over the broadcast codebook per row, no
+  * exchange, no window. */
+case class NearestCells(first: Expression, second: Expression, third: Expression, p: Int)
+    extends TernaryExpression {
+  require(p >= 1, s"nProbe must be >= 1, got $p")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_cells"
+
+  override def nullSafeEval(v: Any, nrm: Any, cells: Any): Any =
+    CellMath.nearestP(v.asInstanceOf[ArrayData], nrm.asInstanceOf[Double],
+      cells.asInstanceOf[ArrayData], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, n, c) => s"graft.expressions.CellMath.nearestP($v, $n, $c, $p)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCells =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 object CellFunctions {
@@ -100,4 +169,11 @@ object CellFunctions {
       GraftColumnBridge.expression(v),
       GraftColumnBridge.expression(nrm),
       GraftColumnBridge.expression(cells)))
+
+  /** Column form: the p nearest centroid ids in rank order. */
+  def nearestCells(v: Column, nrm: Column, cells: Column, p: Int): Column =
+    GraftColumnBridge.column(NearestCells(
+      GraftColumnBridge.expression(v),
+      GraftColumnBridge.expression(nrm),
+      GraftColumnBridge.expression(cells), p))
 }

@@ -24,6 +24,7 @@ object SimilarityQueries {
     NamedQuery("sim_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     NamedQuery("sim_lsh_topk", lshTopK, Some(lshTopKSql)),
     NamedQuery("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    NamedQuery("sim_ivf_multiprobe", ivfMultiprobe, Some(ivfMultiprobeSql)),
     NamedQuery("sim_quantize_error", quantizeError, Some(quantizeErrorSql)),
     NamedQuery("sim_kmeans_update", kmeansUpdate, Some(kmeansUpdateSql)),
   )
@@ -194,6 +195,73 @@ object SimilarityQueries {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  // Multi-probe IVF — the standard recall knob (nProbe=2): queries
+  // search their TWO nearest cells instead of one, catching neighbors
+  // that fell just across a Voronoi boundary. The probe list comes from
+  // the native NearestCells expression — still a projection against the
+  // broadcast codebook (no window, no exchange); per-query cost scales
+  // linearly in nProbe while the corpus-side assignment is unchanged.
+  // Recall-vs-nProbe on sf0.1 is recorded in BASELINE.md.
+  private def ivfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val c = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cb = c.agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cb"))
+    val assign = e.crossJoin(broadcast(cb))
+      .withColumn("cid",
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), col("cb")))
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+    val q = e.filter(col("vec_id") < 8).crossJoin(broadcast(cb))
+      .withColumn("probe", explode(
+        graft.expressions.CellFunctions.nearestCells(col("v"), col("nrm"), col("cb"), 2)))
+      .select(col("vec_id").as("q_id"), col("probe"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = assign.select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(q), col("probe") === col("cid") && col("q_id") =!= col("n_id"))
+      .withColumn("sim", graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val ivfMultiprobeSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0
+      |), assign AS (
+      |  SELECT vec_id, cid, v, nrm FROM (
+      |    SELECT e.vec_id, c.cid, e.v, e.nrm,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c
+      |  ) WHERE rn = 1
+      |), probes AS (
+      |  SELECT vec_id AS q_id, cid AS probe, v AS qv, nrm AS qn FROM (
+      |    SELECT e.vec_id, c.cid, e.v, e.nrm,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c WHERE e.vec_id < 8
+      |  ) WHERE rn <= 2
+      |), pairs AS (
+      |  SELECT p.q_id, a.vec_id AS n_id,
+      |    CAST(round(CAST(list_dot_product(p.qv, a.v) / (p.qn * a.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
+      |  FROM assign a JOIN probes p ON a.cid = p.probe AND p.q_id <> a.vec_id
+      |), ranked AS (
+      |  SELECT q_id, n_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      |  FROM pairs
+      |)
+      |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
 
   private val ivfTopKSql =
     """WITH e AS (
