@@ -18,8 +18,11 @@ import graft.model.{DObj, DStr, Json}
   * semantics — replay-safe (O9: the reference re-reads a 10 s overlap on
   * restart and relies on idempotent upserts; here the ts guard makes
   * replays exact no-ops). Expressed relationally (union + window) so
-  * Catalyst plans a single shuffle on `id`; on a real deployment the same
-  * logic is one Delta/Iceberg `MERGE INTO` inside `foreachBatch`.
+  * Catalyst plans a single shuffle on `id`. The incremental form of the
+  * same MERGE — touching only the batch's buckets, the way a
+  * Delta/Iceberg `MERGE INTO` would inside `foreachBatch` — is
+  * implemented by [[BucketedStateStore.applyBatch]], the config-driven
+  * tail's default.
   *
   * Persistence is versioned parquet directories (`v_0, v_1, …` + a
   * VERSION pointer file): plain parquet cannot be overwritten while being
