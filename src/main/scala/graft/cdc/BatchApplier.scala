@@ -83,12 +83,19 @@ object BatchApplier {
       col("doc"), col("parent"), lit(false).as("fromMigrate")).as[ApplyRow]
     // a source snapshot may arrive undeduplicated (multiple versions per
     // key, each with its ts) — the earliest wins in-group, so callers
-    // need no separate window pass to dedup it first
+    // need no separate window pass to dedup it first. The snapshot is
+    // semi-joined down to the BATCH's keys before the union: a key with
+    // source rows but no event emits nothing from the fold, so the
+    // filter is a semantic no-op — and it turns an O(source)-per-trigger
+    // union (the snapshot can be the whole 100 TB collection) into
+    // O(batch), with the snapshot scan streaming through a broadcast
+    // hash join instead of entering the shuffle.
     val sourceRows = source.map { src =>
       val srcTs = if (src.columns.contains("ts")) col("ts") else lit(0L)
-      src.select(
-        col("id"), lit(1).as("kind"), srcTs.as("ts"), lit("").as("op"), lit("").as("ns"),
-        col("doc"), lit(null: String).as("parent"), lit(false).as("fromMigrate")).as[ApplyRow]
+      src.join(broadcast(events.select(col("id")).distinct()), Seq("id"))
+        .select(
+          col("id"), lit(1).as("kind"), srcTs.as("ts"), lit("").as("op"), lit("").as("ns"),
+          col("doc"), lit(null: String).as("parent"), lit(false).as("fromMigrate")).as[ApplyRow]
     }
     val eventRows = events.select(
       col("id"), lit(2).as("kind"), col("ts"), col("op"), col("ns"),

@@ -289,11 +289,9 @@ object BucketedStateStore {
   }
 
   /** The full incremental micro-batch apply: point-lookup prior state
-    * for the batch's keys, run the fused compact+dispatch+LWW fold, and
-    * commit the outcomes as one shared delta. The source snapshot is
-    * pre-filtered to the batch's keys by the same broadcast join, so the
-    * per-trigger cost never scans the (possibly huge) snapshot either.
-    */
+    * for the batch's keys, run the fused compact+dispatch+LWW fold
+    * (which itself semi-joins the source snapshot down to the batch's
+    * keys), and commit the outcomes as one shared delta. */
   def applyBatch(
       events: Dataset[OplogRow],
       task: TaskSpec,
@@ -310,8 +308,7 @@ object BucketedStateStore {
       val st = keyStats(n, keys)
       val prior = m.map(priorForStats(spark, dir, _, keys, st))
         .getOrElse(StateStore.empty(spark))
-      val src = source.map(_.join(broadcast(keys), Seq("id")))
-      val applied = BatchApplier.applyOplogBatchKeepDeletes(events, prior, task, src, dropped)
+      val applied = BatchApplier.applyOplogBatchKeepDeletes(events, prior, task, source, dropped)
       commitDelta(applied, dir, spec, st.dirty)
     } finally { keys.unpersist(); () }
   }

@@ -11,11 +11,16 @@ import org.apache.spark.sql.SparkSession
   * that compares directly against the reference's 10,000 docs/s
   * read-capacity ceiling (BASELINE.md §1).
   *
-  * Run: SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.tools.TailThroughput /root/testdata/sf0.1"
+  * Run: SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.tools.TailThroughput /root/testdata/sf0.1 [legacy|bucketed]"
   */
 object TailThroughput {
+  private var buckets: Option[graft.cdc.BucketedStateStore.Spec] = None
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mode = args.lift(1).getOrElse("legacy")
+    buckets =
+      if (mode == "bucketed") Some(graft.cdc.BucketedStateStore.Spec()) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,7 +49,7 @@ object TailThroughput {
     val t0 = System.nanoTime()
     runOnce(spark, base)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"tail_events_per_sec","value":${n / sec}%.0f,"events":$n,"wall_sec":$sec%.3f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"tail_events_per_sec","value":${n / sec}%.0f,"events":$n,"wall_sec":$sec%.3f,"mode":"$mode","sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -55,7 +60,7 @@ object TailThroughput {
     val q = graft.pipeline.TailQuery.start(
       stream, graft.SparkEntry.flagshipTask, ns = "app.users", fromTs = 0L,
       stateDir = s"$base/state", checkpointDir = s"$base/ckpt",
-      triggerMs = 100L)
+      triggerMs = 100L, buckets = buckets)
     q.processAllAvailable()
     q.stop()
   }
