@@ -202,7 +202,9 @@ object CdcQueries {
     val oplog = EventsOplog.fromEvents(events).as[OplogRow].persist()
     try {
       val stateDir = java.nio.file.Files.createTempDirectory("graft-bucketed-state").toString
-      val spec = BucketedStateStore.Spec(nBuckets = 16, compactThreshold = 2)
+      // threshold 3 with three commits -> compaction runs exactly once
+      // (still exercised end-to-end; twice would only re-pay the merge)
+      val spec = BucketedStateStore.Spec(nBuckets = 16, compactThreshold = 3)
       val src = EventsOplog.sourceSnapshotRaw(events)
       val group = pmod(col("id").cast("long"), lit(3))
       Seq(

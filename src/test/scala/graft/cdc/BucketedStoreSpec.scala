@@ -163,6 +163,16 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(readMap(dir) === before)
   }
 
+  test("manifest JSON round-trips exactly (parse . render = identity)") {
+    val m = BucketedStateStore.Manifest(16, 42L, Map(
+      0 -> BucketedStateStore.BucketFiles(Some("data/base_7/__bucket=0"), Vector("data/delta_8", "data/delta_9")),
+      3 -> BucketedStateStore.BucketFiles(None, Vector("data/delta_9")),
+      15 -> BucketedStateStore.BucketFiles(Some("data/base_40/__bucket=15"), Vector.empty)))
+    assert(BucketedStateStore.Manifest.parse(m.render) === m)
+    // and a second render of the parse is byte-identical (stable order)
+    assert(BucketedStateStore.Manifest.parse(m.render).render === m.render)
+  }
+
   test("legacy store prunes versions older than the retention window") {
     val dir = tmp("legacy-prune")
     (0 until 5).foreach { i =>
