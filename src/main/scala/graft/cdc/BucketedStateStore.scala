@@ -177,11 +177,35 @@ object BucketedStateStore {
   }
 
   /** Current live state (id, doc, parent, ts) — the full-table read the
-    * verify queries and restarts use; per-batch applies never call it. */
+    * verify queries and restarts use; per-batch applies never call it.
+    *
+    * CLEAN buckets (base file, no delta chain) already hold exactly the
+    * live rows — compaction resolved them — so they scan straight
+    * through with NO exchange; only delta-bearing buckets pay the LWW
+    * window. On a mostly-compacted 100 TB store the full read is
+    * therefore shuffle-free for almost all of the data instead of
+    * re-windowing every row. */
   def read(spark: SparkSession, dir: String): DataFrame =
     readManifest(dir) match {
-      case Some(m) if m.buckets.nonEmpty => resolve(scanPaths(spark, m.allLivePaths(dir)))
-      case _                             => StateStore.empty(spark)
+      case Some(m) if m.buckets.nonEmpty =>
+        val (clean, dirty) = m.buckets.partition(_._2.deltas.isEmpty)
+        val parts = Seq(
+          if (clean.isEmpty) None
+          else Some(scanPaths(spark, m.livePathsFor(dir, clean.keys))
+            .select(StateStore.schemaCols.map(col): _*)),
+          if (dirty.isEmpty) None
+          // shared delta dirs can hold stale rows of buckets compacted
+          // SINCE (their bases outrank them by __seq, but only if the
+          // resolve sees both sides) — restrict the windowed scan to
+          // rows that BELONG to the delta-bearing buckets
+          else Some(resolve(
+            scanPaths(spark, m.livePathsFor(dir, dirty.keys))
+              .withColumn("__b", bucketCol(m.nBuckets))
+              .filter(col("__b").isin(dirty.keys.toSeq.sorted.map(Integer.valueOf): _*))
+              .drop("__b"))),
+        ).flatten
+        parts.reduce(_ unionByName _)
+      case _ => StateStore.empty(spark)
     }
 
   /** Seed the store from a full state DataFrame (the scan backfill, L5

@@ -163,6 +163,51 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(readMap(dir) === before)
   }
 
+  test("full read: compacted buckets scan exchange-free; stale shared-delta rows cannot resurrect") {
+    import org.apache.spark.sql.functions.{col, pmod, hash}
+    val dir = tmp("bucketed-read-split")
+    // two keys in DIFFERENT buckets (computed, not assumed)
+    val cands = (0 until 40).map(i => s"key$i")
+    val byBucket = cands.toDF("id")
+      .select(col("id"), pmod(hash(col("id")), org.apache.spark.sql.functions.lit(spec.nBuckets)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val (ka, kb) = (byBucket.head._1,
+      byBucket.find(_._2 != byBucket.head._2).get._1)
+
+    // commit 1: one SHARED delta touching both buckets
+    BucketedStateStore.applyBatch(spark.createDataset(Seq(
+      ev(1, 0, "i", ka, s"""{"_id":"$ka","value":1.0}"""),
+      ev(1, 1, "i", kb, s"""{"_id":"$kb","value":2.0}"""))), task, dir, spec)
+    // commits 2+3: only ka's bucket -> its chain crosses threshold 3 and
+    // compacts; the shared delta STILL physically holds ka's old row,
+    // and kb's bucket still references it
+    BucketedStateStore.applyBatch(spark.createDataset(Seq(
+      ev(2, 0, "u", ka, """{"$set":{"value":10.0}}"""))), task, dir, spec)
+    BucketedStateStore.applyBatch(spark.createDataset(Seq(
+      ev(3, 0, "u", ka, """{"$set":{"value":11.0}}"""))), task, dir, spec)
+
+    val m = BucketedStateStore.readManifest(dir).get
+    val aB = byBucket.toMap.apply(ka)
+    val bB = byBucket.toMap.apply(kb)
+    assert(m.buckets(aB).deltas.isEmpty, s"ka's bucket must be compacted: $m")
+    assert(m.buckets(bB).deltas.nonEmpty, s"kb's bucket must still carry the shared delta: $m")
+
+    val got = readMap(dir)
+    assert(got.size === 2, s"no duplicates or resurrections: $got")
+    assert(got(ka)._1 === s"""{"_id":"$ka","value":11.0}""", "compacted value wins over the stale shared-delta row")
+    assert(got(kb)._1 === s"""{"_id":"$kb","value":2.0}""")
+
+    // after compacting EVERYTHING the full read needs no exchange at all
+    val dir2 = tmp("bucketed-read-clean")
+    val spec1 = spec.copy(compactThreshold = 1) // every commit compacts
+    BucketedStateStore.applyBatch(spark.createDataset(Seq(
+      ev(1, 0, "i", ka, s"""{"_id":"$ka","value":1.0}"""),
+      ev(1, 1, "i", kb, s"""{"_id":"$kb","value":2.0}"""))), task, dir2, spec1)
+    val plan = BucketedStateStore.read(spark, dir2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"a fully-compacted store must read shuffle-free:\n${plan.take(2000)}")
+  }
+
   test("manifest JSON round-trips exactly (parse . render = identity)") {
     val m = BucketedStateStore.Manifest(16, 42L, Map(
       0 -> BucketedStateStore.BucketFiles(Some("data/base_7/__bucket=0"), Vector("data/delta_8", "data/delta_9")),
