@@ -158,7 +158,11 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------
-  // IVF-style ANN: a deterministic codebook (every 50th vector), each
+  // IVF-style ANN: a deterministic codebook (every 50th vector, capped
+  // at 64 centroids — |C| must be FIXED, not grow with the corpus, or
+  // the N x |C| assignment turns super-linear: uncapped, the 10x sweep
+  // measured 20x; a real deployment's trained codebook has fixed k by
+  // construction), each
   // vector assigned to its nearest centroid by (rounded) cosine, then
   // queries probe ONLY their own cell (nProbe=1) and exact-rank within
   // it. This is the inverted-file scale path: at 100 TB the assignment
@@ -171,7 +175,7 @@ object SimilarityQueries {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val c = e.filter(col("vec_id") % 50 === 0)
+    val c = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 50 * 64)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     // assignment is a pure PROJECTION: the codebook collapses to a
     // one-row array (broadcast), and each vector takes its own argmax
@@ -207,7 +211,7 @@ object SimilarityQueries {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val c = e.filter(col("vec_id") % 50 === 0)
+    val c = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 50 * 64)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val cb = c.agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cb"))
     val assign = e.crossJoin(broadcast(cb))
@@ -234,7 +238,7 @@ object SimilarityQueries {
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
       |), c AS (
-      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0
+      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0 AND vec_id < 3200
       |), assign AS (
       |  SELECT vec_id, cid, v, nrm FROM (
       |    SELECT e.vec_id, c.cid, e.v, e.nrm,
@@ -269,7 +273,7 @@ object SimilarityQueries {
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
       |), c AS (
-      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0
+      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0 AND vec_id < 3200
       |), assign AS (
       |  SELECT vec_id, cid, v, nrm FROM (
       |    SELECT e.vec_id, c.cid, e.v, e.nrm,
