@@ -31,6 +31,7 @@ object DedupQueries {
     NamedQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     NamedQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
     NamedQuery("dedup_embedding_pairs_lsh", embeddingPairsLsh, Some(embeddingPairsLshSql)),
+    NamedQuery("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     NamedQuery("dedup_substring_frac", substringFrac, Some(substringFracSql)),
     NamedQuery("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
     NamedQuery("dedup_containment_pairs", containmentPairs, Some(containmentSql)),
@@ -408,6 +409,66 @@ object DedupQueries {
     blockedPairs(e, threshold = 0.3)
       .select(col("a_id"), col("b_id"), col("block"), col("sim"))
   }
+
+  // ---------------------------------------------------------------
+  // Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster the
+  // corpus by nearest-centroid assignment, then WITHIN each cell drop
+  // every vector that has a higher-similarity twin with a smaller id —
+  // one survivor per near-dup set, no cross-cell pairs ever formed.
+  // The cell key is self-derived (fixed 64-centroid codebook via the
+  // native exchange-free NearestCell assignment), so block sizes track
+  // data geometry, not corpus size — the property the round-6 sweep
+  // showed separates linear from quadratic scaling. Composition of
+  // existing primitives: IVF assignment + blocked pairs + min-id keep.
+  private def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.VectorFunctions.{dot => ndot}
+    val e = embeddingsWithUnit(spark, dir)
+    val c = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 50 * 64)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cb = c.agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cb"))
+    val assign = e.crossJoin(broadcast(cb))
+      .withColumn("cell",
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), col("cb")))
+      .select(col("vec_id"), col("cell"), col("u"))
+    val a = assign.select(col("vec_id").as("a_id"), col("cell"), col("u").as("au"))
+    val b = assign.select(col("vec_id").as("b_id"), col("cell").as("c2"), col("u").as("bu"))
+    // a vector is dropped iff some SMALLER-id vector in its cell is a
+    // near-dup (sim >= 0.4 on the rounded cosine)
+    val dropped = a.join(b, col("cell") === col("c2") && col("a_id") < col("b_id"))
+      .withColumn("sim", graft.ops.Registry.rnd(ndot(col("au"), col("bu")), 4))
+      .filter(col("sim") >= 0.4)
+      .select(col("b_id")).distinct()
+    assign.join(dropped, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("cell"), col("b_id").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semanticDedupSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+      |  WHERE vec_id % 50 = 0 AND vec_id < 3200
+      |), assign AS (
+      |  SELECT vec_id, cid AS cell, u FROM (
+      |    SELECT e.vec_id, c.cid, e.u,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c
+      |  ) WHERE rn = 1
+      |), dropped AS (
+      |  SELECT DISTINCT b.vec_id AS b_id
+      |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE CAST(round(CAST(list_dot_product(a.u, b.u) AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.4
+      |)
+      |SELECT v.vec_id, v.cell, (d.b_id IS NULL) AS keep
+      |FROM assign v LEFT JOIN dropped d ON v.vec_id = d.b_id
+      |ORDER BY v.vec_id""".stripMargin
 
   private[llm] def embeddingsWithUnit(spark: SparkSession, dir: String): DataFrame = {
     import graft.expressions.VectorFunctions.{dot => ndot}
