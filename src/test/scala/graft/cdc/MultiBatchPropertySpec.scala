@@ -79,6 +79,26 @@ class MultiBatchPropertySpec extends AnyFunSuite {
     assert(modelState.nonEmpty)
   }
 
+  test("N random micro-batches through the BUCKETED store == pure model fold") {
+    import OplogRow.encoder
+    val rnd = new scala.util.Random(4096)
+    val dir = java.nio.file.Files.createTempDirectory("mbp-bucketed").toString
+    // tiny buckets + aggressive compaction: every structural path
+    // (shared deltas, chain compaction, tombstone drop, vacuum) fires
+    // within the 8 rounds
+    val spec = BucketedStateStore.Spec(nBuckets = 4, compactThreshold = 2, retainManifests = 2)
+    var modelState = Map.empty[String, (String, Long)]
+    for (batchNo <- 1 to 8) {
+      val batch = Vector.fill(12)(randomOplog(rnd, batchNo))
+      BucketedStateStore.applyBatch(spark.createDataset(batch), task, dir, spec)
+      val got = BucketedStateStore.read(spark, dir).collect()
+        .map(r => r.getAs[String]("id") -> (r.getAs[String]("doc"), r.getAs[Long]("ts"))).toMap
+      modelState = modelApply(modelState, batch)
+      assert(got === modelState, s"diverged at batch $batchNo with batch $batch")
+    }
+    assert(modelState.nonEmpty)
+  }
+
   // -----------------------------------------------------------------
   // Same property with parent routing configured: the model re-injects
   // the stored parent into the sink doc before dispatch (the engine's
