@@ -208,6 +208,33 @@ class BucketedStoreSpec extends AnyFunSuite {
       s"a fully-compacted store must read shuffle-free:\n${plan.take(2000)}")
   }
 
+  test("a torn commit (delta written, manifest not swapped) is invisible and gets vacuumed") {
+    val dir = tmp("bucketed-torn")
+    BucketedStateStore.applyBatch(
+      spark.createDataset(Seq(ev(1, 0, "i", "a", """{"_id":"a","value":1.0}"""))), task, dir, spec)
+    val before = readMap(dir)
+    val mBefore = BucketedStateStore.readManifest(dir).get
+
+    // simulate a crash mid-commit: an orphan delta directory exists on
+    // disk but no manifest references it
+    val orphan = java.nio.file.Paths.get(dir, "data", s"delta_${mBefore.seq + 1}")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+
+    // readers resolve through the manifest only: state is unchanged
+    assert(readMap(dir) === before)
+    assert(BucketedStateStore.readManifest(dir).get === mBefore)
+
+    // the next successful commit (the foreachBatch replay) overwrites
+    // the orphan's seq slot and vacuum reclaims unreferenced dirs
+    BucketedStateStore.applyBatch(
+      spark.createDataset(Seq(ev(2, 0, "u", "a", """{"$set":{"value":2.0}}"""))), task, dir, spec)
+    assert(readMap(dir)("a")._1 === """{"_id":"a","value":2.0}""")
+    val m = BucketedStateStore.readManifest(dir).get
+    m.allLivePaths(dir).foreach(p =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)), s"live path missing: $p"))
+  }
+
   test("manifest JSON round-trips exactly (parse . render = identity)") {
     val m = BucketedStateStore.Manifest(16, 42L, Map(
       0 -> BucketedStateStore.BucketFiles(Some("data/base_7/__bucket=0"), Vector("data/delta_8", "data/delta_9")),

@@ -219,6 +219,29 @@ class OplogJsonSourceSpec extends AnyFunSuite {
     assert(got.length === 20, "all decoded rows arrive; the empty gz adds none")
   }
 
+  test("gz row-budget admission extrapolates from the 64 KB sample; no driver full decode") {
+    val dir = Files.createTempDirectory("oplog-gz-big").toString
+    // ~10k rows, ~700 KB decompressed: well past the sample window, so
+    // admission must use the ISIZE extrapolation — and still deliver
+    // every row across the admitted micro-batches
+    val rows = (0 until 10000).map { i =>
+      s"""{"ts":$i,"op":"i","ns":"db.c","id":"g$i","doc":{"_id":"g$i","v":$i}}"""
+    }
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/big.jsonl.gz"))
+    gz.write(rows.mkString("\n").getBytes); gz.close()
+
+    val out = Files.createTempDirectory("oplog-gz-big-out").toString
+    val q = spark.readStream.format("graft.source.v2.OplogJsonSource")
+      .option("path", dir).option("maxRowsPerTrigger", "4000").load()
+      .writeStream.format("memory").queryName("gz_big_out")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.sql("SELECT id FROM gz_big_out").count() === 10000L)
+  }
+
   test("a gzip dump truncated mid-body serves its readable prefix instead of killing the scan") {
     val dir = Files.createTempDirectory("oplog-gz-torn").toString
     val rows = (0 until 500).map { i =>

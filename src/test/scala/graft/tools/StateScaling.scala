@@ -21,7 +21,11 @@ import graft.model.{BsonTs, TaskSpec}
   *    (columnar, join-filtered, no shuffle) but the WRITE stays O(B).
   *
   * Run: SPARK_GRAFT_CPUS=16 sbt "Test/runMain graft.tools.StateScaling 2000000 20000 5 256 local both"
-  *      args: [keys] [batchSize] [numBatches] [nBuckets] [local|uniform] [bucketed|legacy|both]
+  *      args: [keys] [batchSize] [numBatches] [nBuckets] [local|uniform] [bucketed|legacy|both] [docBytes]
+  * `docBytes` pads every document to roughly that size — the
+  * write-dominant regime (real sink docs are ~KBs, not the probe's
+  * default ~60 B) where the legacy path pays the full state rewrite
+  * per byte every trigger.
   */
 object StateScaling {
   def main(args: Array[String]): Unit = {
@@ -31,6 +35,7 @@ object StateScaling {
     val nBuckets = args.lift(3).map(_.toInt).getOrElse(256)
     val dist = args.lift(4).getOrElse("local")
     val mode = args.lift(5).getOrElse("both")
+    val docBytes = args.lift(6).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
 
     val spark = SparkSession.builder()
@@ -45,9 +50,18 @@ object StateScaling {
 
     val task = TaskSpec(Vector("value" -> "value"))
 
+    // pad with repeated per-key md5 hex (not a constant — a constant
+    // would compress to nothing and mask the per-byte costs)
+    val padCol =
+      if (docBytes > 0)
+        concat(lit(""","pad":""""),
+          expr(s"repeat(md5(cast(id AS string)), ${math.max(1, docBytes / 32)})"), lit("\""))
+      else lit("")
     def seedState: DataFrame = spark.range(keys).select(
       format_string("k%09d", col("id")).as("id"),
-      format_string("""{"_id":"k%09d","value":%d.0}""", col("id"), col("id")).as("doc"),
+      concat(
+        format_string("""{"_id":"k%09d","value":%d.0""", col("id"), col("id")),
+        padCol, lit("}")).as("doc"),
       lit(null).cast("string").as("parent"),
       lit(1L).as("ts"))
 
