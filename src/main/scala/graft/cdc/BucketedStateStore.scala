@@ -337,6 +337,32 @@ object BucketedStateStore {
     } finally { keys.unpersist(); () }
   }
 
+  /** Re-bucket the store to `newNBuckets` — the maintenance operation a
+    * growing deployment runs when buckets outgrow their target size
+    * (the sizing rule in the class doc: nBuckets ≈ state / 128 MB).
+    * One full read → one partitioned rewrite → one manifest swap; the
+    * store stays readable throughout (readers resolve the old manifest
+    * until the pointer moves), and the next vacuum reclaims the old
+    * layout. Run it BETWEEN micro-batches (same single-writer contract
+    * as commits themselves). */
+  def reshard(spark: SparkSession, dir: String, newNBuckets: Int): Unit = {
+    val m = readManifest(dir).getOrElse(
+      throw new IllegalStateException(s"no bucketed state at $dir to reshard"))
+    val seq = m.seq + 1
+    val rel = s"data/base_$seq"
+    read(spark, dir)
+      .withColumn("action", lit("upsert"))
+      .withColumn("__seq", lit(seq))
+      .withColumn("__bucket", bucketCol(newNBuckets))
+      .repartition(col("__bucket"))
+      .sortWithinPartitions(col("__bucket"), col("id"))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(s"$dir/$rel")
+    val buckets = listBucketDirs(dir, rel)
+    writeManifest(dir, Manifest(newNBuckets, seq,
+      buckets.map { case (b, p) => b -> BucketFiles(Some(p), Vector.empty) }))
+    vacuum(dir, 1) // the old bucketing is not time-travel-compatible
+  }
+
   /** Keep the newest `retain` manifests; delete older manifest files
     * and any data bucket directory none of the retained manifests
     * references. Bounds disk to retained-history size (VERDICT r6 #2).

@@ -208,6 +208,28 @@ class BucketedStoreSpec extends AnyFunSuite {
       s"a fully-compacted store must read shuffle-free:\n${plan.take(2000)}")
   }
 
+  test("reshard: state survives a bucket-count change and later applies use the new layout") {
+    val dir = tmp("bucketed-reshard")
+    (1 to 5).foreach { sec =>
+      BucketedStateStore.applyBatch(
+        spark.createDataset(Seq(ev(sec, 0, "i", s"k$sec", s"""{"_id":"k$sec","value":$sec.0}"""))),
+        task, dir, spec)
+    }
+    val before = readMap(dir)
+    BucketedStateStore.reshard(spark, dir, 32)
+    val m = BucketedStateStore.readManifest(dir).get
+    assert(m.nBuckets === 32)
+    assert(m.buckets.values.forall(f => f.base.isDefined && f.deltas.isEmpty))
+    assert(readMap(dir) === before)
+    // further applies pick up the NEW bucket count from the manifest
+    // (the caller's spec still says 8 — the manifest is authoritative)
+    BucketedStateStore.applyBatch(
+      spark.createDataset(Seq(ev(9, 0, "u", "k3", """{"$set":{"value":33.0}}"""))),
+      task, dir, spec)
+    assert(readMap(dir)("k3")._1 === """{"_id":"k3","value":33.0}""")
+    assert(BucketedStateStore.readManifest(dir).get.nBuckets === 32)
+  }
+
   test("a torn commit (delta written, manifest not swapped) is invisible and gets vacuumed") {
     val dir = tmp("bucketed-torn")
     BucketedStateStore.applyBatch(
