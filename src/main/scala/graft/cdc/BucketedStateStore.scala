@@ -237,28 +237,41 @@ object BucketedStateStore {
         priorForStats(spark, dir, m, keys, st)
     }
 
-  /** One tiny aggregate over the (persisted) key set: dirty bucket ids
-    * + the id range — everything the planner-side pruning needs, in a
-    * single job. */
-  private final case class KeyStats(dirty: Set[Int], lo: String, hi: String)
+  /** One tiny aggregate over the (persisted) key set: dirty bucket ids,
+    * the id range, and the key count — everything the planner-side
+    * pruning needs, in a single job. */
+  private final case class KeyStats(dirty: Set[Int], lo: String, hi: String, n: Long)
 
   private def keyStats(nBuckets: Int, keys: DataFrame): KeyStats = {
     val row = keys.agg(
       collect_set(bucketCol(nBuckets)).as("bs"),
       min(col("id")).as("lo"),
-      max(col("id")).as("hi")).head()
-    KeyStats(row.getSeq[Int](0).toSet, row.getString(1), row.getString(2))
+      max(col("id")).as("hi"),
+      count(lit(1)).as("n")).head()
+    KeyStats(row.getSeq[Int](0).toSet, row.getString(1), row.getString(2), row.getLong(3))
   }
+
+  /** Above this many distinct batch keys the point-lookup stops forcing
+    * a broadcast (a catch-up storm batch could be millions of keys —
+    * hundreds of MB on every executor) and lets the planner pick the
+    * join; correctness is unchanged, the state side merely shuffles for
+    * that oversized trigger. */
+  private val BroadcastKeyLimit = 500000L
 
   private def priorForStats(
       spark: SparkSession, dir: String, m: Manifest,
       keys: DataFrame, st: KeyStats): DataFrame = {
     val paths = m.livePathsFor(dir, st.dirty)
     if (paths.isEmpty || st.lo == null) StateStore.empty(spark)
-    else resolve(
-      scanPaths(spark, paths)
-        .filter(col("id") >= lit(st.lo) && col("id") <= lit(st.hi))
-        .join(broadcast(keys.select(col("id")).distinct()), Seq("id")))
+    else {
+      val keySide =
+        if (st.n <= BroadcastKeyLimit) broadcast(keys.select(col("id")).distinct())
+        else keys.select(col("id")).distinct()
+      resolve(
+        scanPaths(spark, paths)
+          .filter(col("id") >= lit(st.lo) && col("id") <= lit(st.hi))
+          .join(keySide, Seq("id")))
+    }
   }
 
   /** Commit one micro-batch's per-key outcomes `(id, doc, parent, ts,
