@@ -110,4 +110,50 @@ object Ddl {
         suffix = config.controls.indexNameSuffix.stripPrefix("_"),
         location = locationBase.map(b => s"$b/${td.load.index}${config.controls.indexNameSuffix}"))
     }
+
+  /** Materialize the engine-owned state into the typed sink table —
+    * what makes `spark.table("users")` answer the queries a mongo-es
+    * user asks ES today. State docs are already sink-shaped JSON, so
+    * publishing is one `from_json` against the DDL schema (fields the
+    * mapping never produced stay NULL, exactly like a sparse ES doc)
+    * and an overwrite into the table's location. Returns rows
+    * published.
+    *
+    * Publication is an on-demand snapshot by design: rewriting the
+    * table every 5 s trigger would re-create the O(state)-per-batch
+    * cost the bucketed store exists to avoid. Serving layers that need
+    * per-trigger freshness read the state store itself
+    * ([[graft.cdc.StateStore.read]] resolves either backend); a
+    * Delta/Iceberg-backed table would instead MERGE the per-batch
+    * deltas. */
+  def publishState(
+      spark: SparkSession,
+      table: String,
+      stateDir: String,
+      task: TaskSpec,
+      fieldTypes: Map[String, String] = Map.empty,
+  ): Long = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val schema = outputSchema(task, fieldTypes)
+    val typed = graft.cdc.StateStore.read(spark, stateDir)
+      .select(from_json(col("doc"), schema).as("d"))
+      .select(col("d.*"))
+    typed.write.mode("overwrite").insertInto(table)
+    spark.table(table).count()
+  }
+
+  /** [[publishState]] for every task of a config (the dir layout
+    * `Runner.fromConfig` uses). Returns table -> rows. */
+  def publishFromConfig(
+      spark: SparkSession,
+      config: graft.model.EngineConfig,
+      baseDir: String,
+  ): Map[String, Long] =
+    config.tasks.map { td =>
+      val fieldTypes = td.load.mappingBody.map(fieldTypesFromMapping).getOrElse(Map.empty)
+      val table = td.load.index +
+        (if (config.controls.indexNameSuffix.isEmpty) "" else s"_${config.controls.indexNameSuffix.stripPrefix("_")}")
+      val dirName = td.name + config.controls.indexNameSuffix
+      table -> publishState(spark, table, s"$baseDir/$dirName/state", td.transform, fieldTypes)
+    }.toMap
 }

@@ -36,7 +36,8 @@ class MainSpec extends AnyFunSuite {
         |    "from": {"phase": "scan"},
         |    "extract": {"db": "app", "collection": "users"},
         |    "transform": {"mapping": {"score": "score"}},
-        |    "load": {"index": "users", "type": "user"}
+        |    "load": {"index": "users", "type": "user",
+        |      "body": {"properties": {"score": {"type": "double"}}}}
         |  }]
         |}""".stripMargin.getBytes)
 
@@ -67,5 +68,15 @@ class MainSpec extends AnyFunSuite {
       "a" -> """{"_id":"a","score":9.5}""",
       "c" -> """{"_id":"c","score":3.0}""",
     ))
+
+    // publish: the typed sink table now answers the queries a mongo-es
+    // user would ask ES (score is a real double via from_json)
+    val config = graft.model.EngineConfig.fromJson(
+      new String(Files.readAllBytes(java.nio.file.Paths.get(configPath))))
+    val published = graft.sink.Ddl.publishFromConfig(spark, config, base)
+    assert(published === Map("users" -> 2L))
+    val rows = spark.sql("SELECT _id, score FROM users ORDER BY _id")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows === Map("a" -> 9.5, "c" -> 3.0))
   }
 }
