@@ -15,6 +15,10 @@ class MainSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("main-e2e-base").toString
     val data = Files.createTempDirectory("main-e2e-data").toString
     val taskName = "app.users___users.user"
+    // other suites may have registered an untyped `users` (CREATE TABLE
+    // IF NOT EXISTS is the blue/green contract: an existing table wins)
+    // — this test needs ITS config's typed schema
+    spark.sql("DROP TABLE IF EXISTS users")
 
     // per-task source layout: parquet snapshot + JSON-lines oplog
     Files.createDirectories(java.nio.file.Paths.get(s"$data/$taskName/oplog"))
