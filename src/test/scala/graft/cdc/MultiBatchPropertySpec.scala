@@ -151,6 +151,27 @@ class MultiBatchPropertySpec extends AnyFunSuite {
     untouched ++ touched
   }
 
+  test("parent-routed task through the BUCKETED store == model fold (routing survives deltas)") {
+    import OplogRow.encoder
+    val rnd = new scala.util.Random(31337)
+    val dir = java.nio.file.Files.createTempDirectory("mbp-bucketed-parent").toString
+    val spec = BucketedStateStore.Spec(nBuckets = 4, compactThreshold = 2, retainManifests = 2)
+    var modelState = Map.empty[String, (String, String, Long)]
+    var sawParent = false
+    for (batchNo <- 1 to 6) {
+      val batch = Vector.fill(12)(randomParentOplog(rnd, batchNo))
+      BucketedStateStore.applyBatch(spark.createDataset(batch), pTask, dir, spec)
+      val got = BucketedStateStore.read(spark, dir).collect()
+        .map(r => r.getAs[String]("id") ->
+          (r.getAs[String]("doc"), r.getAs[String]("parent"), r.getAs[Long]("ts"))).toMap
+      modelState = modelApplyParent(modelState, batch)
+      assert(got === modelState, s"diverged at batch $batchNo with batch $batch")
+      sawParent ||= got.values.exists(_._2 != null)
+    }
+    assert(modelState.nonEmpty)
+    assert(sawParent, "test must actually exercise non-null parent routing")
+  }
+
   test("parent-routed task: distributed apply == model fold (routing carried and deletes resolve)") {
     import OplogRow.encoder
     val rnd = new scala.util.Random(777)
