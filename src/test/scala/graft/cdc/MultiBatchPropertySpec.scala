@@ -79,9 +79,14 @@ class MultiBatchPropertySpec extends AnyFunSuite {
     assert(modelState.nonEmpty)
   }
 
+  // default seeds are fixed (deterministic CI); GRAFT_FUZZ_SEED widens
+  // the net for ad-hoc fuzzing sweeps without touching the suite
+  private def fuzzSeed(default: Long): Long =
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(default)
+
   test("N random micro-batches through the BUCKETED store == pure model fold") {
     import OplogRow.encoder
-    val rnd = new scala.util.Random(4096)
+    val rnd = new scala.util.Random(fuzzSeed(4096))
     val dir = java.nio.file.Files.createTempDirectory("mbp-bucketed").toString
     // tiny buckets + aggressive compaction: every structural path
     // (shared deltas, chain compaction, tombstone drop, vacuum) fires
@@ -153,7 +158,7 @@ class MultiBatchPropertySpec extends AnyFunSuite {
 
   test("parent-routed task through the BUCKETED store == model fold (routing survives deltas)") {
     import OplogRow.encoder
-    val rnd = new scala.util.Random(31337)
+    val rnd = new scala.util.Random(fuzzSeed(31337))
     val dir = java.nio.file.Files.createTempDirectory("mbp-bucketed-parent").toString
     val spec = BucketedStateStore.Spec(nBuckets = 4, compactThreshold = 2, retainManifests = 2)
     var modelState = Map.empty[String, (String, String, Long)]
