@@ -167,6 +167,40 @@ object BucketedStateStore {
   private def scanPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.schema(fileSchema).parquet(paths: _*)
 
+  /** Scan the rows of `buckets` with per-delta bucket SCOPING — the
+    * guard against tombstone resurrection. A shared delta dir can
+    * physically hold a row of a bucket that compacted SINCE the commit
+    * (its chain no longer references the delta, and compaction dropped
+    * the key's tombstone from the new base); reading that row through
+    * ANOTHER bucket's chain would revive a deleted key as the highest
+    * `__seq` version. So: base dirs scan unscoped (a base leaf holds
+    * exactly one bucket's rows by construction), while each delta dir
+    * is filtered to the buckets whose CURRENT chain references it.
+    * Deltas sharing an owner set share one scan, so every live file is
+    * still read exactly once. */
+  private def scanBuckets(
+      spark: SparkSession, dir: String, m: Manifest, buckets: Iterable[Int]): DataFrame = {
+    val bs = buckets.toSet
+    val basePaths = bs.toSeq.sorted
+      .flatMap(b => m.buckets.get(b).flatMap(_.base)).map(rel => s"$dir/$rel")
+    val deltaOwners: Map[String, Set[Int]] = bs.toSeq
+      .flatMap(b => m.buckets.get(b).toSeq.flatMap(_.deltas.map(_ -> b)))
+      .groupBy(_._1).map { case (rel, owners) => rel -> owners.map(_._2).toSet }
+    val deltaScans = deltaOwners.toSeq
+      .groupBy(_._2).toSeq
+      .map { case (owners, rels) => (owners.toSeq.sorted, rels.map(_._1).sorted) }
+      .sortBy(_._2.head)
+      .map { case (owners, rels) =>
+        scanPaths(spark, rels.map(rel => s"$dir/$rel"))
+          .filter(bucketCol(m.nBuckets).isin(owners.map(Integer.valueOf): _*))
+      }
+    val parts =
+      (if (basePaths.isEmpty) Nil else Seq(scanPaths(spark, basePaths))) ++ deltaScans
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fileSchema)
+    else parts.reduce(_ unionByName _)
+  }
+
   /** LWW resolution across base+delta rows: highest commit wins (a key
     * appears at most once per commit), tombstones erase. */
   private def resolve(rows: DataFrame): DataFrame = {
@@ -194,15 +228,7 @@ object BucketedStateStore {
           else Some(scanPaths(spark, m.livePathsFor(dir, clean.keys))
             .select(StateStore.schemaCols.map(col): _*)),
           if (dirty.isEmpty) None
-          // shared delta dirs can hold stale rows of buckets compacted
-          // SINCE (their bases outrank them by __seq, but only if the
-          // resolve sees both sides) — restrict the windowed scan to
-          // rows that BELONG to the delta-bearing buckets
-          else Some(resolve(
-            scanPaths(spark, m.livePathsFor(dir, dirty.keys))
-              .withColumn("__b", bucketCol(m.nBuckets))
-              .filter(col("__b").isin(dirty.keys.toSeq.sorted.map(Integer.valueOf): _*))
-              .drop("__b"))),
+          else Some(resolve(scanBuckets(spark, dir, m, dirty.keys))),
         ).flatten
         parts.reduce(_ unionByName _)
       case _ => StateStore.empty(spark)
@@ -268,7 +294,7 @@ object BucketedStateStore {
         if (st.n <= BroadcastKeyLimit) broadcast(keys.select(col("id")).distinct())
         else keys.select(col("id")).distinct()
       resolve(
-        scanPaths(spark, paths)
+        scanBuckets(spark, dir, m, st.dirty)
           .filter(col("id") >= lit(st.lo) && col("id") <= lit(st.hi))
           .join(keySide, Seq("id")))
     }
@@ -293,18 +319,14 @@ object BucketedStateStore {
     })
     writeManifest(dir, next)
 
-    // amortized compaction: all over-threshold buckets in ONE job. The
-    // shared delta dirs contain other buckets' rows too, so the merge
-    // filters to the compacting buckets before resolving.
+    // amortized compaction: all over-threshold buckets in ONE job,
+    // scanned bucket-scoped so a stale shared-delta row of an
+    // already-compacted bucket can never bake into the new base.
     val toCompact = next.buckets.filter(_._2.deltas.size >= spec.compactThreshold).keys.toSeq.sorted
     if (toCompact.nonEmpty) {
       val cseq = next.seq + 1
       val crel = s"data/base_$cseq"
-      resolve(
-        scanPaths(spark, next.livePathsFor(dir, toCompact))
-          .withColumn("__b", bucketCol(next.nBuckets))
-          .filter(col("__b").isin(toCompact.map(Integer.valueOf): _*))
-          .drop("__b"))
+      resolve(scanBuckets(spark, dir, next, toCompact))
         .withColumn("action", lit("upsert"))
         .withColumn("__seq", lit(cseq))
         .withColumn("__bucket", bucketCol(next.nBuckets))

@@ -208,6 +208,64 @@ class BucketedStoreSpec extends AnyFunSuite {
       s"a fully-compacted store must read shuffle-free:\n${plan.take(2000)}")
   }
 
+  test("a deleted key cannot resurrect through another bucket's shared-delta chain") {
+    // ADVICE r7 (high): compaction drops x's tombstone from bucket A's
+    // new base while the shared delta_1 — still referenced by bucket
+    // B's chain — physically holds x's original upsert. An unscoped
+    // union scan would see that stale row as the highest live __seq
+    // for x and revive the deleted key (in read(), in priorFor(), and
+    // baked into a later compacted base). Scans must scope each delta
+    // dir to the buckets whose CURRENT chain references it.
+    import org.apache.spark.sql.functions.{col, pmod, hash, lit}
+    val dir = tmp("bucketed-resurrect")
+    val byBucket = (0 until 60).map(i => s"key$i").toDF("id")
+      .select(col("id"), pmod(hash(col("id")), lit(spec.nBuckets)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val x = byBucket.head._1
+    val bucketA = byBucket.head._2
+    val w = byBucket.find(p => p._2 == bucketA && p._1 != x).get._1 // same bucket as x
+    val y = byBucket.find(_._2 != bucketA).get._1                  // a different bucket
+
+    def apply1(rows: OplogRow*): Unit =
+      BucketedStateStore.applyBatch(spark.createDataset(rows), task, dir, spec)
+
+    // commit 1 — ONE shared delta holding x (bucket A) and y (bucket B)
+    apply1(ev(1, 0, "i", x, s"""{"_id":"$x","value":1.0}"""),
+           ev(1, 1, "i", y, s"""{"_id":"$y","value":2.0}"""))
+    // commit 2 — delete x
+    apply1(ev(2, 0, "d", x, s"""{"_id":"$x"}"""))
+    // commit 3 — touch w: A's chain hits the threshold (3) and compacts;
+    // x's tombstone is dropped from the new base while delta_1 (with
+    // x's old upsert) remains live via B's chain
+    apply1(ev(3, 0, "i", w, s"""{"_id":"$w","value":3.0}"""))
+    val m = BucketedStateStore.readManifest(dir).get
+    assert(m.buckets(bucketA).deltas.isEmpty, s"bucket A must be compacted: $m")
+    val bucketB = byBucket.toMap.apply(y)
+    assert(m.buckets(bucketB).deltas.nonEmpty, s"bucket B must still reference the shared delta: $m")
+
+    // full read: x stays deleted
+    assert(readMap(dir).keySet === Set(w, y), "read() must not resurrect the deleted key")
+
+    // point lookup dirtying BOTH buckets: prior for x must be absent
+    val prior = BucketedStateStore.priorFor(spark, dir, Seq(x, y).toDF("id"))
+    assert(prior.collect().map(_.getAs[String]("id")).toSet === Set(y),
+      "priorFor must not resurrect the deleted key through B's chain")
+
+    // a later $set against x (no source snapshot) must be dropped, not
+    // applied to the resurrected doc; y's update applies normally
+    apply1(ev(4, 0, "u", x, """{"$set":{"value":99.0}}"""),
+           ev(4, 1, "u", y, """{"$set":{"value":20.0}}"""))
+    val after = readMap(dir)
+    assert(!after.contains(x), "a $set on the deleted key must not revive it")
+    assert(after(y)._1 === s"""{"_id":"$y","value":20.0}""")
+
+    // force B's bucket to compact too: the new base must not bake x in
+    apply1(ev(5, 0, "u", y, """{"$set":{"value":21.0}}"""))
+    val m2 = BucketedStateStore.readManifest(dir).get
+    assert(m2.buckets(bucketB).deltas.isEmpty, s"bucket B must now be compacted: $m2")
+    assert(readMap(dir).keySet === Set(w, y), "compaction must not bake the stale row into B's base")
+  }
+
   test("reshard: state survives a bucket-count change and later applies use the new layout") {
     val dir = tmp("bucketed-reshard")
     (1 to 5).foreach { sec =>
