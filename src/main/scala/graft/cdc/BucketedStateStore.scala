@@ -300,11 +300,28 @@ object BucketedStateStore {
     }
   }
 
+  /** The store is SINGLE-WRITER by contract (one streaming query owns a
+    * checkpoint dir); this detects a violated contract rather than
+    * silently orphaning one writer's commit: the manifest pointer is
+    * re-read immediately before each swap and the commit aborts if
+    * another writer advanced it since our manifest was loaded. */
+  private def checkPointerUnmoved(dir: String, expected: Long): Unit = {
+    val cur = readManifest(dir).map(_.seq).getOrElse(-1L)
+    if (cur != expected)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent writer on bucketed state at $dir: manifest seq moved " +
+          s"$expected -> $cur since this commit loaded it; aborting (single-writer contract)")
+  }
+
   /** Commit one micro-batch's per-key outcomes `(id, doc, parent, ts,
     * action)` as ONE shared delta directory referenced by every dirty
     * bucket, then compact any bucket whose delta chain crossed the
-    * threshold. Returns the new manifest seq. */
-  def commitDelta(applied: DataFrame, dir: String, spec: Spec, dirty: Set[Int]): Long = {
+    * threshold. Returns the new manifest seq. Fails (without swapping
+    * the pointer) if a concurrent writer committed in between; the
+    * `preSwap` hook exists for the spec to interpose exactly that.  */
+  def commitDelta(
+      applied: DataFrame, dir: String, spec: Spec, dirty: Set[Int],
+      preSwap: () => Unit = () => ()): Long = {
     val spark = applied.sparkSession
     val m = readManifest(dir).getOrElse(Manifest(spec.nBuckets, -1L, Map.empty))
     val seq = m.seq + 1
@@ -317,6 +334,8 @@ object BucketedStateStore {
       val cur = acc.getOrElse(b, BucketFiles(None, Vector.empty))
       acc.updated(b, cur.copy(deltas = cur.deltas :+ rel))
     })
+    preSwap()
+    checkPointerUnmoved(dir, m.seq)
     writeManifest(dir, next)
 
     // amortized compaction: all over-threshold buckets in ONE job,
@@ -341,6 +360,7 @@ object BucketedStateStore {
         }
       }
       next = Manifest(next.nBuckets, cseq, rebased)
+      checkPointerUnmoved(dir, seq) // our own delta swap must still be current
       writeManifest(dir, next)
     }
     vacuum(dir, spec.retainManifests)

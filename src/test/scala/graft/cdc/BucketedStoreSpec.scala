@@ -315,6 +315,41 @@ class BucketedStoreSpec extends AnyFunSuite {
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)), s"live path missing: $p"))
   }
 
+  test("a conflicting concurrent commit is detected and aborts; the store stays intact") {
+    // single-writer contract (VERDICT r7 #4): if another writer swaps
+    // the pointer between our manifest load and our swap, committing
+    // anyway would silently orphan one of the two commits (and our
+    // manifest could reference delta files the other writer overwrote
+    // or vacuumed). The commit must abort cleanly instead.
+    val dir = tmp("bucketed-conflict")
+    BucketedStateStore.applyBatch(
+      spark.createDataset(Seq(ev(1, 0, "i", "a", """{"_id":"a","value":1.0}"""))), task, dir, spec)
+
+    import org.apache.spark.sql.functions.{col, pmod, hash, lit}
+    def bucketOf(id: String): Int = Seq(id).toDF("id")
+      .select(pmod(hash(col("id")), lit(spec.nBuckets))).head().getInt(0)
+    val mine = Seq(("b", """{"_id":"b","value":2.0}""", null: String, BsonTs(2, 0).toLong, "upsert"))
+      .toDF("id", "doc", "parent", "ts", "action")
+    val theirs = Seq(("c", """{"_id":"c","value":3.0}""", null: String, BsonTs(2, 1).toLong, "upsert"))
+      .toDF("id", "doc", "parent", "ts", "action")
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      BucketedStateStore.commitDelta(mine, dir, spec, Set(bucketOf("b")),
+        // the interposed writer lands a full commit before our swap
+        preSwap = () => { BucketedStateStore.commitDelta(theirs, dir, spec, Set(bucketOf("c"))); () })
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    // the surviving store is the other writer's commit, fully intact
+    val got = readMap(dir)
+    assert(got.keySet === Set("a", "c"), s"winner's commit must survive unharmed: $got")
+    val m = BucketedStateStore.readManifest(dir).get
+    m.allLivePaths(dir).foreach(p =>
+      assert(Files.exists(JPaths.get(p)), s"live path missing after aborted commit: $p"))
+    // and the next legitimate commit proceeds normally
+    BucketedStateStore.applyBatch(
+      spark.createDataset(Seq(ev(3, 0, "i", "d", """{"_id":"d","value":4.0}"""))), task, dir, spec)
+    assert(readMap(dir).keySet === Set("a", "c", "d"))
+  }
+
   test("manifest JSON round-trips exactly (parse . render = identity)") {
     val m = BucketedStateStore.Manifest(16, 42L, Map(
       0 -> BucketedStateStore.BucketFiles(Some("data/base_7/__bucket=0"), Vector("data/delta_8", "data/delta_9")),
