@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.model.{EngineConfig, TaskDef}
@@ -55,22 +54,24 @@ object Main {
     * queries (one per task). Separated from [[main]] so tests can
     * drive a full config lifecycle without the terminal await. */
   def run(spark: SparkSession, configPath: String, baseDir: String, dataDir: String): Seq[StreamingQuery] = {
-    val config = EngineConfig.fromJson(
-      new String(Files.readAllBytes(Paths.get(configPath))))
+    val config = EngineConfig.fromJson(graft.cdc.StateIO.readString(configPath))
     Runner.fromConfig(spark, config, baseDir, fileAdapters(spark, dataDir))
   }
 
   /** File-backed source adapters (harness form of the Mongo connectors):
-    * parquet snapshot + JSON-lines oplog stream per task. */
+    * parquet snapshot + JSON-lines oplog stream per task. `dataDir` is
+    * resolved through the Hadoop FileSystem layer ([[graft.cdc.StateIO]]),
+    * so it may be a cluster URI, same as every other engine path. */
   def fileAdapters(spark: SparkSession, dataDir: String)(
       td: TaskDef, opts: Map[String, String]): (DataFrame, DataFrame) = {
+    import graft.cdc.StateIO
     val taskDir = s"$dataDir/${td.name}"
     val root =
-      if (Files.exists(Paths.get(s"$taskDir/snapshot")) ||
-        Files.exists(Paths.get(s"$taskDir/oplog"))) taskDir
+      if (StateIO.exists(s"$taskDir/snapshot") ||
+        StateIO.exists(s"$taskDir/oplog")) taskDir
       else dataDir
     val snapshot =
-      if (Files.exists(Paths.get(s"$root/snapshot")))
+      if (StateIO.exists(s"$root/snapshot"))
         spark.read.parquet(s"$root/snapshot").select("id", "doc")
       else graft.cdc.StateStore.empty(spark).select("id", "doc")
     // connection options flow through untouched; the admission budget

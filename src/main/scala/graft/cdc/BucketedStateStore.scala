@@ -1,7 +1,5 @@
 package graft.cdc
 
-import java.nio.file.{Files, Paths => JPaths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -125,33 +123,25 @@ object BucketedStateStore {
   def bucketCol(n: Int): Column = pmod(hash(col("id")), lit(n))
 
   // ---- manifest persistence (pointer swap, like StateStore.write) ----
+  // All metadata IO goes through [[StateIO]] (the Hadoop FileSystem
+  // layer), so `dir` may be any URI Spark itself can read — HDFS, an
+  // object store via its connector, or a plain local path.
 
-  private def pointer(dir: String) = JPaths.get(dir, "MANIFEST")
+  private def pointer(dir: String) = s"$dir/MANIFEST"
 
-  def exists(dir: String): Boolean = Files.exists(pointer(dir))
+  def exists(dir: String): Boolean = StateIO.exists(pointer(dir))
 
   def readManifest(dir: String): Option[Manifest] = {
-    val p = pointer(dir)
-    if (!Files.exists(p)) None
+    if (!StateIO.exists(pointer(dir))) None
     else {
-      val v = new String(Files.readAllBytes(p)).trim.toLong
-      Some(Manifest.parse(new String(Files.readAllBytes(JPaths.get(dir, "manifest", s"m_$v.json")))))
+      val v = StateIO.readString(pointer(dir)).trim.toLong
+      Some(Manifest.parse(StateIO.readString(s"$dir/manifest/m_$v.json")))
     }
   }
 
   private def writeManifest(dir: String, m: Manifest): Unit = {
-    Files.createDirectories(JPaths.get(dir, "manifest"))
-    val mf = JPaths.get(dir, "manifest", s"m_${m.seq}.json")
-    val mtmp = JPaths.get(dir, "manifest", s".m_${m.seq}.json.tmp")
-    Files.write(mtmp, m.render.getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(mtmp, mf, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val ptmp = JPaths.get(dir, ".MANIFEST.tmp")
-    Files.write(ptmp, m.seq.toString.getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(ptmp, pointer(dir), java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    StateIO.writeStringAtomic(s"$dir/manifest/m_${m.seq}.json", m.render)
+    StateIO.writeStringAtomic(pointer(dir), m.seq.toString)
   }
 
   // ---- reading ----
@@ -423,68 +413,50 @@ object BucketedStateStore {
     * references. Bounds disk to retained-history size (VERDICT r6 #2).
     */
   def vacuum(dir: String, retain: Int): Unit = {
-    val mdir = JPaths.get(dir, "manifest")
-    if (!Files.exists(mdir)) return
-    val current = new String(Files.readAllBytes(pointer(dir))).trim.toLong
-    val all = listDir(mdir)
-      .flatMap { p =>
-        val n = p.getFileName.toString
+    if (!StateIO.exists(s"$dir/manifest")) return
+    val current = StateIO.readString(pointer(dir)).trim.toLong
+    val all = StateIO.list(s"$dir/manifest")
+      .flatMap { st =>
+        val n = st.getPath.getName
         if (n.startsWith("m_") && n.endsWith(".json"))
-          scala.util.Try(n.stripPrefix("m_").stripSuffix(".json").toLong).toOption.map(_ -> p)
+          scala.util.Try(n.stripPrefix("m_").stripSuffix(".json").toLong).toOption.map(_ -> n)
         else None
       }.sortBy(_._1)
     val keepSeqs = all.map(_._1).filter(_ <= current).takeRight(math.max(1, retain)).toSet + current
     val referenced: Set[String] = keepSeqs.flatMap { s =>
-      val p = JPaths.get(dir, "manifest", s"m_$s.json")
-      if (!Files.exists(p)) Set.empty[String]
-      else Manifest.parse(new String(Files.readAllBytes(p)))
-        .buckets.values.flatMap(_.paths).toSet
+      val p = s"$dir/manifest/m_$s.json"
+      if (!StateIO.exists(p)) Set.empty[String]
+      else Manifest.parse(StateIO.readString(p)).buckets.values.flatMap(_.paths).toSet
     }
-    all.filterNot(m => keepSeqs.contains(m._1)).foreach(m => Files.deleteIfExists(m._2))
+    all.filterNot(m => keepSeqs.contains(m._1))
+      .foreach(m => StateIO.delete(s"$dir/manifest/${m._2}"))
     // two layouts live under data/: shared delta dirs (referenced as a
     // whole, plain parquet inside) and base dirs (referenced per
     // `__bucket=i` leaf). Delete whatever no retained manifest names.
-    val data = JPaths.get(dir, "data")
-    if (Files.exists(data)) {
-      listDir(data).filter(Files.isDirectory(_)).foreach { commitDir =>
-        val relDir = JPaths.get(dir).relativize(commitDir).toString
-        if (!referenced.contains(relDir)) {
-          val leaves = listDir(commitDir)
-            .filter(_.getFileName.toString.startsWith("__bucket="))
-          if (leaves.isEmpty) deleteRecursively(commitDir) // shared delta, unreferenced
-          else {
-            leaves.foreach { leaf =>
-              val rel = JPaths.get(dir).relativize(leaf).toString
-              if (!referenced.contains(rel)) deleteRecursively(leaf)
-            }
-            if (listDir(commitDir).forall(!_.getFileName.toString.startsWith("__bucket=")))
-              deleteRecursively(commitDir)
+    StateIO.list(s"$dir/data").filter(_.isDirectory).foreach { commitSt =>
+      val relDir = s"data/${commitSt.getPath.getName}"
+      if (!referenced.contains(relDir)) {
+        val leaves = StateIO.list(s"$dir/$relDir")
+          .filter(_.getPath.getName.startsWith("__bucket="))
+        if (leaves.isEmpty) StateIO.delete(s"$dir/$relDir") // shared delta, unreferenced
+        else {
+          leaves.foreach { leaf =>
+            val rel = s"$relDir/${leaf.getPath.getName}"
+            if (!referenced.contains(rel)) StateIO.delete(s"$dir/$rel")
           }
+          if (StateIO.list(s"$dir/$relDir").forall(!_.getPath.getName.startsWith("__bucket=")))
+            StateIO.delete(s"$dir/$relDir")
         }
       }
     }
   }
 
-  private def listDir(p: java.nio.file.Path): Vector[java.nio.file.Path] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toVector finally s.close()
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-    ()
-  }
-
   /** Bucket leaf dirs actually written under `dir/rel` → relative path
     * per bucket id (a partitionBy writer only creates dirs for buckets
     * present in the data). */
-  private def listBucketDirs(dir: String, rel: String): Map[Int, String] = {
-    val root = JPaths.get(dir, rel)
-    if (!Files.exists(root)) Map.empty
-    else listDir(root).collect {
-      case p if p.getFileName.toString.startsWith("__bucket=") =>
-        p.getFileName.toString.stripPrefix("__bucket=").toInt -> s"$rel/${p.getFileName}"
+  private def listBucketDirs(dir: String, rel: String): Map[Int, String] =
+    StateIO.list(s"$dir/$rel").collect {
+      case st if st.getPath.getName.startsWith("__bucket=") =>
+        st.getPath.getName.stripPrefix("__bucket=").toInt -> s"$rel/${st.getPath.getName}"
     }.toMap
-  }
 }

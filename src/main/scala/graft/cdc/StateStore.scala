@@ -1,6 +1,5 @@
 package graft.cdc
 
-import java.nio.file.{Files, Paths => JPaths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -73,13 +72,15 @@ object StateStore {
   }
 
   // ---- versioned parquet persistence ----
+  // Metadata IO goes through [[StateIO]] (Hadoop FileSystem layer):
+  // `dir` may be any URI Spark can read, not just a local path.
 
-  private def versionFile(dir: String) = JPaths.get(dir, "VERSION")
+  private def versionFile(dir: String) = s"$dir/VERSION"
 
-  def currentVersion(dir: String): Option[Int] = {
-    val f = versionFile(dir)
-    if (Files.exists(f)) Some(new String(Files.readAllBytes(f)).trim.toInt) else None
-  }
+  def currentVersion(dir: String): Option[Int] =
+    if (StateIO.exists(versionFile(dir)))
+      Some(StateIO.readString(versionFile(dir)).trim.toInt)
+    else None
 
   /** Read the current state, whichever backend owns the directory: the
     * legacy versioned-parquet layout (VERSION pointer) or the
@@ -105,12 +106,7 @@ object StateStore {
   def write(state: DataFrame, dir: String, retain: Int = 3): Int = {
     val next = currentVersion(dir).map(_ + 1).getOrElse(0)
     state.write.mode("overwrite").parquet(s"$dir/v_$next")
-    Files.createDirectories(JPaths.get(dir))
-    val tmp = JPaths.get(dir, ".VERSION.tmp")
-    Files.write(tmp, next.toString.getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, versionFile(dir), java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    StateIO.writeStringAtomic(versionFile(dir), next.toString)
     prune(dir, retain)
     next
   }
@@ -123,26 +119,14 @@ object StateStore {
   private def prune(dir: String, retain: Int): Unit = {
     val keep = math.max(1, retain)
     currentVersion(dir).foreach { cur =>
-      listDir(JPaths.get(dir)).foreach { p =>
-        val n = p.getFileName.toString
+      StateIO.list(dir).foreach { st =>
+        val n = st.getPath.getName
         if (n.startsWith("v_")) {
           scala.util.Try(n.stripPrefix("v_").toInt).toOption.foreach { v =>
-            if (v <= cur - keep) deleteRecursively(p)
+            if (v <= cur - keep) StateIO.delete(s"$dir/$n")
           }
         }
       }
     }
-  }
-
-  private def listDir(p: java.nio.file.Path): Vector[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    val s = Files.list(p)
-    try s.iterator().asScala.toVector finally s.close()
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-    ()
   }
 }

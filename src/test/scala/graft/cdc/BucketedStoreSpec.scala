@@ -142,7 +142,9 @@ class BucketedStoreSpec extends AnyFunSuite {
         spark.createDataset(Seq(ev(sec, 0, "i", s"k$sec", s"""{"_id":"k$sec","value":$sec.0}"""))),
         task, dir, spec)
     }
-    val manifests = Files.list(JPaths.get(dir, "manifest")).count()
+    // count manifest FILES (the Hadoop local FS adds hidden .crc sidecars)
+    val manifests = StateIO.list(s"$dir/manifest")
+      .map(_.getPath.getName).count(n => n.startsWith("m_") && n.endsWith(".json"))
     assert(manifests <= spec.retainManifests,
       s"must retain at most ${spec.retainManifests} manifests, found $manifests")
     // every file referenced by the current manifest still exists
