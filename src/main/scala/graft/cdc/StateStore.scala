@@ -99,6 +99,24 @@ object StateStore {
   def exists(dir: String): Boolean =
     currentVersion(dir).isDefined || BucketedStateStore.exists(dir)
 
+  /** Pick the effective state backend for a tail against `dir`.
+    * An EXISTING layout is authoritative — a restart must never fork
+    * the state into a second backend: a directory holding a legacy
+    * VERSION store stays legacy (matching [[read]]'s resolution order)
+    * and one holding a bucketed manifest stays bucketed, whatever the
+    * caller requested. Only a fresh directory honors the request —
+    * which defaults to bucketed everywhere (VERDICT r7 #2: measured
+    * crossover says legacy only ever wins below ~5M tiny docs;
+    * BASELINE.md r7 addendum), with `None` as the explicit legacy
+    * opt-out for tiny-state deployments. */
+  def resolveBackend(
+      dir: String,
+      requested: Option[BucketedStateStore.Spec]): Option[BucketedStateStore.Spec] =
+    if (currentVersion(dir).isDefined) None
+    else if (BucketedStateStore.exists(dir))
+      Some(requested.getOrElse(BucketedStateStore.Spec()))
+    else requested
+
   /** Write the next version and atomically advance the pointer, then
     * prune versions older than the newest `retain` (VERDICT r6 #2: the
     * version chain otherwise grows a full state copy per micro-batch).

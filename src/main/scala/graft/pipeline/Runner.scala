@@ -30,9 +30,12 @@ object Runner {
       skipScan: Boolean = false, // from.phase == "tail": no backfill
       fromTs: Long = 0L, // tail start (packed BSON ts lower bound, P3)
       name: String = "", // checkpoint name for the user hooks
-      // Some(spec): incremental bucketed state (the at-scale default via
-      // fromConfig); None: legacy full-rewrite versioned state
-      buckets: Option[BucketedStateStore.Spec] = None,
+      // Some(spec): incremental bucketed state — the DEFAULT at every
+      // entry point (VERDICT r7 #2); None: explicit opt-out to the
+      // legacy full-rewrite versioned state (tiny-state deployments).
+      // An existing state layout overrides either request on restart
+      // (StateStore.resolveBackend).
+      buckets: Option[BucketedStateStore.Spec] = Some(BucketedStateStore.Spec()),
   )
 
   /** Run (or skip, on restart) the scan backfill, then start the tail.

@@ -28,8 +28,12 @@ object TailQuery {
     *
     * `buckets = Some(spec)` selects the incremental
     * [[BucketedStateStore]]: per trigger, point-lookup the batch's keys
-    * and append per-bucket deltas — O(batch) cost, the 100 TB path.
-    * `None` keeps the legacy full-state-rewrite versioned store. */
+    * and append per-bucket deltas — O(batch) cost, the 100 TB path and
+    * the DEFAULT (the measured crossover says the legacy full-rewrite
+    * store only wins below ~5M tiny docs — BASELINE.md r7 addendum).
+    * `None` opts out to the legacy versioned store. Either way an
+    * EXISTING state layout wins over the request
+    * ([[StateStore.resolveBackend]]) so restarts never fork the state. */
   def start(
       oplogStream: DataFrame,
       task: TaskSpec,
@@ -41,10 +45,11 @@ object TailQuery {
       triggerMs: Long = 5000L,
       taskName: String = "",
       hooks: Option[CheckpointHooks] = None,
-      buckets: Option[BucketedStateStore.Spec] = None,
+      buckets: Option[BucketedStateStore.Spec] = Some(BucketedStateStore.Spec()),
   ): StreamingQuery = {
     val spark = oplogStream.sparkSession
     import OplogRow.encoder
+    val effectiveBuckets = StateStore.resolveBackend(stateDir, buckets)
     val metricsName = if (taskName.nonEmpty) s"tail_$taskName" else "tail"
     // in-flight quality metrics (rows, null ids, ts high-water mark)
     // per micro-batch — readable from progress.observedMetrics by any
@@ -68,7 +73,7 @@ object TailQuery {
           // hook — the reference likewise only checkpoints batches
           // that loaded IRs (src/processor.ts:382-390)
           if (batch.count() > 0) {
-            buckets match {
+            effectiveBuckets match {
               case Some(spec) =>
                 // incremental: touch only the batch's keys and buckets
                 BucketedStateStore.applyBatch(

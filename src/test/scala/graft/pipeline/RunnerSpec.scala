@@ -21,7 +21,7 @@ class RunnerSpec extends AnyFunSuite {
     StructField("ns", StringType), StructField("id", StringType),
     StructField("doc", StringType), StructField("fromMigrate", BooleanType)))
 
-  test("bootstrap backfills then tails; restart resumes without re-scanning") {
+  test("legacy opt-out: bootstrap backfills then tails; restart resumes without re-scanning") {
     import OplogRow.encoder
     val base = Files.createTempDirectory("runner").toString
     val inDir = s"$base/in"
@@ -41,7 +41,9 @@ class RunnerSpec extends AnyFunSuite {
 
     def stream() = spark.readStream.schema(oplogSchema)
       .option("maxFilesPerTrigger", "1").option("recursiveFileLookup", "true").parquet(inDir)
-    val cfg = Runner.TaskPipeline(task, "db.c", s"$base/state", s"$base/ckpt")
+    // buckets = None is the explicit legacy opt-out (bucketed is the default)
+    val cfg = Runner.TaskPipeline(task, "db.c", s"$base/state", s"$base/ckpt",
+      buckets = None)
 
     val q1 = Runner.bootstrapAndTail(spark, snapshot, stream(), cfg)
     q1.processAllAvailable(); q1.stop()
@@ -150,6 +152,9 @@ class RunnerSpec extends AnyFunSuite {
       val ids = StateStore.read(spark, s"$base/state$n")
         .collect().map(_.getAs[String]("id")).toSet
       assert(ids === Set(s"db.c$n-a", s"db.c$n-b"), s"task $n state")
+      // the DEFAULT backend is the incremental bucketed store
+      assert(graft.cdc.BucketedStateStore.exists(s"$base/state$n"),
+        s"task $n must default to the bucketed store")
     }
   }
 
@@ -203,9 +208,47 @@ class RunnerSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("id") -> r.getAs[String]("doc")).toMap
     // delete applied; no cross-talk from task 1's events
     assert(s2 === Map("db.c2-a" -> """{"_id":"db.c2-a","value":1.0}"""))
-    // each task advanced through its own micro-batch sequence
-    assert(StateStore.currentVersion(s"$base/state1").get >= 3)
-    assert(StateStore.currentVersion(s"$base/state2").get >= 2)
+    // each task advanced through its own micro-batch sequence (the
+    // default bucketed store: seed is seq 0, one delta commit per batch)
+    assert(graft.cdc.BucketedStateStore.readManifest(s"$base/state1").get.seq >= 3)
+    assert(graft.cdc.BucketedStateStore.readManifest(s"$base/state2").get.seq >= 2)
+  }
+
+  test("an existing legacy state layout overrides the bucketed default on restart") {
+    import OplogRow.encoder
+    val base = Files.createTempDirectory("runner-backend").toString
+    val inDir = s"$base/in"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val snapshot = spark.createDataFrame(
+      Seq(("a", """{"_id":"a","value":1.0}"""))).toDF("id", "doc")
+
+    // an old deployment: legacy store seeded and tailed (explicit opt-out)
+    spark.createDataset(Seq(
+      OplogRow(BsonTs(10, 0).toLong, "i", "db.c", "b", """{"_id":"b","value":2.0}"""),
+    )).coalesce(1).write.parquet(s"$inDir/b1")
+    def stream() = spark.readStream.schema(oplogSchema)
+      .option("maxFilesPerTrigger", "1").option("recursiveFileLookup", "true").parquet(inDir)
+    val legacyCfg = Runner.TaskPipeline(task, "db.c", s"$base/state", s"$base/ckpt",
+      buckets = None)
+    val q1 = Runner.bootstrapAndTail(spark, snapshot, stream(), legacyCfg)
+    q1.processAllAvailable(); q1.stop()
+    val versionBefore = StateStore.currentVersion(s"$base/state").get
+
+    // restart with the NEW default (bucketed requested): the existing
+    // VERSION layout must win — no manifest appears, versions advance
+    spark.createDataset(Seq(
+      OplogRow(BsonTs(20, 0).toLong, "i", "db.c", "c", """{"_id":"c","value":3.0}"""),
+    )).coalesce(1).write.parquet(s"$inDir/b2")
+    val defaultCfg = Runner.TaskPipeline(task, "db.c", s"$base/state", s"$base/ckpt")
+    val q2 = Runner.bootstrapAndTail(spark, snapshot, stream(), defaultCfg)
+    q2.processAllAvailable(); q2.stop()
+
+    assert(!graft.cdc.BucketedStateStore.exists(s"$base/state"),
+      "restart must not fork the state into a second backend")
+    assert(StateStore.currentVersion(s"$base/state").get === versionBefore + 1)
+    val got = StateStore.read(spark, s"$base/state")
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(got === Set("a", "b", "c"))
   }
 
   test("fromConfig: a reference-format config drives the pipeline via the DSv2 source") {
