@@ -49,9 +49,14 @@ object Bench {
     // in different passes instead of the same alphabetical neighbors
     // every time, so the per-query trimmed median sees at most one
     // polluted sample (the r6 driver run showed q3/q4/q11 absorbing
-    // 2-3x ambient noise back-to-back).
+    // 2-3x ambient noise back-to-back). The rotation divisor is the
+    // CONFIGURED pass count, so extra SPARK_GRAFT_PASSES spread the
+    // start offsets instead of repeating pass 0-3's alignments.
+    val steadyPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt.max(1)
     def timeAll(pass: Int): Map[String, Double] = {
-      val shift = if (ordered.isEmpty) 0 else (pass * ordered.size / 4) % ordered.size
+      val shift =
+        if (ordered.isEmpty) 0
+        else (pass * ordered.size / steadyPasses) % ordered.size
       val rotated = ordered.drop(shift) ++ ordered.take(shift)
       rotated.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -67,7 +72,6 @@ object Bench {
     // GC pause or scheduler hiccup in one pass cannot masquerade as a
     // regression. `value` is the sum of the trimmed medians (BASELINE.md
     // has the methodology note).
-    val steadyPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt.max(1)
     // Drain accumulated dead RDD/broadcast references at pass
     // boundaries: ContextCleaner unpersists via driver weak refs, so
     // without an explicit GC those cleanups fire mid-query in a later

@@ -57,8 +57,9 @@ object BatchApplier {
       task: TaskSpec,
       source: Option[DataFrame] = None,
       dropped: Option[org.apache.spark.util.LongAccumulator] = None,
+      batchKeyCount: Option[Long] = None,
   ): DataFrame =
-    applyOplogBatchKeepDeletes(events, state, task, source, dropped)
+    applyOplogBatchKeepDeletes(events, state, task, source, dropped, batchKeyCount)
       .filter(col("action") =!= "delete")
       .drop("action")
 
@@ -73,6 +74,7 @@ object BatchApplier {
       task: TaskSpec,
       source: Option[DataFrame] = None,
       dropped: Option[org.apache.spark.util.LongAccumulator] = None,
+      batchKeyCount: Option[Long] = None,
   ): DataFrame = {
     val spark = events.sparkSession
     implicit val applyEnc = Encoders.product[ApplyRow]
@@ -92,7 +94,19 @@ object BatchApplier {
     // hash join instead of entering the shuffle.
     val sourceRows = source.map { src =>
       val srcTs = if (src.columns.contains("ts")) col("ts") else lit(0L)
-      src.join(broadcast(events.select(col("id")).distinct()), Seq("id"))
+      val batchKeys = events.select(col("id")).distinct()
+      // The forced broadcast is capped exactly like the bucketed store's
+      // point lookup: a catch-up storm batch can hold millions of
+      // distinct keys — hundreds of MB resident on every executor — so
+      // above the cap the planner picks the join and the snapshot merely
+      // shuffles for that oversized trigger. Callers that already know
+      // the distinct-key count (the bucketed applyBatch's keyStats) pass
+      // it through; otherwise one count job over the (small) batch.
+      val nKeys = batchKeyCount.getOrElse(batchKeys.count())
+      val keySide =
+        if (nKeys <= BucketedStateStore.BroadcastKeyLimit) broadcast(batchKeys)
+        else batchKeys
+      src.join(keySide, Seq("id"))
         .select(
           col("id"), lit(1).as("kind"), srcTs.as("ts"), lit("").as("op"), lit("").as("ns"),
           col("doc"), lit(null: String).as("parent"), lit(false).as("fromMigrate")).as[ApplyRow]

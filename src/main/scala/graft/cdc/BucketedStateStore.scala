@@ -272,7 +272,7 @@ object BucketedStateStore {
     * hundreds of MB on every executor) and lets the planner pick the
     * join; correctness is unchanged, the state side merely shuffles for
     * that oversized trigger. */
-  private val BroadcastKeyLimit = 500000L
+  private[cdc] val BroadcastKeyLimit = 500000L
 
   private def priorForStats(
       spark: SparkSession, dir: String, m: Manifest,
@@ -377,7 +377,8 @@ object BucketedStateStore {
       val st = keyStats(n, keys)
       val prior = m.map(priorForStats(spark, dir, _, keys, st))
         .getOrElse(StateStore.empty(spark))
-      val applied = BatchApplier.applyOplogBatchKeepDeletes(events, prior, task, source, dropped)
+      val applied = BatchApplier.applyOplogBatchKeepDeletes(
+        events, prior, task, source, dropped, batchKeyCount = Some(st.n))
       commitDelta(applied, dir, spec, st.dirty)
     } finally { keys.unpersist(); () }
   }

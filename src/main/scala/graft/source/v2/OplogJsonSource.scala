@@ -330,24 +330,41 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
         if (last != '\n' && last != '\r') lines += 1 // unterminated tail line
         lines
       } else {
-        val isize = gzIsize(f)
+        val (isize, compressed) = gzIsize(f)
+        // ISIZE is the uncompressed size MOD 2^32: a single-member dump
+        // over 4 GiB uncompressed wraps and underestimates the row count
+        // by whole multiples of 4 GiB worth of lines. Uncompressed
+        // smaller than compressed is an impossible ratio for line-JSON,
+        // so treat it as the wrap signal and fall back to
+        // compressed-size x the sample's observed expansion (or a
+        // typical text ratio when the sample is degenerate). Either way
+        // only admission/batch sizing skews — offsets stay
+        // file-granular, so exactly-once delivery is unaffected.
+        val estUncompressed =
+          if (isize >= compressed) isize
+          else compressed * TypicalGzipRatio
         if (bytes == 0) 0L
-        else math.max(1L, math.round(isize.toDouble * lines / bytes))
+        else math.max(1L, math.round(estUncompressed.toDouble * lines / bytes))
       }
     } finally in.close()
   }
 
-  /** The gzip ISIZE trailer: uncompressed size mod 2^32, last 4 bytes
-    * little-endian. */
-  private def gzIsize(f: String): Long = {
+  /** Fallback expansion ratio for a wrapped ISIZE trailer — line-JSON
+    * gzips at roughly 4:1 in practice; being a few × off only sizes one
+    * trigger's admission, never the delivered rows. */
+  private val TypicalGzipRatio = 4L
+
+  /** The gzip ISIZE trailer (uncompressed size mod 2^32, last 4 bytes
+    * little-endian) plus the compressed file size, read O(1). */
+  private def gzIsize(f: String): (Long, Long) = {
     val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(f))
     try {
-      if (ch.size() < 4) 0L
+      if (ch.size() < 4) (0L, ch.size())
       else {
         val bb = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         ch.read(bb, ch.size() - 4)
         bb.flip()
-        bb.getInt.toLong & 0xffffffffL
+        (bb.getInt.toLong & 0xffffffffL, ch.size())
       }
     } finally ch.close()
   }
