@@ -39,9 +39,13 @@ object KMeans {
     * call. Centroid means route through DECIMAL like the
     * oracle-checked single step, so identical inputs give identical
     * codebooks regardless of partition order. */
+  /** @param computeObjective false skips the per-round objective job
+    *   (one broadcast join + aggregate per round) and returns an empty
+    *   objective list — the index-build path wants only the codebook */
   def train(
       spark: SparkSession, dir: String,
       k: Int = 8, rounds: Int = 3,
+      computeObjective: Boolean = true,
   ): (DataFrame, Seq[Double]) = {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
@@ -58,10 +62,12 @@ object KMeans {
           graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), col("cb")))
         .select(col("cid"), col("v"), col("nrm"))
         .persist() // one assignment compute serves objective AND update
-      val objRow = assigned.join(broadcast(cb), "cid")
-        .select((ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("sim"))
-        .agg(sum(col("sim"))).head()
-      objectives += (if (objRow.isNullAt(0)) 0.0 else objRow.getDouble(0))
+      if (computeObjective) {
+        val objRow = assigned.join(broadcast(cb), "cid")
+          .select((ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("sim"))
+          .agg(sum(col("sim"))).head()
+        objectives += (if (objRow.isNullAt(0)) 0.0 else objRow.getDouble(0))
+      }
       val rebuilt = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
         .groupBy(col("cid"), col("pos"))

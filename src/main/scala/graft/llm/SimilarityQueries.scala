@@ -158,35 +158,81 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------
-  // IVF-style ANN: a deterministic codebook (every 50th vector, capped
-  // at 64 centroids — |C| must be FIXED, not grow with the corpus, or
-  // the N x |C| assignment turns super-linear: uncapped, the 10x sweep
-  // measured 20x; a real deployment's trained codebook has fixed k by
-  // construction), each
-  // vector assigned to its nearest centroid by (rounded) cosine, then
-  // queries probe ONLY their own cell (nProbe=1) and exact-rank within
-  // it. This is the inverted-file scale path: at 100 TB the assignment
-  // is one broadcast pass (codebook is small by construction) and search
-  // touches 1/|C| of the corpus per probe; recall is tuned by nProbe and
-  // a trained codebook (k-means) without changing the dataflow shape.
+  // Trained-codebook cache: one spherical k-means train per data dir
+  // per JVM — the offline index build a real deployment runs once and
+  // amortizes across every query (and every bench pass). The oracle-SQL
+  // builders below read the SAME cache: Verify evaluates `oracleSql`
+  // AFTER running the queries, so the DuckDB twin inlines the exact
+  // centroid literals the Spark plan used (the LSH-planes pattern,
+  // except the literals are data-derived instead of seed-derived).
+  private val trained =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[(Long, Vector[Double], Double)]]()
+  @volatile private var lastTrainedDir: Option[String] = None
+
+  private def trainedCodebook(
+      spark: SparkSession, dir: String): Vector[(Long, Vector[Double], Double)] = {
+    val cb = trained.computeIfAbsent(dir, d => {
+      val (codebook, _) = KMeans.train(spark, d, k = 64, rounds = 3, computeObjective = false)
+      codebook.select(col("cid").cast("long"), col("cv"), col("cn"))
+        .orderBy(col("cid"))
+        .collect().toVector
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toVector, r.getDouble(2)))
+    })
+    lastTrainedDir = Some(dir)
+    cb
+  }
+
+  /** The trained codebook as a DuckDB VALUES relation `(cid, cv, cn)`.
+    * Centroid components are 4-dp decimals (exact in both engines); the
+    * norm roundtrips through the shortest double repr like the LSH
+    * plane literals. Falls back to the deterministic first-64-seed
+    * codebook WITHOUT training if no training ran in this JVM — that
+    * only happens when the IVF queries themselves never ran, i.e. there
+    * is no Spark dump to compare the SQL against anyway. */
+  private def codebookSql: String = {
+    val cb = lastTrainedDir.flatMap(d => Option(trained.get(d)))
+    cb match {
+      case Some(c) =>
+        val rows = c.map { case (cid, cv, cn) =>
+          s"(CAST($cid AS BIGINT), CAST(${cv.mkString("[", ", ", "]")} AS DOUBLE[]), CAST($cn AS DOUBLE))"
+        }.mkString(",\n    ")
+        s"SELECT * FROM (VALUES\n    $rows\n  ) t(cid, cv, cn)"
+      case None =>
+        """SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+          |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 64)""".stripMargin
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // IVF-style ANN over a TRAINED codebook: `KMeans.train` (spherical
+  // k-means, deterministic first-k seeds, k capped at 64 — |C| must be
+  // FIXED, not grow with the corpus, or the N x |C| assignment turns
+  // super-linear: uncapped, the 10x sweep measured 20x) runs ONCE per
+  // JVM per data dir — the offline index build a real deployment
+  // amortizes across every query — and its centroids enter the plan as
+  // a LITERAL codebook (the LSH-planes pattern, except data-derived).
+  // Each vector is assigned to its nearest centroid by (rounded)
+  // cosine, then queries probe ONLY their own cell (nProbe=1) and
+  // exact-rank within it. This is the inverted-file scale path: at
+  // 100 TB the assignment is one literal-codebook projection (no join
+  // at all) and search touches 1/|C| of the corpus per probe; recall
+  // is tuned by nProbe without changing the dataflow shape.
   // Assignment/ranking compare 4-dp-rounded sims with centroid-id /
   // neighbor-id tiebreaks, so both engines pick identical cells.
   private def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val c = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 50 * 64)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    // assignment is a pure PROJECTION: the codebook collapses to a
-    // one-row array (broadcast), and each vector takes its own argmax
-    // via the native NearestCell expression — no window, no exchange,
-    // no interpreted lambda. A row_number over
+    // assignment is a pure PROJECTION: each vector takes its own argmax
+    // against the literal trained codebook via the native NearestCell
+    // expression — no window, no exchange, no interpreted lambda, not
+    // even a broadcast join. A row_number over
     // Window.partitionBy(vec_id) here would shuffle+sort the whole
-    // corpus just to pick a per-row max against broadcast data.
-    val cb = c.agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cb"))
-    val assign = e.crossJoin(broadcast(cb))
+    // corpus just to pick a per-row max against constant data.
+    val cbLit = typedLit(trainedCodebook(spark, dir))
+    val assign = e
       .withColumn("cid",
-        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), col("cb")))
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbLit))
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
     val q = assign.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("cid").as("qcid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -204,23 +250,21 @@ object SimilarityQueries {
   // search their TWO nearest cells instead of one, catching neighbors
   // that fell just across a Voronoi boundary. The probe list comes from
   // the native NearestCells expression — still a projection against the
-  // broadcast codebook (no window, no exchange); per-query cost scales
-  // linearly in nProbe while the corpus-side assignment is unchanged.
-  // Recall-vs-nProbe on sf0.1 is recorded in BASELINE.md.
+  // literal trained codebook (no window, no exchange); per-query cost
+  // scales linearly in nProbe while the corpus-side assignment is
+  // unchanged. Recall-vs-nProbe on sf0.1 is recorded in BASELINE.md.
   private def ivfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val c = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 50 * 64)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val cb = c.agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cb"))
-    val assign = e.crossJoin(broadcast(cb))
+    val cbLit = typedLit(trainedCodebook(spark, dir))
+    val assign = e
       .withColumn("cid",
-        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), col("cb")))
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbLit))
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
-    val q = e.filter(col("vec_id") < 8).crossJoin(broadcast(cb))
+    val q = e.filter(col("vec_id") < 8)
       .withColumn("probe", explode(
-        graft.expressions.CellFunctions.nearestCells(col("v"), col("nrm"), col("cb"), 2)))
+        graft.expressions.CellFunctions.nearestCells(col("v"), col("nrm"), cbLit, 2)))
       .select(col("vec_id").as("q_id"), col("probe"), col("v").as("qv"), col("nrm").as("qn"))
     val pairs = assign.select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
       .join(broadcast(q), col("probe") === col("cid") && col("q_id") =!= col("n_id"))
@@ -232,13 +276,13 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  private val ivfMultiprobeSql =
-    """WITH e AS (
+  private def ivfMultiprobeSql =
+    s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
       |), c AS (
-      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0 AND vec_id < 3200
+      |  $codebookSql
       |), assign AS (
       |  SELECT vec_id, cid, v, nrm FROM (
       |    SELECT e.vec_id, c.cid, e.v, e.nrm,
@@ -267,13 +311,13 @@ object SimilarityQueries {
       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
-  private val ivfTopKSql =
-    """WITH e AS (
+  private def ivfTopKSql =
+    s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
       |), c AS (
-      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0 AND vec_id < 3200
+      |  $codebookSql
       |), assign AS (
       |  SELECT vec_id, cid, v, nrm FROM (
       |    SELECT e.vec_id, c.cid, e.v, e.nrm,
