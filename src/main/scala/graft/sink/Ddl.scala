@@ -68,6 +68,63 @@ object Ddl {
   def exists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(name)
 
+  /** Outcome of [[migrateSinkTable]]. */
+  sealed trait Migration
+  /** The new mapping produces the table's exact schema — nothing to do. */
+  case object Unchanged extends Migration
+  /** The new mapping only ADDED destination fields; the table was
+    * widened in place and pre-existing rows read NULL for the new
+    * columns. */
+  final case class Widened(added: Seq[String]) extends Migration
+
+  /** Schema evolution for a restart whose `transform.mapping` changed
+    * (reference analog: put-mapping on an existing index,
+    * src/indices.ts:43-49 — ES accepts ADDITIVE mapping changes and
+    * rejects everything else, which is exactly the contract here):
+    *
+    *  - **widen-with-null** (additive change): new destination fields
+    *    are appended with `ALTER TABLE ADD COLUMNS`; existing rows and
+    *    the stored state docs are untouched — old docs simply lack the
+    *    field, so reads (and [[publishState]]'s `from_json`) yield NULL
+    *    until a later event sets it, the same sparse-doc semantics ES
+    *    gives a freshly put field.
+    *  - **drop-and-backfill** (destructive change — a dropped or
+    *    re-typed destination): the stored docs and table rows pin the
+    *    old shape, so in-place migration would silently serve stale
+    *    columns. This throws, directing the operator to a new
+    *    `indexNameSuffix` — the blue/green reindex the reference uses
+    *    for the same situation (new suffix → new table + fresh scan;
+    *    the old table stays queryable until cut-over).
+    *
+    * No-op ([[Unchanged]]) when the mapping already matches. */
+  def migrateSinkTable(
+      spark: SparkSession,
+      table: String,
+      task: TaskSpec,
+      fieldTypes: Map[String, String] = Map.empty,
+  ): Migration = {
+    val want = outputSchema(task, fieldTypes)
+    val have = spark.table(table).schema
+    val haveTypes = have.fields.map(f => f.name -> f.dataType).toMap
+    val wantNames = want.fieldNames.toSet
+    val dropped = have.fieldNames.filterNot(wantNames.contains)
+    val retyped = want.fields.filter(f => haveTypes.get(f.name).exists(_ != f.dataType))
+    if (dropped.nonEmpty || retyped.nonEmpty)
+      throw new IllegalStateException(
+        s"incompatible mapping change for sink table `$table`: " +
+          (if (dropped.nonEmpty) s"dropped fields [${dropped.mkString(", ")}] " else "") +
+          (if (retyped.nonEmpty) s"re-typed fields [${retyped.map(_.name).mkString(", ")}] " else "") +
+          "— existing rows/state docs pin the old shape. Deploy under a new " +
+          "indexNameSuffix (blue/green reindex: new table + fresh scan) instead.")
+    val added = want.fields.filterNot(f => haveTypes.contains(f.name))
+    if (added.isEmpty) Unchanged
+    else {
+      val cols = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE `$table` ADD COLUMNS ($cols)")
+      Widened(added.map(_.name))
+    }
+  }
+
   /** Field types out of an ES put-mapping body (reference
     * examples/config.json:62-79): either `{properties: {f: {type}}}` or
     * the 6.x-era `{<type>: {properties: ...}}` nesting. */
@@ -95,10 +152,14 @@ object Ddl {
     * types and the blue/green suffix, before any data flows.
     *
     * IF NOT EXISTS semantics, like the reference's index check: an
-    * existing table (including its registered LOCATION) is left
-    * untouched. Redeploying to a different baseDir therefore requires a
-    * new `indexNameSuffix` — which is exactly what the suffix is for
-    * (blue/green: new suffix → new table, old one stays queryable). */
+    * existing table (including its registered LOCATION) keeps its
+    * storage, then passes through [[migrateSinkTable]] so a RESTART
+    * whose mapping gained fields widens the table in place (put-mapping
+    * semantics) and a destructive mapping change fails fast with the
+    * blue/green guidance instead of silently serving the old shape.
+    * Redeploying to a different baseDir still requires a new
+    * `indexNameSuffix` (new suffix → new table, old one stays
+    * queryable). */
   def initFromConfig(
       spark: SparkSession,
       config: graft.model.EngineConfig,
@@ -106,9 +167,11 @@ object Ddl {
   ): Seq[String] =
     config.tasks.map { td =>
       val fieldTypes = td.load.mappingBody.map(fieldTypesFromMapping).getOrElse(Map.empty)
-      createSinkTable(spark, td.load.index, td.transform, fieldTypes,
+      val table = createSinkTable(spark, td.load.index, td.transform, fieldTypes,
         suffix = config.controls.indexNameSuffix.stripPrefix("_"),
         location = locationBase.map(b => s"$b/${td.load.index}${config.controls.indexNameSuffix}"))
+      migrateSinkTable(spark, table, td.transform, fieldTypes)
+      table
     }
 
   /** Materialize the engine-owned state into the typed sink table —
@@ -130,11 +193,16 @@ object Ddl {
       spark: SparkSession,
       table: String,
       stateDir: String,
-      task: TaskSpec,
-      fieldTypes: Map[String, String] = Map.empty,
   ): Long = {
     import org.apache.spark.sql.functions.{col, from_json}
-    val schema = outputSchema(task, fieldTypes)
+    // Parse against the TABLE's catalog schema, not the task-derived
+    // one: after a widening migration the added columns sit at the end
+    // of the catalog order (ALTER ADD COLUMNS) while outputSchema puts
+    // them in mapping order, and insertInto matches by POSITION. Fields
+    // a widened mapping added stay NULL for docs written before the
+    // change — sparse-doc semantics. The task/fieldTypes-derived schema
+    // remains the creation-time source of truth (createSinkTable).
+    val schema = spark.table(table).schema
     val typed = graft.cdc.StateStore.read(spark, stateDir)
       .select(from_json(col("doc"), schema).as("d"))
       .select(col("d.*"))
@@ -150,10 +218,9 @@ object Ddl {
       baseDir: String,
   ): Map[String, Long] =
     config.tasks.map { td =>
-      val fieldTypes = td.load.mappingBody.map(fieldTypesFromMapping).getOrElse(Map.empty)
       val table = td.load.index +
         (if (config.controls.indexNameSuffix.isEmpty) "" else s"_${config.controls.indexNameSuffix.stripPrefix("_")}")
       val dirName = td.name + config.controls.indexNameSuffix
-      table -> publishState(spark, table, s"$baseDir/$dirName/state", td.transform, fieldTypes)
+      table -> publishState(spark, table, s"$baseDir/$dirName/state")
     }.toMap
 }

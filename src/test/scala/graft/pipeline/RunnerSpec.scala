@@ -307,6 +307,10 @@ class RunnerSpec extends AnyFunSuite {
   }
 
   test("fromConfig honors from.phase=tail: no backfill, stream starts at the configured time") {
+    // other suites may have registered `users` with different declared
+    // types; since initFromConfig now fail-fasts on incompatible reuse
+    // (migrateSinkTable), start from a clean catalog entry
+    spark.sql("DROP TABLE IF EXISTS users")
     val base = Files.createTempDirectory("runner-tail").toString
     val oplogDir = s"$base/oplog"
     Files.createDirectories(java.nio.file.Paths.get(oplogDir))
@@ -345,6 +349,7 @@ class RunnerSpec extends AnyFunSuite {
   }
 
   test("checkpoint hooks: saves fire at scan end and per tail batch; onLoad overrides from") {
+    spark.sql("DROP TABLE IF EXISTS users") // see phase=tail test
     val base = Files.createTempDirectory("runner-hooks").toString
     val oplogDir = s"$base/oplog"
     Files.createDirectories(java.nio.file.Paths.get(oplogDir))
@@ -411,6 +416,7 @@ class RunnerSpec extends AnyFunSuite {
   }
 
   test("fromConfig honors from.id: the scan resumes at the checkpointed id") {
+    spark.sql("DROP TABLE IF EXISTS users") // see phase=tail test
     val base = Files.createTempDirectory("runner-resume").toString
     val oplogDir = s"$base/oplog"
     Files.createDirectories(java.nio.file.Paths.get(oplogDir))
