@@ -72,7 +72,8 @@ object TailQuery {
           // an empty trigger applies nothing: no state rewrite, no
           // hook — the reference likewise only checkpoints batches
           // that loaded IRs (src/processor.ts:382-390)
-          if (batch.count() > 0) {
+          val batchRows = batch.count()
+          if (batchRows > 0) {
             effectiveBuckets match {
               case Some(spec) =>
                 // incremental: touch only the batch's keys and buckets
@@ -80,8 +81,12 @@ object TailQuery {
                   batch.as[OplogRow], task, stateDir, spec, source)
               case None =>
                 val st = StateStore.read(spark, stateDir)
-                // fused compact+dispatch+merge: one co-grouped shuffle per batch
-                val newState = BatchApplier.applyOplogBatch(batch.as[OplogRow], st, task, source)
+                // fused compact+dispatch+merge: one co-grouped shuffle per
+                // batch. The row count upper-bounds the distinct-key count,
+                // so it serves as the broadcast-cap probe without the apply
+                // paying a separate distinct-count job per trigger.
+                val newState = BatchApplier.applyOplogBatch(
+                  batch.as[OplogRow], st, task, source, batchKeyCount = Some(batchRows))
                 StateStore.write(newState, stateDir)
             }
             // mirror tail progress to user persistence (L4 side channel);
