@@ -29,4 +29,43 @@ class KMeansSpec extends AnyFunSuite {
       assert(r.getAs[Double]("cn") > 0.0)
     }
   }
+
+  test("trained-codebook IVF beats a recall floor at nProbe=1 (the wiring's point)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.expressions.VectorFunctions.{dot => ndot}
+    import graft.expressions.CellFunctions
+    val dir = "/root/testdata/sf0.01"
+    val (cbDf, _) = KMeans.train(spark, dir, k = 64, rounds = 3, computeObjective = false)
+    val cb = cbDf.select(col("cid").cast("long"), col("cv"), col("cn"))
+      .orderBy(col("cid")).collect().toVector
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector, r.getDouble(2)))
+    val cbLit = typedLit(cb)
+    val e = graft.ops.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    def topk(pairs: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"))
+    }
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val sim = graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4)
+    val exact = topk(cand.join(broadcast(q), col("q_id") =!= col("n_id")).withColumn("sim", sim))
+    val assign = e.withColumn("cid", CellFunctions.nearestCell(col("v"), col("nrm"), cbLit))
+    val approx = topk(assign
+      .select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(assign.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("cid").as("qcid"), col("v").as("qv"), col("nrm").as("qn"))),
+        col("qcid") === col("cid") && col("q_id") =!= col("n_id"))
+      .withColumn("sim", sim))
+    val nExact = exact.count().toDouble
+    val hit = exact.join(approx, Seq("q_id", "n_id")).count()
+    // deterministic on fixed data/seeds (measured 0.88 at sf0.1, and
+    // well above the untrained codebook's 0.21); the floor guards the
+    // training-to-index wiring, not the exact figure
+    assert(hit / nExact >= 0.5, s"recall@3 collapsed: ${hit / nExact} ($hit/$nExact)")
+  }
 }
