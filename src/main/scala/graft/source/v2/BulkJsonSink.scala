@@ -75,45 +75,57 @@ class BulkJsonTable(path: String, index: String, esType: String, compress: Boole
 final case class BulkCommit(finalFile: String) extends WriterCommitMessage
 
 class BulkBatchWrite(path: String, index: String, esType: String, compress: Boolean = false) extends BatchWrite {
+  // driver-side: resolve the session conf here and ship it with the
+  // factory so executor writers hit the same FileSystem (scheme,
+  // credentials) the job was planned against
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new BulkWriterFactory(path, index, esType, compress)
+    new BulkWriterFactory(path, index, esType, compress,
+      new SerializableHadoopConf(FsIO.driverConf))
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // a zero-partition write runs no task writers, so the directory may
     // not exist yet — an empty successful job still gets its marker
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_SUCCESS"), Array.emptyByteArray)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fileSystem = FsIO.rawFs(dir, FsIO.driverConf)
+    fileSystem.mkdirs(dir)
+    fileSystem.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
   }
   // job abort must also undo already-committed tasks, or a retried job
   // would duplicate their output next to its own
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fileSystem = FsIO.rawFs(new org.apache.hadoop.fs.Path(path), FsIO.driverConf)
     messages.foreach {
-      case BulkCommit(f) => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f))
+      case BulkCommit(f) => fileSystem.delete(new org.apache.hadoop.fs.Path(f), false)
       case _             => ()
     }
+  }
 }
 
-class BulkWriterFactory(path: String, index: String, esType: String, compress: Boolean)
-    extends DataWriterFactory {
+class BulkWriterFactory(path: String, index: String, esType: String, compress: Boolean,
+    conf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BulkDataWriter(path, index, esType, partitionId, taskId, compress)
+    new BulkDataWriter(path, index, esType, partitionId, taskId, compress, conf.value)
 }
 
 class BulkDataWriter(path: String, index: String, esType: String, partitionId: Int,
-    taskId: Long, compress: Boolean = false)
+    taskId: Long, compress: Boolean,
+    hadoopConf: org.apache.hadoop.conf.Configuration)
     extends DataWriter[InternalRow] {
   import BulkJsonSink.esc
 
-  private val dir = java.nio.file.Paths.get(path)
-  java.nio.file.Files.createDirectories(dir)
-  private val staging = dir.resolve(f".part-$partitionId%05d-$taskId")
+  private val dir = new org.apache.hadoop.fs.Path(path)
+  // raw (checksum-free) FS: the directory is consumed by an external
+  // bulk loader, so `.crc` side-files next to the bodies are noise
+  private val fileSystem = FsIO.rawFs(dir, hadoopConf)
+  fileSystem.mkdirs(dir)
+  private val staging = new org.apache.hadoop.fs.Path(dir, f".part-$partitionId%05d-$taskId")
   // gzip bodies ship as Content-Encoding: gzip bulk requests — 5-10x
   // smaller on the wire for JSON; each part file stays one request
-  private val out =
-    if (compress) new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(staging)),
+  private val out = {
+    val raw: java.io.OutputStream = fileSystem.create(staging, true)
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      if (compress) new java.util.zip.GZIPOutputStream(raw) else raw,
       java.nio.charset.StandardCharsets.UTF_8))
-    else java.nio.file.Files.newBufferedWriter(staging)
+  }
 
   override def write(row: InternalRow): Unit = {
     val action = row.getUTF8String(0).toString
@@ -136,15 +148,18 @@ class BulkDataWriter(path: String, index: String, esType: String, partitionId: I
   override def commit(): WriterCommitMessage = {
     out.close()
     val suffix = if (compress) ".bulk.gz" else ".bulk"
-    val fin = dir.resolve(f"part-$partitionId%05d-$taskId$suffix")
-    java.nio.file.Files.move(staging, fin,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val fin = new org.apache.hadoop.fs.Path(dir, f"part-$partitionId%05d-$taskId$suffix")
+    // Hadoop rename: atomic on HDFS/local, never overwrites — a false
+    // return means another attempt's file landed first, which the
+    // commit coordinator should have prevented, so surface it
+    if (!fileSystem.rename(staging, fin))
+      throw new java.io.IOException(s"rename $staging -> $fin failed (already committed?)")
     BulkCommit(fin.toString)
   }
 
   override def abort(): Unit = {
     out.close()
-    java.nio.file.Files.deleteIfExists(staging)
+    fileSystem.delete(staging, false)
   }
 
   override def close(): Unit = ()

@@ -116,14 +116,23 @@ object OplogScan {
     * dump file is split across the cluster instead of pinning one core. */
   val DefaultSplitSize: Long = 128L * 1024 * 1024
 
-  def listFiles(path: String): Array[String] = {
-    val dir = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.isDirectory(dir)) {
-      val s = java.nio.file.Files.list(dir)
-      try s.iterator().asScala
-        .filter(p => p.toString.endsWith(".jsonl") || p.toString.endsWith(".jsonl.gz"))
-        .map(_.toString).toArray.sorted
-      finally s.close()
+  /** List the dump files under `path`, resolved through the Hadoop
+    * `FileSystem` for the path's scheme — a dump directory on HDFS or
+    * an object store lists exactly like a local one. Returned names are
+    * scheme-qualified URIs so downstream opens resolve the same way
+    * regardless of the executor's default filesystem. A non-directory
+    * (or not-yet-existing) path passes through as-is: the failure
+    * surfaces at planning, in `splitFile`, with the real cause. */
+  def listFiles(path: String, conf: org.apache.hadoop.conf.Configuration): Array[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fileSystem = p.getFileSystem(conf)
+    val isDir = try fileSystem.getFileStatus(p).isDirectory
+                catch { case _: java.io.FileNotFoundException => false }
+    if (isDir) {
+      fileSystem.listStatus(p).iterator
+        .map(_.getPath.toString)
+        .filter(n => n.endsWith(".jsonl") || n.endsWith(".jsonl.gz"))
+        .toArray.sorted
     } else Array(path)
   }
 
@@ -140,9 +149,11 @@ object OplogScan {
     * contract Hadoop applies to gzip. The scale guidance is therefore
     * the standard one: compress large dumps in split-sized chunks (or
     * use a splittable codec) if read parallelism matters. */
-  def splitFile(file: String, splitSize: Long): Array[InputPartition] = {
+  def splitFile(file: String, splitSize: Long,
+      conf: org.apache.hadoop.conf.Configuration): Array[InputPartition] = {
     require(splitSize > 0, s"splitSizeBytes must be positive, got $splitSize")
-    val size = java.nio.file.Files.size(java.nio.file.Paths.get(file))
+    val p = new org.apache.hadoop.fs.Path(file)
+    val size = p.getFileSystem(conf).getFileStatus(p).getLen
     if (file.endsWith(".gz")) Array(OplogFilePartition(file, 0L, Long.MaxValue))
     else if (size <= splitSize) Array(OplogFilePartition(file, 0L, size))
     else (0L until size by splitSize)
@@ -150,21 +161,30 @@ object OplogScan {
       .toArray
   }
 
-  /** Open a dump for reading, decoding gzip inline. A gzip header that
-    * cannot be read (zero-byte or truncated `.gz`) yields an EMPTY
+  /** Open a dump at byte `startAt` (plain files only — callers never
+    * seek gzip), decoding gzip inline from offset 0. The stream comes
+    * from the path's Hadoop `FileSystem`, so dumps read identically
+    * from local disk, HDFS, or any registered scheme. A gzip header
+    * that cannot be read (zero-byte or truncated `.gz`) yields an EMPTY
     * stream with the fd closed — an empty/corrupt gzip dump behaves
     * like an empty `.jsonl` instead of killing the scan, matching the
     * per-event error contract malformed LINES already follow. */
-  def openDecoded(file: String): java.io.InputStream = {
-    val fis = new java.io.FileInputStream(file)
-    if (!file.endsWith(".gz")) fis
-    else
-      try new java.util.zip.GZIPInputStream(fis, 1 << 16)
+  def openDecoded(file: String, conf: org.apache.hadoop.conf.Configuration,
+      startAt: Long = 0L): java.io.InputStream = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val raw = p.getFileSystem(conf).open(p)
+    if (!file.endsWith(".gz")) {
+      if (startAt > 0) raw.seek(startAt)
+      raw
+    } else {
+      require(startAt == 0L, s"gzip file $file is not seekable; got startAt=$startAt")
+      try new java.util.zip.GZIPInputStream(raw, 1 << 16)
       catch {
         case _: java.io.IOException =>
-          fis.close()
+          raw.close()
           new java.io.ByteArrayInputStream(Array.emptyByteArray)
       }
+    }
   }
 }
 
@@ -177,11 +197,15 @@ class OplogScan(path: String, pushed: Array[Filter], required: StructType,
   override def description(): String =
     s"OplogJsonScan(path=$path, pushed=${pushed.mkString(",")})"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    OplogScan.listFiles(path).flatMap(OplogScan.splitFile(_, splitSizeBytes))
+  // planning and factory creation run on the driver: resolve the
+  // session's Hadoop conf there and ship it with the reader factory
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = FsIO.driverConf
+    OplogScan.listFiles(path, conf).flatMap(OplogScan.splitFile(_, splitSizeBytes, conf))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OplogReaderFactory(pushed, required)
+    new OplogReaderFactory(pushed, required, new SerializableHadoopConf(FsIO.driverConf))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new OplogMicroBatchStream(path, pushed, required, maxFilesPerTrigger,
@@ -211,33 +235,43 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
     checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl {
 
+  // the stream object lives on the driver for the query's lifetime:
+  // one conf resolution serves discovery, admission probes and planning
+  private val hadoopConf = FsIO.driverConf
+
   // driver-side append-only discovery list, mirrored to a log file in
   // the checkpoint dir so restarts see the same file<->offset mapping.
-  // Spark passes the checkpoint location as a URI string ("file:/...");
-  // resolve it as such, falling back to a plain path.
+  // The log rides the checkpoint location — a cluster URI in any real
+  // deployment — so it goes through StateIO's CheckpointFileManager
+  // (atomic full-content swap), exactly like Spark's own offset log
+  // that lives next to it. A full rewrite per discovery beats append
+  // here: appends are not a primitive object-store managers offer, and
+  // the list is one short line per dump file.
   private val discovered = new java.util.concurrent.CopyOnWriteArrayList[String]()
-  private val logFile = {
-    val base = scala.util.Try(java.nio.file.Paths.get(new java.net.URI(checkpointLocation)))
-      .getOrElse(java.nio.file.Paths.get(checkpointLocation))
-    base.resolve("graft-file-log")
-  }
+  private val logFile =
+    new org.apache.hadoop.fs.Path(checkpointLocation, "graft-file-log").toString
   locally {
-    if (java.nio.file.Files.exists(logFile)) {
-      java.nio.file.Files.readAllLines(logFile).forEach { l =>
-        if (l.nonEmpty) discovered.add(l)
+    if (graft.cdc.StateIO.exists(logFile)) {
+      graft.cdc.StateIO.readString(logFile).linesIterator.foreach { l =>
+        // qualify each entry through its scheme's FileSystem so a log
+        // written before listings were scheme-qualified (plain paths)
+        // still matches the qualified names `listFiles` returns now —
+        // otherwise a restart would re-ingest every already-read dump
+        if (l.nonEmpty) {
+          val p = new org.apache.hadoop.fs.Path(l)
+          discovered.add(p.getFileSystem(hadoopConf).makeQualified(p).toString)
+        }
       }
     }
   }
 
   private def discover(): Int = synchronized {
     val seen = new java.util.HashSet[String](discovered)
-    val fresh = OplogScan.listFiles(path).filterNot(seen.contains)
+    val fresh = OplogScan.listFiles(path, hadoopConf).filterNot(seen.contains)
     if (fresh.nonEmpty) {
-      java.nio.file.Files.createDirectories(logFile.getParent)
-      java.nio.file.Files.write(logFile,
-        fresh.mkString("", "\n", "\n").getBytes,
-        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
       fresh.foreach(discovered.add)
+      graft.cdc.StateIO.writeStringAtomic(logFile,
+        discovered.asScala.mkString("", "\n", "\n"))
     }
     discovered.size()
   }
@@ -282,7 +316,7 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
       if (f.endsWith(".gz")) gzRowEstimate(f)
       else {
         val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-          new java.io.FileInputStream(f), java.nio.charset.StandardCharsets.UTF_8))
+          OplogScan.openDecoded(f, hadoopConf), java.nio.charset.StandardCharsets.UTF_8))
         try {
           var n = 0L
           var line = reader.readLine()
@@ -307,7 +341,7 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
     var bytes = 0L
     var lines = 0L
     var sawEof = false
-    val in = OplogScan.openDecoded(f)
+    val in = OplogScan.openDecoded(f, hadoopConf)
     try {
       val buf = new Array[Byte](1 << 16)
       var last: Byte = '\n'
@@ -355,18 +389,23 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
   private val TypicalGzipRatio = 4L
 
   /** The gzip ISIZE trailer (uncompressed size mod 2^32, last 4 bytes
-    * little-endian) plus the compressed file size, read O(1). */
+    * little-endian) plus the compressed file size, read O(1) via a
+    * positioned read on the path's filesystem. */
   private def gzIsize(f: String): (Long, Long) = {
-    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(f))
-    try {
-      if (ch.size() < 4) (0L, ch.size())
-      else {
-        val bb = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        ch.read(bb, ch.size() - 4)
-        bb.flip()
-        (bb.getInt.toLong & 0xffffffffL, ch.size())
-      }
-    } finally ch.close()
+    val p = new org.apache.hadoop.fs.Path(f)
+    val fileSystem = p.getFileSystem(hadoopConf)
+    val size = fileSystem.getFileStatus(p).getLen
+    if (size < 4) (0L, size)
+    else {
+      val in = fileSystem.open(p)
+      try {
+        val buf = new Array[Byte](4)
+        in.readFully(size - 4, buf)
+        val isize = (buf(0) & 0xffL) | ((buf(1) & 0xffL) << 8) |
+          ((buf(2) & 0xffL) << 16) | ((buf(3) & 0xffL) << 24)
+        (isize, size)
+      } finally in.close()
+    }
   }
 
   /** Files admitted from `from` under the limit — file granularity
@@ -408,21 +447,22 @@ class OplogMicroBatchStream(path: String, pushed: Array[Filter], required: Struc
       s"offset range [$s, $e) exceeds the ${discovered.size()}-file discovery log")
     // offsets stay file-granular (admission, checkpointing); execution
     // parallelism within the admitted files comes from range splitting
-    (s until e).flatMap(i => OplogScan.splitFile(discovered.get(i), splitSizeBytes)).toArray
+    (s until e).flatMap(i =>
+      OplogScan.splitFile(discovered.get(i), splitSizeBytes, hadoopConf)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OplogReaderFactory(pushed, required)
+    new OplogReaderFactory(pushed, required, new SerializableHadoopConf(hadoopConf))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-class OplogReaderFactory(pushed: Array[Filter], required: StructType)
-    extends PartitionReaderFactory {
+class OplogReaderFactory(pushed: Array[Filter], required: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OplogFilePartition]
-    new OplogPartitionReader(p.file, p.start, p.end, pushed, required)
+    new OplogPartitionReader(p.file, p.start, p.end, pushed, required, conf.value)
   }
 }
 
@@ -436,15 +476,19 @@ class OplogReaderFactory(pushed: Array[Filter], required: StructType)
   * JSON-lines contract); a trailing '\r' is stripped so CRLF dumps
   * parse. Reads scan a 64 KB chunk buffer directly — no per-byte
   * stream call on the path this feature exists to make fast. */
-private[v2] class LineRangeIterator(file: String, start: Long, end: Long) {
+private[v2] class LineRangeIterator(file: String, start: Long, end: Long,
+    conf: org.apache.hadoop.conf.Configuration) {
   // gzip dumps decompress inline (empty/corrupt headers degrade to an
   // empty stream, fd closed — see OplogScan.openDecoded); they always
-  // arrive as one whole-file range, so positioning is never needed
+  // arrive as one whole-file range, so positioning is never needed.
+  // start > 0 implies a plain (splittable) file: openDecoded seeks the
+  // FSDataInputStream to start - 1 so the partial line can be skipped.
   locally {
     if (file.endsWith(".gz"))
       require(start == 0L, s"gzip file $file is not seekable; got start=$start")
   }
-  private val in: java.io.InputStream = OplogScan.openDecoded(file)
+  private val in: java.io.InputStream =
+    OplogScan.openDecoded(file, conf, startAt = math.max(0L, start - 1))
   private val chunk = new Array[Byte](1 << 16)
   private var chunkLen = 0 // valid bytes in `chunk`
   private var chunkPos = 0 // next unread index in `chunk`
@@ -452,8 +496,6 @@ private[v2] class LineRangeIterator(file: String, start: Long, end: Long) {
   private val line = new java.io.ByteArrayOutputStream(256)
   locally {
     if (start > 0) {
-      // start > 0 implies a plain (splittable) file — see the require
-      in.asInstanceOf[java.io.FileInputStream].getChannel.position(start - 1)
       pos = start - 1
       readLine() // the partial line belongs to the previous range
     }
@@ -511,10 +553,11 @@ private[v2] class LineRangeIterator(file: String, start: Long, end: Long) {
 
 /** Line-by-line reader: parse -> pushed-filter -> project. */
 class OplogPartitionReader(file: String, startByte: Long, endByte: Long,
-    pushed: Array[Filter], required: StructType)
+    pushed: Array[Filter], required: StructType,
+    conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val lines = new LineRangeIterator(file, startByte, endByte)
+  private val lines = new LineRangeIterator(file, startByte, endByte, conf)
   private var current: InternalRow = _
 
   // every accepted filter is enforced: multiple ns equalities must ALL

@@ -185,7 +185,7 @@ class OplogJsonSourceSpec extends AnyFunSuite {
 
     // gzip is not seekable: even a tiny splitSizeBytes must plan the
     // .gz as ONE whole-file partition (the plain file may still split)
-    val parts = OplogScan.splitFile(s"$dir/dump.jsonl.gz", 64L)
+    val parts = OplogScan.splitFile(s"$dir/dump.jsonl.gz", 64L, FsIO.driverConf)
     assert(parts.length === 1, "gzip file must never byte-split")
     val df = spark.read.format("graft.source.v2.OplogJsonSource")
       .option("path", dir).option("splitSizeBytes", "64").load()
