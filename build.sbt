@@ -31,3 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // allocation-heavy typed queries (machine has 128 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Forked `run` output passes through sbt's logger by default, which
+// prefixes every stdout line with `[info] ` — that prefix corrupted the
+// bench's machine-readable summary line two rounds in a row (the
+// driver's JSON parser recorded parsed:null). StdoutOutput forwards the
+// child's stdout verbatim, so the summary JSON reaches the driver as a
+// bare line. Tests keep the logged strategy (their output is for
+// humans).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -109,7 +109,23 @@ object Bench {
     def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def js3(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"steady_passes":$steadyPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"steady_passes":$steadyPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}"""
+    println(summary)
+    // Belt-and-braces for the driver's parser: persist the summary (and
+    // the full per-query detail) to files too, so a logger prefix or an
+    // sbt `[success]` trailer in the captured stdout can never lose the
+    // round's numbers again (BENCH r7/r8 both recorded parsed:null).
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
+    def writeFile(name: String, text: String): Unit = {
+      val p = java.nio.file.Paths.get(outDir, name)
+      java.nio.file.Files.write(p, (text + "\n").getBytes("UTF-8"))
+    }
+    try {
+      writeFile("BENCH_SUMMARY.json", summary)
+      writeFile("BENCH_DETAIL.json",
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"sf":"$sfDir"}""")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"bench: could not persist summary files: $e") }
     spark.stop()
   }
 }

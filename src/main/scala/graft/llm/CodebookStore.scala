@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Persistent store for trained IVF codebooks.
+  *
+  * The codebook is the product of a full corpus pass (spherical
+  * k-means over every embedding) — at 100 TB that is an expensive
+  * offline index build, and it must be paid ONCE per corpus, not once
+  * per driver JVM. Before round 9 the trained centroids lived only in
+  * a ConcurrentHashMap, so every restart silently retrained; now the
+  * first train writes the centroids to a small sidecar file keyed by
+  * (corpus dir, k) and every later session — including a restarted
+  * one — loads them back bit-identically.
+  *
+  * Codebook size follows the standard IVF sizing rule |C| ≈ √N
+  * (clamped to [4, cap]): cell population ≈ √N keeps both the
+  * assignment cost (N·|C|) and the per-probe scan (N/|C|) balanced as
+  * the corpus grows, instead of the flat k=64 literal used before.
+  *
+  * Serialization is plain text, one centroid per line
+  * (`cid<TAB>cn<TAB>v0,v1,...`), doubles via their shortest
+  * round-trippable repr (`java.lang.Double.toString` → `.toDouble` is
+  * exact by spec), written to a temp file and atomically renamed — a
+  * concurrent second driver sees either nothing or a complete file.
+  */
+object CodebookStore {
+
+  type Codebook = Vector[(Long, Vector[Double], Double)]
+
+  /** Incremented on every actual training run; the restart spec pins
+    * that a second session loads the file instead of bumping this. */
+  @volatile var trainCount: Long = 0L
+
+  /** Index-file root: a real deployment points this at durable shared
+    * storage (alongside its checkpoints); default is a stable tmp-dir
+    * location so harness runs on one machine share the index across
+    * JVM restarts. */
+  def indexRoot: Path = Paths.get(
+    sys.props.get("graft.index.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf"))
+
+  /** |C| ≈ √N, clamped to [4, cap]. The cap bounds the literal-codebook
+    * projection cost per row; at genuine 100 TB scale a deployment
+    * raises it (|C| ≈ √N with N=10^9 wants ~31k cells and a broadcast
+    * codebook instead of a literal — documented in BASELINE.md). */
+  def kFor(n: Long, cap: Int = 64): Int =
+    math.min(cap.toLong, math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  private def fileFor(dir: String, k: Int): Path = {
+    val sane = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    indexRoot.resolve(s"codebook_${sane}_k$k.tsv")
+  }
+
+  private def save(p: Path, cb: Codebook): Unit = {
+    Files.createDirectories(p.getParent)
+    val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
+    val lines = cb.map { case (cid, cv, cn) =>
+      s"$cid\t$cn\t${cv.mkString(",")}"
+    }
+    Files.write(tmp, lines.asJava)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def load(p: Path): Option[Codebook] =
+    if (!Files.exists(p)) None
+    else Some(Files.readAllLines(p).asScala.toVector.map { line =>
+      val Array(cid, cn, vs) = line.split("\t", 3)
+      (cid.toLong, vs.split(",").map(_.toDouble).toVector, cn.toDouble)
+    })
+
+  /** Load the persisted codebook for `dir` if one exists; otherwise
+    * train (√N-sized), persist, and return it. */
+  def loadOrTrain(spark: SparkSession, dir: String): Codebook = {
+    val n = graft.ops.Tables.table(spark, dir, "embeddings").count()
+    val k = kFor(n)
+    val p = fileFor(dir, k)
+    load(p).getOrElse {
+      val (codebook, _) =
+        KMeans.train(spark, dir, k = k, rounds = 3, computeObjective = false)
+      val cb = codebook.select(col("cid").cast("long"), col("cv"), col("cn"))
+        .orderBy(col("cid"))
+        .collect().toVector
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toVector, r.getDouble(2)))
+      trainCount += 1
+      save(p, cb)
+      cb
+    }
+  }
+}

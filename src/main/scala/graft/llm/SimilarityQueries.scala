@@ -169,15 +169,17 @@ object SimilarityQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Vector[(Long, Vector[Double], Double)]]()
   @volatile private var lastTrainedDir: Option[String] = None
 
+  /** Test hook: drop the in-JVM cache so a "restarted session" can be
+    * simulated — the reload must come from [[CodebookStore]]'s file. */
+  private[llm] def resetCodebookCacheForTest(): Unit = {
+    trained.clear(); lastTrainedDir = None
+  }
+
   private def trainedCodebook(
       spark: SparkSession, dir: String): Vector[(Long, Vector[Double], Double)] = {
-    val cb = trained.computeIfAbsent(dir, d => {
-      val (codebook, _) = KMeans.train(spark, d, k = 64, rounds = 3, computeObjective = false)
-      codebook.select(col("cid").cast("long"), col("cv"), col("cn"))
-        .orderBy(col("cid"))
-        .collect().toVector
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toVector, r.getDouble(2)))
-    })
+    // memory cache → persisted index file → train-once (√N-sized k);
+    // see CodebookStore for the restart/scale rationale
+    val cb = trained.computeIfAbsent(dir, d => CodebookStore.loadOrTrain(spark, d))
     lastTrainedDir = Some(dir)
     cb
   }

@@ -2,13 +2,16 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Harness-table loaders (TESTDATA.md). Only `events` needs care: its
-  * parquet `ts` is TIMESTAMP(NANOS), which Spark 4 rejects unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true` turns it into a long of
-  * nanoseconds; we normalize that to a microsecond `TimestampType`
-  * column (plus the raw nanos) so downstream operators see a standard
-  * timestamp.
+/** Harness-table loaders (TESTDATA.md). Only `events` needs care: the
+  * fixture generator has shipped its `ts` column in two layouts over
+  * time — TIMESTAMP(NANOS) (which Spark 4 only reads as a nanosecond
+  * long under `spark.sql.legacy.parquet.nanosAsLong=true`) and plain
+  * `timestamp[us]` (read as TIMESTAMP_NTZ). The loader adapts to
+  * whichever layout is on disk and always hands downstream operators
+  * the same two columns: `ts` as a standard microsecond TimestampType
+  * and `ts_ns` as a nanosecond long.
   */
 object Tables {
 
@@ -22,7 +25,7 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+      { case (s, p) => SchemaDrift.adapt(name, s.read.parquet(p)) })
 
   /** Spread a scan across all cores before heavy per-row work. The
     * harness parquet files are written as a SINGLE row group, and a row
@@ -36,12 +39,26 @@ object Tables {
   def fanOut(df: DataFrame, key: String = "doc_id"): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
-  /** events with `ts` as TimestampType (µs, truncated from ns) and
-    * `ts_ns` as the raw nanosecond long. */
+  /** events with `ts` as TimestampType (µs) and `ts_ns` as a
+    * nanosecond long, whichever layout the fixture carries. The session
+    * timezone is UTC everywhere we build sessions, so the NTZ→TS cast
+    * is a pure reinterpretation matching DuckDB's naive-as-UTC oracle
+    * semantics. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) fixture surfaced as raw nanos
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      case _: TimestampType | _: TimestampNTZType => // timestamp[us] fixture
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported fixture dtype $other (expected nanos-long or timestamp)")
+    }
   }
 }

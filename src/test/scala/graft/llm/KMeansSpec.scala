@@ -2,6 +2,7 @@ package graft.llm
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
+import scala.jdk.CollectionConverters._
 
 /** The spherical k-means loop must improve (never worsen) its cosine
   * objective round over round, and produce a complete, finite codebook
@@ -67,5 +68,36 @@ class KMeansSpec extends AnyFunSuite {
     // well above the untrained codebook's 0.21); the floor guards the
     // training-to-index wiring, not the exact figure
     assert(hit / nExact >= 0.5, s"recall@3 collapsed: ${hit / nExact} ($hit/$nExact)")
+  }
+
+  test("codebook persists: a restarted session loads the file bit-identically, no retrain") {
+    val dir = "/root/testdata/sf0.01"
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = indexDir
+    try {
+      // session 1: cold — trains once and persists
+      val t0 = CodebookStore.trainCount
+      val first = CodebookStore.loadOrTrain(spark, dir)
+      assert(CodebookStore.trainCount == t0 + 1)
+      // √N sizing: 500 embeddings at sf0.01 → k = ceil(√500) = 23
+      assert(first.size == CodebookStore.kFor(500))
+      assert(first.size == 23)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(indexDir))
+      try assert(files.iterator().asScala.exists(_.getFileName.toString.startsWith("codebook_")))
+      finally files.close()
+      // "restart": nothing in memory, only the index file survives
+      SimilarityQueries.resetCodebookCacheForTest()
+      val second = CodebookStore.loadOrTrain(spark, dir)
+      assert(CodebookStore.trainCount == t0 + 1, "restart must NOT retrain")
+      // bit-identical centroids → bit-identical cell assignments
+      assert(second == first)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.index.dir") = v
+        case None    => sys.props.remove("graft.index.dir")
+      }
+      SimilarityQueries.resetCodebookCacheForTest()
+    }
   }
 }
