@@ -23,6 +23,35 @@ import graft.model.{CheckpointHooks, TaskSpec}
   */
 object TailQuery {
 
+  /** What a micro-batch failure does to the 24/7 tail (reference
+    * src/processor.ts:393-395 logs a failed batch and keeps tailing;
+    * its per-event transform errors are likewise swallowed and logged,
+    * src/processor.ts:219-222).
+    *
+    *  - [[FailFast]] (default): the exception propagates and terminates
+    *    the StreamingQuery — the safe choice when state divergence is
+    *    worse than downtime, and Spark's checkpoint makes the restart
+    *    resume exactly at the failed batch.
+    *  - [[SkipAndCount]]: the reference's policy — log, count the
+    *    poison batch (and best-effort its rows) on driver-readable
+    *    accumulators, commit the batch's offsets, and keep the stream
+    *    alive. The LWW ts-guard in the state merge means a later replay
+    *    of the skipped range (operator-initiated backfill) is
+    *    idempotent.
+    */
+  sealed trait FailurePolicy
+  case object FailFast extends FailurePolicy
+  final case class SkipAndCount(
+      skippedBatches: org.apache.spark.util.LongAccumulator,
+      skippedRows: org.apache.spark.util.LongAccumulator,
+  ) extends FailurePolicy
+  /** Fresh named accumulators, visible in the Spark UI like the P6
+    * validity-drop counters they extend. */
+  def skipAndCount(spark: SparkSession, name: String = "tail"): SkipAndCount =
+    SkipAndCount(
+      spark.sparkContext.longAccumulator(s"${name}_skipped_batches"),
+      spark.sparkContext.longAccumulator(s"${name}_skipped_rows"))
+
   /** Start the tail stream. `oplogStream` must be a streaming DataFrame
     * with the OplogRow schema (ts, op, ns, id, doc, fromMigrate).
     *
@@ -46,6 +75,7 @@ object TailQuery {
       taskName: String = "",
       hooks: Option[CheckpointHooks] = None,
       buckets: Option[BucketedStateStore.Spec] = Some(BucketedStateStore.Spec()),
+      failurePolicy: FailurePolicy = FailFast,
   ): StreamingQuery = {
     val spark = oplogStream.sparkSession
     import OplogRow.encoder
@@ -95,6 +125,23 @@ object TailQuery {
             if (taskName.nonEmpty)
               CheckpointHooks.save(hooks, taskName, CheckpointHooks.tailNow())
           }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            failurePolicy match {
+              case FailFast => throw e
+              case SkipAndCount(batches, rows) =>
+                // Returning normally commits this batch's offsets: the
+                // poison range is consciously skipped, not retried
+                // forever. Counters make the skip observable; the batch
+                // row count is best-effort (the failure may be in the
+                // scan itself).
+                batches.add(1L)
+                try rows.add(batch.count())
+                catch { case scala.util.control.NonFatal(_) => () }
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"tail($metricsName): skipped failed micro-batch " +
+                    s"(skipped_batches=${batches.value}): $e")
+            }
         } finally batch.unpersist()
         ()
       }
