@@ -56,10 +56,10 @@ object CodebookStore {
     indexRoot.resolve(s"codebook_${sane}_k$k.tsv")
   }
 
-  private def save(p: Path, cb: Codebook): Unit = {
+  private def save(p: Path, n: Long, cb: Codebook): Unit = {
     Files.createDirectories(p.getParent)
     val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
-    val lines = cb.map { case (cid, cv, cn) =>
+    val lines = s"#corpus_rows=$n" +: cb.map { case (cid, cv, cn) =>
       s"$cid\t$cn\t${cv.mkString(",")}"
     }
     Files.write(tmp, lines.asJava)
@@ -67,12 +67,20 @@ object CodebookStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def load(p: Path): Option[Codebook] =
+  /** Load iff the header's corpus row count matches `n` — a regenerated
+    * corpus that happens to land on the same k must retrain, not
+    * silently reuse centroids from vanished data. */
+  private def load(p: Path, n: Long): Option[Codebook] =
     if (!Files.exists(p)) None
-    else Some(Files.readAllLines(p).asScala.toVector.map { line =>
-      val Array(cid, cn, vs) = line.split("\t", 3)
-      (cid.toLong, vs.split(",").map(_.toDouble).toVector, cn.toDouble)
-    })
+    else {
+      val lines = Files.readAllLines(p).asScala.toVector
+      if (lines.headOption.contains(s"#corpus_rows=$n"))
+        Some(lines.tail.map { line =>
+          val Array(cid, cn, vs) = line.split("\t", 3)
+          (cid.toLong, vs.split(",").map(_.toDouble).toVector, cn.toDouble)
+        })
+      else None
+    }
 
   /** Load the persisted codebook for `dir` if one exists; otherwise
     * train (√N-sized), persist, and return it. */
@@ -80,7 +88,7 @@ object CodebookStore {
     val n = graft.ops.Tables.table(spark, dir, "embeddings").count()
     val k = kFor(n)
     val p = fileFor(dir, k)
-    load(p).getOrElse {
+    load(p, n).getOrElse {
       val (codebook, _) =
         KMeans.train(spark, dir, k = k, rounds = 3, computeObjective = false)
       val cb = codebook.select(col("cid").cast("long"), col("cv"), col("cn"))
@@ -88,7 +96,7 @@ object CodebookStore {
         .collect().toVector
         .map(r => (r.getLong(0), r.getSeq[Double](1).toVector, r.getDouble(2)))
       trainCount += 1
-      save(p, cb)
+      save(p, n, cb)
       cb
     }
   }

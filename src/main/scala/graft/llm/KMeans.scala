@@ -30,6 +30,15 @@ object KMeans {
 
   /** Returns (final codebook (cid, cv, cn), per-round objective).
     *
+    * Driver-memory bound: each round materializes the k-row codebook on
+    * the driver (localCheckpoint) and callers collect k×dim doubles —
+    * ~8·k·dim bytes. With the √N sizing rule (CodebookStore.kFor,
+    * capped) and dim=64 this is kilobytes; an uncapped |C| ≈ √N at
+    * N=10⁹ (~31k cells, ~16 MB at dim=64) still fits a driver
+    * comfortably, but that is the figure to re-check before raising the
+    * cap — the codebook is the ONLY training state that ever leaves the
+    * executors.
+    *
     * Seeds are the first k vectors in vec_id ORDER (no contiguity
     * assumption); a cluster that loses every member keeps its previous
     * centroid, so the codebook never silently shrinks below k. The

@@ -92,6 +92,20 @@ class KMeansSpec extends AnyFunSuite {
       assert(CodebookStore.trainCount == t0 + 1, "restart must NOT retrain")
       // bit-identical centroids → bit-identical cell assignments
       assert(second == first)
+      // stale-corpus guard: a file whose header count disagrees with
+      // the live corpus must be ignored and retrained over
+      val cbFile = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(indexDir))
+        try s.iterator().asScala.find(_.getFileName.toString.startsWith("codebook_")).get
+        finally s.close()
+      }
+      val lines = java.nio.file.Files.readAllLines(cbFile)
+      lines.set(0, "#corpus_rows=499")
+      java.nio.file.Files.write(cbFile, lines)
+      SimilarityQueries.resetCodebookCacheForTest()
+      val third = CodebookStore.loadOrTrain(spark, dir)
+      assert(CodebookStore.trainCount == t0 + 2, "stale codebook must retrain")
+      assert(third == first) // deterministic training: same data, same result
     } finally {
       prev match {
         case Some(v) => sys.props("graft.index.dir") = v
