@@ -27,6 +27,7 @@ object DedupQueries {
     NamedQuery("dedup_jaccard_capped", jaccardCapped, Some(jaccardCappedSql)),
     NamedQuery("dedup_minhash_pairs", minhash, Some(minhashSql)),
     NamedQuery("dedup_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
+    NamedQuery("dedup_cluster_star", clusterStar, Some(clusterCanonicalSql)),
     NamedQuery("dedup_simhash", simhash, Some(simhashSql)),
     NamedQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     NamedQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
@@ -329,6 +330,90 @@ object DedupQueries {
     }
     edges.unpersist()
     // docs in no candidate pair are their own singleton component
+    Tables.table(spark, dir, "documents").select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("is_canonical", col("component") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // Connected components by ALTERNATING LARGE-STAR/SMALL-STAR
+  // contraction — the O(log n)-round formulation the propagation
+  // variant's comment promises as the 100 TB upgrade, here as a
+  // first-class query producing the identical labeling (same oracle).
+  //
+  // Why rounds matter at scale: min-label propagation needs O(diameter)
+  // rounds, and near-dup clusters can chain (A~B~C~...) into long
+  // paths; each round is a full shuffle over the edge set, so a
+  // 40-link chain costs 40 shuffles. Star contraction rewires edges
+  // toward component minima so the structure collapses geometrically:
+  //  - large-star(u): every strictly-larger neighbor of u re-attaches
+  //    to m(u) = min(Γ(u) ∪ {u});
+  //  - small-star(u): every smaller-or-equal neighbor (and u itself)
+  //    re-attaches to m(u).
+  // Both are one groupBy + one join over the edges — the same per-round
+  // dataflow as propagation — but the alternation converges in
+  // O(log n) rounds regardless of diameter (Kiveris et al.,
+  // "Connected Components in MapReduce and Beyond", SOCC'14; the
+  // public formulation followed here). Edges stay canonical (hi, lo)
+  // between steps; convergence = edge-set fixpoint (count + one
+  // anti-join — exact, not a hash heuristic). Each round
+  // localCheckpoints and unpersists its predecessor, same lineage
+  // discipline as the propagation variant.
+  private def clusterStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).localCheckpoint()
+    // canonical undirected edges: hi > lo (minhash pairs have a_id <
+    // b_id already; keep the invariant explicit and dedup)
+    var edges = pairs
+      .select(greatest(col("a_id"), col("b_id")).as("hi"),
+        least(col("a_id"), col("b_id")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint()
+    pairs.unpersist()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = nb.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // strictly-larger neighbors re-attach to m(u); m <= u < v keeps
+      // the (hi=v, lo=m) canonical form for free
+      nb.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // neighbors ≤ u are exactly the lo side of canonical edges
+      val m = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val viaNbrs = e.join(m, Seq("hi"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+      val self = m.select(col("hi"), col("m").as("lo"))
+      viaNbrs.union(self).filter(col("hi") =!= col("lo")).distinct()
+    }
+
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 15) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact fixpoint: same cardinality and no edge left the set
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      edges.unpersist()
+      edges = next
+      rounds += 1
+    }
+    // star state: every node's min neighbor (or itself) IS its
+    // component label
+    val nb = edges.select(col("hi").as("u"), col("lo").as("v"))
+      .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+    val labels = nb.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("mn"), col("u")).as("component"))
     Tables.table(spark, dir, "documents").select(col("doc_id"))
       .join(labels, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),

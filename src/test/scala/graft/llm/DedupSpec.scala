@@ -84,6 +84,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("star contraction labels every node identically to min-label propagation") {
+    // two independent CC algorithms over the same candidate pairs must
+    // agree exactly — the O(log n) star variant earns its place only if
+    // its labeling is indistinguishable from the O(diameter) one
+    val prop = run("dedup_cluster_canonical").collect()
+    val star = run("dedup_cluster_star").collect()
+    assert(star.length === prop.length)
+    assert(star.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ===
+      prop.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq)
+  }
+
   test("embedding pairs: the block-size contract is enforced, not just documented") {
     val e = DedupQueries.embeddingsWithUnit(spark, dir)
       .withColumn("block", org.apache.spark.sql.functions.col("label"))
