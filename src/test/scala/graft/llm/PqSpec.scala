@@ -1,0 +1,44 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Product-quantization two-stage search (ADC shortlist → exact
+  * re-rank): the output must be internally coherent (full rank lists,
+  * monotone exact similarities) and the codes-only shortlist must keep
+  * enough of the true neighbors for the re-rank to surface them — PQ
+  * earns its code compression only if the ADC ordering prunes without
+  * losing the answer set. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("PQ output: 3 ranks per query, exact sims monotone in rank") {
+    val rows = graft.SparkEntry.queries("sim_pq_topk")(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 8L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3), s"query $q rank list")
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.sliding(2).forall { case Array(a, b) => a >= b },
+        s"query $q re-ranked sims must be non-increasing in rank")
+      assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9),
+        s"query $q: cosine lives in [-1, 1]")
+    }
+  }
+
+  test("shortlist recall@3 against exact cosine top-3 clears a floor") {
+    val exact = graft.SparkEntry.queries("sim_cosine_topk")(spark, dir)
+      .collect().filter(_.getInt(1) <= 3)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = graft.SparkEntry.queries("sim_pq_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    info(s"PQ two-stage recall@3 = $recall")
+    // deterministic on fixed data/codebook; the floor guards the
+    // encode-LUT-shortlist-rerank wiring, not the exact figure
+    // (measured 0.958 at sf0.01 with M=16, K=32, R=32 — vs 0.375 for
+    // raw ADC top-3 and 0.125 for the coarser M=8/K=16 codes)
+    assert(recall >= 0.7, s"two-stage recall collapsed: $recall")
+  }
+}
