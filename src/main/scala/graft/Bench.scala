@@ -120,7 +120,9 @@ object Bench {
       val p = java.nio.file.Paths.get(outDir, name)
       java.nio.file.Files.write(p, (text + "\n").getBytes("UTF-8"))
     }
-    try {
+    // a SPARK_GRAFT_ONLY-filtered profiling run covers a subset — don't
+    // let its partial totals overwrite the full-suite record
+    if (only.isEmpty) try {
       writeFile("BENCH_SUMMARY.json", summary)
       writeFile("BENCH_DETAIL.json",
         s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"sf":"$sfDir"}""")

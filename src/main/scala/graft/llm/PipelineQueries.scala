@@ -171,7 +171,7 @@ object PipelineQueries {
     // One compact bitmap on the driver (~1.2 MB at 1M items / 3% fpp);
     // at scale this is a broadcast variable, never a data collect.
     val bloom: Array[Byte] =
-      bench.agg(bloomAgg(col("sh"), 1L << 20).as("bf")).head.getAs[Array[Byte]](0)
+      bench.agg(bloomAgg(col("sh"), 1L << 20).as("bf")).head().getAs[Array[Byte]](0)
     // an empty benchmark side folds to a null bloom: nothing can be
     // contaminated, and the empty confirm join already yields that
     val pre: Column = if (bloom == null) lit(true) else mightContain(bloom, col("sh"))

@@ -516,7 +516,7 @@ object SimilarityQueries {
         .as[Long].collect().sorted
       val cidOf = seedIds.zipWithIndex.toMap
       var codebook: Vector[(Int, Long, Vector[Double])] = subs
-        .filter(col("vec_id").isin(seedIds: _*))
+        .filter(col("vec_id").isin(seedIds.toIndexedSeq: _*))
         .select(col("vec_id"), col("j"), col("sub"))
         .collect().toVector
         .map(r => (r.getInt(1), cidOf(r.getLong(0)).toLong,

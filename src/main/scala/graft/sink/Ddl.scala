@@ -121,7 +121,7 @@ object Ddl {
     else {
       val cols = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
       spark.sql(s"ALTER TABLE `$table` ADD COLUMNS ($cols)")
-      Widened(added.map(_.name))
+      Widened(added.map(_.name).toIndexedSeq)
     }
   }
 
