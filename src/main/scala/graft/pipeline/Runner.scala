@@ -36,6 +36,10 @@ object Runner {
       // An existing state layout overrides either request on restart
       // (StateStore.resolveBackend).
       buckets: Option[BucketedStateStore.Spec] = Some(BucketedStateStore.Spec()),
+      // FailFast: a poison micro-batch stops the tail (checkpoint
+      // resumes at it); TailQuery.skipAndCount(spark): the reference's
+      // log-and-keep-tailing policy with accumulator-counted skips
+      failurePolicy: TailQuery.FailurePolicy = TailQuery.FailFast,
   )
 
   /** Run (or skip, on restart) the scan backfill, then start the tail.
@@ -60,7 +64,8 @@ object Runner {
       oplogStream, cfg.task, cfg.ns, fromTs = cfg.fromTs,
       stateDir = cfg.stateDir, checkpointDir = cfg.checkpointDir,
       source = Some(sourceSnapshot), triggerMs = cfg.triggerMs,
-      taskName = cfg.name, hooks = hooks, buckets = cfg.buckets)
+      taskName = cfg.name, hooks = hooks, buckets = cfg.buckets,
+      failurePolicy = cfg.failurePolicy)
   }
 
   /** Multi-task orchestration (reference src/index.ts:7-39): backfills
@@ -111,6 +116,11 @@ object Runner {
       // config-driven engine runs default to the incremental bucketed
       // state: per-trigger cost tracks the batch, not the state size
       buckets: Option[BucketedStateStore.Spec] = Some(BucketedStateStore.Spec()),
+      // applied to every task's tail (the reference config has no such
+      // knob — its processor hardcodes log-and-continue; here the safe
+      // fail-fast is the default and skip-and-count is a deliberate
+      // operator choice)
+      failurePolicy: TailQuery.FailurePolicy = TailQuery.FailFast,
   ): Seq[StreamingQuery] = {
     val sourceOpts = config.mongoSourceOptions ++ config.sourceAdmissionOptions
     // sink DDL first (reference src/index.ts:11 Indices.init): every
@@ -132,6 +142,7 @@ object Runner {
         fromTs = from.timeEpochSeconds.map(_ << 32).getOrElse(0L),
         name = td.name,
         buckets = buckets,
+        failurePolicy = failurePolicy,
       )
       val (snapshot, stream) = adapters(td, sourceOpts)
       // scan-phase resume predicate (reference src/mongodb.ts:35-39)
