@@ -28,6 +28,7 @@ object SimilarityQueries {
     NamedQuery("sim_quantize_error", quantizeError, Some(quantizeErrorSql)),
     NamedQuery("sim_kmeans_update", kmeansUpdate, Some(kmeansUpdateSql)),
     NamedQuery("sim_pq_topk", pqTopK, Some(pqTopKSql)),
+    NamedQuery("sim_recall_eval", recallEval, Some(recallEvalSql)),
   )
 
   private val dot =
@@ -343,6 +344,118 @@ object SimilarityQueries {
       |)
       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ANN index-quality evaluation: recall@3 of the trained-codebook IVF
+  // search against exact cosine top-3, per query and probe width — the
+  // acceptance gate every production ANN index ships with (promoted
+  // from the tools/IvfRecall generator behind BASELINE.md's recall
+  // table into an oracle-checked query). Scale shape: ground truth is
+  // ONE broadcast-q exact pass over the corpus — O(|panel| x N) — and
+  // the IVF legs reuse the zero-exchange literal-codebook assignment;
+  // at 100 TB the panel stays fixed (|Q|=8 here) so evaluation cost is
+  // a constant multiple of one corpus scan, independent of corpus
+  // growth in everything but the scan itself. Recall is a 4-dp-rounded
+  // ratio of counted hits, so the hash gate pins the INDEX's quality,
+  // not just its output shape — a codebook regression (e.g. the
+  // untrained-seed bug r8 fixed) flips this query, not a human eyeball.
+  private def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val cbLit = typedLit(trainedCodebook(spark, dir))
+    // ground truth: exact top-3 for the 8-query panel
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val exact = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    // IVF shortlist per probe width: posexplode gives the probe's rank
+    // (0-based), so one exploded frame serves every nProbe level via
+    // `pp < n_probe` — the index is built once, evaluated at each width
+    val assign = e
+      .withColumn("cid",
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbLit))
+      .select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        posexplode(graft.expressions.CellFunctions.nearestCells(col("v"), col("nrm"), cbLit, 2))
+          .as(Seq("pp", "probe")))
+      .crossJoin(spark.range(1).select(explode(array(lit(1), lit(2))).as("n_probe")))
+      .filter(col("pp") < col("n_probe"))
+    val wA = Window.partitionBy(col("n_probe"), col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val approx = assign
+      .join(broadcast(probes), col("probe") === col("cid") && col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .withColumn("rank", row_number().over(wA)).filter(col("rank") <= 3)
+      .select(col("n_probe"), col("q_id"), col("n_id"), lit(1).as("hit"))
+    // every (q_id, n_probe) cell survives even at zero hits: cross the
+    // truth set with the probe levels, LEFT-join the shortlist
+    exact
+      .crossJoin(spark.range(1).select(explode(array(lit(1), lit(2))).as("n_probe")))
+      .join(approx, Seq("n_probe", "q_id", "n_id"), "left")
+      .groupBy(col("q_id"), col("n_probe"))
+      .agg(count(col("hit")).as("n_hit"))
+      .withColumn("recall", graft.ops.Registry.rnd(col("n_hit") / lit(3.0), 4))
+      .select(col("q_id"), col("n_probe"), col("n_hit"), col("recall"))
+      .orderBy(col("q_id"), col("n_probe"))
+  }
+
+  private def recallEvalSql =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), c AS (
+      |  $codebookSql
+      |), exact AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        b.vec_id) AS rank
+      |    FROM e a JOIN e b ON a.vec_id < 8 AND b.vec_id <> a.vec_id
+      |  ) WHERE rank <= 3
+      |), assign AS (
+      |  SELECT vec_id, cid, v, nrm FROM (
+      |    SELECT e.vec_id, c.cid, e.v, e.nrm,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c
+      |  ) WHERE rn = 1
+      |), probes AS (
+      |  SELECT vec_id AS q_id, cid AS probe, rn AS pp, v AS qv, nrm AS qn FROM (
+      |    SELECT e.vec_id, c.cid, e.v, e.nrm,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c WHERE e.vec_id < 8
+      |  ) WHERE rn <= 2
+      |), levels AS (
+      |  SELECT * FROM (VALUES (1), (2)) t(n_probe)
+      |), approx AS (
+      |  SELECT n_probe, q_id, n_id FROM (
+      |    SELECT l.n_probe, p.q_id, a.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY l.n_probe, p.q_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(p.qv, a.v) / (p.qn * a.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        a.vec_id) AS rank
+      |    FROM probes p JOIN levels l ON p.pp <= l.n_probe
+      |    JOIN assign a ON a.cid = p.probe AND p.q_id <> a.vec_id
+      |  ) WHERE rank <= 3
+      |)
+      |SELECT ex.q_id, l.n_probe, count(ap.n_id) AS n_hit,
+      |  CAST(round(CAST(count(ap.n_id) / 3.0 AS DECIMAL(18,8)), 4) AS DOUBLE) AS recall
+      |FROM exact ex CROSS JOIN levels l
+      |LEFT JOIN approx ap
+      |  ON ap.n_probe = l.n_probe AND ap.q_id = ex.q_id AND ap.n_id = ex.n_id
+      |GROUP BY ex.q_id, l.n_probe
+      |ORDER BY ex.q_id, l.n_probe""".stripMargin
 
   // ---------------------------------------------------------------
   // Embedding quantization: per-vector min/max affine int8 (256-level)
