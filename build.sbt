@@ -30,7 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // passes in one JVM; 8g left old-gen GC pauses landing inside the
   // allocation-heavy typed queries (machine has 128 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
 // Forked `run` output passes through sbt's logger by default, which
 // prefixes every stdout line with `[info] ` — that prefix corrupted the
 // bench's machine-readable summary line two rounds in a row (the
