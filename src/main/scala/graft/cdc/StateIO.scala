@@ -43,14 +43,32 @@ object StateIO {
 
   /** The session's Hadoop conf when one is active (so per-session
     * schemes, credentials and `checkpointFileManagerClass` apply);
-    * vanilla defaults otherwise. */
+    * vanilla defaults otherwise. Built fresh per call — callers on hot
+    * paths should go through [[manager]], which amortizes it. */
   def hadoopConf: Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  private def manager(p: Path): CheckpointFileManager =
-    CheckpointFileManager.create(p, hadoopConf)
+  /** One manager per (scheme, authority, session): managers are
+    * stateless dispatchers over a FileContext/FileSystem handle, safe
+    * to share across threads and calls. Amortizing them matters — the
+    * metadata plane makes several calls per trigger, and each create
+    * otherwise copies the full session conf (`newHadoopConf`) and
+    * re-resolves the filesystem; a 24/7 tail would rebuild thousands of
+    * identical managers a minute. The conf is captured at FIRST use of
+    * a (scheme, authority) under a session — scheme registrations must
+    * precede the first state-store touch of that scheme (they do: the
+    * conf is deployment wiring, not per-query state). */
+  private val managerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, SparkSession), CheckpointFileManager]()
+
+  private def manager(p: Path): CheckpointFileManager = {
+    val s = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).orNull
+    val uri = p.toUri
+    val key = (String.valueOf(uri.getScheme), String.valueOf(uri.getAuthority), s)
+    managerCache.computeIfAbsent(key, _ => CheckpointFileManager.create(p, hadoopConf))
+  }
 
   def exists(path: String): Boolean = {
     val p = new Path(path)
