@@ -29,7 +29,113 @@ object CurationQueries {
     NamedQuery("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     NamedQuery("text_bm25_topdocs", bm25TopDocs, Some(bm25TopDocsSql)),
     NamedQuery("pipeline_domain_mix", domainMix, Some(domainMixSql)),
+    NamedQuery("text_quality_lr_step", qualityLrStep, Some(qualityLrStepSql)),
   )
+
+  // ---------------------------------------------------------------
+  // Classifier-based quality filtering (the FineWeb-Edu / CCNet shape):
+  // a linear model over cheap text features, trained to separate a
+  // curated seed slice from the rest of the crawl, replaces hand-tuned
+  // heuristic gates. This query is ONE training step — the analog of
+  // sim_kmeans_update's one-Lloyd-step unit: logistic gradient over the
+  // whole corpus from a fixed current weight vector, emitted per
+  // feature with the updated weights. Iterating it to convergence
+  // repeats the same dataflow with the previous step's weights as the
+  // literal vector (exactly the k-means/codebook pattern).
+  //
+  // Scale shape: ONE corpus pass — features are per-row projections,
+  // the gradient is a 4-value aggregate with map-side partials; output
+  // is O(features) rows at any corpus size. Nothing collects beyond
+  // the feature-width row.
+  //
+  // Determinism: features are DECIMAL-rounded before entering the dot
+  // product; the link is a HARD sigmoid (clamp(0.5 + z/4)) — piecewise
+  // linear, so both engines compute bit-identical per-row error without
+  // trusting exp() ulp agreement; per-row gradient terms quantize to
+  // 6 dp through DECIMAL(18,8) (the Registry.rnd discipline) before an
+  // exact decimal sum and one double division — and quantized gradients
+  // are themselves standard practice at scale.
+  private val lrSeedSources = Seq("src0", "src1", "src2", "src3", "src4")
+  private val lrW = Seq("bias" -> 0.1, "f1_stopword" -> -0.2,
+    "f2_len" -> 0.3, "f3_wordlen" -> 0.05)
+
+  private def qualityLrStep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Registry.dec
+    val feats = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .select(
+        rnd(col("n_stop").cast("double") / col("n_words"), 3).as("f1"),
+        rnd(least(col("n_words").cast("double") / 100.0, lit(1.0)), 3).as("f2"),
+        rnd((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words") / 10.0, 3).as("f3"),
+        when(col("source").isin(lrSeedSources: _*), 1.0d).otherwise(0.0d).as("y"))
+    val z = lit(lrW(0)._2) + lit(lrW(1)._2) * col("f1") +
+      lit(lrW(2)._2) * col("f2") + lit(lrW(3)._2) * col("f3")
+    val p = least(greatest(lit(0.5) + z / 4.0, lit(0.0)), lit(1.0))
+    // mean = per-row 6-dp decimal quantization (through DECIMAL(18,8)
+    // first — the Registry.rnd discipline; a direct double→DECIMAL(18,4)
+    // cast tie-splits between engines because Spark quantizes the
+    // SHORTEST decimal repr and DuckDB the binary value), exact decimal
+    // sum, then ONE double division (Spark's decimal avg divides in
+    // decimal HALF_UP, DuckDB's in double — they disagree at the 6-dp
+    // boundary; sum-then-double-divide is bit-identical)
+    def mean6(c: org.apache.spark.sql.Column) =
+      rnd(sum(round(c.cast("decimal(18,8)"), 6)).cast("double") / count(lit(1)), 6)
+    val g = feats
+      .withColumn("err", p - col("y"))
+      .agg(
+        mean6(col("err")).as("g0"),
+        mean6(col("err") * col("f1")).as("g1"),
+        mean6(col("err") * col("f2")).as("g2"),
+        mean6(col("err") * col("f3")).as("g3"))
+    g.select(explode(array(lrW.zipWithIndex.map { case ((name, w), i) =>
+        struct(lit(name).as("feature"), lit(w).as("w_old"), col(s"g$i").as("grad"))
+      }: _*)).as("r"))
+      .select(col("r.feature").as("feature"), col("r.w_old").as("w_old"),
+        col("r.grad").as("grad"),
+        rnd(col("r.w_old") - lit(0.5) * col("r.grad"), 6).as("w_next"))
+      .orderBy(col("feature"))
+  }
+
+  private val qualityLrStepSql = {
+    val seeds = lrSeedSources.map(s => s"'$s'").mkString(", ")
+    val rows = lrW.zipWithIndex.map { case ((name, w), i) =>
+      s"SELECT '$name' AS feature, CAST($w AS DOUBLE) AS w_old, g$i AS grad FROM g"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH t AS (
+      |  SELECT n_chars, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop
+      |  FROM documents
+      |), f AS (
+      |  SELECT
+      |    CAST(round(CAST(CAST(n_stop AS DOUBLE) / n_words AS DECIMAL(18,8)), 3) AS DOUBLE) AS f1,
+      |    CAST(round(CAST(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) AS DECIMAL(18,8)), 3) AS DOUBLE) AS f2,
+      |    CAST(round(CAST(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words / 10.0 AS DECIMAL(18,8)), 3) AS DOUBLE) AS f3,
+      |    CASE WHEN source IN ($seeds) THEN 1.0 ELSE 0.0 END AS y
+      |  FROM t
+      |), e AS (
+      |  SELECT least(greatest(0.5 + (${lrW(0)._2} + ${lrW(1)._2} * f1 + ${lrW(2)._2} * f2 + ${lrW(3)._2} * f3) / 4.0, 0.0), 1.0) - y AS err,
+      |    f1, f2, f3
+      |  FROM f
+      |), g AS (
+      |  SELECT
+      |    CAST(round(CAST(CAST(sum(round(CAST(err AS DECIMAL(18,8)), 6)) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS g0,
+      |    CAST(round(CAST(CAST(sum(round(CAST(err * f1 AS DECIMAL(18,8)), 6)) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS g1,
+      |    CAST(round(CAST(CAST(sum(round(CAST(err * f2 AS DECIMAL(18,8)), 6)) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS g2,
+      |    CAST(round(CAST(CAST(sum(round(CAST(err * f3 AS DECIMAL(18,8)), 6)) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS g3
+      |  FROM e
+      |), u AS (
+      |  $rows
+      |)
+      |SELECT feature, w_old, grad,
+      |  CAST(round(CAST(w_old - 0.5 * grad AS DECIMAL(18,8)), 6) AS DOUBLE) AS w_next
+      |FROM u
+      |ORDER BY feature""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // Gopher-style repetition gates (per Rae et al. 2021 §A1.1 shape):
