@@ -277,4 +277,27 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges <= 1,
       s"one (cid,pos) exchange expected, found $hashExchanges\n" + p.take(800))
   }
+
+  test("recall eval: broadcast panel joins, native assignment, no BNLJ row explosion") {
+    val p = plan("sim_recall_eval")
+    assert(p.contains("nearest_cell"),
+      "IVF legs must assign via the native literal-codebook projection: " + p.take(600))
+    // the exact ground-truth pass and the shortlist join both broadcast
+    // the 8-query panel — the corpus side must never shuffle for them
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      "query panel must broadcast: " + p.take(600))
+    // the q_id =!= n_id disequality alone would BNLJ the whole corpus;
+    // it must ride on the broadcast of the tiny panel, never on a
+    // corpus-vs-corpus nested loop (panel side is 8 rows, acceptable)
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("quality LR step: one corpus pass with map-side-combined gradient partials") {
+    val p = plan("text_quality_lr_step")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "gradient terms must partial-aggregate before any exchange: " + p.take(800))
+    // a 4-value global aggregate: nothing may hash-shuffle the corpus
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the gradient is a global agg — no hash exchange expected: " + p.take(800))
+  }
 }
