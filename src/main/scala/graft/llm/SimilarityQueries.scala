@@ -29,6 +29,7 @@ object SimilarityQueries {
     NamedQuery("sim_kmeans_update", kmeansUpdate, Some(kmeansUpdateSql)),
     NamedQuery("sim_pq_topk", pqTopK, Some(pqTopKSql)),
     NamedQuery("sim_recall_eval", recallEval, Some(recallEvalSql)),
+    NamedQuery("sample_kcenter_step", kcenterStep, Some(kcenterStepSql)),
   )
 
   private val dot =
@@ -456,6 +457,62 @@ object SimilarityQueries {
       |  ON ap.n_probe = l.n_probe AND ap.q_id = ex.q_id AND ap.n_id = ex.n_id
       |GROUP BY ex.q_id, l.n_probe
       |ORDER BY ex.q_id, l.n_probe""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Diversity sampling, k-center style: the corpus's COVERAGE HOLES —
+  // the points least similar to their nearest trained centroid — are
+  // exactly the points a k-center / farthest-point diversity pass would
+  // promote to new centers (and the docs a curation pipeline
+  // over-samples to keep tail modes represented). One step = top-8
+  // worst-covered points; iterating appends them to the codebook and
+  // repeats (the kmeans/LR one-iteration pattern).
+  //
+  // Scale shape: cov_sim is a pure projection — NearestCell picks the
+  // cell, then the assigned centroid's vector comes from a LITERAL
+  // cid→centroid map (element_at against constant data; no join, no
+  // window, no exchange) and one dot product recomputes its cosine,
+  // which by construction IS the max over the codebook. The top-8
+  // plans TakeOrderedAndProject on (cov_sim ASC, vec_id): at 100 TB
+  // this is one scan with a per-partition heap, no shuffle until the
+  // 8-row final.
+  private def kcenterStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val cb = trainedCodebook(spark, dir)
+    val cbLit = typedLit(cb)
+    val cbMap = typedLit(cb.map { case (cid, cv, cn) => cid -> ((cv, cn)) }.toMap)
+    e.withColumn("cid",
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbLit))
+      .withColumn("c", element_at(cbMap, col("cid")))
+      .withColumn("cov_sim",
+        graft.ops.Registry.rnd(ndot(col("v"), col("c._1")) / (col("nrm") * col("c._2")), 4))
+      .select(col("vec_id"), col("cid"), col("cov_sim"))
+      .orderBy(col("cov_sim").asc, col("vec_id").asc)
+      .limit(8)
+  }
+
+  private def kcenterStepSql =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), c AS (
+      |  $codebookSql
+      |), assign AS (
+      |  SELECT vec_id, cid, sim FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c
+      |  ) WHERE rn = 1
+      |)
+      |SELECT vec_id, cid, sim AS cov_sim
+      |FROM assign
+      |ORDER BY cov_sim ASC, vec_id ASC
+      |LIMIT 8""".stripMargin
 
   // ---------------------------------------------------------------
   // Embedding quantization: per-vector min/max affine int8 (256-level)

@@ -292,6 +292,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("k-center step: pure-projection coverage sims, heap top-k, no exchange before the 8-row final") {
+    val p = plan("sample_kcenter_step")
+    assert(p.contains("nearest_cell"),
+      "assignment must be the native literal-codebook projection: " + p.take(600))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the 8 coverage holes must come from a heap top-k, not a global sort: " + p.take(600))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "no hash exchange belongs in a projection + top-k plan: " + p.take(600))
+  }
+
   test("quality LR step: one corpus pass with map-side-combined gradient partials") {
     val p = plan("text_quality_lr_step")
     assert(p.contains("partial_sum") || p.contains("partial_"),
