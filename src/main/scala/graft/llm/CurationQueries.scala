@@ -30,6 +30,7 @@ object CurationQueries {
     NamedQuery("text_bm25_topdocs", bm25TopDocs, Some(bm25TopDocsSql)),
     NamedQuery("pipeline_domain_mix", domainMix, Some(domainMixSql)),
     NamedQuery("text_quality_lr_step", qualityLrStep, Some(qualityLrStepSql)),
+    NamedQuery("pipeline_domain_reweight_step", domainReweight, Some(domainReweightSql)),
   )
 
   // ---------------------------------------------------------------
@@ -409,4 +410,70 @@ object CurationQueries {
       |  CAST(round(CAST(CAST(min_chars AS DOUBLE) / chars AS DECIMAL(18,8)), 6) AS DOUBLE) AS sample_rate,
       |  CAST(floor(chars * CAST(round(CAST(CAST(min_chars AS DOUBLE) / chars AS DECIMAL(18,8)), 6) AS DOUBLE)) AS BIGINT) AS expected_chars
       |FROM s, m ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Loss-driven domain reweighting — one multiplicative-weights step of
+  // the DoReMi shape: domains whose average loss exceeds the corpus
+  // average get up-weighted (the model finds them hard → sample more),
+  // w'(d) ∝ exp(eta * excess_loss(d)), renormalized. This is the
+  // *learned* counterpart of pipeline_domain_mix's static balancer; a
+  // full run alternates proxy-model evaluation and this step (the
+  // kmeans/LR one-iteration pattern — the previous step's weights enter
+  // as literals).
+  //
+  // The loss proxy here is per-doc log2(1+n_chars) (a stand-in column;
+  // in production the per-doc LM loss lands in its place). Determinism:
+  // per-row proxies snap to DECIMAL(18,4) before summing, so the
+  // domain sums are order-independent and exact in both engines; the
+  // averages then divide identical doubles by integer counts, so the
+  // exp() inputs are bit-equal and rnd(_,6) absorbs libm ulp.
+  //
+  // Scale shape: one partial-aggregate shuffle of |domains| groups over
+  // the corpus scan; everything after operates on the |domains|-row
+  // table (corpus totals via a second tiny agg, softmax via a window
+  // over |domains| rows). The output is the sampling-weight table the
+  // next epoch broadcast-joins onto the corpus.
+  private def domainReweight(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Registry.dec
+    val eta = 0.5
+    val d = Tables.table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(dec(log2(lit(1) + col("n_chars")))), 4).cast("double").as("loss_sum"))
+      .withColumn("loss_avg", col("loss_sum") / col("n_docs"))
+    val corpus = d.agg(
+      (round(sum(dec(col("loss_sum"))), 4).cast("double") / sum(col("n_docs")))
+        .as("corpus_avg"))
+    val w = d.crossJoin(broadcast(corpus))
+      .withColumn("excess", col("loss_avg") - col("corpus_avg"))
+      .withColumn("uw", rnd(exp(lit(eta) * col("excess")), 6))
+    w.withColumn("weight",
+        rnd(col("uw") / sum(col("uw").cast("decimal(18,8)"))
+          .over(Window.partitionBy()).cast("double"), 6))
+      .select(col("source"), col("n_docs"), rnd(col("loss_avg"), 6).as("loss_avg"),
+        rnd(col("excess"), 6).as("excess"), col("weight"))
+      .orderBy(col("source"))
+  }
+
+  private val domainReweightSql =
+    """WITH d AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(round(sum(CAST(log2(1 + n_chars) AS DECIMAL(18,4))), 4) AS DOUBLE) AS loss_sum
+      |  FROM documents GROUP BY source
+      |), t AS (
+      |  SELECT *, loss_sum / n_docs AS loss_avg FROM d
+      |), c AS (
+      |  SELECT CAST(round(sum(CAST(loss_sum AS DECIMAL(18,4))), 4) AS DOUBLE)
+      |    / sum(n_docs) AS corpus_avg FROM t
+      |), w AS (
+      |  SELECT source, n_docs, loss_avg, loss_avg - corpus_avg AS excess,
+      |    CAST(round(CAST(exp(0.5 * (loss_avg - corpus_avg)) AS DECIMAL(18,8)), 6) AS DOUBLE) AS uw
+      |  FROM t, c
+      |)
+      |SELECT source, n_docs,
+      |  CAST(round(CAST(loss_avg AS DECIMAL(18,8)), 6) AS DOUBLE) AS loss_avg,
+      |  CAST(round(CAST(excess AS DECIMAL(18,8)), 6) AS DOUBLE) AS excess,
+      |  CAST(round(CAST(uw / CAST(sum(CAST(uw AS DECIMAL(18,8))) OVER () AS DOUBLE)
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS weight
+      |FROM w ORDER BY source""".stripMargin
 }

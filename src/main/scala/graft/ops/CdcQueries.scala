@@ -33,6 +33,7 @@ object CdcQueries {
     NamedQuery("agg_pivot_event_types", pivotTypes, Some(pivotTypesSql)),
     NamedQuery("cdc_lww_udaf", lwwUdaf, Some(lwwUdafSql)),
     NamedQuery("join_interval_within", intervalWithin, Some(intervalWithinSql)),
+    NamedQuery("cdc_scd2_history", scd2History, Some(scd2HistorySql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -488,4 +489,55 @@ object CdcQueries {
       |FROM numbered
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // SCD Type-2 dimension build from the change stream — the classic
+  // CDC→warehouse materialization the reference's upsert path stops
+  // short of (processor.ts keeps only last-writer state; an SCD2 sink
+  // keeps every version with validity intervals). Semantics: per key
+  // (user_id), order the stream by (sec, event_id); collapse no-op
+  // updates (consecutive events whose tracked attribute — event_type —
+  // is unchanged do NOT open a new version, the reference's P4
+  // update-relevance idea applied to history building); each surviving
+  // change opens a version valid [sec, next-change sec), the latest
+  // version is open-ended (is_current).
+  //
+  // Scale shape: ONE shuffle on user_id. Both windows (the change
+  // detector's lag and the interval builder's lead/row_number) share
+  // the same partitioning and (sec, event_id) ordering, and the filter
+  // between them preserves distribution + order, so Catalyst plans a
+  // single Exchange and a single Sort; everything after is pipelined.
+  // At 100 TB the history is a per-key linear pass — the same shape a
+  // MERGE-based SCD2 incremental refresh shuffles per batch.
+  private def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    ev(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(wOrd).cast("long"))
+      .withColumn("valid_to", lead(col("sec"), 1).over(wOrd))
+      .select(col("user_id"), col("version"), col("event_type").as("attr"),
+        col("sec").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val scd2HistorySql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS sec
+      |  FROM events
+      |), ch AS (
+      |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_type
+      |  FROM e
+      |), v AS (
+      |  SELECT user_id, event_id, event_type, sec FROM ch
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |)
+      |SELECT user_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS version,
+      |  event_type AS attr, sec AS valid_from,
+      |  lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to,
+      |  lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL AS is_current
+      |FROM v
+      |ORDER BY user_id, version""".stripMargin
 }

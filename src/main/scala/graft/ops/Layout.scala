@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) multi-dimensional clustering.
+  *
+  * Why this is an *operator* and not a storage detail: at 100 TB the
+  * dominant cost of every selective query is how many parquet row
+  * groups the scan can prune, and min/max footer pruning only works on
+  * dimensions the file layout is clustered by. A single-column sort
+  * clusters one dimension; interleaving the bits of two (or more) key
+  * columns into one Morton key and sorting by THAT gives every file a
+  * tight min/max rectangle in *all* interleaved dimensions at once —
+  * predicates on either column prune files. The write-side recipe is
+  * `repartitionByRange(z).sortWithinPartitions(z)` before the parquet
+  * write (LayoutSpec demonstrates it against real files); this query
+  * measures the clustering quality the key achieves.
+  *
+  * The z-value is pure integer arithmetic (quantize each key to 8 bits
+  * by an affine min/max map, then interleave the bits), so it is a
+  * codegen'd projection — no UDF, no shuffle — and the identical
+  * formula runs on both engines (Spark `div`, DuckDB `//`).
+  *
+  * `layout_zorder_stats` contrasts the two layouts directly: bucket
+  * rows 64 ways by (a) Morton-key range — the z-sorted file layout —
+  * and (b) `l_orderkey` range — the natural insertion-order layout —
+  * and reports each bucket's bounding rectangle in quantized
+  * (part, supp) space. Z buckets land near the 32×32 ideal;
+  * insertion buckets span the full 256×256 plane (no pruning power on
+  * either dimension). Shape: one 1-row bounds aggregate (broadcast),
+  * then two partial-aggregate shuffles of 64 groups each — nothing in
+  * the plan grows super-linearly with the table.
+  */
+object Layout {
+
+  def queries: Vector[NamedQuery] = Vector(
+    NamedQuery("layout_zorder_stats", zorderStats, Some(zorderStatsSql)),
+  )
+
+  /** Morton interleave of two pre-quantized 8-bit values as an integer
+    * arithmetic expression: bit i of `qp` lands at position 2i+1, bit i
+    * of `qs` at 2i. `idiv` is the engine's integer-division operator
+    * (`div` for Spark SQL, `//` for DuckDB). */
+  def mortonExpr(qp: String, qs: String, idiv: String): String =
+    (0 until 8).map { i =>
+      val p2 = 1L << i
+      s"(($qp $idiv $p2) % 2) * ${1L << (2 * i + 1)} + (($qs $idiv $p2) % 2) * ${1L << (2 * i)}"
+    }.mkString("(", " + ", ")")
+
+  /** lineitem with quantized part/supp keys and the Morton key, bounds
+    * computed by a broadcast 1-row aggregate. Reused by LayoutSpec's
+    * real-file demonstration. */
+  private[graft] def withZ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val bounds = li.agg(
+      min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"),
+      min("l_orderkey").as("omin"), max("l_orderkey").as("omax"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("qp", expr("((l_partkey - pmin) * 255) div greatest(pmax - pmin, 1)"))
+      .withColumn("qs", expr("((l_suppkey - smin) * 255) div greatest(smax - smin, 1)"))
+      .withColumn("z", expr(mortonExpr("qp", "qs", "div")))
+  }
+
+  private def zorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val z = withZ(spark, dir)
+    def bucketStats(df: DataFrame, layout: String, bucket: Column): DataFrame =
+      df.withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("qp")) - min(col("qp"))).as("p_span"),
+          (max(col("qs")) - min(col("qs"))).as("s_span"))
+        .withColumn("layout", lit(layout))
+    val byZ = bucketStats(z, "zorder", expr("z div 1024"))
+    val byInsertion = bucketStats(
+      z, "insertion", expr("((l_orderkey - omin) * 63) div greatest(omax - omin, 1)"))
+    byZ.unionByName(byInsertion)
+      .select(col("layout"), col("bucket"), col("n"), col("p_span"), col("s_span"))
+      .orderBy(col("layout"), col("bucket"))
+  }
+
+  private val zorderStatsSql = {
+    val morton = mortonExpr("qp", "qs", "//")
+    s"""WITH b AS (
+      |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+      |    min(l_suppkey) AS smin, max(l_suppkey) AS smax,
+      |    min(l_orderkey) AS omin, max(l_orderkey) AS omax
+      |  FROM lineitem
+      |), q AS (
+      |  SELECT l_orderkey, omin, omax,
+      |    ((l_partkey - pmin) * 255) // greatest(pmax - pmin, 1) AS qp,
+      |    ((l_suppkey - smin) * 255) // greatest(smax - smin, 1) AS qs
+      |  FROM lineitem, b
+      |), z AS (
+      |  SELECT *, $morton AS z FROM q
+      |), byz AS (
+      |  SELECT 'zorder' AS layout, z // 1024 AS bucket, count(*) AS n,
+      |    max(qp) - min(qp) AS p_span, max(qs) - min(qs) AS s_span
+      |  FROM z GROUP BY 2
+      |), byo AS (
+      |  SELECT 'insertion' AS layout,
+      |    ((l_orderkey - omin) * 63) // greatest(omax - omin, 1) AS bucket,
+      |    count(*) AS n, max(qp) - min(qp) AS p_span, max(qs) - min(qs) AS s_span
+      |  FROM z GROUP BY 2
+      |)
+      |SELECT layout, bucket, n, p_span, s_span FROM (
+      |  SELECT * FROM byz UNION ALL SELECT * FROM byo
+      |) ORDER BY layout, bucket""".stripMargin
+  }
+}

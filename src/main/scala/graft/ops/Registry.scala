@@ -34,7 +34,7 @@ object Registry {
 
   def all: Vector[NamedQuery] =
     Relational.queries ++ MoreRelational.queries ++ TpchDeep.queries ++
-      CdcQueries.queries ++
+      CdcQueries.queries ++ Layout.queries ++
       graft.llm.DedupQueries.queries ++ graft.llm.SimilarityQueries.queries ++
       graft.llm.TextQueries.queries ++ graft.llm.MultimodalQueries.queries ++
       graft.llm.PipelineQueries.queries ++ graft.llm.CurationQueries.queries ++

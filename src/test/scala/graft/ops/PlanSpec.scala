@@ -310,4 +310,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       "the gradient is a global agg — no hash exchange expected: " + p.take(800))
   }
+
+  test("scd2 history: both windows share ONE hash exchange on the key") {
+    val p = plan("cdc_scd2_history")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1,
+      s"change-detect lag and interval lead/row_number must reuse the same " +
+        s"user_id partitioning (got $exchanges hash exchanges): " + p.take(800))
+  }
+
+  test("zorder stats: codegen'd integer morton key, no cartesian, partial aggs") {
+    val p = plan("layout_zorder_stats")
+    assert(!p.contains("CartesianProduct"),
+      "bounds must broadcast (1 row), never cartesian: " + p.take(600))
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
+      "the morton key must stay pure integer arithmetic (codegen), no UDF")
+    assert(p.contains("partial_"),
+      "bucket stats must map-side combine before the 64-group exchange: " + p.take(600))
+  }
+
+  test("domain reweight: corpus touched by one partial-agg pass, stats broadcast back") {
+    val p = plan("pipeline_domain_reweight_step")
+    assert(p.contains("partial_"),
+      "domain sums must partial-aggregate: " + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
 }

@@ -26,4 +26,34 @@ class QueriesSpec extends AnyFunSuite {
       assert(n > 0, s"${q.name} returned 0 rows")
     }
   }
+
+  test("scd2 history: contiguous versions, abutting intervals, no no-op versions") {
+    val h = graft.SparkEntry.queries("cdc_scd2_history")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+      .groupBy(_._1)
+    h.foreach { case (user, vs0) =>
+      val vs = vs0.sortBy(_._2)
+      assert(vs.map(_._2).toSeq === (1L to vs.length).toSeq, s"user $user versions")
+      // exactly one open-ended current version, and it is the last
+      assert(vs.count(_._6) === 1 && vs.last._6 && vs.last._5.isEmpty, s"user $user current")
+      vs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $user: valid_to must abut next valid_from")
+          assert(a._3 !== b._3, s"user $user: consecutive versions must differ in attr")
+        case _ =>
+      }
+    }
+  }
+
+  test("domain reweighting: weights normalize and order by excess loss") {
+    val rows = graft.SparkEntry.queries("pipeline_domain_reweight_step")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "weights must sum to 1")
+    // multiplicative weights: harder domains (higher excess) weigh more
+    assert(rows.sortBy(_._2).map(_._3).toSeq === rows.map(_._3).sorted.toSeq,
+      "weight must be monotone in excess loss")
+    assert(rows.maxBy(_._2)._1 === rows.maxBy(_._3)._1)
+  }
 }
