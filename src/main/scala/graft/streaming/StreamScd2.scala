@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental SCD Type-2 maintenance — the streaming twin of the
+  * `cdc_scd2_history` batch build (graft.ops.CdcQueries), completing
+  * the batch/streaming twin set (exact dedup, near-dedup, sessions,
+  * anomaly, ... and now dimension history).
+  *
+  * Each micro-batch of change events MERGEs into the history table:
+  * no-op updates collapse (an event whose tracked attribute equals the
+  * key's open version's attribute opens nothing — including across
+  * batch boundaries, which a naive per-batch window can't see), the
+  * open version closes at the first genuine change's timestamp, and
+  * each change appends a version row numbered after the key's last.
+  *
+  * State discipline: history is corpus-sized, so it lives in a
+  * mergeable TABLE, never the streaming state store (DESIGN.md) — the
+  * same doctrine as the CDC tail's document state. [[applyBatch]] is
+  * the pure MERGE; wiring is `foreachBatch` + the versioned-parquet (or
+  * bucketed) persistence the state stores already provide. At 100 TB
+  * the union-rewrite below becomes a `MERGE INTO` touching only the
+  * files holding matched keys (the BucketedStateStore incremental
+  * shape); the per-batch dataflow — one hash exchange on the key for
+  * the batch's windows, a key-equi join against open versions — is
+  * unchanged.
+  *
+  * Ordering contract: batches must arrive in event-time order per key
+  * (the oplog total-order guarantee the serial micro-batch tail
+  * preserves); within a batch, (sec, event_id) orders ties.
+  */
+object StreamScd2 {
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("version", LongType),
+    StructField("attr", StringType),
+    StructField("valid_from", LongType),
+    StructField("valid_to", LongType),
+  ))
+
+  def emptyHistory(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], historySchema)
+
+  /** MERGE one ordered micro-batch of changes into the history.
+    *
+    * `batch` columns: `user_id, attr, sec, event_id`. Returns the new
+    * history (closed rows untouched; open rows closed where the batch
+    * opens a newer version; new versions appended, last one open).
+    */
+  def applyBatch(history: DataFrame, batch: DataFrame): DataFrame = {
+    val open = history.filter(col("valid_to").isNull)
+      .select(col("user_id"), col("attr").as("open_attr"),
+        col("version").as("open_version"))
+
+    // change detection: the previous attribute is the batch-local lag,
+    // or the key's open version's attribute for the batch's first event
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val kept = batch
+      .withColumn("prev", lag(col("attr"), 1).over(wOrd))
+      .join(open, Seq("user_id"), "left")
+      .withColumn("prev0", coalesce(col("prev"), col("open_attr")))
+      .filter(col("prev0").isNull || col("attr") =!= col("prev0"))
+
+    // interval build over the surviving changes, versions continuing
+    // from the key's open version (0 for brand-new keys)
+    val fresh = kept
+      .withColumn("version",
+        coalesce(col("open_version"), lit(0L)) + row_number().over(wOrd))
+      .withColumn("valid_to", lead(col("sec"), 1).over(wOrd))
+      .select(col("user_id"), col("version"), col("attr"),
+        col("sec").as("valid_from"), col("valid_to"))
+
+    // close each open version at its key's first fresh change (keys the
+    // batch didn't genuinely change keep valid_to null — still open)
+    val firstFresh = fresh.groupBy(col("user_id"))
+      .agg(min(col("valid_from")).as("next_from"))
+    val openRows = history.filter(col("valid_to").isNull)
+      .drop("valid_to")
+      .join(firstFresh, Seq("user_id"), "left")
+      .withColumnRenamed("next_from", "valid_to")
+      .select(historySchema.fieldNames.map(col): _*)
+
+    history.filter(col("valid_to").isNotNull)
+      .unionByName(openRows)
+      .unionByName(fresh)
+  }
+
+  /** Read-side projection matching `cdc_scd2_history`'s output shape. */
+  def asQueryResult(history: DataFrame): DataFrame =
+    history
+      .select(col("user_id"), col("version"), col("attr"),
+        col("valid_from"), col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.TestSpark
+
+/** Incremental SCD2: the streaming merge must land on exactly the
+  * history the batch build computes — including no-op collapse ACROSS
+  * micro-batch boundaries, where the open version (not a batch-local
+  * lag) supplies the previous attribute. */
+class StreamScd2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[(Long, Long, String, Long, Option[Long], Boolean)] =
+    df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+
+  test("cross-batch no-op collapses; versions continue from the open version") {
+    import spark.implicits._
+    def batch(rs: (Long, String, Long, Long)*) =
+      rs.toDF("user_id", "attr", "sec", "event_id")
+    val h1 = StreamScd2.applyBatch(StreamScd2.emptyHistory(spark),
+      batch((1L, "a", 10L, 1L), (1L, "a", 11L, 2L)))
+    // two same-attr events → ONE open version
+    assert(rows(StreamScd2.asQueryResult(h1)) ===
+      Seq((1L, 1L, "a", 10L, None, true)))
+    val h2 = StreamScd2.applyBatch(h1,
+      batch((1L, "a", 12L, 3L), (1L, "b", 13L, 4L), (1L, "b", 14L, 5L),
+        (1L, "c", 15L, 6L), (2L, "x", 13L, 7L)))
+    assert(rows(StreamScd2.asQueryResult(h2)) === Seq(
+      (1L, 1L, "a", 10L, Some(13L), false), // closed at the first REAL change, not at sec=12
+      (1L, 2L, "b", 13L, Some(15L), false),
+      (1L, 3L, "c", 15L, None, true),
+      (2L, 1L, "x", 13L, None, true)))
+  }
+
+  test("a real micro-batched stream reproduces the batch scd2 build on the fixture") {
+    val base = Files.createTempDirectory("sscd2").toString
+    val ev = graft.ops.Tables.events(spark, dir)
+      .withColumn("sec", expr("ts_ns div 1000000000"))
+      .select(col("user_id"), col("event_type").as("attr"), col("sec"), col("event_id"))
+    // three ts-ordered micro-batches (cuts at sec terciles: a cut can
+    // never split a (sec, event_id) tie group across batches)
+    val Array(c1, c2) = ev.stat.approxQuantile("sec", Array(0.33, 0.66), 0.0)
+    ev.filter(col("sec") <= c1).coalesce(1).write.parquet(s"$base/in/p1")
+    ev.filter(col("sec") > c1 && col("sec") <= c2).coalesce(1).write.parquet(s"$base/in/p2")
+    ev.filter(col("sec") > c2).coalesce(1).write.parquet(s"$base/in/p3")
+    TestSpark.touch(s"$base/in/p1", 1000L)
+    TestSpark.touch(s"$base/in/p2", 2000L)
+    TestSpark.touch(s"$base/in/p3", 3000L)
+
+    var history = StreamScd2.emptyHistory(spark)
+    var batches = 0
+    val q = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        history = StreamScd2.applyBatch(history, b).localCheckpoint()
+        batches += 1
+      }
+      .trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert(batches === 3, "one micro-batch per pinned file")
+    val streamed = rows(StreamScd2.asQueryResult(history))
+    val batchBuild = rows(graft.SparkEntry.queries("cdc_scd2_history")(spark, dir))
+    assert(streamed === batchBuild)
+  }
+}
