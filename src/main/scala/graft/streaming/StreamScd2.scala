@@ -96,4 +96,66 @@ object StreamScd2 {
       .select(col("user_id"), col("version"), col("attr"),
         col("valid_from"), col("valid_to"), col("valid_to").isNull.as("is_current"))
       .orderBy(col("user_id"), col("version"))
+
+  /** Versioned-parquet persistence for the history with foreachBatch
+    * replay protection. The SCD2 merge is NOT naturally idempotent
+    * (re-offering a batch would re-open versions against the new open
+    * row), and Structured Streaming DOES re-offer the in-flight
+    * micro-batch after a failure — so the applied batch id rides with
+    * the version pointer and [[applyIfNew]] makes the replay an exact
+    * no-op. This is the SCD2 analog of the LWW store's ts-guard
+    * idempotence (StateStore.applyIRs), and the standard
+    * exactly-once-sink contract for foreachBatch.
+    *
+    * Layout mirrors [[graft.cdc.StateStore]]: `v_<n>` parquet dirs +
+    * an atomically-swapped pointer, pruned to `retain` versions; all
+    * metadata IO rides the Hadoop FileSystem layer (StateIO), so `dir`
+    * may be any URI Spark can write.
+    */
+  final class Scd2Table(spark: SparkSession, dir: String, retain: Int = 3) {
+    import graft.cdc.StateIO
+
+    private def ptr = s"$dir/VERSION"
+
+    /** (current version, last applied batch id); (-1, -1) when fresh. */
+    private def pointer(): (Int, Long) =
+      if (!StateIO.exists(ptr)) (-1, -1L)
+      else StateIO.readString(ptr).trim.split(' ') match {
+        case Array(v, b) => (v.toInt, b.toLong)
+        case Array(v)    => (v.toInt, -1L)
+      }
+
+    def lastBatchId: Long = pointer()._2
+
+    def read(): DataFrame = pointer() match {
+      case (-1, _) => emptyHistory(spark)
+      case (v, _)  => spark.read.parquet(s"$dir/v_$v")
+    }
+
+    /** MERGE `batch` unless `batchId` was already applied. Returns true
+      * when the merge ran, false for a replayed (skipped) batch. */
+    def applyIfNew(batch: DataFrame, batchId: Long): Boolean = {
+      val (cur, last) = pointer()
+      if (batchId <= last) false
+      else {
+        val next = cur + 1
+        applyBatch(read(), batch)
+          .write.mode("overwrite").parquet(s"$dir/v_$next")
+        StateIO.writeStringAtomic(ptr, s"$next $batchId")
+        prune(next)
+        true
+      }
+    }
+
+    private def prune(cur: Int): Unit = {
+      val keep = math.max(1, retain)
+      StateIO.list(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v_"))
+          scala.util.Try(n.stripPrefix("v_").toInt).toOption.foreach { v =>
+            if (v <= cur - keep) StateIO.delete(s"$dir/$n")
+          }
+      }
+    }
+  }
 }

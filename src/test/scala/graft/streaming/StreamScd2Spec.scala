@@ -76,4 +76,33 @@ class StreamScd2Spec extends AnyFunSuite {
     val batchBuild = rows(graft.SparkEntry.queries("cdc_scd2_history")(spark, dir))
     assert(streamed === batchBuild)
   }
+
+  test("persisted table: batch replay is a no-op, restart resumes exactly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sscd2t").toString
+    def batch(rs: (Long, String, Long, Long)*) =
+      rs.toDF("user_id", "attr", "sec", "event_id")
+    val t = new StreamScd2.Scd2Table(spark, s"$base/hist")
+    assert(t.applyIfNew(batch((1L, "a", 10L, 1L)), batchId = 0L))
+    assert(t.applyIfNew(batch((1L, "b", 20L, 2L)), batchId = 1L))
+    val after = rows(StreamScd2.asQueryResult(t.read()))
+    assert(after === Seq(
+      (1L, 1L, "a", 10L, Some(20L), false),
+      (1L, 2L, "b", 20L, None, true)))
+
+    // failure replay: Structured Streaming re-offers the in-flight
+    // batch after a crash — the merge must not double-open versions
+    assert(!t.applyIfNew(batch((1L, "b", 20L, 2L)), batchId = 1L))
+    assert(rows(StreamScd2.asQueryResult(t.read())) === after)
+
+    // restart: a fresh instance resumes from the pointer and continues
+    val t2 = new StreamScd2.Scd2Table(spark, s"$base/hist")
+    assert(t2.lastBatchId === 1L)
+    assert(!t2.applyIfNew(batch((1L, "b", 20L, 2L)), batchId = 1L))
+    assert(t2.applyIfNew(batch((1L, "b", 25L, 3L), (1L, "c", 30L, 4L)), batchId = 2L))
+    assert(rows(StreamScd2.asQueryResult(t2.read())) === Seq(
+      (1L, 1L, "a", 10L, Some(20L), false),
+      (1L, 2L, "b", 20L, Some(30L), false), // sec=25 'b' was a no-op
+      (1L, 3L, "c", 30L, None, true)))
+  }
 }
