@@ -58,6 +58,8 @@ object MoreRelational {
     NamedQuery("events_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
     NamedQuery("events_top_paths", topPaths, Some(topPathsSql)),
     NamedQuery("audit_referential", auditReferential, Some(auditReferentialSql)),
+    NamedQuery("graph_pagerank_step", pagerankStep, Some(pagerankStepSql)),
+    NamedQuery("agg_decay_halflife", decayHalflife, Some(decayHalflifeSql)),
   )
 
   // ---------------------------------------------------------------
@@ -1172,4 +1174,151 @@ object MoreRelational {
       |    AND abs(o_totalprice - li_total) > 0.011 THEN 1 ELSE 0 END) AS BIGINT) AS price_mismatches,
       |  count(*) AS n_audited
       |FROM j""".stripMargin
+
+  // ---------------------------------------------------------------
+  // One PageRank power-iteration over the weighted event-transition
+  // graph (edges = events_transitions, weights = transition counts),
+  // from a uniform prior, damping 0.85, dangling mass redistributed
+  // uniformly. Graph ops beyond connected components (dedup_cluster_*):
+  // the per-iteration dataflow — contributions = ranks ⋈ edges grouped
+  // by destination — is one equi-join + one aggregation, which is
+  // exactly how the iteration scales to billions of edges (iterating
+  // re-runs the same shape with the previous ranks as input, the
+  // kmeans/LR/k-center one-step pattern). Node cardinality here is the
+  // event-type vocabulary; the plan is identical for arbitrary keys.
+  //
+  // Determinism: per-edge contribution terms snap to DECIMAL(18,8)
+  // before the destination sum (order-independent), and the uniform
+  // prior/dangling terms are integer-derived doubles.
+  private def pagerankStep(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("sec", expr("ts_ns div 1000000000"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val edges = ev
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+    val nV = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    // dangling nodes: no outgoing edges → their (uniform) rank mass
+    // spreads evenly; count is exact, so the term is deterministic
+    val dangling = nodes.join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_dangling"))
+    // contribution of src→dst: r0(src) * w / out_w = (1/|V|) * w/out_w
+    val contribs = edges.join(outW, "src")
+      .crossJoin(broadcast(nV))
+      .withColumn("term",
+        ((lit(1.0) / col("n_nodes")) * col("w") / col("out_w")).cast("decimal(18,8)"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("term")).cast("double").as("in_mass"))
+    nodes
+      .join(contribs, Seq("node"), "left")
+      .crossJoin(broadcast(nV))
+      .crossJoin(broadcast(dangling))
+      .withColumn("rank", rnd(
+        lit(0.15) / col("n_nodes") +
+          lit(0.85) * (coalesce(col("in_mass"), lit(0.0)) +
+            col("n_dangling") / col("n_nodes").cast("double") / col("n_nodes")), 6))
+      .select(col("node"), col("rank"))
+      .orderBy(col("node"))
+  }
+
+  private val pagerankStepSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS sec FROM events
+      |), edges AS (
+      |  SELECT src, dst, count(*) AS w FROM (
+      |    SELECT event_type AS dst,
+      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS src
+      |    FROM ev) t
+      |  WHERE src IS NOT NULL GROUP BY src, dst
+      |), nodes AS (
+      |  SELECT DISTINCT event_type AS node FROM ev
+      |), nv AS (SELECT count(*) AS n_nodes FROM nodes
+      |), outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src
+      |), dang AS (
+      |  SELECT count(*) AS n_dangling FROM nodes
+      |  WHERE node NOT IN (SELECT src FROM outw)
+      |), contribs AS (
+      |  SELECT e.dst AS node,
+      |    CAST(sum(CAST((1.0 / nv.n_nodes) * e.w / o.out_w AS DECIMAL(18,8))) AS DOUBLE) AS in_mass
+      |  FROM edges e JOIN outw o ON e.src = o.src, nv
+      |  GROUP BY e.dst
+      |)
+      |SELECT n.node,
+      |  CAST(round(CAST(0.15 / nv.n_nodes
+      |    + 0.85 * (COALESCE(c.in_mass, 0.0)
+      |      + CAST(dang.n_dangling AS DOUBLE) / nv.n_nodes / nv.n_nodes)
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS rank
+      |FROM nodes n LEFT JOIN contribs c ON n.node = c.node, nv, dang
+      |ORDER BY n.node""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Exponential recency decay (1-day half-life, day-granular age,
+  // floor 1/64): the recency weighting a training-data sampler applies
+  // so fresh data counts more — each event weighs 2^-min(age_days, 6)
+  // against the corpus's newest event. Shape: a 1-row max-ts aggregate broadcasts back over the
+  // scan (the domain-mix/q11 global-stat pattern), the weight is a
+  // pure projection, and the per-type rollup partial-aggregates; the
+  // decayed average divides two exact DECIMAL sums. Per-row terms snap
+  // to DECIMAL(18,8) so both engines sum identical values in any order.
+  private def decayHalflife(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("sec", expr("ts_ns div 1000000000"))
+    val tmax = ev.agg(max(col("sec")).as("tmax"))
+    // Cross-engine determinism: any double→decimal snap of 2^-age lets
+    // the engines' casts disagree at representation boundaries (Spark
+    // casts via the shortest decimal repr, DuckDB via the binary value
+    // — observed at sf0.01 AND sf0.1, amplified because weight values
+    // repeat across many rows). So the weight is built with NO double
+    // arithmetic at all: day-granular age, exponent capped at 6, and
+    // the seven possible 2^-k weights written as exact decimal
+    // literals; the term product and sums are then exact decimal
+    // arithmetic, identical in both engines by construction. (Day
+    // granularity + a 1/64 floor is also the practical variant — a
+    // sampler doesn't distinguish freshness within a day, and weights
+    // below 2% contribute noise, not signal.)
+    ev.crossJoin(broadcast(tmax))
+      .withColumn("day_age", expr("least((tmax - sec) div 86400, 6L)"))
+      .withColumn("w8", expr(
+        """cast(case day_age when 0 then '1' when 1 then '0.5' when 2 then '0.25'
+          |  when 3 then '0.125' when 4 then '0.0625' when 5 then '0.03125'
+          |  else '0.015625' end as decimal(9,6))""".stripMargin))
+      .withColumn("dv", dec(col("value")) * col("w8"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("w8")), 4).cast("double").as("decayed_weight"),
+        round(sum(col("dv")), 4).cast("double").as("decayed_sum"))
+      .select(col("event_type"), col("n"),
+        col("decayed_weight"), col("decayed_sum"),
+        rnd(col("decayed_sum") / col("decayed_weight"), 6).as("decayed_avg"))
+      .orderBy(col("event_type"))
+  }
+
+  private val decayHalflifeSql =
+    """WITH ev AS (
+      |  SELECT event_type, value, epoch_ns(ts)//1000000000 AS sec FROM events
+      |), m AS (SELECT max(sec) AS tmax FROM ev
+      |), t AS (
+      |  SELECT event_type,
+      |    CAST(CASE least((tmax - sec) // 86400, 6)
+      |      WHEN 0 THEN '1' WHEN 1 THEN '0.5' WHEN 2 THEN '0.25'
+      |      WHEN 3 THEN '0.125' WHEN 4 THEN '0.0625' WHEN 5 THEN '0.03125'
+      |      ELSE '0.015625' END AS DECIMAL(9,6)) AS w8,
+      |    CAST(value AS DECIMAL(18,4)) * CAST(CASE least((tmax - sec) // 86400, 6)
+      |      WHEN 0 THEN '1' WHEN 1 THEN '0.5' WHEN 2 THEN '0.25'
+      |      WHEN 3 THEN '0.125' WHEN 4 THEN '0.0625' WHEN 5 THEN '0.03125'
+      |      ELSE '0.015625' END AS DECIMAL(9,6)) AS dv
+      |  FROM ev, m
+      |), agg AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(round(sum(w8), 4) AS DOUBLE) AS decayed_weight,
+      |    CAST(round(sum(dv), 4) AS DOUBLE) AS decayed_sum
+      |  FROM t GROUP BY event_type
+      |)
+      |SELECT event_type, n, decayed_weight, decayed_sum,
+      |  CAST(round(CAST(decayed_sum / decayed_weight AS DECIMAL(18,8)), 6) AS DOUBLE) AS decayed_avg
+      |FROM agg ORDER BY event_type""".stripMargin
 }

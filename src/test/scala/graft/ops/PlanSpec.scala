@@ -335,4 +335,18 @@ class PlanSpec extends AnyFunSuite {
       "domain sums must partial-aggregate: " + p.take(600))
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
+
+  test("pagerank step: edge contributions equi-join and partial-aggregate, no cartesian") {
+    val p = plan("graph_pagerank_step")
+    assert(!p.contains("CartesianProduct"),
+      "rank mass must flow through the src equi-join: " + p.take(600))
+    assert(p.contains("partial_"),
+      "per-destination sums must map-side combine: " + p.take(600))
+  }
+
+  test("decay aggregate: 1-row max broadcasts back, rollup partial-aggregates") {
+    val p = plan("agg_decay_halflife")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("partial_"), p.take(600))
+  }
 }

@@ -47,6 +47,13 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank step: rank mass is conserved (sums to 1)") {
+    val ranks = graft.SparkEntry.queries("graph_pagerank_step")(spark, dir)
+      .collect().map(_.getDouble(1))
+    assert(math.abs(ranks.sum - 1.0) < 1e-3,
+      s"one damped power-iteration from a stochastic prior must conserve mass, got ${ranks.sum}")
+  }
+
   test("domain reweighting: weights normalize and order by excess loss") {
     val rows = graft.SparkEntry.queries("pipeline_domain_reweight_step")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
