@@ -55,12 +55,11 @@ class LayoutSpec extends AnyFunSuite {
 
   test("a z-sorted parquet write yields per-file min/max tight in both key dims") {
     val base = java.nio.file.Files.createTempDirectory("layout").toString
-    val z = Layout.withZ(spark, dir)
-    z.repartitionByRange(64, col("z")).sortWithinPartitions("z")
+    val li = Tables.table(spark, dir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_suppkey")
-      .write.mode("overwrite").parquet(s"$base/zorder")
-    z.repartitionByRange(64, col("l_orderkey"))
-      .select("l_orderkey", "l_partkey", "l_suppkey")
+    graft.sink.LayoutWriter.zorderWrite(
+      li, "l_partkey", "l_suppkey", s"$base/zorder", nFiles = 64)
+    li.repartitionByRange(64, col("l_orderkey"))
       .write.mode("overwrite").parquet(s"$base/insertion")
 
     def fileSpans(path: String): (Double, Double) = {
@@ -71,6 +70,9 @@ class LayoutSpec extends AnyFunSuite {
         .agg(avg("ps"), avg("ss")).head()
       (r.getDouble(0), r.getDouble(1))
     }
+    assert(spark.read.parquet(s"$base/zorder").columns.toSet ===
+      Set("l_orderkey", "l_partkey", "l_suppkey"),
+      "layout helper columns must never reach the files")
     val (zp, zs) = fileSpans(s"$base/zorder")
     val (ip, is) = fileSpans(s"$base/insertion")
     // Both dimensions must tighten substantially — single-column sorts
