@@ -34,35 +34,39 @@ import org.apache.spark.sql.types._
   */
 object StreamScd2 {
 
-  val historySchema: StructType = StructType(Seq(
-    StructField("user_id", LongType),
+  /** `keyType` generalizes the key column: the harness twin uses the
+    * fixture's long user ids; the CDC tail's doc ids are strings. */
+  def historySchema(keyType: DataType = LongType): StructType = StructType(Seq(
+    StructField("key", keyType),
     StructField("version", LongType),
     StructField("attr", StringType),
     StructField("valid_from", LongType),
     StructField("valid_to", LongType),
   ))
 
-  def emptyHistory(spark: SparkSession): DataFrame =
+  private val historyCols = historySchema().fieldNames.toSeq
+
+  def emptyHistory(spark: SparkSession, keyType: DataType = LongType): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], historySchema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], historySchema(keyType))
 
   /** MERGE one ordered micro-batch of changes into the history.
     *
-    * `batch` columns: `user_id, attr, sec, event_id`. Returns the new
+    * `batch` columns: `key, attr, sec, event_id`. Returns the new
     * history (closed rows untouched; open rows closed where the batch
     * opens a newer version; new versions appended, last one open).
     */
   def applyBatch(history: DataFrame, batch: DataFrame): DataFrame = {
     val open = history.filter(col("valid_to").isNull)
-      .select(col("user_id"), col("attr").as("open_attr"),
+      .select(col("key"), col("attr").as("open_attr"),
         col("version").as("open_version"))
 
     // change detection: the previous attribute is the batch-local lag,
     // or the key's open version's attribute for the batch's first event
-    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("sec"), col("event_id"))
     val kept = batch
       .withColumn("prev", lag(col("attr"), 1).over(wOrd))
-      .join(open, Seq("user_id"), "left")
+      .join(open, Seq("key"), "left")
       .withColumn("prev0", coalesce(col("prev"), col("open_attr")))
       .filter(col("prev0").isNull || col("attr") =!= col("prev0"))
 
@@ -72,18 +76,18 @@ object StreamScd2 {
       .withColumn("version",
         coalesce(col("open_version"), lit(0L)) + row_number().over(wOrd))
       .withColumn("valid_to", lead(col("sec"), 1).over(wOrd))
-      .select(col("user_id"), col("version"), col("attr"),
+      .select(col("key"), col("version"), col("attr"),
         col("sec").as("valid_from"), col("valid_to"))
 
     // close each open version at its key's first fresh change (keys the
     // batch didn't genuinely change keep valid_to null — still open)
-    val firstFresh = fresh.groupBy(col("user_id"))
+    val firstFresh = fresh.groupBy(col("key"))
       .agg(min(col("valid_from")).as("next_from"))
     val openRows = history.filter(col("valid_to").isNull)
       .drop("valid_to")
-      .join(firstFresh, Seq("user_id"), "left")
+      .join(firstFresh, Seq("key"), "left")
       .withColumnRenamed("next_from", "valid_to")
-      .select(historySchema.fieldNames.map(col): _*)
+      .select(historyCols.map(col): _*)
 
     history.filter(col("valid_to").isNotNull)
       .unionByName(openRows)
@@ -93,9 +97,9 @@ object StreamScd2 {
   /** Read-side projection matching `cdc_scd2_history`'s output shape. */
   def asQueryResult(history: DataFrame): DataFrame =
     history
-      .select(col("user_id"), col("version"), col("attr"),
+      .select(col("key"), col("version"), col("attr"),
         col("valid_from"), col("valid_to"), col("valid_to").isNull.as("is_current"))
-      .orderBy(col("user_id"), col("version"))
+      .orderBy(col("key"), col("version"))
 
   /** Versioned-parquet persistence for the history with foreachBatch
     * replay protection. The SCD2 merge is NOT naturally idempotent
@@ -112,7 +116,8 @@ object StreamScd2 {
     * metadata IO rides the Hadoop FileSystem layer (StateIO), so `dir`
     * may be any URI Spark can write.
     */
-  final class Scd2Table(spark: SparkSession, dir: String, retain: Int = 3) {
+  final class Scd2Table(spark: SparkSession, dir: String, retain: Int = 3,
+      keyType: DataType = LongType) {
     import graft.cdc.StateIO
 
     private def ptr = s"$dir/VERSION"
@@ -128,7 +133,7 @@ object StreamScd2 {
     def lastBatchId: Long = pointer()._2
 
     def read(): DataFrame = pointer() match {
-      case (-1, _) => emptyHistory(spark)
+      case (-1, _) => emptyHistory(spark, keyType)
       case (v, _)  => spark.read.parquet(s"$dir/v_$v")
     }
 

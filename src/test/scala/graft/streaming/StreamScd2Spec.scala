@@ -22,7 +22,7 @@ class StreamScd2Spec extends AnyFunSuite {
   test("cross-batch no-op collapses; versions continue from the open version") {
     import spark.implicits._
     def batch(rs: (Long, String, Long, Long)*) =
-      rs.toDF("user_id", "attr", "sec", "event_id")
+      rs.toDF("key", "attr", "sec", "event_id")
     val h1 = StreamScd2.applyBatch(StreamScd2.emptyHistory(spark),
       batch((1L, "a", 10L, 1L), (1L, "a", 11L, 2L)))
     // two same-attr events → ONE open version
@@ -42,7 +42,7 @@ class StreamScd2Spec extends AnyFunSuite {
     val base = Files.createTempDirectory("sscd2").toString
     val ev = graft.ops.Tables.events(spark, dir)
       .withColumn("sec", expr("ts_ns div 1000000000"))
-      .select(col("user_id"), col("event_type").as("attr"), col("sec"), col("event_id"))
+      .select(col("user_id").as("key"), col("event_type").as("attr"), col("sec"), col("event_id"))
     // three ts-ordered micro-batches (cuts at sec terciles: a cut can
     // never split a (sec, event_id) tie group across batches)
     val Array(c1, c2) = ev.stat.approxQuantile("sec", Array(0.33, 0.66), 0.0)
@@ -81,7 +81,7 @@ class StreamScd2Spec extends AnyFunSuite {
     import spark.implicits._
     val base = Files.createTempDirectory("sscd2t").toString
     def batch(rs: (Long, String, Long, Long)*) =
-      rs.toDF("user_id", "attr", "sec", "event_id")
+      rs.toDF("key", "attr", "sec", "event_id")
     val t = new StreamScd2.Scd2Table(spark, s"$base/hist")
     assert(t.applyIfNew(batch((1L, "a", 10L, 1L)), batchId = 0L))
     assert(t.applyIfNew(batch((1L, "b", 20L, 2L)), batchId = 1L))
@@ -104,5 +104,16 @@ class StreamScd2Spec extends AnyFunSuite {
       (1L, 1L, "a", 10L, Some(20L), false),
       (1L, 2L, "b", 20L, Some(30L), false), // sec=25 'b' was a no-op
       (1L, 3L, "c", 30L, None, true)))
+  }
+
+  test("string keys work end to end (the CDC doc-id shape)") {
+    import spark.implicits._
+    val b = Seq(("docA", "h1", 10L, 1L), ("docA", "h2", 20L, 2L), ("docB", "h1", 15L, 3L))
+      .toDF("key", "attr", "sec", "event_id")
+    val h = StreamScd2.applyBatch(
+      StreamScd2.emptyHistory(spark, org.apache.spark.sql.types.StringType), b)
+    val out = StreamScd2.asQueryResult(h).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq === Seq(("docA", 1L, "h1"), ("docA", 2L, "h2"), ("docB", 1L, "h1")))
   }
 }
