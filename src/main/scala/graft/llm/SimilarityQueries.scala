@@ -30,6 +30,7 @@ object SimilarityQueries {
     NamedQuery("sim_pq_topk", pqTopK, Some(pqTopKSql)),
     NamedQuery("sim_recall_eval", recallEval, Some(recallEvalSql)),
     NamedQuery("sample_kcenter_step", kcenterStep, Some(kcenterStepSql)),
+    NamedQuery("sim_pca_power_step", pcaPowerStep, Some(pcaPowerStepSql)),
   )
 
   private val dot =
@@ -848,4 +849,65 @@ object SimilarityQueries {
       |)
       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // One power-iteration step toward the corpus's top principal
+  // direction — the linear-algebra primitive under embedding
+  // whitening / dimensionality reduction / spectral diagnostics:
+  // u = Xᵀ(X·v₀), normalized, from the deterministic uniform unit
+  // start v₀ = 1/√d. Iterating feeds u back as v₀ (the
+  // kmeans/LR/pagerank one-step pattern; deflation gives the next
+  // component).
+  //
+  // Scale shape: the projection X·v₀ is a pure row-local fold; the
+  // back-projection is ONE posexplode + d-group partial aggregation —
+  // shuffle carries partitions × d partial sums, never the corpus
+  // (identical to sim_kmeans_update's centroid reduce). The d-row
+  // normalization is a broadcast 1-row aggregate. Per-row terms snap
+  // to DECIMAL(18,8) (full-entropy products — the repo's cross-row
+  // aggregation rule) so the sums are order-independent and exact.
+  private def pcaPowerStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      // v·v₀ with v₀ = (1/√d,…): Σx / √d, row-local
+      .withColumn("proj",
+        expr("aggregate(v, 0D, (acc, x) -> acc + x) / sqrt(cast(size(v) AS double))"))
+    val s = e
+      .select(posexplode(col("v")).as(Seq("pos0", "x")), col("proj"))
+      .select((col("pos0") + 1).cast("long").as("pos"),
+        (col("x") * col("proj")).cast("decimal(18,8)").as("t"))
+      .groupBy(col("pos"))
+      .agg(sum(col("t")).cast("double").as("s"))
+      // two consumers (the normalization agg and the output join) would
+      // each re-run the corpus explode+shuffle lineage; pinning the
+      // d-row result keeps this a single corpus pass (the
+      // klBySource/cluster_canonical shared-subplan discipline)
+      .localCheckpoint()
+    val nrm = s.agg(
+      sqrt(sum((col("s") * col("s")).cast("decimal(18,8)")).cast("double")).as("nrm"))
+    s.crossJoin(broadcast(nrm))
+      .select(col("pos"),
+        graft.ops.Registry.rnd(col("s") / col("nrm"), 6).as("component"),
+        graft.ops.Registry.rnd(col("s"), 4).as("loading"))
+      .orderBy(col("pos"))
+  }
+
+  private val pcaPowerStepSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), p AS (
+      |  SELECT v, list_aggregate(v, 'sum') / sqrt(CAST(len(v) AS DOUBLE)) AS proj FROM e
+      |), x AS (
+      |  SELECT CAST(generate_subscripts(v, 1) AS BIGINT) AS pos, unnest(v) AS x, proj
+      |  FROM p
+      |), s AS (
+      |  SELECT pos, CAST(sum(CAST(x * proj AS DECIMAL(18,8))) AS DOUBLE) AS s
+      |  FROM x GROUP BY pos
+      |), n AS (
+      |  SELECT sqrt(CAST(sum(CAST(s * s AS DECIMAL(18,8))) AS DOUBLE)) AS nrm FROM s
+      |)
+      |SELECT pos,
+      |  CAST(round(CAST(s / nrm AS DECIMAL(18,8)), 6) AS DOUBLE) AS component,
+      |  CAST(round(CAST(s AS DECIMAL(18,8)), 4) AS DOUBLE) AS loading
+      |FROM s, n ORDER BY pos""".stripMargin
 }

@@ -349,4 +349,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(600))
     assert(p.contains("partial_"), p.take(600))
   }
+
+  test("pca power step: row-local projection, one d-group partial-agg exchange") {
+    val p = plan("sim_pca_power_step")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("partial_"),
+      "the back-projection must map-side combine to partitions x d sums: " + p.take(600))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"one d-group exchange expected, got $exchanges: " + p.take(800))
+  }
 }

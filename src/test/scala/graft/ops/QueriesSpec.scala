@@ -54,6 +54,13 @@ class QueriesSpec extends AnyFunSuite {
       s"one damped power-iteration from a stochastic prior must conserve mass, got ${ranks.sum}")
   }
 
+  test("pca power step: the emitted direction is unit-norm") {
+    val comps = graft.SparkEntry.queries("sim_pca_power_step")(spark, dir)
+      .collect().map(_.getDouble(1))
+    assert(math.abs(comps.map(c => c * c).sum - 1.0) < 1e-4,
+      s"component must normalize, got |u|^2 = ${comps.map(c => c * c).sum}")
+  }
+
   test("domain reweighting: weights normalize and order by excess loss") {
     val rows = graft.SparkEntry.queries("pipeline_domain_reweight_step")(spark, dir)
       .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
