@@ -21,6 +21,7 @@ object TextQueries {
     NamedQuery("text_top_terms", topTerms, Some(topTermsSql)),
     NamedQuery("text_edit_distance_pairs", editPairs, Some(editPairsSql)),
     NamedQuery("text_bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
+    NamedQuery("text_kn_bigram", knBigram, Some(knBigramSql)),
   )
 
   // ---------------------------------------------------------------
@@ -248,4 +249,68 @@ object TextQueries {
       |)
       |SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
       |FROM agg ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Interpolated Kneser–Ney bigram probabilities (fixed discount 0.75)
+  // — the n-gram LM primitive under cross-entropy data filtering
+  // (score candidate text against an in-domain KN LM; CCNet/
+  // importance-sampling shape). For the top-100 bigrams:
+  //   P_kn(w2|w1) = max(c(w1,w2) − d, 0)/c(w1·)
+  //               + d · N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+  // where N1+ are the distinct-continuation counts that make KN
+  // smoothing distribution-aware rather than frequency-only.
+  //
+  // Scale shape: ONE corpus-sized shuffle (the bigram count); every
+  // further aggregate and join operates on the distinct-bigram table,
+  // which is vocabulary-bounded (Heaps-law argument, klBySource), and
+  // is pinned once (localCheckpoint) so its four consumers cannot each
+  // re-run the corpus explode. The final top-100 is a heap top-k. All
+  // probability arithmetic divides integer-derived doubles, so both
+  // engines compute bit-identical values before the 6-dp round.
+  private def knBigram(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.fanOut(Tables.table(spark, dir, "documents"))
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val left = c.groupBy(col("w1"))
+      .agg(sum(col("c")).as("ct"), count(lit(1)).as("n1l"))
+    val cont = c.groupBy(col("w2")).agg(count(lit(1)).as("n2"))
+    val types = c.agg(count(lit(1)).as("t"))
+    c.join(left, "w1").join(cont, "w2").crossJoin(broadcast(types))
+      .withColumn("p_kn", rnd(
+        greatest(col("c") - lit(0.75), lit(0.0)) / col("ct") +
+          (lit(0.75) * col("n1l") / col("ct")) * (col("n2") / col("t")), 6))
+      .select(col("w1"), col("w2"), col("c"), col("ct"), col("n2"), col("p_kn"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  private val knBigramSql =
+    """WITH ws AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |), bg AS (
+      |  SELECT split_part(p, chr(31), 1) AS w1, split_part(p, chr(31), 2) AS w2
+      |  FROM (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+      |    i -> ws[i] || chr(31) || ws[i + 1])) AS p FROM ws)
+      |), c AS (
+      |  SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+      |), l AS (
+      |  SELECT w1, CAST(sum(c) AS BIGINT) AS ct, count(*) AS n1l FROM c GROUP BY w1
+      |), r AS (
+      |  SELECT w2, count(*) AS n2 FROM c GROUP BY w2
+      |), t AS (SELECT count(*) AS t FROM c)
+      |SELECT c.w1, c.w2, c.c, l.ct, r.n2,
+      |  CAST(round(CAST(
+      |    greatest(CAST(c.c AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / CAST(l.ct AS DOUBLE)
+      |    + (CAST(0.75 AS DOUBLE) * CAST(l.n1l AS DOUBLE) / CAST(l.ct AS DOUBLE))
+      |      * (CAST(r.n2 AS DOUBLE) / CAST(t.t AS DOUBLE))
+      |  AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_kn
+      |FROM c JOIN l USING (w1) JOIN r USING (w2), t
+      |ORDER BY c.c DESC, c.w1, c.w2 LIMIT 100""".stripMargin
 }

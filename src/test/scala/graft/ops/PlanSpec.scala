@@ -350,6 +350,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p.take(600))
   }
 
+  test("kn bigram: heap top-k over the vocab-bounded stats, no cartesian") {
+    val p = plan("text_kn_bigram")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-100 must be a heap top-k, not a global sort: " + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("pca power step: row-local projection, one d-group partial-agg exchange") {
     val p = plan("sim_pca_power_step")
     assert(!p.contains("CartesianProduct"), p.take(600))

@@ -54,6 +54,13 @@ class QueriesSpec extends AnyFunSuite {
       s"one damped power-iteration from a stochastic prior must conserve mass, got ${ranks.sum}")
   }
 
+  test("kn bigram: smoothed probabilities are proper (0,1] values") {
+    val ps = graft.SparkEntry.queries("text_kn_bigram")(spark, dir)
+      .collect().map(_.getDouble(5))
+    assert(ps.forall(p => p > 0.0 && p <= 1.0),
+      s"KN probabilities out of range: ${ps.filterNot(p => p > 0.0 && p <= 1.0).take(3).mkString(",")}")
+  }
+
   test("pca power step: the emitted direction is unit-norm") {
     val comps = graft.SparkEntry.queries("sim_pca_power_step")(spark, dir)
       .collect().map(_.getDouble(1))
