@@ -139,6 +139,14 @@ object BucketedStateStore {
     }
   }
 
+  /** A RETAINED manifest by commit seq (None once vacuum dropped it) —
+    * the time-travel entry point the retained-manifest chain exists
+    * for. */
+  def manifestAt(dir: String, seq: Long): Option[Manifest] = {
+    val p = s"$dir/manifest/m_$seq.json"
+    if (StateIO.exists(p)) Some(Manifest.parse(StateIO.readString(p))) else None
+  }
+
   private def writeManifest(dir: String, m: Manifest): Unit = {
     StateIO.writeStringAtomic(s"$dir/manifest/m_${m.seq}.json", m.render)
     StateIO.writeStringAtomic(pointer(dir), m.seq.toString)
@@ -210,7 +218,16 @@ object BucketedStateStore {
     * therefore shuffle-free for almost all of the data instead of
     * re-windowing every row. */
   def read(spark: SparkSession, dir: String): DataFrame =
-    readManifest(dir) match {
+    readFrom(spark, dir, readManifest(dir))
+
+  /** Time-travel read: the live state AS OF commit `seq`. Safe for any
+    * manifest vacuum still retains (vacuum only deletes data files no
+    * retained manifest references); None once the manifest is gone. */
+  def readAt(spark: SparkSession, dir: String, seq: Long): Option[DataFrame] =
+    manifestAt(dir, seq).map(m => readFrom(spark, dir, Some(m)))
+
+  private def readFrom(spark: SparkSession, dir: String, mOpt: Option[Manifest]): DataFrame =
+    mOpt match {
       case Some(m) if m.buckets.nonEmpty =>
         val (clean, dirty) = m.buckets.partition(_._2.deltas.isEmpty)
         val parts = Seq(

@@ -99,6 +99,21 @@ object StateStore {
   def exists(dir: String): Boolean =
     currentVersion(dir).isDefined || BucketedStateStore.exists(dir)
 
+  /** Time-travel read: the state AS OF a retained prior commit —
+    * what a debugging/backfill session uses to diff state across
+    * triggers (the table-format `VERSION AS OF` analog both backends'
+    * retention chains exist for). Legacy: `version` is the `v_N`
+    * directory index (newest `retain` kept). Bucketed: `version` is
+    * the manifest commit seq (vacuum retains `retainManifests`).
+    * None once retention dropped that version. */
+  def readAt(spark: SparkSession, dir: String, version: Int): Option[DataFrame] =
+    if (currentVersion(dir).isDefined) {
+      if (StateIO.exists(s"$dir/v_$version/_SUCCESS") ||
+          StateIO.exists(s"$dir/v_$version"))
+        Some(spark.read.parquet(s"$dir/v_$version"))
+      else None
+    } else BucketedStateStore.readAt(spark, dir, version.toLong)
+
   /** Pick the effective state backend for a tail against `dir`.
     * An EXISTING layout is authoritative — a restart must never fork
     * the state into a second backend: a directory holding a legacy

@@ -46,6 +46,51 @@ class BucketedStoreSpec extends AnyFunSuite {
     StateStore.read(spark, dir).collect()
       .map(r => r.getAs[String]("id") -> (r.getAs[String]("doc"), r.getAs[Long]("ts"))).toMap
 
+  test("time travel: readAt reproduces each retained commit exactly, on both backends") {
+    val bdir = tmp("bucketed-tt")
+    val ldir = tmp("legacy-tt")
+    // wide retention so every commit in the window stays readable (the
+    // tight default's history bounding is pinned by the vacuum test)
+    val ttSpec = spec.copy(retainManifests = 10)
+    // snapshot the expected state AFTER each commit as we go
+    var bucketedWant = Vector.empty[(Long, Map[String, (String, Long)])]
+    var legacyWant = Vector.empty[(Int, Map[String, (String, Long)])]
+    batches.foreach { b =>
+      val ds = spark.createDataset(b)
+      val seq = BucketedStateStore.applyBatch(ds, task, bdir, ttSpec, Some(source))
+      bucketedWant :+= (seq, readMap(bdir))
+      val v = StateStore.write(
+        BatchApplier.applyOplogBatch(ds, StateStore.read(spark, ldir), task, Some(source)), ldir)
+      legacyWant :+= (v, StateStore.read(spark, ldir).collect()
+        .map(r => r.getAs[String]("id") -> (r.getAs[String]("doc"), r.getAs[Long]("ts"))).toMap)
+    }
+    // every commit STILL RETAINED reads back AS OF exactly; older ones
+    // may be None (retention/compaction policy — pinned elsewhere), and
+    // the newest commit must always be readable
+    def check(name: String,
+        reader: Long => Option[org.apache.spark.sql.DataFrame],
+        want: Vector[(Long, Map[String, (String, Long)])]): Unit = {
+      var readable = 0
+      want.foreach { case (seq, w) =>
+        reader(seq).foreach { df =>
+          readable += 1
+          val got = df.collect()
+            .map(r => r.getAs[String]("id") -> (r.getAs[String]("doc"), r.getAs[Long]("ts"))).toMap
+          assert(got === w, s"$name AS OF $seq")
+        }
+      }
+      assert(reader(want.last._1).isDefined, s"$name: newest commit must be readable")
+      assert(readable === want.size,
+        s"$name: with wide retention every commit must stay readable ($readable/${want.size})")
+    }
+    check("bucketed", s => BucketedStateStore.readAt(spark, bdir, s), bucketedWant)
+    check("legacy", v => StateStore.readAt(spark, ldir, v.toInt),
+      legacyWant.map { case (v, m) => (v.toLong, m) })
+    // a never-written future version is None, not an error
+    assert(StateStore.readAt(spark, ldir, 999).isEmpty)
+    assert(BucketedStateStore.readAt(spark, bdir, 999L).isEmpty)
+  }
+
   test("multi-batch apply matches the legacy full-rewrite path exactly") {
     val bdir = tmp("bucketed-eq")
     val ldir = tmp("legacy-eq")
