@@ -31,6 +31,7 @@ object SimilarityQueries {
     NamedQuery("sim_recall_eval", recallEval, Some(recallEvalSql)),
     NamedQuery("sample_kcenter_step", kcenterStep, Some(kcenterStepSql)),
     NamedQuery("sim_pca_power_step", pcaPowerStep, Some(pcaPowerStepSql)),
+    NamedQuery("eval_auc_centroid", aucCentroid, Some(aucCentroidSql)),
   )
 
   private val dot =
@@ -910,4 +911,106 @@ object SimilarityQueries {
       |  CAST(round(CAST(s / nrm AS DECIMAL(18,8)), 6) AS DOUBLE) AS component,
       |  CAST(round(CAST(s AS DECIMAL(18,8)), 4) AS DOUBLE) AS loading
       |FROM s, n ORDER BY pos""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Classifier-quality evaluation: per-label one-vs-rest ROC-AUC of
+  // the centroid-cosine score — does distance-to-class-centroid
+  // separate the class? This is the acceptance metric a curation
+  // pipeline computes for every learned filter (the quality-classifier
+  // LR step, an embedding-based domain tagger) before trusting it;
+  // AUC via the Mann-Whitney rank-sum with MIDRANKS so tied (rounded)
+  // scores are handled exactly:
+  //   AUC = (Σ_{positives} midrank − nP(nP+1)/2) / (nP·nN).
+  //
+  // Shape: centroids are a (labels × d)-row aggregate (broadcast);
+  // scoring is one posexplode + broadcast join + (vec, label) partial
+  // aggregation; the ranking is a per-label global sort — the honest
+  // cost of exact AUC (the 100 TB variant bins scores into a
+  // fixed-width histogram and computes the trapezoid AUC from bin
+  // counts, one aggregation, at ~1e-3 accuracy; the exact form is
+  // right at evaluation-set scale). Midranks are integers-or-halves
+  // (exact in double), so the AUC arithmetic is bit-identical across
+  // engines before the final round.
+  private def aucCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val pe = e.select(col("vec_id"), col("label"), col("nrm"),
+      posexplode(col("v")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), col("label"), col("nrm"),
+        (col("pos0") + 1).cast("long").as("pos"), col("x"))
+    // per-label centroids, components snapped to 6 dp (engine-portable
+    // literals, the codebook discipline)
+    val cent = pe.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(graft.ops.Registry.rnd(avg(graft.ops.Registry.dec(col("x"))), 6).as("c"))
+      .localCheckpoint()
+    val cnorm = cent.groupBy(col("clabel"))
+      .agg(sqrt(sum((col("c") * col("c")).cast("decimal(18,8)")).cast("double")).as("cn"))
+    val scored = pe
+      .join(broadcast(cent), Seq("pos"))
+      .select(col("vec_id"), col("label"), col("nrm"), col("clabel"),
+        (col("x") * col("c")).cast("decimal(18,8)").as("t"))
+      .groupBy(col("vec_id"), col("label"), col("nrm"), col("clabel"))
+      .agg(sum(col("t")).cast("double").as("num"))
+      .join(broadcast(cnorm), Seq("clabel"))
+      .select(col("clabel"), col("label"),
+        graft.ops.Registry.rnd(col("num") / (col("nrm") * col("cn")), 6).as("score"))
+    val w = Window.partitionBy(col("clabel")).orderBy(col("score"))
+    val ranked = scored
+      .withColumn("minrank", rank().over(w))
+      .withColumn("ties", count(lit(1)).over(Window.partitionBy(col("clabel"), col("score"))))
+      .withColumn("midrank", col("minrank") + (col("ties") - 1) / lit(2.0))
+    ranked.groupBy(col("clabel"))
+      .agg(
+        sum(when(col("label") === col("clabel"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("label") =!= col("clabel"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("label") === col("clabel"), col("midrank"))).as("rank_sum"))
+      .select(col("clabel").as("label"), col("n_pos"), col("n_neg"),
+        graft.ops.Registry.rnd(
+          (col("rank_sum") - col("n_pos") * (col("n_pos") + 1) / lit(2.0)) /
+            (col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+      .orderBy(col("label"))
+  }
+
+  private val aucCentroidSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), pe AS (
+      |  SELECT vec_id, label, nrm,
+      |    CAST(generate_subscripts(v, 1) AS BIGINT) AS pos, unnest(v) AS x
+      |  FROM e
+      |), cent AS (
+      |  SELECT label AS clabel, pos,
+      |    CAST(round(CAST(avg(CAST(x AS DECIMAL(18,4))) AS DECIMAL(18,8)), 6) AS DOUBLE) AS c
+      |  FROM pe GROUP BY label, pos
+      |), cnorm AS (
+      |  SELECT clabel, sqrt(CAST(sum(CAST(c * c AS DECIMAL(18,8))) AS DOUBLE)) AS cn
+      |  FROM cent GROUP BY clabel
+      |), scored AS (
+      |  SELECT s.clabel, s.label,
+      |    CAST(round(CAST(s.num / (s.nrm * n.cn) AS DECIMAL(18,8)), 6) AS DOUBLE) AS score
+      |  FROM (
+      |    SELECT pe.vec_id, pe.label, pe.nrm, cent.clabel,
+      |      CAST(sum(CAST(pe.x * cent.c AS DECIMAL(18,8))) AS DOUBLE) AS num
+      |    FROM pe JOIN cent USING (pos)
+      |    GROUP BY pe.vec_id, pe.label, pe.nrm, cent.clabel
+      |  ) s JOIN cnorm n USING (clabel)
+      |), ranked AS (
+      |  SELECT clabel, label,
+      |    rank() OVER (PARTITION BY clabel ORDER BY score)
+      |      + (count(*) OVER (PARTITION BY clabel, score) - 1) / 2.0 AS midrank
+      |  FROM scored
+      |)
+      |SELECT clabel AS label,
+      |  CAST(sum(CASE WHEN label = clabel THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  CAST(sum(CASE WHEN label <> clabel THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |  CAST(round(CAST(
+      |    (sum(CASE WHEN label = clabel THEN midrank END) - sum(CASE WHEN label = clabel THEN 1 ELSE 0 END) * (sum(CASE WHEN label = clabel THEN 1 ELSE 0 END) + 1) / 2.0)
+      |    / (sum(CASE WHEN label = clabel THEN 1 ELSE 0 END) * CAST(sum(CASE WHEN label <> clabel THEN 1 ELSE 0 END) AS DOUBLE))
+      |  AS DECIMAL(18,8)), 6) AS DOUBLE) AS auc
+      |FROM ranked GROUP BY clabel
+      |ORDER BY label""".stripMargin
 }

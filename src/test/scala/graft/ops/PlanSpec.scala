@@ -350,6 +350,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p.take(600))
   }
 
+  test("auc eval: centroids broadcast to the scoring join, no cartesian") {
+    val p = plan("eval_auc_centroid")
+    assert(p.contains("BroadcastHashJoin"),
+      "the labels x d centroid table must broadcast: " + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("partial_"), p.take(600))
+  }
+
   test("kn bigram: heap top-k over the vocab-bounded stats, no cartesian") {
     val p = plan("text_kn_bigram")
     assert(p.contains("TakeOrderedAndProject"),

@@ -61,6 +61,19 @@ class QueriesSpec extends AnyFunSuite {
       s"KN probabilities out of range: ${ps.filterNot(p => p > 0.0 && p <= 1.0).take(3).mkString(",")}")
   }
 
+  test("auc eval: per-label AUC is proper and above chance for own-centroid scores") {
+    val rows = graft.SparkEntry.queries("eval_auc_centroid")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (l, auc) =>
+      assert(auc >= 0.0 && auc <= 1.0, s"label $l auc $auc out of range")
+    }
+    // scoring a class against ITS OWN centroid must separate it better
+    // than coin-flipping on average (holds even for weak structure)
+    val mean = rows.map(_._2).sum / rows.length
+    assert(mean > 0.5, s"mean own-centroid AUC $mean should beat chance")
+  }
+
   test("pca power step: the emitted direction is unit-norm") {
     val comps = graft.SparkEntry.queries("sim_pca_power_step")(spark, dir)
       .collect().map(_.getDouble(1))
