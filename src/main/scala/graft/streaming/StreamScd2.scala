@@ -115,6 +115,13 @@ object StreamScd2 {
     * an atomically-swapped pointer, pruned to `retain` versions; all
     * metadata IO rides the Hadoop FileSystem layer (StateIO), so `dir`
     * may be any URI Spark can write.
+    *
+    * Writer contract: SINGLE writer — the owning StreamingQuery's
+    * serial foreachBatch (Structured Streaming already guarantees one
+    * in-flight batch per query). Two concurrent queries on one dir
+    * need the manifest-CAS discipline BucketedStateStore implements;
+    * history deployments that want that should target the bucketed
+    * store instead.
     */
   final class Scd2Table(spark: SparkSession, dir: String, retain: Int = 3,
       keyType: DataType = LongType) {
