@@ -32,6 +32,7 @@ object SimilarityQueries {
     NamedQuery("sample_kcenter_step", kcenterStep, Some(kcenterStepSql)),
     NamedQuery("sim_pca_power_step", pcaPowerStep, Some(pcaPowerStepSql)),
     NamedQuery("eval_auc_centroid", aucCentroid, Some(aucCentroidSql)),
+    NamedQuery("eval_auc_binned", aucBinned, Some(aucBinnedSql)),
   )
 
   private val dot =
@@ -931,7 +932,9 @@ object SimilarityQueries {
   // right at evaluation-set scale). Midranks are integers-or-halves
   // (exact in double), so the AUC arithmetic is bit-identical across
   // engines before the final round.
-  private def aucCentroid(spark: SparkSession, dir: String): DataFrame = {
+  /** (clabel, label, score): every vector's centroid-cosine against
+    * every label's centroid — shared by the exact and binned AUC. */
+  private def centroidScores(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
@@ -947,7 +950,7 @@ object SimilarityQueries {
       .localCheckpoint()
     val cnorm = cent.groupBy(col("clabel"))
       .agg(sqrt(sum((col("c") * col("c")).cast("decimal(18,8)")).cast("double")).as("cn"))
-    val scored = pe
+    pe
       .join(broadcast(cent), Seq("pos"))
       .select(col("vec_id"), col("label"), col("nrm"), col("clabel"),
         (col("x") * col("c")).cast("decimal(18,8)").as("t"))
@@ -956,6 +959,10 @@ object SimilarityQueries {
       .join(broadcast(cnorm), Seq("clabel"))
       .select(col("clabel"), col("label"),
         graft.ops.Registry.rnd(col("num") / (col("nrm") * col("cn")), 6).as("score"))
+  }
+
+  private def aucCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val scored = centroidScores(spark, dir)
     val w = Window.partitionBy(col("clabel")).orderBy(col("score"))
     val ranked = scored
       .withColumn("minrank", rank().over(w))
@@ -973,7 +980,8 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
-  private val aucCentroidSql =
+  /** The shared scored-CTE chain (e → pe → cent → cnorm → scored). */
+  private val scoredCtes =
     """WITH e AS (
       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -998,7 +1006,10 @@ object SimilarityQueries {
       |    FROM pe JOIN cent USING (pos)
       |    GROUP BY pe.vec_id, pe.label, pe.nrm, cent.clabel
       |  ) s JOIN cnorm n USING (clabel)
-      |), ranked AS (
+      |)""".stripMargin
+
+  private val aucCentroidSql =
+    scoredCtes + """, ranked AS (
       |  SELECT clabel, label,
       |    rank() OVER (PARTITION BY clabel ORDER BY score)
       |      + (count(*) OVER (PARTITION BY clabel, score) - 1) / 2.0 AS midrank
@@ -1012,5 +1023,60 @@ object SimilarityQueries {
       |    / (sum(CASE WHEN label = clabel THEN 1 ELSE 0 END) * CAST(sum(CASE WHEN label <> clabel THEN 1 ELSE 0 END) AS DOUBLE))
       |  AS DECIMAL(18,8)), 6) AS DOUBLE) AS auc
       |FROM ranked GROUP BY clabel
+      |ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------
+  // The 100 TB form of the same metric: HISTOGRAM AUC. Scores bin into
+  // fixed 1e-3-wide buckets; within a bin positives and negatives tie,
+  // so AUC = Σ_bins (negBelow + negInBin/2)·posInBin / (nP·nN) — the
+  // midrank estimator over bins. No global sort: one (label, bin)
+  // aggregation plus a window over the ≤2001 bins per label. The
+  // binning quantization bounds the error at ~binWidth/2 of score
+  // mass; QueriesSpec pins agreement with the exact form to 2e-3.
+  // All arithmetic is integer-derived, so the two engines agree
+  // bit-for-bit before the final round.
+  private def aucBinned(spark: SparkSession, dir: String): DataFrame = {
+    val binned = centroidScores(spark, dir)
+      // scores are 6-dp decimals in [-1, 1]; floor to 1e-3 bins
+      .withColumn("bin", floor(col("score") * 1000).cast("long"))
+      .groupBy(col("clabel"), col("bin"))
+      .agg(
+        sum(when(col("label") === col("clabel"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("label") =!= col("clabel"), 1L).otherwise(0L)).as("neg"))
+    val w = Window.partitionBy(col("clabel")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    binned
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .groupBy(col("clabel"))
+      .agg(
+        sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("pos") * col("neg_below")).as("below_pairs"),
+        sum(col("pos") * col("neg")).as("tie_pairs"))
+      .select(col("clabel").as("label"), col("n_pos"), col("n_neg"),
+        graft.ops.Registry.rnd(
+          (col("below_pairs") + col("tie_pairs") / lit(2.0)) /
+            (col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+      .orderBy(col("label"))
+  }
+
+  private val aucBinnedSql =
+    scoredCtes + """, binned AS (
+      |  SELECT clabel, CAST(floor(score * 1000) AS BIGINT) AS bin,
+      |    CAST(sum(CASE WHEN label = clabel THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |    CAST(sum(CASE WHEN label <> clabel THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      |  FROM scored GROUP BY clabel, bin
+      |), cum AS (
+      |  SELECT clabel, pos, neg,
+      |    COALESCE(CAST(sum(neg) OVER (PARTITION BY clabel ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS neg_below
+      |  FROM binned
+      |)
+      |SELECT clabel AS label,
+      |  CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+      |  CAST(round(CAST(
+      |    (CAST(sum(pos * neg_below) AS DOUBLE) + CAST(sum(pos * neg) AS DOUBLE) / 2.0)
+      |    / (CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE))
+      |  AS DECIMAL(18,8)), 6) AS DOUBLE) AS auc
+      |FROM cum GROUP BY clabel
       |ORDER BY label""".stripMargin
 }

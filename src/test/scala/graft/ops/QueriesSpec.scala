@@ -74,6 +74,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(mean > 0.5, s"mean own-centroid AUC $mean should beat chance")
   }
 
+  test("binned AUC tracks the exact Mann-Whitney AUC within quantization error") {
+    val exact = graft.SparkEntry.queries("eval_auc_centroid")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val binned = graft.SparkEntry.queries("eval_auc_binned")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(binned.keySet === exact.keySet)
+    binned.foreach { case (l, b) =>
+      assert(math.abs(b - exact(l)) < 2e-3,
+        s"label $l: binned $b vs exact ${exact(l)} — 1e-3 bins must stay within ~2e-3")
+    }
+  }
+
   test("pca power step: the emitted direction is unit-norm") {
     val comps = graft.SparkEntry.queries("sim_pca_power_step")(spark, dir)
       .collect().map(_.getDouble(1))
