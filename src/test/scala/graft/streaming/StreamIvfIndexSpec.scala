@@ -55,6 +55,21 @@ class StreamIvfIndexSpec extends AnyFunSuite {
     assert(d.retrain, s"coverage degradation must recommend retraining: $d")
   }
 
+  test("stats are split-invariant: any micro-batching folds to the full-corpus stats") {
+    val cb = CodebookStore.loadOrTrain(spark, dir)
+    val whole = StreamIvfIndex.applyBatch(StreamIvfIndex.emptyStats(spark), vecs, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val parts = 2 + rnd.nextInt(3)
+      val folded = (0 until parts).foldLeft(StreamIvfIndex.emptyStats(spark)) { (s, p) =>
+        StreamIvfIndex.applyBatch(s, vecs.filter(col("vec_id") % parts === p), cb)
+          .localCheckpoint()
+      }.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      assert(folded === whole, s"trial $trial ($parts batches) diverged")
+    }
+  }
+
   test("a hot-cell pileup trips the skew bound even with good coverage") {
     val cb = CodebookStore.loadOrTrain(spark, dir)
     // one document's embedding arriving en masse: all mass in one cell

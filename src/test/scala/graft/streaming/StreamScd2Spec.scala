@@ -106,6 +106,58 @@ class StreamScd2Spec extends AnyFunSuite {
       (1L, 3L, "c", 30L, None, true)))
   }
 
+  test("crash between table-write and offset-commit: restart re-offers, merge skips") {
+    val base = Files.createTempDirectory("sscd2x").toString
+    val ev = graft.ops.Tables.events(spark, dir)
+      .withColumn("sec", expr("ts_ns div 1000000000"))
+      .select(col("user_id").as("key"), col("event_type").as("attr"), col("sec"), col("event_id"))
+    val Array(c1, c2) = ev.stat.approxQuantile("sec", Array(0.33, 0.66), 0.0)
+    ev.filter(col("sec") <= c1).coalesce(1).write.parquet(s"$base/in/p1")
+    ev.filter(col("sec") > c1 && col("sec") <= c2).coalesce(1).write.parquet(s"$base/in/p2")
+    ev.filter(col("sec") > c2).coalesce(1).write.parquet(s"$base/in/p3")
+    TestSpark.touch(s"$base/in/p1", 1000L)
+    TestSpark.touch(s"$base/in/p2", 2000L)
+    TestSpark.touch(s"$base/in/p3", 3000L)
+
+    val applied = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    @volatile var crashArmed = true
+    def run(): Unit = {
+      val t = new StreamScd2.Scd2Table(spark, s"$base/hist")
+      val q = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$base/in")
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applied += ((id, t.applyIfNew(b, id)))
+          // crash AFTER the table applied but BEFORE Structured
+          // Streaming commits the batch's offsets — the exact window
+          // where a replay would double-open versions without the
+          // batch-id guard
+          if (id == 1 && crashArmed) {
+            crashArmed = false
+            throw new RuntimeException("injected crash after apply")
+          }
+        }
+        .trigger(Trigger.ProcessingTime(100))
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try { q.processAllAvailable(); q.stop() }
+      catch { case _: Exception => try q.stop() catch { case _: Exception => () } }
+    }
+    run() // crashes while batch 1's offsets are uncommitted
+    run() // restart: batch 1 is RE-OFFERED, the table must skip it
+
+    assert(applied.count(_._1 == 1L) >= 2, s"batch 1 must be re-offered: $applied")
+    assert(applied.filter(_._1 == 1L).map(_._2).toSeq.sorted.reverse === Seq(true, false),
+      s"first offer applies, the replay is a no-op: $applied")
+    val streamed = rows(StreamScd2.asQueryResult(new StreamScd2.Scd2Table(spark, s"$base/hist").read()))
+    val batchBuild = rows(graft.SparkEntry.queries("cdc_scd2_history")(spark, dir))
+    assert(streamed === batchBuild,
+      "post-crash history must equal the batch build exactly (no double versions)")
+  }
+
   test("string keys work end to end (the CDC doc-id shape)") {
     import spark.implicits._
     val b = Seq(("docA", "h1", 10L, 1L), ("docA", "h2", 20L, 2L), ("docB", "h1", 15L, 3L))
