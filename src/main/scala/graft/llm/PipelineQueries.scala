@@ -55,6 +55,7 @@ object PipelineQueries {
     NamedQuery("pipeline_decontaminate_bloom", decontaminateBloom, Some(decontaminateSql)),
     NamedQuery("pipeline_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     NamedQuery("pipeline_curate_corpus", curateCorpus, Some(curateCorpusSql)),
+    NamedQuery("pipeline_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
   )
 
   // ---------------------------------------------------------------
@@ -297,6 +298,45 @@ object PipelineQueries {
       |  md5(list_aggregate(w[chunk_idx*48+1 : chunk_idx*48 + least(64, n - chunk_idx*48)],
       |    'string_agg', ' ')) AS chunk_hash
       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Incremental dedup: the PRODUCTION dedup shape — a new crawl batch
+  // arrives and must drop anything already in the (100 TB) archive,
+  // WITHOUT reshuffling the archive. The join direction is inverted
+  // from the naive form: the small batch's content hashes broadcast,
+  // the archive streams map-side against them (its scan never
+  // exchanges — plan-asserted), and only the resulting tiny hit set
+  // joins back to the batch. The harness models the split as
+  // doc_id % 10 = 0 → "new batch", rest → archive; output = every
+  // batch doc flagged novel/duplicate. Bloom pre-filters slot in the
+  // same way when the batch outgrows the broadcast threshold
+  // (pipeline_decontaminate_bloom is that machinery).
+  private def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .withColumn("h", md5(col("text")))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val archive = docs.filter(col("doc_id") % 10 =!= 0)
+    // archive probes the BROADCAST batch hashes: no archive shuffle
+    val hits = archive
+      .join(broadcast(batch.select(col("h")).distinct()), Seq("h"))
+      .select(col("h")).distinct()
+    batch
+      .join(broadcast(hits.withColumn("dup", lit(true))), Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |), batch AS (SELECT * FROM d WHERE doc_id % 10 = 0
+      |), archive AS (SELECT * FROM d WHERE doc_id % 10 <> 0
+      |), hits AS (
+      |  SELECT DISTINCT a.h FROM archive a JOIN (SELECT DISTINCT h FROM batch) b USING (h)
+      |)
+      |SELECT b.doc_id, (hits.h IS NOT NULL) AS duplicate
+      |FROM batch b LEFT JOIN hits ON b.h = hits.h
+      |ORDER BY b.doc_id""".stripMargin
 
   private val decontaminateSql =
     """WITH ws AS (

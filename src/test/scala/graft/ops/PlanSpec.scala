@@ -350,6 +350,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p.take(600))
   }
 
+  test("incremental dedup: the archive never joins through a shuffle") {
+    val p = plan("pipeline_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      "batch hashes must broadcast so the archive streams map-side: " + p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a shuffled join would reshuffle the archive — the thing this " +
+        "operator exists to avoid: " + p.take(800))
+  }
+
   test("auc eval: centroids broadcast to the scoring join, no cartesian") {
     val p = plan("eval_auc_centroid")
     assert(p.contains("BroadcastHashJoin"),
