@@ -22,6 +22,7 @@ object TextQueries {
     NamedQuery("text_edit_distance_pairs", editPairs, Some(editPairsSql)),
     NamedQuery("text_bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
     NamedQuery("text_kn_bigram", knBigram, Some(knBigramSql)),
+    NamedQuery("text_zipf_fit", zipfFit, Some(zipfFitSql)),
   )
 
   // ---------------------------------------------------------------
@@ -313,4 +314,74 @@ object TextQueries {
       |  AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_kn
       |FROM c JOIN l USING (w1) JOIN r USING (w2), t
       |ORDER BY c.c DESC, c.w1, c.w2 LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Zipf-law conformity: least-squares slope of log(freq) over
+  // log(rank) for the top-1000 terms — the corpus-health diagnostic
+  // that flags generated/template/spam corpora (natural text sits near
+  // slope −1; a flat or kinked curve means something synthetic crept
+  // in). One corpus word-count shuffle (vocab-bounded output), a rank
+  // window over the vocabulary (Heaps-bounded — fine on one node at
+  // any corpus size), and a 1000-row regression.
+  //
+  // Cross-engine arithmetic: ln() may differ in the last ulp between
+  // libm and the JVM, so both logs snap to 6 dp FIRST; the regression
+  // moments then accumulate in EXACT decimal (products of DECIMAL(12,6)
+  // values, summed exactly — no double snap of low-entropy products,
+  // the agg_decay_halflife lesson), are rounded in decimal, and only
+  // then return to double for the closed-form slope.
+  private def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.fanOut(Tables.table(spark, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("w"))))
+      .filter(col("r") <= 1000)
+      .select(
+        round(log(col("r").cast("double")), 6).cast("decimal(12,6)").as("x"),
+        round(log(col("cnt").cast("double")), 6).cast("decimal(12,6)").as("y"))
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      round(sum(col("x")), 6).cast("double").as("sx"),
+      round(sum(col("y")), 6).cast("double").as("sy"),
+      round(sum(col("x") * col("y")), 6).cast("double").as("sxy"),
+      round(sum(col("x") * col("x")), 6).cast("double").as("sxx"),
+      round(sum(col("y") * col("y")), 6).cast("double").as("syy"))
+    m.select(col("n").as("n_terms"),
+        rnd((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        rnd((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 4)
+          .as("intercept"),
+        rnd(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+  }
+
+  private val zipfFitSql =
+    """WITH wc AS (
+      |  SELECT w, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w
+      |), ranked AS (
+      |  SELECT CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+      |  FROM (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS r FROM wc)
+      |  WHERE r <= 1000
+      |), m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(round(sum(x), 6) AS DOUBLE) AS sx,
+      |    CAST(round(sum(y), 6) AS DOUBLE) AS sy,
+      |    CAST(round(sum(x * y), 6) AS DOUBLE) AS sxy,
+      |    CAST(round(sum(x * x), 6) AS DOUBLE) AS sxx,
+      |    CAST(round(sum(y * y), 6) AS DOUBLE) AS syy
+      |  FROM ranked
+      |)
+      |SELECT n AS n_terms,
+      |  CAST(round(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS DECIMAL(18,8)), 4) AS DOUBLE) AS slope,
+      |  CAST(round(CAST((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS DECIMAL(18,8)), 4) AS DOUBLE) AS intercept,
+      |  CAST(round(CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS DECIMAL(18,8)), 4) AS DOUBLE) AS r2
+      |FROM m""".stripMargin
 }

@@ -86,6 +86,18 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf fit: proper regression outputs, and the synthetic corpus is flagged") {
+    val r = graft.SparkEntry.queries("text_zipf_fit")(spark, dir).head()
+    val (n, slope, r2) = (r.getLong(0), r.getDouble(1), r.getDouble(3))
+    assert(n > 0 && r2 >= 0.0 && r2 <= 1.0)
+    assert(slope <= 0.0, s"rank-frequency slope must be non-positive, got $slope")
+    // the fixture generator writes from a ~31-word template vocabulary —
+    // NATURAL text sits near slope -1 with r2 > 0.9; the detector must
+    // flag this corpus as non-Zipfian (that is the diagnostic working)
+    assert(slope > -0.6 || r2 < 0.5,
+      s"synthetic flat-vocabulary corpus should not look Zipfian: slope=$slope r2=$r2")
+  }
+
   test("pca power step: the emitted direction is unit-norm") {
     val comps = graft.SparkEntry.queries("sim_pca_power_step")(spark, dir)
       .collect().map(_.getDouble(1))
