@@ -77,11 +77,25 @@ object CurateMain {
       .groupBy("split").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
 
-    val manifest =
-      s"""{"corpus":"$corpusDir","n_ingested":${f.getLong(0)},""" +
-        s""""n_canonical":${f.getLong(1)},"n_quality_ok":${f.getLong(2)},""" +
-        s""""n_contaminated":${f.getLong(3)},"n_selected":${f.getLong(4)},""" +
-        perSplit.map { case (s, n) => s""""n_$s":$n""" }.mkString(",") + "}"
+    // assemble as field list + one mkString so the separator vanishes
+    // when perSplit is empty (no trailing comma), and JSON-escape the
+    // interpolated path (quotes/backslashes would break the document)
+    def jsonStr(v: String): String =
+      "\"" + v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val fields = Seq(
+      s""""corpus":${jsonStr(corpusDir)}""",
+      s""""n_ingested":${f.getLong(0)}""",
+      s""""n_canonical":${f.getLong(1)}""",
+      s""""n_quality_ok":${f.getLong(2)}""",
+      s""""n_contaminated":${f.getLong(3)}""",
+      s""""n_selected":${f.getLong(4)}""") ++
+      perSplit.map { case (s, n) => s""""n_$s":$n""" }
+    val manifest = fields.mkString("{", ",", "}")
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     manifest

@@ -107,12 +107,17 @@ object StateStore {
     * the manifest commit seq (vacuum retains `retainManifests`).
     * None once retention dropped that version. */
   def readAt(spark: SparkSession, dir: String, version: Int): Option[DataFrame] =
-    if (currentVersion(dir).isDefined) {
-      if (StateIO.exists(s"$dir/v_$version/_SUCCESS") ||
-          StateIO.exists(s"$dir/v_$version"))
-        Some(spark.read.parquet(s"$dir/v_$version"))
-      else None
-    } else BucketedStateStore.readAt(spark, dir, version.toLong)
+    currentVersion(dir) match {
+      case Some(cur) =>
+        // Committed means BOTH the pointer covers it (a crash between the
+        // parquet write and the pointer swap leaves version > cur) AND the
+        // writer's _SUCCESS marker landed — a bare v_N directory is a
+        // partial write, never readable state.
+        if (version <= cur && StateIO.exists(s"$dir/v_$version/_SUCCESS"))
+          Some(spark.read.parquet(s"$dir/v_$version"))
+        else None
+      case None => BucketedStateStore.readAt(spark, dir, version.toLong)
+    }
 
   /** Pick the effective state backend for a tail against `dir`.
     * An EXISTING layout is authoritative — a restart must never fork

@@ -334,9 +334,14 @@ object TextQueries {
     val ranked = Tables.fanOut(Tables.table(spark, dir, "documents"))
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // pre-trim to the top-1000 BEFORE ranking: limit after orderBy
+      // plans TakeOrderedAndProject (per-partition top-k, merged on the
+      // driver), so a web-scale vocabulary (typos, URLs) never flows
+      // through a single-partition window — the subsequent rank window
+      // only ever sees <= 1000 rows (plan pinned in PlanSpec)
+      .orderBy(col("cnt").desc, col("w")).limit(1000)
       .withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("w"))))
-      .filter(col("r") <= 1000)
       .select(
         round(log(col("r").cast("double")), 6).cast("decimal(12,6)").as("x"),
         round(log(col("cnt").cast("double")), 6).cast("decimal(12,6)").as("y"))

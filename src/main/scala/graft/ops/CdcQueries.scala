@@ -208,8 +208,8 @@ object CdcQueries {
     // scan, so re-computing it per batch is cheaper than materializing
     // 100k rows into block storage (a separate 0.7 s action at sf0.1)
     val oplog = EventsOplog.fromEvents(events).as[OplogRow]
-    locally {
-      val stateDir = java.nio.file.Files.createTempDirectory("graft-bucketed-state").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-bucketed-state").toString
+    try {
       // threshold above the commit count -> no compaction here; the
       // merge is exercised (and equivalence-pinned) in BucketedStoreSpec
       val spec = BucketedStateStore.Spec(nBuckets = 8, compactThreshold = 3)
@@ -222,6 +222,10 @@ object CdcQueries {
         BucketedStateStore.applyBatch(
           b.as[OplogRow], graft.SparkEntry.flagshipTask, stateDir, spec, Some(src))
       }
+      // materialize off the temp store (localCheckpoint pins the result
+      // in this JVM's block store) so the directory can be deleted NOW
+      // instead of leaking one per invocation — a 4-pass bench run used
+      // to abandon five of these
       StateStore.read(spark, stateDir)
         .select(col("id"),
           get_json_object(col("doc"), "$.value").cast("double").as("value"),
@@ -229,7 +233,8 @@ object CdcQueries {
           get_json_object(col("doc"), "$.last_type").as("last_type"),
           col("ts"))
         .orderBy(col("id"))
-    }
+        .localCheckpoint(true)
+    } finally graft.cdc.StateIO.delete(stateDir)
   }
 
   private val pipelineStateSql =

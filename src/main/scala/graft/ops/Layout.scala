@@ -59,8 +59,11 @@ object Layout {
       min("l_suppkey").as("smin"), max("l_suppkey").as("smax"),
       min("l_orderkey").as("omin"), max("l_orderkey").as("omax"))
     li.crossJoin(broadcast(bounds))
-      .withColumn("qp", expr("((l_partkey - pmin) * 255) div greatest(pmax - pmin, 1)"))
-      .withColumn("qs", expr("((l_suppkey - smin) * 255) div greatest(smax - smin, 1)"))
+      // bigint affine map: an IntegerType key with range > 2^31/255
+      // would wrap the *255 under non-ANSI eval (same guard as
+      // LayoutWriter.zordered)
+      .withColumn("qp", expr("((cast(l_partkey as bigint) - pmin) * 255L) div greatest(cast(pmax as bigint) - pmin, 1)"))
+      .withColumn("qs", expr("((cast(l_suppkey as bigint) - smin) * 255L) div greatest(cast(smax as bigint) - smin, 1)"))
       .withColumn("z", expr(mortonExpr("qp", "qs", "div")))
   }
 
@@ -90,8 +93,8 @@ object Layout {
       |  FROM lineitem
       |), q AS (
       |  SELECT l_orderkey, omin, omax,
-      |    ((l_partkey - pmin) * 255) // greatest(pmax - pmin, 1) AS qp,
-      |    ((l_suppkey - smin) * 255) // greatest(smax - smin, 1) AS qs
+      |    ((CAST(l_partkey AS BIGINT) - pmin) * 255) // greatest(CAST(pmax AS BIGINT) - pmin, 1) AS qp,
+      |    ((CAST(l_suppkey AS BIGINT) - smin) * 255) // greatest(CAST(smax AS BIGINT) - smin, 1) AS qs
       |  FROM lineitem, b
       |), z AS (
       |  SELECT *, $morton AS z FROM q

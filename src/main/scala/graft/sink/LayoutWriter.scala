@@ -34,11 +34,14 @@ object LayoutWriter {
     val bounds = df.agg(
       min(col(dimA)).as("__amin"), max(col(dimA)).as("__amax"),
       min(col(dimB)).as("__bmin"), max(col(dimB)).as("__bmax"))
+    // The affine map runs in bigint: in the column's native type an
+    // IntegerType dimension with range > 2^31/255 would wrap the *255
+    // silently under non-ANSI evaluation and corrupt the Morton keys.
     df.crossJoin(broadcast(bounds))
       .withColumn("__qa",
-        expr(s"(($dimA - __amin) * 255) div greatest(__amax - __amin, 1)"))
+        expr(s"((cast($dimA as bigint) - __amin) * 255L) div greatest(cast(__amax as bigint) - __amin, 1)"))
       .withColumn("__qb",
-        expr(s"(($dimB - __bmin) * 255) div greatest(__bmax - __bmin, 1)"))
+        expr(s"((cast($dimB as bigint) - __bmin) * 255L) div greatest(cast(__bmax as bigint) - __bmin, 1)"))
       .withColumn("__z", expr(Layout.mortonExpr("__qa", "__qb", "div")))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")

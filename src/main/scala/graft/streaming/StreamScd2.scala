@@ -141,7 +141,10 @@ object StreamScd2 {
 
     def read(): DataFrame = pointer() match {
       case (-1, _) => emptyHistory(spark, keyType)
-      case (v, _)  => spark.read.parquet(s"$dir/v_$v")
+      // explicit schema: a v_0 written from an empty first batch has
+      // zero part files, and schema inference over it would fail and
+      // wedge the stream
+      case (v, _)  => spark.read.schema(historySchema(keyType)).parquet(s"$dir/v_$v")
     }
 
     /** MERGE `batch` unless `batchId` was already applied. Returns true
@@ -149,7 +152,12 @@ object StreamScd2 {
     def applyIfNew(batch: DataFrame, batchId: Long): Boolean = {
       val (cur, last) = pointer()
       if (batchId <= last) false
-      else {
+      else if (batch.isEmpty) {
+        // an empty micro-batch (foreachBatch can offer one) is a no-op
+        // merge: just record the batch id so the replay guard advances
+        StateIO.writeStringAtomic(ptr, s"$cur $batchId")
+        false
+      } else {
         val next = cur + 1
         applyBatch(read(), batch)
           .write.mode("overwrite").parquet(s"$dir/v_$next")

@@ -36,6 +36,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("sort_topk_lineitems").contains("TakeOrderedAndProject"))
   }
 
+  test("zipf fit pre-trims the vocabulary with TakeOrderedAndProject before ranking") {
+    val p = plan("text_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-1000 trim must plan per-partition top-k, not a global single-partition window: " + p.take(800))
+  }
+
   test("semi/anti joins plan as such (no row explosion)") {
     assert(plan("join_semi_open_orders").contains("LeftSemi"))
     assert(plan("join_anti_no_orders").contains("LeftAnti"))
