@@ -44,11 +44,18 @@ object CodebookStore {
       .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf"))
 
-  /** |C| ≈ √N, clamped to [4, cap]. The cap bounds the literal-codebook
-    * projection cost per row; at genuine 100 TB scale a deployment
-    * raises it (|C| ≈ √N with N=10^9 wants ~31k cells and a broadcast
-    * codebook instead of a literal — documented in BASELINE.md). */
-  def kFor(n: Long, cap: Int = 64): Int =
+  /** Default |C| cap, tunable via -Dgraft.ivf.kCap. 64 keeps the
+    * harness codebooks small enough to inline into the DuckDB oracle;
+    * a 100 TB deployment raises it to let |C| ≈ √N grow (N=10^9 wants
+    * ~31k cells) — above `SimilarityQueries.broadcastThreshold` the
+    * engine automatically delivers the codebook as a broadcast
+    * relation instead of a plan literal, so raising the cap no longer
+    * inflates the plan (the pre-round-10 literal-projection wall). */
+  def kCap: Int = sys.props.get("graft.ivf.kCap").map(_.toInt).getOrElse(64)
+
+  /** |C| ≈ √N, clamped to [4, cap]: cell population ≈ √N balances the
+    * N·|C| assignment cost against the N/|C| per-probe scan. */
+  def kFor(n: Long, cap: Int = kCap): Int =
     math.min(cap.toLong, math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
   private def fileFor(dir: String, k: Int): Path = {

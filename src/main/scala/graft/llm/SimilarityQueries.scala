@@ -190,6 +190,44 @@ object SimilarityQueries {
     cb
   }
 
+  /** Cells above which the codebook rides a broadcast relation instead
+    * of a plan literal. A |C| ≈ √N codebook at 1e9 vectors is ~31k
+    * cells (~16 MB of doubles): as a `typedLit` that constant is
+    * serialized into EVERY task's plan copy and blows up codegen;
+    * as a broadcast it ships once per executor. Below the threshold the
+    * literal wins (no join operator at all). Tunable for tests and
+    * deployments via -Dgraft.ivf.bcastThreshold. */
+  private[graft] def broadcastThreshold: Int =
+    sys.props.get("graft.ivf.bcastThreshold").map(_.toInt).getOrElse(256)
+
+  /** Attach the trained codebook to a corpus frame for the per-row
+    * NearestCell(s) assignment projection, auto-selecting the delivery
+    * mode by |C| (see [[broadcastThreshold]]). Returns the (possibly
+    * joined) frame and the Column holding the codebook array.
+    *
+    * Broadcast mode collapses the codebook to ONE row holding the
+    * `array<struct<cid, cv, cn>>` and equi-joins it on a constant key:
+    * a BroadcastHashJoin whose build side is a single row — the corpus
+    * side keeps its partitioning, no shuffle — and the assignment
+    * stays the same zero-exchange NearestCell projection either way.
+    * This removes the old |C| <= 64 literal-projection wall: kFor's cap
+    * can be raised to √N at any corpus size without touching the
+    * dataflow ([[CodebookStore.kFor]]). */
+  private[graft] def attachCodebook(
+      spark: SparkSession, e: DataFrame,
+      cb: Vector[(Long, Vector[Double], Double)]): (DataFrame, org.apache.spark.sql.Column) =
+    if (cb.size <= broadcastThreshold) (e, typedLit(cb))
+    else {
+      import spark.implicits._
+      // the codebook array built driver-side as ONE local row — no
+      // collect_list aggregation (which would plan a build-side
+      // Exchange SinglePartition for nothing)
+      val cbRow = Seq(Tuple1(cb)).toDF("__cb").withColumn("__cbk", lit(1))
+      val joined = e.withColumn("__cbk", lit(1))
+        .join(broadcast(cbRow), Seq("__cbk")).drop("__cbk")
+      (joined, col("__cb"))
+    }
+
   /** The trained codebook as a DuckDB VALUES relation `(cid, cv, cn)`.
     * Centroid components are 4-dp decimals (exact in both engines); the
     * norm roundtrips through the shortest double repr like the LSH
@@ -227,21 +265,28 @@ object SimilarityQueries {
   // is tuned by nProbe without changing the dataflow shape.
   // Assignment/ranking compare 4-dp-rounded sims with centroid-id /
   // neighbor-id tiebreaks, so both engines pick identical cells.
-  private def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus → cell assignment frame `(vec_id, cid, v, nrm)` —
+    * shared by the IVF queries and pinned directly in PlanSpec.
+    * Assignment is a pure PROJECTION: each vector takes its own argmax
+    * against the trained codebook via the native NearestCell
+    * expression — no window, no corpus exchange, no interpreted
+    * lambda. A row_number over Window.partitionBy(vec_id) here would
+    * shuffle+sort the whole corpus just to pick a per-row max against
+    * constant data. The codebook arrives as a literal or a broadcast
+    * relation by |C| ([[attachCodebook]]); either way the corpus side
+    * keeps its partitioning. */
+  private[graft] def ivfAssignment(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    // assignment is a pure PROJECTION: each vector takes its own argmax
-    // against the literal trained codebook via the native NearestCell
-    // expression — no window, no exchange, no interpreted lambda, not
-    // even a broadcast join. A row_number over
-    // Window.partitionBy(vec_id) here would shuffle+sort the whole
-    // corpus just to pick a per-row max against constant data.
-    val cbLit = typedLit(trainedCodebook(spark, dir))
-    val assign = e
-      .withColumn("cid",
-        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbLit))
+    val (ec, cbCol) = attachCodebook(spark, e, trainedCodebook(spark, dir))
+    ec.withColumn("cid",
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbCol))
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+  }
+
+  private def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssignment(spark, dir)
     val q = assign.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("cid").as("qcid"), col("v").as("qv"), col("nrm").as("qn"))
     val pairs = assign.select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
@@ -265,14 +310,14 @@ object SimilarityQueries {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val cbLit = typedLit(trainedCodebook(spark, dir))
-    val assign = e
+    val (ec, cbCol) = attachCodebook(spark, e, trainedCodebook(spark, dir))
+    val assign = ec
       .withColumn("cid",
-        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbLit))
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbCol))
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
-    val q = e.filter(col("vec_id") < 8)
+    val q = ec.filter(col("vec_id") < 8)
       .withColumn("probe", explode(
-        graft.expressions.CellFunctions.nearestCells(col("v"), col("nrm"), cbLit, 2)))
+        graft.expressions.CellFunctions.nearestCells(col("v"), col("nrm"), cbCol, 2)))
       .select(col("vec_id").as("q_id"), col("probe"), col("v").as("qv"), col("nrm").as("qn"))
     val pairs = assign.select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
       .join(broadcast(q), col("probe") === col("cid") && col("q_id") =!= col("n_id"))
@@ -367,7 +412,7 @@ object SimilarityQueries {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val cbLit = typedLit(trainedCodebook(spark, dir))
+    val (ec, cbCol) = attachCodebook(spark, e, trainedCodebook(spark, dir))
     // ground truth: exact top-3 for the 8-query panel
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -381,13 +426,13 @@ object SimilarityQueries {
     // IVF shortlist per probe width: posexplode gives the probe's rank
     // (0-based), so one exploded frame serves every nProbe level via
     // `pp < n_probe` — the index is built once, evaluated at each width
-    val assign = e
+    val assign = ec
       .withColumn("cid",
-        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbLit))
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbCol))
       .select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
-    val probes = e.filter(col("vec_id") < 8)
+    val probes = ec.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        posexplode(graft.expressions.CellFunctions.nearestCells(col("v"), col("nrm"), cbLit, 2))
+        posexplode(graft.expressions.CellFunctions.nearestCells(col("v"), col("nrm"), cbCol, 2))
           .as(Seq("pp", "probe")))
       .crossJoin(spark.range(1).select(explode(array(lit(1), lit(2))).as("n_probe")))
       .filter(col("pp") < col("n_probe"))
@@ -483,13 +528,27 @@ object SimilarityQueries {
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     val cb = trainedCodebook(spark, dir)
-    val cbLit = typedLit(cb)
-    val cbMap = typedLit(cb.map { case (cid, cv, cn) => cid -> ((cv, cn)) }.toMap)
-    e.withColumn("cid",
-        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbLit))
-      .withColumn("c", element_at(cbMap, col("cid")))
-      .withColumn("cov_sim",
-        graft.ops.Registry.rnd(ndot(col("v"), col("c._1")) / (col("nrm") * col("c._2")), 4))
+    val (ec, cbCol) = attachCodebook(spark, e, cb)
+    val assigned = ec.withColumn("cid",
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbCol))
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+    // assigned-centroid lookup: literal map below the threshold (pure
+    // projection); above it, a BroadcastHashJoin on cid against the
+    // |C|-row codebook relation — same auto-selection as the
+    // assignment, so a raised kFor cap never re-inflates the plan
+    val withC =
+      if (cb.size <= broadcastThreshold) {
+        val cbMap = typedLit(cb.map { case (cid, cv, cn) => cid -> ((cv, cn)) }.toMap)
+        assigned.withColumn("c", element_at(cbMap, col("cid")))
+          .withColumn("cov_sim",
+            graft.ops.Registry.rnd(ndot(col("v"), col("c._1")) / (col("nrm") * col("c._2")), 4))
+      } else {
+        import spark.implicits._
+        assigned.join(broadcast(cb.toDF("cid", "cv", "cn")), Seq("cid"))
+          .withColumn("cov_sim",
+            graft.ops.Registry.rnd(ndot(col("v"), col("cv")) / (col("nrm") * col("cn")), 4))
+      }
+    withC
       .select(col("vec_id"), col("cid"), col("cov_sim"))
       .orderBy(col("cov_sim").asc, col("vec_id").asc)
       .limit(8)
