@@ -101,6 +101,28 @@ object StreamScd2 {
         col("valid_from"), col("valid_to"), col("valid_to").isNull.as("is_current"))
       .orderBy(col("key"), col("version"))
 
+  /** Common surface of the two history persistence backends, so the
+    * foreachBatch wiring (and the specs) are backend-agnostic. */
+  trait Scd2History {
+    def lastBatchId: Long
+    def read(): DataFrame
+    def applyIfNew(batch: DataFrame, batchId: Long): Boolean
+  }
+
+  /** Pick the history backend for `dir` with the same existing-layout-
+    * is-authoritative rule as [[graft.cdc.StateStore.resolveBackend]]:
+    * a directory already holding a legacy VERSION table stays legacy, a
+    * bucketed manifest stays bucketed; only a fresh directory honors
+    * `bucketed` — which defaults to true, the scale form (O(batch) per
+    * trigger instead of O(history)). */
+  def table(spark: SparkSession, dir: String, bucketed: Boolean = true,
+      keyType: DataType = LongType): Scd2History =
+    if (graft.cdc.StateIO.exists(s"$dir/VERSION"))
+      new Scd2Table(spark, dir, keyType = keyType)
+    else if (Scd2BucketedTable.exists(dir) || bucketed)
+      new Scd2BucketedTable(spark, dir, keyType = keyType)
+    else new Scd2Table(spark, dir, keyType = keyType)
+
   /** Versioned-parquet persistence for the history with foreachBatch
     * replay protection. The SCD2 merge is NOT naturally idempotent
     * (re-offering a batch would re-open versions against the new open
@@ -124,7 +146,7 @@ object StreamScd2 {
     * store instead.
     */
   final class Scd2Table(spark: SparkSession, dir: String, retain: Int = 3,
-      keyType: DataType = LongType) {
+      keyType: DataType = LongType) extends Scd2History {
     import graft.cdc.StateIO
 
     private def ptr = s"$dir/VERSION"

@@ -77,12 +77,15 @@ class StreamScd2Spec extends AnyFunSuite {
     assert(streamed === batchBuild)
   }
 
-  test("persisted table: batch replay is a no-op, restart resumes exactly") {
+  for ((backendName, mk) <- Seq[(String, String => StreamScd2.Scd2History)](
+      ("legacy", d => new StreamScd2.Scd2Table(spark, d)),
+      ("bucketed", d => new Scd2BucketedTable(spark, d, nBuckets = 4, compactThreshold = 3))))
+  test(s"persisted $backendName table: batch replay is a no-op, restart resumes exactly") {
     import spark.implicits._
     val base = Files.createTempDirectory("sscd2t").toString
     def batch(rs: (Long, String, Long, Long)*) =
       rs.toDF("key", "attr", "sec", "event_id")
-    val t = new StreamScd2.Scd2Table(spark, s"$base/hist")
+    val t = mk(s"$base/hist")
     assert(t.applyIfNew(batch((1L, "a", 10L, 1L)), batchId = 0L))
     assert(t.applyIfNew(batch((1L, "b", 20L, 2L)), batchId = 1L))
     val after = rows(StreamScd2.asQueryResult(t.read()))
@@ -96,7 +99,7 @@ class StreamScd2Spec extends AnyFunSuite {
     assert(rows(StreamScd2.asQueryResult(t.read())) === after)
 
     // restart: a fresh instance resumes from the pointer and continues
-    val t2 = new StreamScd2.Scd2Table(spark, s"$base/hist")
+    val t2 = mk(s"$base/hist")
     assert(t2.lastBatchId === 1L)
     assert(!t2.applyIfNew(batch((1L, "b", 20L, 2L)), batchId = 1L))
     assert(t2.applyIfNew(batch((1L, "b", 25L, 3L), (1L, "c", 30L, 4L)), batchId = 2L))
@@ -106,7 +109,10 @@ class StreamScd2Spec extends AnyFunSuite {
       (1L, 3L, "c", 30L, None, true)))
   }
 
-  test("crash between table-write and offset-commit: restart re-offers, merge skips") {
+  for ((backendName, mk) <- Seq[(String, String => StreamScd2.Scd2History)](
+      ("legacy", d => new StreamScd2.Scd2Table(spark, d)),
+      ("bucketed", d => new Scd2BucketedTable(spark, d, nBuckets = 4, compactThreshold = 3))))
+  test(s"$backendName: crash between table-write and offset-commit: restart re-offers, merge skips") {
     val base = Files.createTempDirectory("sscd2x").toString
     val ev = graft.ops.Tables.events(spark, dir)
       .withColumn("sec", expr("ts_ns div 1000000000"))
@@ -122,7 +128,7 @@ class StreamScd2Spec extends AnyFunSuite {
     val applied = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
     @volatile var crashArmed = true
     def run(): Unit = {
-      val t = new StreamScd2.Scd2Table(spark, s"$base/hist")
+      val t = mk(s"$base/hist")
       val q = spark.readStream
         .schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -152,10 +158,59 @@ class StreamScd2Spec extends AnyFunSuite {
     assert(applied.count(_._1 == 1L) >= 2, s"batch 1 must be re-offered: $applied")
     assert(applied.filter(_._1 == 1L).map(_._2).toSeq.sorted.reverse === Seq(true, false),
       s"first offer applies, the replay is a no-op: $applied")
-    val streamed = rows(StreamScd2.asQueryResult(new StreamScd2.Scd2Table(spark, s"$base/hist").read()))
+    val streamed = rows(StreamScd2.asQueryResult(mk(s"$base/hist").read()))
     val batchBuild = rows(graft.SparkEntry.queries("cdc_scd2_history")(spark, dir))
     assert(streamed === batchBuild,
       "post-crash history must equal the batch build exactly (no double versions)")
+  }
+
+  test("bucketed history: per-trigger writes are O(batch) — cold keys' files never rewritten") {
+    import spark.implicits._
+    import graft.cdc.StateIO
+    val base = Files.createTempDirectory("sscd2b").toString
+    def batch(rs: (Long, String, Long, Long)*) =
+      rs.toDF("key", "attr", "sec", "event_id")
+    val t = new Scd2BucketedTable(spark, s"$base/hist", nBuckets = 4, compactThreshold = 100)
+    // seed 64 keys, then touch ONE key per subsequent batch
+    assert(t.applyIfNew(batch((0L until 64L).map(k => (k, "a", 10L, k)): _*), 0L))
+    val before = StateIO.list(s"$base/hist/data").map(_.getPath.getName).toSet
+    assert(t.applyIfNew(batch((7L, "b", 20L, 100L)), 1L))
+    val after = StateIO.list(s"$base/hist/data").map(_.getPath.getName).toSet
+    // the seed delta is untouched; exactly one new delta dir appeared
+    assert(before.subsetOf(after), s"$before vs $after")
+    assert((after -- before).size === 1, s"one O(batch) delta per trigger: ${after -- before}")
+    // and the merged read is correct: key 7 has two versions, others one
+    val out = rows(StreamScd2.asQueryResult(t.read()))
+    assert(out.count(_._1 == 7L) === 2)
+    assert(out.size === 65)
+    assert(out.filter(_._1 == 7L).map(t => (t._2, t._3, t._6)).toSet ===
+      Set((1L, "a", false), (2L, "b", true)))
+  }
+
+  test("bucketed history: compaction collapses delta chains and vacuum reclaims; reads stay exact") {
+    import spark.implicits._
+    import graft.cdc.StateIO
+    val base = Files.createTempDirectory("sscd2c").toString
+    def batch(rs: (Long, String, Long, Long)*) =
+      rs.toDF("key", "attr", "sec", "event_id")
+    val bucketed = new Scd2BucketedTable(spark, s"$base/hist", nBuckets = 2,
+      compactThreshold = 2, retainManifests = 1)
+    val legacy = new StreamScd2.Scd2Table(spark, s"$base/ref")
+    // same event stream through both backends; attrs cycle so versions pile up
+    (0 until 6).foreach { i =>
+      val b = batch((0L until 8L).map(k => (k, s"v$i", 10L + i, i * 100L + k)): _*)
+      assert(bucketed.applyIfNew(b, i.toLong))
+      assert(legacy.applyIfNew(b, i.toLong))
+    }
+    val b1 = rows(StreamScd2.asQueryResult(bucketed.read()))
+    val l1 = rows(StreamScd2.asQueryResult(legacy.read()))
+    assert(b1 === l1, "bucketed and legacy histories must be identical")
+    // compaction must have fired (threshold 2, 6 commits, every bucket
+    // dirty each time) — at least one base dir exists
+    val dirs = StateIO.list(s"$base/hist/data").map(_.getPath.getName)
+    assert(dirs.exists(_.startsWith("base_")), s"expected a compacted base in $dirs")
+    // vacuum with retain 1: old delta dirs are reclaimed, not accreted
+    assert(dirs.size < 6, s"vacuum should have reclaimed old commits: $dirs")
   }
 
   test("string keys work end to end (the CDC doc-id shape)") {
