@@ -39,6 +39,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.channels >= 1 && a.channels <= 4)
   }
 
+  private def imageBytes(w: Int, h: Int, fmt: String, imgType: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    (0 until math.min(w, 8)).foreach(x => img.setRGB(x, 0, 0x123456 + x))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"ImageIO cannot write $fmt")
+    out.toByteArray
+  }
+
+  test("HeaderDecoder parses real PNG/JPEG/GIF bytes synthesized by ImageIO") {
+    import java.awt.image.BufferedImage._
+    // PNG truecolor (color type 2 -> 3 channels) and gray (type 0 -> 1)
+    assert(Multimodal.HeaderDecoder.parse(imageBytes(320, 200, "png", TYPE_INT_RGB))
+      === Some((320, 200, 3)))
+    assert(Multimodal.HeaderDecoder.parse(imageBytes(17, 43, "png", TYPE_BYTE_GRAY))
+      === Some((17, 43, 1)))
+    // JPEG: 3-component color, 1-component gray (ncomp from the SOF)
+    assert(Multimodal.HeaderDecoder.parse(imageBytes(640, 480, "jpg", TYPE_INT_RGB))
+      === Some((640, 480, 3)))
+    assert(Multimodal.HeaderDecoder.parse(imageBytes(31, 9, "jpg", TYPE_BYTE_GRAY))
+      === Some((31, 9, 1)))
+    // GIF: LE dims, palette RGB -> 3
+    assert(Multimodal.HeaderDecoder.parse(imageBytes(300, 1000, "gif", TYPE_INT_RGB))
+      === Some((300, 1000, 3)))
+  }
+
+  test("HeaderDecoder rejects non-container bytes (text falls back to the fake)") {
+    val text = "not an image at all, just prose".getBytes("UTF-8")
+    assert(Multimodal.HeaderDecoder.parse(text).isEmpty)
+    assert(Multimodal.HeaderDecoder.decode(5L, text)
+      === Multimodal.FakeDecoder.decode(5L, text))
+    // truncated/corrupt headers must not throw
+    for (n <- Seq(0, 1, 3, 8, 12, 20)) {
+      val png = imageBytes(20, 20, "png", java.awt.image.BufferedImage.TYPE_INT_RGB)
+      Multimodal.HeaderDecoder.decode(1L, png.take(n))
+    }
+    val junkJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x07)
+    Multimodal.HeaderDecoder.decode(2L, junkJpeg)
+  }
+
+  test("decodeFrame runs real image bytes through the partition-wise Spark path") {
+    import java.awt.image.BufferedImage._
+    import spark.implicits._
+    val rows = Seq(
+      (1L, imageBytes(320, 200, "png", TYPE_INT_RGB)),
+      (2L, imageBytes(64, 32, "jpg", TYPE_INT_RGB)),
+      (3L, imageBytes(12, 7, "gif", TYPE_INT_RGB)),
+      (4L, "plain text payload".getBytes("UTF-8")),
+    )
+    val out = Multimodal.decodeFrame(rows.toDF("doc_id", "payload"),
+        Multimodal.HeaderDecoder.decode)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(out(0) === ((1L, 320, 200, 3)))
+    assert(out(1) === ((2L, 64, 32, 3)))
+    assert(out(2) === ((3L, 12, 7, 3)))
+    // text row took the deterministic fake path
+    val f = Multimodal.FakeDecoder.decode(4L, "plain text payload".getBytes("UTF-8"))
+    assert(out(3) === ((4L, f.width, f.height, f.channels)))
+  }
+
   test("NearestCell ranks non-finite sims below finite ones and never crashes") {
     import graft.expressions.CellMath
     import org.apache.spark.sql.catalyst.util.ArrayData
