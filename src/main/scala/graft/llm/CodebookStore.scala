@@ -108,3 +108,89 @@ object CodebookStore {
     }
   }
 }
+
+/** Persistent store for the trained PQ index — the same sidecar
+  * discipline as [[CodebookStore]] applied to BOTH halves of the
+  * product-quantization state (r9 verdict next-round #7): the
+  * per-subspace codebook (M×K centroids, a small TSV) and the encoded
+  * code table (one (vec_id, j, code) row per vector per subspace — the
+  * "parquet table of codes beside the vectors" a deployment
+  * materializes once). Before round 10 both lived in per-JVM maps, so
+  * a restarted session silently re-trained AND re-encoded — at 100 TB
+  * the re-encode alone is a full corpus pass.
+  *
+  * Consistency: training is deterministic in the corpus, so codebook
+  * and codes are each valid iff their `#corpus_rows` header matches
+  * the live corpus — no cross-file ordering needed (a crash between
+  * the two writes just re-derives the missing half on restart). The
+  * codebook TSV commits via temp-file + atomic rename; the codes
+  * parquet directory via temp-dir + atomic rename.
+  */
+object PqStore {
+
+  type PqCodebook = Vector[(Int, Long, Vector[Double])]
+
+  /** Bumped on every actual training / encode job; the restart spec
+    * pins that a second session loads files instead of bumping these. */
+  @volatile var trainCount: Long = 0L
+  @volatile var encodeCount: Long = 0L
+
+  private def sane(dir: String) = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def codebookFile(dir: String, m: Int, k: Int): Path =
+    CodebookStore.indexRoot.resolve(s"pq_codebook_${sane(dir)}_m${m}k$k.tsv")
+
+  private def codesDir(dir: String, m: Int, k: Int): Path =
+    CodebookStore.indexRoot.resolve(s"pq_codes_${sane(dir)}_m${m}k$k.parquet")
+
+  def saveCodebook(dir: String, m: Int, k: Int, n: Long, cb: PqCodebook): Unit = {
+    val p = codebookFile(dir, m, k)
+    Files.createDirectories(p.getParent)
+    val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
+    val lines = s"#corpus_rows=$n" +: cb.map { case (j, cid, cv) =>
+      s"$j\t$cid\t${cv.mkString(",")}"
+    }
+    Files.write(tmp, lines.asJava)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def loadCodebook(dir: String, m: Int, k: Int, n: Long): Option[PqCodebook] = {
+    val p = codebookFile(dir, m, k)
+    if (!Files.exists(p)) None
+    else {
+      val lines = Files.readAllLines(p).asScala.toVector
+      if (lines.headOption.contains(s"#corpus_rows=$n"))
+        Some(lines.tail.map { line =>
+          val Array(j, cid, vs) = line.split("\t", 3)
+          (j.toInt, cid.toLong, vs.split(",").map(_.toDouble).toVector)
+        })
+      else None
+    }
+  }
+
+  /** Persist the encoded corpus `(n_id, j, code)` atomically (temp dir
+    * + rename); readers either see the complete table or nothing. */
+  def saveCodes(codes: org.apache.spark.sql.DataFrame,
+      dir: String, m: Int, k: Int, n: Long): Unit = {
+    val p = codesDir(dir, m, k)
+    Files.createDirectories(p.getParent)
+    val tmp = p.getParent.resolve(p.getFileName.toString + s".tmp-${java.util.UUID.randomUUID()}")
+    codes.write.parquet(tmp.toString)
+    Files.writeString(tmp.resolve("_CORPUS_ROWS"), n.toString)
+    if (Files.exists(p)) {
+      // stale index for a regenerated corpus: replace
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    }
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def loadCodes(spark: SparkSession, dir: String, m: Int, k: Int,
+      n: Long): Option[org.apache.spark.sql.DataFrame] = {
+    val p = codesDir(dir, m, k)
+    val meta = p.resolve("_CORPUS_ROWS")
+    if (Files.exists(meta) && Files.readString(meta).trim == n.toString)
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
+}

@@ -718,6 +718,15 @@ object SimilarityQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Vector[(Int, Long, Vector[Double])]]()
   @volatile private var lastPqDir: Option[String] = None
 
+  /** Test hook: drop the in-JVM PQ caches so a "restarted session" can
+    * be simulated — the reload must come from [[PqStore]]'s files. */
+  private[llm] def resetPqCacheForTest(): Unit = {
+    pqTrained.clear(); pqCodes.clear(); lastPqDir = None
+  }
+
+  private def pqCorpusRows(spark: SparkSession, dir: String): Long =
+    Tables.table(spark, dir, "embeddings").count()
+
   /** Unit-normalized vectors with their per-subspace slices exploded to
     * (vec_id, j, sub) — the shared shape of training, encoding, and the
     * query LUT. */
@@ -739,6 +748,24 @@ object SimilarityQueries {
   private def pqCodebook(
       spark: SparkSession, dir: String): Vector[(Int, Long, Vector[Double])] = {
     val cb = pqTrained.computeIfAbsent(dir, d => {
+      // memory cache -> persisted index file -> train-once (the
+      // CodebookStore discipline; see PqStore for the restart/scale
+      // rationale)
+      val nRows = pqCorpusRows(spark, d)
+      PqStore.loadCodebook(d, PqM, PqK, nRows).getOrElse {
+        val trained = pqTrain(spark, d)
+        PqStore.trainCount += 1
+        PqStore.saveCodebook(d, PqM, PqK, nRows, trained)
+        trained
+      }
+    })
+    lastPqDir = Some(dir)
+    cb
+  }
+
+  private def pqTrain(
+      spark: SparkSession, d: String): Vector[(Int, Long, Vector[Double])] = {
+    {
       import spark.implicits._
       val subs = pqSubvectors(spark, d).localCheckpoint()
       // deterministic seeds: the first K vectors' subvectors, cid = rank
@@ -777,9 +804,7 @@ object SimilarityQueries {
       }
       subs.unpersist()
       codebook
-    })
-    lastPqDir = Some(dir)
-    cb
+    }
   }
 
   /** Encoded corpus per (session, dir): like the trained codebook, the
@@ -794,16 +819,25 @@ object SimilarityQueries {
 
   private def pqEncodedCorpus(spark: SparkSession, dir: String): DataFrame =
     pqCodes.computeIfAbsent((spark, dir), { case (s, d) =>
-      import s.implicits._
-      val cbDf = broadcast(pqCodebook(s, d).toDF("j", "cid", "cv"))
-      val w = Window.partitionBy(col("vec_id"), col("j"))
-        .orderBy(col("d2"), col("cid"))
-      pqSubvectors(s, d).join(cbDf, Seq("j"))
-        .withColumn("d2", pqD2(col("sub"), col("cv")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id").as("n_id"), col("j"), col("cid").as("code"))
-        .localCheckpoint()
+      // memory cache -> persisted parquet code table -> encode-once:
+      // the encode is a full corpus pass (N x M x K rounded distances),
+      // exactly what a restart must NOT silently repeat at 100 TB
+      val nRows = pqCorpusRows(s, d)
+      PqStore.loadCodes(s, d, PqM, PqK, nRows).getOrElse {
+        import s.implicits._
+        val cbDf = broadcast(pqCodebook(s, d).toDF("j", "cid", "cv"))
+        val w = Window.partitionBy(col("vec_id"), col("j"))
+          .orderBy(col("d2"), col("cid"))
+        val encoded = pqSubvectors(s, d).join(cbDf, Seq("j"))
+          .withColumn("d2", pqD2(col("sub"), col("cv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id").as("n_id"), col("j"), col("cid").as("code"))
+        PqStore.encodeCount += 1
+        PqStore.saveCodes(encoded, d, PqM, PqK, nRows)
+        PqStore.loadCodes(s, d, PqM, PqK, nRows).getOrElse(
+          sys.error(s"pq code table write at ${d} did not land"))
+      }
     })
 
   private def pqTopK(spark: SparkSession, dir: String): DataFrame = {

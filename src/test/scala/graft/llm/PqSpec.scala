@@ -13,6 +13,18 @@ class PqSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.01"
 
+  test("PQ restart loads the persisted index: zero training/encode jobs, identical codes") {
+    // first run (or a prior session) trained + encoded and persisted
+    val r1 = graft.SparkEntry.queries("sim_pq_topk")(spark, dir).collect().toSeq
+    val (t0, e0) = (PqStore.trainCount, PqStore.encodeCount)
+    // simulate a restarted session: in-JVM caches gone, files remain
+    SimilarityQueries.resetPqCacheForTest()
+    val r2 = graft.SparkEntry.queries("sim_pq_topk")(spark, dir).collect().toSeq
+    assert(PqStore.trainCount === t0, "restart must NOT retrain the PQ codebook")
+    assert(PqStore.encodeCount === e0, "restart must NOT re-encode the corpus")
+    assert(r1 === r2, "reloaded index must give bit-identical results")
+  }
+
   test("PQ output: 3 ranks per query, exact sims monotone in rank") {
     val rows = graft.SparkEntry.queries("sim_pq_topk")(spark, dir).collect()
     val byQ = rows.groupBy(_.getLong(0))
