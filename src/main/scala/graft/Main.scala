@@ -62,7 +62,13 @@ object Main {
     * drive a full config lifecycle without the terminal await. */
   def run(spark: SparkSession, configPath: String, baseDir: String, dataDir: String): Seq[StreamingQuery] = {
     val config = EngineConfig.fromJson(graft.cdc.StateIO.readString(configPath))
-    Runner.fromConfig(spark, config, baseDir, fileAdapters(spark, dataDir))
+    // optional user checkpoint mirroring (the reference example's Redis
+    // callbacks, examples/example.js:9-18): SPARK_GRAFT_HOOKS_DIR wires
+    // the shipped file-backed sample; a deployment passes its own
+    // CheckpointHooks to Runner.fromConfig directly
+    val hooks = sys.env.get("SPARK_GRAFT_HOOKS_DIR")
+      .map(new graft.model.FileCheckpointHooks(_))
+    Runner.fromConfig(spark, config, baseDir, fileAdapters(spark, dataDir), hooks)
   }
 
   /** File-backed source adapters (harness form of the Mongo connectors):

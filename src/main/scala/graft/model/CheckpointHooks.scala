@@ -60,3 +60,41 @@ object CheckpointHooks {
     CheckpointSpec("tail", None,
       Some(java.time.Instant.now().minusSeconds(10).toString))
 }
+
+/** File-backed [[CheckpointHooks]] — the shipped stand-in for the
+  * reference example's Redis callbacks (examples/example.js:9-18):
+  * one JSON file per task under `dir`, written atomically. A real
+  * deployment swaps the two IO lines for its own store; the contract
+  * (override `from` on load, mirror progress on save, never throw
+  * into the pipeline) is enforced by [[CheckpointHooks.save]]/
+  * [[CheckpointHooks.load]] around ANY implementation. Used by
+  * examples/README.md's walkthrough and run end-to-end by ExampleSpec.
+  */
+final class FileCheckpointHooks(dir: String) extends CheckpointHooks {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  private def fileFor(name: String) =
+    Paths.get(dir, name.replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
+
+  def onSave(name: String, cp: CheckpointSpec): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val fields = Vector("phase" -> (DStr(cp.phase): DVal)) ++
+      cp.id.map(v => "id" -> (DStr(v): DVal)) ++
+      cp.time.map(v => "time" -> (DStr(v): DVal))
+    val p = fileFor(name)
+    val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
+    Files.writeString(tmp, DObj(fields).render)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def onLoad(name: String): Option[CheckpointSpec] = {
+    val p = fileFor(name)
+    if (!Files.exists(p)) None
+    else {
+      val o = Json.parseObj(Files.readString(p))
+      def str(k: String) = o.get(k).collect { case DStr(v) => v }
+      Some(CheckpointSpec(str("phase").getOrElse("scan"), str("id"), str("time")))
+    }
+  }
+}

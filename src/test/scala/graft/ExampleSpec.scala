@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.StateStore
+import graft.model.{CheckpointSpec, FileCheckpointHooks}
+
+/** The shipped `examples/` deployment must actually run: this drives
+  * examples/config.json end-to-end through the same `Main.run` path
+  * `spark-submit --class graft.Main … examples/config.json` takes,
+  * with the file-backed checkpoint hooks from the walkthrough
+  * (examples/README.md §4) standing in for the reference example's
+  * Redis callbacks. */
+class ExampleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("the shipped examples/config.json runs end to end with file-backed hooks") {
+    val base = Files.createTempDirectory("example-base").toString
+    val data = Files.createTempDirectory("example-data").toString
+    val hooksDir = Files.createTempDirectory("example-hooks").toString
+    val taskName = "app.banners___banner.banner"
+    spark.sql("DROP TABLE IF EXISTS banner_v1")
+
+    // source layout from examples/README.md §2
+    Files.createDirectories(Paths.get(s"$data/$taskName/oplog"))
+    spark.createDataFrame(Seq(
+      ("a", """{"_id":"a","name":"spring sale","weight":1.0,"deleted":false}"""),
+      ("b", """{"_id":"b","name":"old promo","weight":2.0,"deleted":true}"""),
+    )).toDF("id", "doc").write.parquet(s"$data/$taskName/snapshot")
+    Files.write(Paths.get(s"$data/$taskName/oplog/b1.jsonl"), Seq(
+      """{"ts":100,"op":"u","ns":"app.banners","id":"a","doc":{"$set":{"weight":2.5}}}""",
+      """{"ts":101,"op":"i","ns":"app.banners","id":"c","doc":{"_id":"c","name":"new","weight":3.0,"deleted":false}}""",
+    ).mkString("\n").getBytes)
+
+    // the exact shipped config, not a copy
+    val hooks = new FileCheckpointHooks(hooksDir)
+    val config = graft.model.EngineConfig.fromJson(
+      new String(Files.readAllBytes(Paths.get("examples/config.json"))))
+    val queries = graft.pipeline.Runner.fromConfig(
+      spark, config, base, Main.fileAdapters(spark, data), Some(hooks))
+    assert(queries.length === 1)
+    queries.foreach { q => q.processAllAvailable(); q.stop() }
+
+    // the blue/green suffix from the config's controls shapes the dirs
+    val stateDir = s"$base/${taskName}_v1/state"
+    val state = StateStore.read(spark, stateDir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("doc")).toMap
+    assert(state.keySet === Set("a", "b", "c"))
+    assert(state("a").contains(""""weight":2.5"""), state("a"))
+
+    // DDL ran (Indices.init equivalent) with the blue/green suffix; the
+    // mapping renamed deleted -> isDeleted and typed weight as double,
+    // so after publish the README §5 query works against the live table
+    assert(spark.catalog.tableExists("banner_v1"))
+    val published = graft.sink.Ddl.publishFromConfig(spark, config, base)
+    assert(published.nonEmpty)
+    val top = spark.table("banner_v1")
+      .filter(!org.apache.spark.sql.functions.col("isDeleted"))
+      .orderBy(org.apache.spark.sql.functions.col("weight").desc)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(top === Seq("new", "spring sale"))
+
+    // the hooks mirrored progress: a tail checkpoint landed per task
+    val saved = hooks.onLoad(taskName)
+    assert(saved.exists(_.phase === "tail"), s"expected a tail checkpoint, got $saved")
+
+    // and a stored checkpoint OVERRIDES the configured from on restart:
+    // seed phase=tail so the scan is skipped entirely
+    hooks.onSave(taskName, CheckpointSpec("tail", None, Some("1970-01-01T00:00:00Z")))
+    val queries2 = graft.pipeline.Runner.fromConfig(
+      spark, config, base, Main.fileAdapters(spark, data), Some(hooks))
+    queries2.foreach { q => q.processAllAvailable(); q.stop() }
+    val state2 = StateStore.read(spark, stateDir).collect()
+      .map(r => r.getAs[String]("id")).toSet
+    assert(state2 === Set("a", "b", "c"), "restart with a tail checkpoint must not lose state")
+  }
+}
