@@ -38,6 +38,25 @@ object Bench {
     locally { import spark.implicits._
       spark.range(100).as[Long].mapPartitions(it => it.map(x => x + 1L)).collect() }
     spark.catalog.dropTempView("bench_warm")
+    // Fixture pre-warm, timed and reported separately (r9 verdict #8:
+    // driver-window cold totals swung ±30% on first-touch fixture IO —
+    // 140.5 s driver vs 78.7 s builder on the SAME tree). Reading the
+    // parquet bytes through the OS page cache here (plus one footer
+    // parse per table) pays that IO OUTSIDE any query's timing, so the
+    // cold pass measures what a deployment actually pays per new query
+    // (planning + Janino codegen), and `fixture_warm_sec` makes the
+    // ambient-IO share a recorded number instead of noise smeared over
+    // whichever queries pass 1 happened to run first.
+    val warmT0 = System.nanoTime()
+    val fixtureFiles = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    fixtureFiles.foreach { f =>
+      val in = java.nio.file.Files.newInputStream(f.toPath)
+      val buf = new Array[Byte](1 << 20)
+      try { while (in.read(buf) != -1) () } finally in.close()
+      spark.read.parquet(f.getPath).schema // footer parse
+    }
+    val fixtureWarmSec = (System.nanoTime() - warmT0) / 1e9
     // Optional comma-separated name filter for focused profiling runs
     // (e.g. SPARK_GRAFT_ONLY=cdc_pipeline_state,dedup_minhash_pairs).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
@@ -96,7 +115,11 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"sf":"$sfDir"}""")
+    // plan-attributable cold cost per query (cold minus steady median):
+    // with the fixture pre-warmed this is planning + codegen, the part
+    // a long-running deployment pays once per query shape
+    val coldDelta = cold.map { case (k, v) => k -> (v - results.getOrElse(k, 0.0)) }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"fixture_warm_sec":$fixtureWarmSec,"sf":"$sfDir"}""")
     // The harness records only the LAST ~2000 chars of output; at 130+
     // queries the full detail line above outgrows that window and its
     // leading headline scalars get truncated away (BENCH_r05 recorded
@@ -109,7 +132,7 @@ object Bench {
     def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def js3(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"steady_passes":$steadyPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"fixture_warm_sec":${ms(fixtureWarmSec)},"steady_passes":$steadyPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}"""
     println(summary)
     // Belt-and-braces for the driver's parser: persist the summary (and
     // the full per-query detail) to files too, so a logger prefix or an
@@ -125,7 +148,7 @@ object Bench {
     if (only.isEmpty) try {
       writeFile("BENCH_SUMMARY.json", summary)
       writeFile("BENCH_DETAIL.json",
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"cold_delta_queries":${js(coldDelta)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"fixture_warm_sec":$fixtureWarmSec,"sf":"$sfDir"}""")
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not persist summary files: $e") }
     spark.stop()

@@ -289,7 +289,7 @@ object BucketedStateStore {
     * hundreds of MB on every executor) and lets the planner pick the
     * join; correctness is unchanged, the state side merely shuffles for
     * that oversized trigger. */
-  private[cdc] val BroadcastKeyLimit = 500000L
+  private[graft] val BroadcastKeyLimit = 500000L
 
   private def priorForStats(
       spark: SparkSession, dir: String, m: Manifest,

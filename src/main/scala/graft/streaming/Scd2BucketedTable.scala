@@ -156,12 +156,22 @@ final class Scd2BucketedTable(
     * broadcast; the key-range predicate reaches parquet row-group
     * stats (bases are written key-sorted). */
   private def priorFor(m: Manifest, keys: DataFrame,
-      dirty: Set[Int], lo: Any, hi: Any): DataFrame =
+      dirty: Set[Int], lo: Any, hi: Any, n: Long): DataFrame =
     if (dirty.isEmpty || lo == null) StreamScd2.emptyHistory(spark, keyType)
-    else resolve(
-      scanBuckets(m, dirty)
-        .filter(col("key") >= lit(lo) && col("key") <= lit(hi))
-        .join(broadcast(keys.select(col("key")).distinct()), Seq("key")))
+    else {
+      // same guard as BucketedStateStore.BroadcastKeyLimit: a catch-up
+      // storm batch of millions of keys must not be forced onto every
+      // executor — past the limit the planner picks the join and the
+      // history side merely shuffles for that oversized trigger
+      val keySide =
+        if (n <= graft.cdc.BucketedStateStore.BroadcastKeyLimit)
+          broadcast(keys.select(col("key")).distinct())
+        else keys.select(col("key")).distinct()
+      resolve(
+        scanBuckets(m, dirty)
+          .filter(col("key") >= lit(lo) && col("key") <= lit(hi))
+          .join(keySide, Seq("key")))
+    }
 
   // ---- the per-trigger merge ----
 
@@ -181,10 +191,11 @@ final class Scd2BucketedTable(
       try {
         val st = keys.agg(
           collect_set(bucketOf).as("bs"),
-          min(col("key")).as("lo"), max(col("key")).as("hi")).head()
+          min(col("key")).as("lo"), max(col("key")).as("hi"),
+          count(lit(1)).as("n")).head()
         val dirty = st.getSeq[Int](0).toSet
         val m = manifest()
-        val prior = m.map(priorFor(_, keys, dirty, st.get(1), st.get(2)))
+        val prior = m.map(priorFor(_, keys, dirty, st.get(1), st.get(2), st.getLong(3)))
           .getOrElse(StreamScd2.emptyHistory(spark, keyType))
         val merged = StreamScd2.applyBatch(prior, batch)
         val newSeq = seq + 1
