@@ -24,6 +24,7 @@ object SimilarityQueries {
     NamedQuery("sim_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     NamedQuery("sim_lsh_topk", lshTopK, Some(lshTopKSql)),
     NamedQuery("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    NamedQuery("sim_ivf_topk_bcast", ivfTopKBcast, Some(ivfTopKSql)),
     NamedQuery("sim_ivf_multiprobe", ivfMultiprobe, Some(ivfMultiprobeSql)),
     NamedQuery("sim_quantize_error", quantizeError, Some(quantizeErrorSql)),
     NamedQuery("sim_kmeans_update", kmeansUpdate, Some(kmeansUpdateSql)),
@@ -215,8 +216,9 @@ object SimilarityQueries {
     * dataflow ([[CodebookStore.kFor]]). */
   private[graft] def attachCodebook(
       spark: SparkSession, e: DataFrame,
-      cb: Vector[(Long, Vector[Double], Double)]): (DataFrame, org.apache.spark.sql.Column) =
-    if (cb.size <= broadcastThreshold) (e, typedLit(cb))
+      cb: Vector[(Long, Vector[Double], Double)],
+      forceBroadcast: Boolean = false): (DataFrame, org.apache.spark.sql.Column) =
+    if (!forceBroadcast && cb.size <= broadcastThreshold) (e, typedLit(cb))
     else {
       import spark.implicits._
       // the codebook array built driver-side as ONE local row — no
@@ -275,18 +277,29 @@ object SimilarityQueries {
     * constant data. The codebook arrives as a literal or a broadcast
     * relation by |C| ([[attachCodebook]]); either way the corpus side
     * keeps its partitioning. */
-  private[graft] def ivfAssignment(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfAssignment(spark: SparkSession, dir: String,
+      forceBroadcast: Boolean = false): DataFrame = {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val (ec, cbCol) = attachCodebook(spark, e, trainedCodebook(spark, dir))
+    val (ec, cbCol) = attachCodebook(spark, e, trainedCodebook(spark, dir), forceBroadcast)
     ec.withColumn("cid",
         graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbCol))
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
   }
 
-  private def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val assign = ivfAssignment(spark, dir)
+  private def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKFrom(ivfAssignment(spark, dir))
+
+  /** The broadcast-codebook twin as its own oracle-gated query: same
+    * semantics (and the same DuckDB SQL) as `sim_ivf_topk`, but the
+    * codebook is FORCED onto the broadcast-relation path — so the
+    * 100 TB delivery mode is hash-checked by the correctness gate
+    * every round, not only pinned by CodebookPlanSpec. */
+  private def ivfTopKBcast(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKFrom(ivfAssignment(spark, dir, forceBroadcast = true))
+
+  private def ivfTopKFrom(assign: DataFrame): DataFrame = {
     val q = assign.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("cid").as("qcid"), col("v").as("qv"), col("nrm").as("qn"))
     val pairs = assign.select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
