@@ -61,7 +61,16 @@ final class Scd2BucketedTable(
   private def fileSchema: StructType = StructType(
     StreamScd2.historySchema(keyType).fields :+ StructField("__seq", LongType))
 
-  private def bucketOf: Column = pmod(hash(col("key")), lit(nBuckets))
+  /** An EXISTING layout's bucket count is authoritative (recorded in
+    * the manifest): a restart that constructs the table with a
+    * different `nBuckets` (e.g. the factory default) must hash against
+    * the on-disk layout, or dirty-set computation and bucket scans
+    * silently miss every file. The constructor value only shapes a
+    * fresh directory. */
+  private def effectiveNBuckets(m: Option[Manifest]): Int =
+    m.map(_.nBuckets).getOrElse(nBuckets)
+
+  private def bucketOf(n: Int): Column = pmod(hash(col("key")), lit(n))
 
   // ---- pointer: "<manifestSeq> <lastBatchId>", one atomic swap ----
 
@@ -116,7 +125,7 @@ final class Scd2BucketedTable(
       .sortBy(_._2.head)
       .map { case (owners, rels) =>
         scanPaths(rels.map(rel => s"$dir/$rel"))
-          .filter(bucketOf.isin(owners.map(Integer.valueOf): _*))
+          .filter(bucketOf(m.nBuckets).isin(owners.map(Integer.valueOf): _*))
       }
     val parts =
       (if (basePaths.isEmpty) Nil else Seq(scanPaths(basePaths))) ++ deltaScans
@@ -189,12 +198,13 @@ final class Scd2BucketedTable(
     } else {
       val keys = batch.select(col("key")).distinct().persist()
       try {
+        val m = manifest()
+        val nb = effectiveNBuckets(m)
         val st = keys.agg(
-          collect_set(bucketOf).as("bs"),
+          collect_set(bucketOf(nb)).as("bs"),
           min(col("key")).as("lo"), max(col("key")).as("hi"),
           count(lit(1)).as("n")).head()
         val dirty = st.getSeq[Int](0).toSet
-        val m = manifest()
         val prior = m.map(priorFor(_, keys, dirty, st.get(1), st.get(2), st.getLong(3)))
           .getOrElse(StreamScd2.emptyHistory(spark, keyType))
         val merged = StreamScd2.applyBatch(prior, batch)
@@ -204,7 +214,7 @@ final class Scd2BucketedTable(
           .withColumn("__seq", lit(newSeq))
           .sortWithinPartitions(col("key"))
           .write.mode("overwrite").parquet(s"$dir/$rel")
-        var next = Manifest(nBuckets, newSeq,
+        var next = Manifest(nb, newSeq,
           dirty.foldLeft(m.map(_.buckets).getOrElse(Map.empty[Int, BucketFiles])) {
             (acc, b) =>
               val cur = acc.getOrElse(b, BucketFiles(None, Vector.empty))
@@ -221,7 +231,7 @@ final class Scd2BucketedTable(
           val crel = s"data/base_$cseq"
           resolve(scanBuckets(next, toCompact))
             .withColumn("__seq", lit(cseq))
-            .withColumn("__bucket", bucketOf)
+            .withColumn("__bucket", bucketOf(nb))
             .repartition(col("__bucket"))
             .sortWithinPartitions(col("__bucket"), col("key"))
             .write.partitionBy("__bucket").mode("overwrite").parquet(s"$dir/$crel")
@@ -236,7 +246,7 @@ final class Scd2BucketedTable(
               case None    => acc - b
             }
           }
-          next = Manifest(nBuckets, cseq, rebased)
+          next = Manifest(nb, cseq, rebased)
           checkPointerUnmoved(newSeq)
           writeManifest(next, batchId)
         }

@@ -187,6 +187,26 @@ class StreamScd2Spec extends AnyFunSuite {
       Set((1L, "a", false), (2L, "b", true)))
   }
 
+  test("bucketed history: a restart with a DIFFERENT constructor nBuckets honors the on-disk layout") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sscd2n").toString
+    def batch(rs: (Long, String, Long, Long)*) =
+      rs.toDF("key", "attr", "sec", "event_id")
+    // created with 4 buckets...
+    val t4 = new Scd2BucketedTable(spark, s"$base/hist", nBuckets = 4)
+    assert(t4.applyIfNew(batch((0L until 32L).map(k => (k, "a", 10L, k)): _*), 0L))
+    // ...reopened with the factory default (16): the manifest's bucket
+    // count must win, or the point lookup misses every file and the
+    // merge double-opens versions
+    val t16 = new Scd2BucketedTable(spark, s"$base/hist", nBuckets = 16)
+    assert(t16.applyIfNew(batch((5L, "b", 20L, 100L)), 1L))
+    val out = rows(StreamScd2.asQueryResult(t16.read()))
+    assert(out.size === 33, s"expected 33 rows, got ${out.size}")
+    assert(out.filter(_._1 == 5L).map(t => (t._2, t._3, t._6)).toSet ===
+      Set((1L, "a", false), (2L, "b", true)),
+      "key 5 must continue from version 1, not restart at 1")
+  }
+
   test("bucketed history: compaction collapses delta chains and vacuum reclaims; reads stay exact") {
     import spark.implicits._
     import graft.cdc.StateIO
