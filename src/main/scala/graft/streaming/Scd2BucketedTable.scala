@@ -256,6 +256,36 @@ final class Scd2BucketedTable(
     }
   }
 
+  /** Re-bucket the history to `newNBuckets` — the maintenance
+    * operation a growing deployment runs when buckets outgrow their
+    * target size (same contract as
+    * [[graft.cdc.BucketedStateStore.reshard]]): one full resolved
+    * read → one partitioned rewrite → one pointer swap; readers
+    * resolve the old manifest until the swap, and the next vacuum
+    * reclaims the old layout. Single-writer: run BETWEEN triggers. */
+  def reshard(newNBuckets: Int): Unit = {
+    val m = manifest().getOrElse(
+      throw new IllegalStateException(s"no bucketed scd2 history at $dir to reshard"))
+    val (seq, batchId) = pointer()
+    val cseq = seq + 1
+    val crel = s"data/base_$cseq"
+    read()
+      .withColumn("__seq", lit(cseq))
+      .withColumn("__bucket", bucketOf(newNBuckets))
+      .repartition(col("__bucket"))
+      .sortWithinPartitions(col("__bucket"), col("key"))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(s"$dir/$crel")
+    val buckets = StateIO.list(s"$dir/$crel").collect {
+      case stt if stt.getPath.getName.startsWith("__bucket=") =>
+        stt.getPath.getName.stripPrefix("__bucket=").toInt ->
+          s"$crel/${stt.getPath.getName}"
+    }.toMap
+    checkPointerUnmoved(m.seq)
+    writeManifest(Manifest(newNBuckets, cseq,
+      buckets.map { case (b, p) => b -> BucketFiles(Some(p), Vector.empty) }), batchId)
+    vacuum()
+  }
+
   /** Keep the newest `retainManifests` manifests; delete older
     * manifest files and any data directory none of them references
     * (same reclamation rule as BucketedStateStore.vacuum, adjusted for

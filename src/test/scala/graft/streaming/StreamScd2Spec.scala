@@ -207,6 +207,28 @@ class StreamScd2Spec extends AnyFunSuite {
       "key 5 must continue from version 1, not restart at 1")
   }
 
+  test("bucketed history: reshard re-buckets without changing the history; merges continue") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sscd2r").toString
+    def batch(rs: (Long, String, Long, Long)*) =
+      rs.toDF("key", "attr", "sec", "event_id")
+    val t = new Scd2BucketedTable(spark, s"$base/hist", nBuckets = 2)
+    assert(t.applyIfNew(batch((0L until 20L).map(k => (k, "a", 10L, k)): _*), 0L))
+    assert(t.applyIfNew(batch((3L, "b", 20L, 100L)), 1L))
+    val before = rows(StreamScd2.asQueryResult(t.read()))
+    t.reshard(8)
+    assert(rows(StreamScd2.asQueryResult(t.read())) === before,
+      "reshard must not change the history")
+    assert(t.lastBatchId === 1L, "reshard must preserve the replay guard")
+    // a later merge through the new layout (reopened with any nBuckets)
+    val t2 = new Scd2BucketedTable(spark, s"$base/hist", nBuckets = 4)
+    assert(t2.applyIfNew(batch((3L, "c", 30L, 200L)), 2L))
+    val out = rows(StreamScd2.asQueryResult(t2.read()))
+    assert(out.size === 22)
+    assert(out.filter(_._1 == 3L).map(t => (t._2, t._3, t._6)).toSet ===
+      Set((1L, "a", false), (2L, "b", false), (3L, "c", true)))
+  }
+
   test("bucketed history: compaction collapses delta chains and vacuum reclaims; reads stay exact") {
     import spark.implicits._
     import graft.cdc.StateIO
