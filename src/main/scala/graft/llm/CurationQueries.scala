@@ -31,6 +31,7 @@ object CurationQueries {
     NamedQuery("pipeline_domain_mix", domainMix, Some(domainMixSql)),
     NamedQuery("text_quality_lr_step", qualityLrStep, Some(qualityLrStepSql)),
     NamedQuery("pipeline_domain_reweight_step", domainReweight, Some(domainReweightSql)),
+    NamedQuery("pipeline_source_cap", sourceCap, Some(sourceCapSql)),
   )
 
   // ---------------------------------------------------------------
@@ -399,6 +400,41 @@ object CurationQueries {
           .cast("long").as("expected_chars"))
       .orderBy(col("source"))
   }
+
+  // ---------------------------------------------------------------
+  // Per-source frequency cap — the C4/RefinedWeb-style guard against a
+  // single host flooding the corpus: within each source keep only the
+  // top `cap` documents by quality (here the n_chars length proxy;
+  // doc_id breaks ties deterministically). This is the DECISION
+  // companion to pipeline_domain_mix's rate balancer: mix reweights
+  // sampling, the cap hard-bounds any one host's contribution.
+  //
+  // Scale shape: ONE hash exchange on source — and the rank<=cap
+  // filter is rewritten by Spark's InferWindowGroupLimit into a
+  // WindowGroupLimit on BOTH sides of the exchange (plan-pinned in
+  // PlanSpec), so each map task forwards at most cap rows per source
+  // it sees: O(sources x cap) rows cross the wire at any corpus size,
+  // never the corpus. The hottest host on the web costs the same as
+  // the coldest.
+  private val SourceCapN = 10
+
+  private def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= SourceCapN)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private val sourceCapSql =
+    s"""SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+      |  FROM documents
+      |) WHERE rank <= $SourceCapN
+      |ORDER BY source, rank""".stripMargin
 
   private val domainMixSql =
     """WITH s AS (

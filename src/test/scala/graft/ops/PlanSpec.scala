@@ -42,6 +42,12 @@ class PlanSpec extends AnyFunSuite {
       "top-1000 trim must plan per-partition top-k, not a global single-partition window: " + p.take(800))
   }
 
+  test("per-source cap plans WindowGroupLimit on both sides of the exchange") {
+    val p = plan("pipeline_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=cap must rewrite to a window group limit, not rank-then-filter the corpus: " + p.take(800))
+  }
+
   test("semi/anti joins plan as such (no row explosion)") {
     assert(plan("join_semi_open_orders").contains("LeftSemi"))
     assert(plan("join_anti_no_orders").contains("LeftAnti"))
