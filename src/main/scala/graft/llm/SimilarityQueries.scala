@@ -25,6 +25,7 @@ object SimilarityQueries {
     NamedQuery("sim_lsh_topk", lshTopK, Some(lshTopKSql)),
     NamedQuery("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     NamedQuery("sim_ivf_topk_bcast", ivfTopKBcast, Some(ivfTopKSql)),
+    NamedQuery("sim_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     NamedQuery("sim_ivf_multiprobe", ivfMultiprobe, Some(ivfMultiprobeSql)),
     NamedQuery("sim_quantize_error", quantizeError, Some(quantizeErrorSql)),
     NamedQuery("sim_kmeans_update", kmeansUpdate, Some(kmeansUpdateSql)),
@@ -403,6 +404,65 @@ object SimilarityQueries {
       |  SELECT q_id, n_id, sim,
       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
       |  FROM pairs
+      |)
+      |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Hard-negative mining — the contrastive-training data op (what
+  // retrieval/embedding model training wants: per anchor, the most-similar
+  // candidates that are NOT positives): same IVF cell-probe dataflow
+  // as sim_ivf_topk, but candidates at or above the positive
+  // threshold (near-dups / true matches, 0.35 on this fixture's sim
+  // scale) are EXCLUDED before ranking, so the top-3 that remain are
+  // the hardest negatives. At 100 TB the shape is identical to the
+  // ANN search — one zero-exchange assignment, per-cell candidate
+  // join, per-query top-k — so mining cost equals search cost, and
+  // the threshold is the one knob between "too easy" and "false
+  // negatives".
+  private val HardNegPositiveThreshold = 0.35
+
+  private def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssignment(spark, dir)
+    val q = assign.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("cid").as("qcid"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = assign.select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(q), col("qcid") === col("cid") && col("q_id") =!= col("n_id"))
+      .withColumn("sim", graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .filter(col("sim") < lit(HardNegPositiveThreshold))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def hardNegativesSql =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), c AS (
+      |  $codebookSql
+      |), assign AS (
+      |  SELECT vec_id, cid, v, nrm FROM (
+      |    SELECT e.vec_id, c.cid, e.v, e.nrm,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c
+      |  ) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS q_id, cid AS qcid, v AS qv, nrm AS qn
+      |  FROM assign WHERE vec_id < 8
+      |), pairs AS (
+      |  SELECT q.q_id, a.vec_id AS n_id,
+      |    CAST(round(CAST(list_dot_product(q.qv, a.v) / (q.qn * a.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
+      |  FROM assign a JOIN q ON a.cid = q.qcid AND q.q_id <> a.vec_id
+      |), ranked AS (
+      |  SELECT q_id, n_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      |  FROM pairs WHERE sim < $HardNegPositiveThreshold
       |)
       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
