@@ -32,6 +32,7 @@ object CurationQueries {
     NamedQuery("text_quality_lr_step", qualityLrStep, Some(qualityLrStepSql)),
     NamedQuery("pipeline_domain_reweight_step", domainReweight, Some(domainReweightSql)),
     NamedQuery("pipeline_source_cap", sourceCap, Some(sourceCapSql)),
+    NamedQuery("pipeline_budget_select", budgetSelect, Some(budgetSelectSql)),
   )
 
   // ---------------------------------------------------------------
@@ -435,6 +436,98 @@ object CurationQueries {
       |  FROM documents
       |) WHERE rank <= $SourceCapN
       |ORDER BY source, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Budget-constrained selection — "keep the best quarter of the
+  // corpus by quality, by token budget" WITHOUT a global sort: the
+  // greedy optimum (take docs by quality desc, doc_id tiebreak, until
+  // the token budget fills) computed the way 100 TB allows. The trick
+  // is that the 3-dp-rounded quality score is ALGEBRAICALLY bounded to
+  // <= 1001 distinct levels, so the global prefix structure lives in a
+  // <= 1001-row level table (one corpus agg + a tiny window — the
+  // eval_auc_binned pattern), and the only per-doc running sum is a
+  // window PARTITIONED by level (one hash exchange; each level's docs
+  // cumsum independently in doc_id order). A doc is selected iff the
+  // tokens of all strictly-better levels plus its own level's running
+  // prefix fit the budget — exactly the greedy answer, with the
+  // boundary level resolved per doc. Output is the <= 1001-row
+  // per-level audit (selected / partial / dropped) the curation run
+  // logs.
+  private def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .withColumn("score", rnd(
+        lit(0.5) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
+        3))
+      .select(col("doc_id"), col("n_words"), col("score"))
+    // budget: a quarter of the corpus tokens (integer floor)
+    val budgetRow = docs.agg((sum(col("n_words")) / lit(4)).cast("long").as("budget"))
+    // <= 1001-row level table with the strictly-better-levels prefix
+    val levels = docs.groupBy(col("score"))
+      .agg(sum(col("n_words")).as("level_tokens"))
+    val wLvl = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lv = levels.withColumn("cum_before",
+      coalesce(sum(col("level_tokens")).over(wLvl), lit(0L)))
+    val wDoc = Window.partitionBy(col("score")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("run", sum(col("n_words")).over(wDoc))
+      .join(broadcast(lv.select(col("score"), col("cum_before"))), Seq("score"))
+      .crossJoin(broadcast(budgetRow))
+      .withColumn("sel", col("cum_before") + col("run") <= col("budget"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("level_tokens"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("taken_docs"),
+        coalesce(sum(when(col("sel"), col("n_words"))), lit(0L)).as("taken_tokens"))
+      .withColumn("status",
+        when(col("taken_docs") === col("n_docs"), lit("selected"))
+          .when(col("taken_docs") > 0, lit("partial"))
+          .otherwise(lit("dropped")))
+      .select(col("score"), col("n_docs"), col("level_tokens"),
+        col("taken_docs"), col("taken_tokens"), col("status"))
+      .orderBy(col("score").desc)
+  }
+
+  private val budgetSelectSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, n_words,
+      |    CAST(round(CAST(0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+      |      + 0.5 * (1.0 - CAST(round(CAST(CAST(n_stop AS DOUBLE) / n_words AS DECIMAL(18,8)), 3) AS DOUBLE)) AS DECIMAL(18,8)), 3) AS DOUBLE) AS score
+      |  FROM t
+      |), b AS (
+      |  SELECT CAST(sum(n_words) // 4 AS BIGINT) AS budget FROM d
+      |), lv AS (
+      |  SELECT score, sum(n_words) AS level_tokens FROM d GROUP BY score
+      |), c AS (
+      |  SELECT score, CAST(coalesce(sum(level_tokens) OVER (
+      |    ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM lv
+      |), p AS (
+      |  SELECT d.doc_id, d.score, d.n_words, c.cum_before, b.budget,
+      |    sum(d.n_words) OVER (PARTITION BY d.score ORDER BY d.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM d JOIN c USING (score), b
+      |)
+      |SELECT score, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS level_tokens,
+      |  CAST(sum(CASE WHEN cum_before + run <= budget THEN 1 ELSE 0 END) AS BIGINT) AS taken_docs,
+      |  CAST(coalesce(sum(CASE WHEN cum_before + run <= budget THEN n_words END), 0) AS BIGINT) AS taken_tokens,
+      |  CASE WHEN sum(CASE WHEN cum_before + run <= budget THEN 1 ELSE 0 END) = count(*) THEN 'selected'
+      |       WHEN sum(CASE WHEN cum_before + run <= budget THEN 1 ELSE 0 END) > 0 THEN 'partial'
+      |       ELSE 'dropped' END AS status
+      |FROM p GROUP BY score ORDER BY score DESC""".stripMargin
 
   private val domainMixSql =
     """WITH s AS (
