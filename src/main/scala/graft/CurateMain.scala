@@ -72,6 +72,7 @@ object CurateMain {
       sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
       sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
       sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+      sum(when(col("within_source_cap"), 1L).otherwise(0L)).as("n_within_cap"),
       sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected")).head()
     val perSplit = spark.read.parquet(s"$outDir/corpus")
       .groupBy("split").agg(count(lit(1)).as("n"))
@@ -93,7 +94,8 @@ object CurateMain {
       s""""n_canonical":${f.getLong(1)}""",
       s""""n_quality_ok":${f.getLong(2)}""",
       s""""n_contaminated":${f.getLong(3)}""",
-      s""""n_selected":${f.getLong(4)}""") ++
+      s""""n_within_cap":${f.getLong(4)}""",
+      s""""n_selected":${f.getLong(5)}""") ++
       perSplit.map { case (s, n) => s""""n_$s":$n""" }
     val manifest = fields.mkString("{", ",", "}")
     Files.createDirectories(Paths.get(outDir))

@@ -217,9 +217,17 @@ object PipelineQueries {
   //    hash) — one hash shuffle on md5(text);
   //  - quality_ok: the Gopher repetition gate — per-row, zero shuffle
   //    (NULL fracs on degenerate docs degrade to false);
-  //  - contaminated: benchmark shingle overlap — broadcast joins only.
-  // selected = canonical AND quality AND clean. Every step is a
-  // harness query in its own right; this pins their composition.
+  //  - contaminated: benchmark shingle overlap — broadcast joins only;
+  //  - within_source_cap: among docs passing the three content gates,
+  //    each source's first `CurateSourceCap` by doc_id (the
+  //    pipeline_source_cap host-flood guard applied POST-cleaning, the
+  //    order real pipelines cap in) — one more hash exchange on
+  //    source, WindowGroupLimit-friendly.
+  // selected = canonical AND quality AND clean AND within cap. Every
+  // step is a harness query in its own right; this pins their
+  // composition.
+  private[llm] val CurateSourceCap = 15
+
   private def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val canon = docs.select(col("doc_id"),
@@ -228,11 +236,21 @@ object PipelineQueries {
     val quality = CurationQueries.gopherGate(docs)
       .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("quality_ok"))
     val cont = contaminationFlags(docs)
-    canon
+    val gated = canon
       .join(quality, Seq("doc_id"))
       .join(cont, Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("pass",
+        col("is_canonical") && col("quality_ok") && !col("contaminated"))
+    // rank ONLY the gate-passing docs within their source: partitioning
+    // by (source, pass) makes row_number count pass rows alone
+    val wCap = Window.partitionBy(col("source"), col("pass")).orderBy(col("doc_id"))
+    gated
+      .withColumn("within_source_cap",
+        col("pass") && row_number().over(wCap) <= CurateSourceCap)
       .select(col("doc_id"), col("is_canonical"), col("quality_ok"), col("contaminated"),
-        (col("is_canonical") && col("quality_ok") && !col("contaminated")).as("selected"))
+        col("within_source_cap"),
+        col("within_source_cap").as("selected"))
       .orderBy(col("doc_id"))
   }
 
@@ -270,15 +288,23 @@ object PipelineQueries {
       |  SELECT DISTINCT s.doc_id
       |  FROM sh s JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b
       |    ON s.sh = b.sh AND s.doc_id <> b.doc_id
+      |), gated AS (
+      |  SELECT d.doc_id, d.source, c.is_canonical, g.quality_ok,
+      |    (h.doc_id IS NOT NULL) AS contaminated,
+      |    (c.is_canonical AND g.quality_ok AND h.doc_id IS NULL) AS pass
+      |  FROM documents d
+      |  JOIN canon c ON d.doc_id = c.doc_id
+      |  JOIN gq g ON d.doc_id = g.doc_id
+      |  LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |), capped AS (
+      |  SELECT *, pass AND row_number() OVER (
+      |    PARTITION BY source, pass ORDER BY doc_id) <= 15 AS within_source_cap
+      |  FROM gated
       |)
-      |SELECT d.doc_id, c.is_canonical, g.quality_ok,
-      |  (h.doc_id IS NOT NULL) AS contaminated,
-      |  (c.is_canonical AND g.quality_ok AND h.doc_id IS NULL) AS selected
-      |FROM documents d
-      |JOIN canon c ON d.doc_id = c.doc_id
-      |JOIN gq g ON d.doc_id = g.doc_id
-      |LEFT JOIN hits h ON d.doc_id = h.doc_id
-      |ORDER BY d.doc_id""".stripMargin
+      |SELECT doc_id, is_canonical, quality_ok, contaminated,
+      |  within_source_cap, within_source_cap AS selected
+      |FROM capped
+      |ORDER BY doc_id""".stripMargin
 
   private val chunkOverlapSql =
     """WITH t AS (

@@ -26,6 +26,8 @@ class CurateMainSpec extends AnyFunSuite {
     val selected = field("n_selected")
     assert(field("n_ingested") > selected && selected > 0)
     assert(field("n_canonical") >= selected && field("n_quality_ok") >= selected)
+    assert(field("n_within_cap") === selected,
+      "selection IS the post-gate source cap")
 
     // the written corpus IS the selected set, and the split dirs add up
     val corpus = spark.read.parquet(s"$out/corpus")
