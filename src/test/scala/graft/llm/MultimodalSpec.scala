@@ -78,6 +78,25 @@ class MultimodalSpec extends AnyFunSuite {
     Multimodal.HeaderDecoder.decode(2L, junkJpeg)
   }
 
+  test("HeaderDecoder never throws on arbitrary bytes (fuzz)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 2000) {
+      val n = rnd.nextInt(64)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      // bias some payloads toward magic prefixes so the parsers' inner
+      // branches get fuzzed too, not just the signature rejects
+      if (n >= 2 && rnd.nextBoolean()) { b(0) = 0xff.toByte; b(1) = 0xd8.toByte }
+      else if (n >= 8 && rnd.nextBoolean()) {
+        Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+          .map(_.toByte).copyToArray(b)
+      } else if (n >= 6 && rnd.nextBoolean()) {
+        "GIF89a".getBytes.copyToArray(b)
+      }
+      Multimodal.HeaderDecoder.decode(1L, b) // must not throw
+    }
+  }
+
   test("decodeFrame runs real image bytes through the partition-wise Spark path") {
     import java.awt.image.BufferedImage._
     import spark.implicits._
