@@ -160,6 +160,22 @@ final class Scd2BucketedTable(
     case _ => StreamScd2.emptyHistory(spark, keyType)
   }
 
+  /** Time-travel read: the history AS OF manifest commit `seq` — what
+    * a debugging/backfill session uses to diff dimension history
+    * across triggers (the `VERSION AS OF` analog the retained-manifest
+    * chain exists for; same contract as
+    * [[graft.cdc.BucketedStateStore.readAt]]). None once vacuum
+    * dropped that manifest. */
+  def readAt(seq: Long): Option[DataFrame] = {
+    val p = s"$dir/manifest/m_$seq.json"
+    if (!StateIO.exists(p)) None
+    else {
+      val m = Manifest.parse(StateIO.readString(p))
+      if (m.buckets.isEmpty) Some(StreamScd2.emptyHistory(spark, keyType))
+      else Some(resolve(scanBuckets(m, m.buckets.keys)))
+    }
+  }
+
   /** Current history rows for exactly `keys` — the merge's point
     * lookup. Only the dirty buckets' files are touched; the key set is
     * broadcast; the key-range predicate reaches parquet row-group

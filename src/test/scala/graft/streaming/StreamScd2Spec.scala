@@ -207,6 +207,24 @@ class StreamScd2Spec extends AnyFunSuite {
       "key 5 must continue from version 1, not restart at 1")
   }
 
+  test("bucketed history: time travel reads retained commits exactly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sscd2tt").toString
+    def batch(rs: (Long, String, Long, Long)*) =
+      rs.toDF("key", "attr", "sec", "event_id")
+    val t = new Scd2BucketedTable(spark, s"$base/hist", nBuckets = 2,
+      compactThreshold = 100, retainManifests = 10)
+    assert(t.applyIfNew(batch((1L, "a", 10L, 1L), (2L, "x", 10L, 2L)), 0L))
+    val afterFirst = rows(StreamScd2.asQueryResult(t.read()))
+    assert(t.applyIfNew(batch((1L, "b", 20L, 3L)), 1L))
+    // commits are seq 0 (first apply) and seq 1 (current)
+    val asOf0 = t.readAt(0L).map(h => rows(StreamScd2.asQueryResult(h)))
+    assert(asOf0 === Some(afterFirst), "as-of read must reproduce the first commit")
+    val asOf1 = t.readAt(1L).map(h => rows(StreamScd2.asQueryResult(h)))
+    assert(asOf1 === Some(rows(StreamScd2.asQueryResult(t.read()))))
+    assert(t.readAt(99L).isEmpty, "unknown seq reads as None")
+  }
+
   test("bucketed history: reshard re-buckets without changing the history; merges continue") {
     import spark.implicits._
     val base = Files.createTempDirectory("sscd2r").toString
