@@ -273,6 +273,29 @@ class StreamScd2Spec extends AnyFunSuite {
     assert(dirs.size < 6, s"vacuum should have reclaimed old commits: $dirs")
   }
 
+  test("bucketed history: string keys work end to end (the CDC doc-id shape)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StringType
+    val base = Files.createTempDirectory("sscd2s").toString
+    val t = new Scd2BucketedTable(spark, s"$base/hist", nBuckets = 2,
+      compactThreshold = 2, keyType = StringType)
+    def batch(rs: (String, String, Long, Long)*) =
+      rs.toDF("key", "attr", "sec", "event_id")
+    assert(t.applyIfNew(batch(("docA", "h1", 10L, 1L), ("docB", "h1", 15L, 2L)), 0L))
+    assert(t.applyIfNew(batch(("docA", "h2", 20L, 3L)), 1L))
+    assert(t.applyIfNew(batch(("docB", "h2", 25L, 4L)), 2L)) // compaction fires
+    val out = StreamScd2.asQueryResult(t.read()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.toSeq === Seq(
+      ("docA", 1L, "h1", Some(20L)), ("docA", 2L, "h2", None),
+      ("docB", 1L, "h1", Some(25L)), ("docB", 2L, "h2", None)))
+    // restart with the factory (string keys flow through the resolver)
+    val t2 = StreamScd2.table(spark, s"$base/hist", keyType = StringType)
+    assert(t2.lastBatchId === 2L)
+    assert(!t2.applyIfNew(batch(("docA", "h2", 20L, 3L)), 2L))
+  }
+
   test("string keys work end to end (the CDC doc-id shape)") {
     import spark.implicits._
     val b = Seq(("docA", "h1", 10L, 1L), ("docA", "h2", 20L, 2L), ("docB", "h1", 15L, 3L))
