@@ -51,9 +51,16 @@ object Bench {
     val fixtureFiles = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     fixtureFiles.foreach { f =>
-      val in = java.nio.file.Files.newInputStream(f.toPath)
-      val buf = new Array[Byte](1 << 20)
-      try { while (in.read(buf) != -1) () } finally in.close()
+      // a table may be a directory of part files (non-harness layouts)
+      val leaves =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+        else Array(f)
+      leaves.foreach { leaf =>
+        val in = java.nio.file.Files.newInputStream(leaf.toPath)
+        val buf = new Array[Byte](1 << 20)
+        try { while (in.read(buf) != -1) () } finally in.close()
+      }
       spark.read.parquet(f.getPath).schema // footer parse
     }
     val fixtureWarmSec = (System.nanoTime() - warmT0) / 1e9
