@@ -42,6 +42,14 @@ class PlanSpec extends AnyFunSuite {
       "top-1000 trim must plan per-partition top-k, not a global single-partition window: " + p.take(800))
   }
 
+  test("hard-negative mining keeps the ANN search shape (no cartesian, broadcast panel)") {
+    val p = plan("sim_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"), "query panel must broadcast: " + p.take(600))
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "assignment must stay the native projection, not a per-vector window")
+  }
+
   test("per-source cap plans WindowGroupLimit on both sides of the exchange") {
     val p = plan("pipeline_source_cap")
     assert(p.contains("WindowGroupLimit"),
