@@ -43,10 +43,26 @@ object Layout {
     * of `qs` at 2i. `idiv` is the engine's integer-division operator
     * (`div` for Spark SQL, `//` for DuckDB). */
   def mortonExpr(qp: String, qs: String, idiv: String): String =
-    (0 until 8).map { i =>
+    mortonExprN(Seq(qp, qs), idiv)
+
+  /** N-dimensional Morton interleave of pre-quantized 8-bit values:
+    * bit i of dimension j lands at position `N*i + (N-1-j)` (dimension
+    * 0 most significant within each bit group — the 2-D form above is
+    * the N=2 case). 100 TB layouts routinely cluster 3-4 dimensions;
+    * the prefix property (truncating one bit per dimension truncates N
+    * bits of z, so z-ranges are quantized hyper-rectangles) holds for
+    * any N, which is what file/row-group pruning relies on. 8 bits × N
+    * dims must fit a long: N ≤ 7. */
+  def mortonExprN(qs: Seq[String], idiv: String): String = {
+    require(qs.nonEmpty && qs.size <= 7, s"morton supports 1..7 dims, got ${qs.size}")
+    val n = qs.size
+    (0 until 8).flatMap { i =>
       val p2 = 1L << i
-      s"(($qp $idiv $p2) % 2) * ${1L << (2 * i + 1)} + (($qs $idiv $p2) % 2) * ${1L << (2 * i)}"
+      qs.zipWithIndex.map { case (q, j) =>
+        s"(($q $idiv $p2) % 2) * ${1L << (n * i + (n - 1 - j))}"
+      }
     }.mkString("(", " + ", ")")
+  }
 
   /** lineitem with quantized part/supp keys and the Morton key, bounds
     * computed by a broadcast 1-row aggregate. Reused by LayoutSpec's

@@ -29,20 +29,31 @@ object LayoutWriter {
 
   /** The clustered (but unwritten) form, for callers composing their
     * own write options. Output columns = input columns. */
-  def zordered(df: DataFrame, dimA: String, dimB: String, nFiles: Int): DataFrame = {
+  def zordered(df: DataFrame, dimA: String, dimB: String, nFiles: Int): DataFrame =
+    zorderedN(df, Seq(dimA, dimB), nFiles)
+
+  /** N-dimensional clustering (2-4 dims typical; Morton supports up to
+    * 7): one 1-row bounds aggregate over all dims, one codegen'd key
+    * projection, one range exchange — the same cost at any N. */
+  def zorderedN(df: DataFrame, dims: Seq[String], nFiles: Int): DataFrame = {
     val cols = df.columns.toSeq
     val bounds = df.agg(
-      min(col(dimA)).as("__amin"), max(col(dimA)).as("__amax"),
-      min(col(dimB)).as("__bmin"), max(col(dimB)).as("__bmax"))
+      min(col(dims.head)).as(s"__min0"),
+      (max(col(dims.head)).as(s"__max0") +:
+        dims.tail.zipWithIndex.flatMap { case (d, i) =>
+          Seq(min(col(d)).as(s"__min${i + 1}"), max(col(d)).as(s"__max${i + 1}"))
+        }): _*)
     // The affine map runs in bigint: in the column's native type an
     // IntegerType dimension with range > 2^31/255 would wrap the *255
     // silently under non-ANSI evaluation and corrupt the Morton keys.
-    df.crossJoin(broadcast(bounds))
-      .withColumn("__qa",
-        expr(s"((cast($dimA as bigint) - __amin) * 255L) div greatest(cast(__amax as bigint) - __amin, 1)"))
-      .withColumn("__qb",
-        expr(s"((cast($dimB as bigint) - __bmin) * 255L) div greatest(cast(__bmax as bigint) - __bmin, 1)"))
-      .withColumn("__z", expr(Layout.mortonExpr("__qa", "__qb", "div")))
+    val quantized = dims.zipWithIndex.foldLeft(df.crossJoin(broadcast(bounds))) {
+      case (acc, (d, i)) =>
+        acc.withColumn(s"__q$i",
+          expr(s"((cast($d as bigint) - __min$i) * 255L) div greatest(cast(__max$i as bigint) - __min$i, 1)"))
+    }
+    quantized
+      .withColumn("__z",
+        expr(Layout.mortonExprN(dims.indices.map(i => s"__q$i"), "div")))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .select(cols.map(col): _*)

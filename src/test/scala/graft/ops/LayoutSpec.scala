@@ -35,6 +35,55 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  /** Reference 3-D Morton in plain Scala (dim 0 most significant per
+    * bit group, matching mortonExprN). */
+  private def mortonRef3(a: Int, b: Int, c: Int): Long =
+    (0 until 8).map { i =>
+      (((a >> i) & 1).toLong << (3 * i + 2)) |
+        (((b >> i) & 1).toLong << (3 * i + 1)) |
+        (((c >> i) & 1).toLong << (3 * i))
+    }.sum
+
+  test("3-dim morton matches the reference interleave and keeps the prefix property") {
+    import spark.implicits._
+    val triples = for (a <- 0 until 256 by 37; b <- 0 until 256 by 41; c <- 0 until 256 by 43)
+      yield (a, b, c)
+    val got = triples.toDF("qa", "qb", "qc")
+      .withColumn("z", expr(Layout.mortonExprN(Seq("qa", "qb", "qc"), "div")))
+      .as[(Int, Int, Int, Long)].collect()
+    got.foreach { case (a, b, c, z) =>
+      assert(z === mortonRef3(a, b, c), s"($a,$b,$c)")
+      assert(z >> 3 === mortonRef3(a >> 1, b >> 1, c >> 1), s"prefix ($a,$b,$c)")
+    }
+  }
+
+  test("a 3-dim z-sorted write tightens per-file min/max on ALL three dims") {
+    val base = java.nio.file.Files.createTempDirectory("layout3").toString
+    val li = Tables.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    graft.sink.LayoutWriter.zorderedN(li,
+        Seq("l_partkey", "l_suppkey", "l_orderkey"), nFiles = 64)
+      .write.mode("overwrite").parquet(s"$base/z3")
+    li.repartitionByRange(64, col("l_linenumber"))
+      .write.mode("overwrite").parquet(s"$base/ins")
+    def spans(path: String): (Double, Double, Double) = {
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("l_partkey") - min("l_partkey")).as("ps"),
+          (max("l_suppkey") - min("l_suppkey")).as("ss"),
+          (max("l_orderkey") - min("l_orderkey")).as("os"))
+        .agg(avg("ps"), avg("ss"), avg("os")).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    val (zp, zs, zo) = spans(s"$base/z3")
+    val (ip, is, io_) = spans(s"$base/ins")
+    // 64 files over a 3-dim key = 2 prefix bits per dim -> each file's
+    // rectangle should cover well under half of each dim's range;
+    // linenumber order is uncorrelated with all three -> full spans
+    assert(zp < ip * 0.6 && zs < is * 0.6 && zo < io_ * 0.6,
+      s"3-dim z spans ($zp,$zs,$zo) must tighten vs insertion ($ip,$is,$io_)")
+  }
+
   test("z buckets bound both dimensions; insertion buckets bound neither") {
     val rows = graft.SparkEntry.queries("layout_zorder_stats")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
