@@ -454,7 +454,9 @@ object CurationQueries {
   // per-level audit (selected / partial / dropped) the curation run
   // logs.
   private def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(spark, dir, "documents")
+    // fanOut: the split/filter per-row work would otherwise run
+    // single-threaded on the fixture's one-row-group scan (Tables doc)
+    val docs = Tables.fanOut(Tables.table(spark, dir, "documents"))
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("n_stop", expr(
