@@ -76,6 +76,23 @@ final class Scd2BucketedTable(
 
   private def pointerPath = s"$dir/MANIFEST"
 
+  /** The key type is part of the on-disk layout (it shapes every
+    * parquet file's schema): it is recorded at first commit and a
+    * reopen with a DIFFERENT constructor keyType fails loudly instead
+    * of silently null-reading the key column. [[StreamScd2.table]]
+    * auto-detects it, so factory callers never hit this. */
+  private def keyTypePath = s"$dir/KEYTYPE"
+
+  private def checkKeyType(): Unit =
+    if (StateIO.exists(keyTypePath)) {
+      val stored = StateIO.readString(keyTypePath).trim
+      if (stored != keyType.catalogString)
+        throw new IllegalStateException(
+          s"scd2 history at $dir was written with key type '$stored' but " +
+            s"opened with '${keyType.catalogString}' — pass the stored type " +
+            "(StreamScd2.table auto-detects it)")
+    }
+
   private def pointer(): (Long, Long) =
     if (!StateIO.exists(pointerPath)) (-1L, -1L)
     else StateIO.readString(pointerPath).trim.split(' ') match {
@@ -146,7 +163,9 @@ final class Scd2BucketedTable(
   /** Full history read. Clean buckets (no delta chain) hold exactly
     * the resolved rows and scan straight through with no exchange;
     * only delta-bearing buckets pay the per-key resolution window. */
-  def read(): DataFrame = manifest() match {
+  def read(): DataFrame = { checkKeyType(); readResolved() }
+
+  private def readResolved(): DataFrame = manifest() match {
     case Some(m) if m.buckets.nonEmpty =>
       val (clean, dirty) = m.buckets.partition(_._2.deltas.isEmpty)
       val parts = Seq(
@@ -212,6 +231,9 @@ final class Scd2BucketedTable(
       StateIO.writeStringAtomic(pointerPath, s"$seq $batchId")
       false
     } else {
+      checkKeyType()
+      if (!StateIO.exists(keyTypePath))
+        StateIO.writeStringAtomic(keyTypePath, keyType.catalogString)
       val keys = batch.select(col("key")).distinct().persist()
       try {
         val m = manifest()

@@ -119,9 +119,15 @@ object StreamScd2 {
       keyType: DataType = LongType): Scd2History =
     if (graft.cdc.StateIO.exists(s"$dir/VERSION"))
       new Scd2Table(spark, dir, keyType = keyType)
-    else if (Scd2BucketedTable.exists(dir) || bucketed)
-      new Scd2BucketedTable(spark, dir, keyType = keyType)
-    else new Scd2Table(spark, dir, keyType = keyType)
+    else if (Scd2BucketedTable.exists(dir) || bucketed) {
+      // an existing layout's recorded key type is authoritative (it
+      // shapes the files' schema); the param only types fresh dirs
+      val kt = if (graft.cdc.StateIO.exists(s"$dir/KEYTYPE"))
+        org.apache.spark.sql.types.DataType.fromDDL(
+          graft.cdc.StateIO.readString(s"$dir/KEYTYPE").trim)
+      else keyType
+      new Scd2BucketedTable(spark, dir, keyType = kt)
+    } else new Scd2Table(spark, dir, keyType = keyType)
 
   /** Versioned-parquet persistence for the history with foreachBatch
     * replay protection. The SCD2 merge is NOT naturally idempotent

@@ -290,10 +290,20 @@ class StreamScd2Spec extends AnyFunSuite {
     assert(out.toSeq === Seq(
       ("docA", 1L, "h1", Some(20L)), ("docA", 2L, "h2", None),
       ("docB", 1L, "h1", Some(25L)), ("docB", 2L, "h2", None)))
-    // restart with the factory (string keys flow through the resolver)
-    val t2 = StreamScd2.table(spark, s"$base/hist", keyType = StringType)
+    // restart with the factory WITHOUT passing the key type: the
+    // recorded KEYTYPE is authoritative, so the default-long param is
+    // overridden by the on-disk string layout
+    val t2 = StreamScd2.table(spark, s"$base/hist")
     assert(t2.lastBatchId === 2L)
     assert(!t2.applyIfNew(batch(("docA", "h2", 20L, 3L)), 2L))
+    assert(StreamScd2.asQueryResult(t2.read()).collect()
+      .map(_.getString(0)).distinct.sorted.toSeq === Seq("docA", "docB"))
+
+    // a direct construction with the WRONG type fails loudly instead
+    // of null-reading the key column
+    val bad = new Scd2BucketedTable(spark, s"$base/hist")
+    val e = intercept[IllegalStateException](bad.read())
+    assert(e.getMessage.contains("key type"))
   }
 
   test("string keys work end to end (the CDC doc-id shape)") {
