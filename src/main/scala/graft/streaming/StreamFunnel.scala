@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental sequential-funnel maintenance — the streaming twin of
+  * `events_funnel_steps` (per user: first click, first view at or
+  * after it, first purchase within an hour of that view) for a
+  * dashboard that must track conversion as events arrive instead of
+  * re-scanning history per refresh.
+  *
+  * The per-batch transition is MIN-based, not sequence-based: each
+  * micro-batch contributes `min(candidate)` for every step against
+  * the state's current step times, which makes the fold exact for any
+  * ts-ordered micro-batching (each step's global first-qualifying
+  * time lands in the first batch that contains it — later batches
+  * only carry later timestamps) and independent of intra-batch row
+  * order — same-second ties inside one batch are resolved by the min,
+  * exactly as the batch query's window-min semantics resolve them.
+  *
+  * State: three step times per user — the bounded-key-
+  * space keyed-state doctrine ([[StatefulCounts]]); a deployment adds
+  * a TTL where the funnel window is finite.
+  */
+object StreamFunnel {
+
+  /** `ts_us` = event time in epoch MICROSECONDS (`unix_micros(ts)`) —
+    * the fixture's native precision; second-truncated times would
+    * diverge from the batch query's timestamp comparisons on
+    * sub-second orderings. */
+  final case class Ev(user_id: Long, ts_us: Long, event_type: String)
+
+  /** Per-user funnel progress: step times in epoch microseconds, -1 =
+    * not reached (Options don't survive the state encoder as
+    * cleanly). */
+  final case class FunnelState(user_id: Long, t1: Long, t2: Long, t3: Long)
+
+  private def minPos(a: Long, b: Option[Long]): Long = (a, b) match {
+    case (-1L, Some(v)) => v
+    case (x, Some(v))   => math.min(x, v)
+    case (x, None)      => x
+  }
+
+  def update(
+      user: Long,
+      evs: Iterator[Ev],
+      state: GroupState[FunnelState],
+  ): Iterator[FunnelState] = {
+    val prev = state.getOption.getOrElse(FunnelState(user, -1L, -1L, -1L))
+    val b = evs.toSeq
+    val t1 = minPos(prev.t1,
+      b.collect { case e if e.event_type == "click" => e.ts_us }.minOption)
+    val t2 =
+      if (t1 < 0) -1L
+      else minPos(prev.t2,
+        b.collect { case e if e.event_type == "view" && e.ts_us >= t1 => e.ts_us }.minOption)
+    val hourUs = 3600L * 1000000L
+    val t3 =
+      if (t2 < 0) -1L
+      else minPos(prev.t3,
+        b.collect {
+          case e if e.event_type == "purchase" && e.ts_us >= t2 && e.ts_us <= t2 + hourUs => e.ts_us
+        }.minOption)
+    val next = FunnelState(user, t1, t2, t3)
+    state.update(next)
+    Iterator.single(next)
+  }
+
+  /** Wire onto a streaming Dataset[Ev]; emits each user's updated
+    * funnel state per micro-batch that touched the user. */
+  def funnelStates(events: Dataset[Ev]): Dataset[FunnelState] = {
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** The batch query's output shape from a frame of final per-user
+    * states: users reaching each step. */
+  def funnelCounts(states: DataFrame): DataFrame =
+    states.agg(
+      sum(when(col("t1") >= 0, 1L).otherwise(0L)).as("u1"),
+      sum(when(col("t2") >= 0, 1L).otherwise(0L)).as("u2"),
+      sum(when(col("t3") >= 0, 1L).otherwise(0L)).as("u3"))
+      .selectExpr(
+        "stack(3, 1L, 'click', u1, 2L, 'click>view', u2, 3L, 'click>view>purchase', u3) AS (step_no, step, users)")
+      .orderBy(col("step_no"))
+}
