@@ -83,4 +83,57 @@ class MainSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rows === Map("a" -> 9.5, "c" -> 3.0))
   }
+
+  test("a 2-task config runs CONCURRENT tails with isolated state/checkpoints per task") {
+    val base = Files.createTempDirectory("main-2task-base").toString
+    val data = Files.createTempDirectory("main-2task-data").toString
+    val tasks = Seq(
+      ("app.users2___users2.user", "app.users2", "users2"),
+      ("app.orders2___orders2.order", "app.orders2", "orders2"))
+    spark.sql("DROP TABLE IF EXISTS users2")
+    spark.sql("DROP TABLE IF EXISTS orders2")
+    tasks.foreach { case (taskName, ns, _) =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$data/$taskName/oplog"))
+      spark.createDataFrame(Seq((s"$ns-a", s"""{"_id":"$ns-a","v":1.0}""")))
+        .toDF("id", "doc").write.parquet(s"$data/$taskName/snapshot")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$taskName/oplog/b1.jsonl"),
+        s"""{"ts":100,"op":"i","ns":"$ns","id":"$ns-b","doc":{"_id":"$ns-b","v":2.0}}""".getBytes)
+    }
+    val configPath = s"$data/config.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(configPath),
+      """{
+        |  "controls": {"elasticsearchBulkInterval": 100},
+        |  "mongodb": {"url": "mongodb://h/app"},
+        |  "tasks": [
+        |    {"from": {"phase": "scan"},
+        |     "extract": {"db": "app", "collection": "users2"},
+        |     "transform": {"mapping": {"v": "v"}},
+        |     "load": {"index": "users2", "type": "user",
+        |       "body": {"properties": {"v": {"type": "double"}}}}},
+        |    {"from": {"phase": "scan"},
+        |     "extract": {"db": "app", "collection": "orders2"},
+        |     "transform": {"mapping": {"v": "v"}},
+        |     "load": {"index": "orders2", "type": "order",
+        |       "body": {"properties": {"v": {"type": "double"}}}}}
+        |  ]
+        |}""".stripMargin.getBytes)
+
+    val queries = Main.run(spark, configPath, base, data)
+    assert(queries.length === 2, "one concurrent tail per task")
+    // both run at once (the reference's concurrent-tails contract):
+    // drain both before stopping either
+    queries.foreach(_.processAllAvailable())
+    queries.foreach(_.stop())
+
+    tasks.foreach { case (taskName, ns, table) =>
+      val st = StateStore.read(spark, s"$base/$taskName/state").collect()
+        .map(_.getAs[String]("id")).toSet
+      assert(st === Set(s"$ns-a", s"$ns-b"), s"task $taskName state")
+      assert(spark.catalog.tableExists(table))
+    }
+    // no cross-task bleed: each state dir holds only its own namespace
+    val usersState = StateStore.read(spark, s"$base/${tasks.head._1}/state")
+      .collect().map(_.getAs[String]("id"))
+    assert(usersState.forall(_.startsWith("app.users2")))
+  }
 }
