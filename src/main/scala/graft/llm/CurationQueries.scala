@@ -466,8 +466,16 @@ object CurationQueries {
           lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
         3))
       .select(col("doc_id"), col("n_words"), col("score"))
-    // budget: a quarter of the corpus tokens (integer floor)
-    val budgetRow = docs.agg((sum(col("n_words")) / lit(4)).cast("long").as("budget"))
+    budgetSelectFrom(docs, denom = 4)
+  }
+
+  /** The binned greedy core over any `(doc_id, n_words, score)` frame
+    * with score already quantized to a BOUNDED level set; budget =
+    * floor(total tokens / denom). Exposed for the property spec that
+    * pins binned ≡ global-sort greedy on random inputs. */
+  private[llm] def budgetSelectFrom(docs: DataFrame, denom: Int): DataFrame = {
+    // budget: 1/denom of the corpus tokens (integer floor)
+    val budgetRow = docs.agg((sum(col("n_words")) / lit(denom)).cast("long").as("budget"))
     // <= 1001-row level table with the strictly-better-levels prefix
     val levels = docs.groupBy(col("score"))
       .agg(sum(col("n_words")).as("level_tokens"))
