@@ -113,7 +113,13 @@ final class Scd2BucketedTable(
     StateIO.writeStringAtomic(pointerPath, s"${m.seq} $batchId")
   }
 
+  /** Test hook: runs immediately before each pointer-swap CAS check,
+    * letting the spec interpose a concurrent writer (the same
+    * discipline as BucketedStateStore.commitDelta's preSwap). */
+  private[streaming] var preSwapHook: () => Unit = () => ()
+
   private def checkPointerUnmoved(expected: Long): Unit = {
+    preSwapHook()
     val cur = pointer()._1
     if (cur != expected)
       throw new java.util.ConcurrentModificationException(

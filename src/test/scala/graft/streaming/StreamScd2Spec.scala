@@ -207,6 +207,31 @@ class StreamScd2Spec extends AnyFunSuite {
       "key 5 must continue from version 1, not restart at 1")
   }
 
+  test("bucketed history: a concurrent writer moving the pointer aborts the commit") {
+    import spark.implicits._
+    import graft.cdc.StateIO
+    val base = Files.createTempDirectory("sscd2cas").toString
+    def batch(rs: (Long, String, Long, Long)*) =
+      rs.toDF("key", "attr", "sec", "event_id")
+    val t = new Scd2BucketedTable(spark, s"$base/hist", nBuckets = 2)
+    assert(t.applyIfNew(batch((1L, "a", 10L, 1L)), 0L))
+    val before = rows(StreamScd2.asQueryResult(t.read()))
+    // interpose a second writer right before the swap
+    var armed = true
+    t.preSwapHook = () => if (armed) {
+      armed = false
+      StateIO.writeStringAtomic(s"$base/hist/MANIFEST", "99 99")
+    }
+    val e = intercept[java.util.ConcurrentModificationException](
+      t.applyIfNew(batch((1L, "b", 20L, 2L)), 100L))
+    assert(e.getMessage.contains("concurrent writer"))
+    // restore the true pointer: the aborted commit must not be visible
+    StateIO.writeStringAtomic(s"$base/hist/MANIFEST", "0 0")
+    t.preSwapHook = () => ()
+    assert(rows(StreamScd2.asQueryResult(t.read())) === before,
+      "an aborted commit must leave the previous state untouched")
+  }
+
   test("bucketed history: time travel reads retained commits exactly") {
     import spark.implicits._
     val base = Files.createTempDirectory("sscd2tt").toString
