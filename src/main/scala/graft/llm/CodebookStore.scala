@@ -169,28 +169,52 @@ object PqStore {
     }
   }
 
-  /** Persist the encoded corpus `(n_id, j, code)` atomically (temp dir
-    * + rename); readers either see the complete table or nothing. */
+  /** Persist the encoded corpus `(n_id, j, code)` with the pointer-
+    * swap discipline (versioned directory + atomically-renamed pointer
+    * file, the StateStore pattern): a reader resolves the pointer and
+    * reads an IMMUTABLE complete directory, so replacing a stale index
+    * for a regenerated corpus never races a concurrent reader through
+    * a delete window, and two concurrent encoders at worst leave an
+    * orphaned unreferenced version. */
   def saveCodes(codes: org.apache.spark.sql.DataFrame,
       dir: String, m: Int, k: Int, n: Long): Unit = {
-    val p = codesDir(dir, m, k)
-    Files.createDirectories(p.getParent)
-    val tmp = p.getParent.resolve(p.getFileName.toString + s".tmp-${java.util.UUID.randomUUID()}")
-    codes.write.parquet(tmp.toString)
-    Files.writeString(tmp.resolve("_CORPUS_ROWS"), n.toString)
-    if (Files.exists(p)) {
-      // stale index for a regenerated corpus: replace
-      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    val base = codesDir(dir, m, k)
+    Files.createDirectories(base.getParent)
+    val version = java.util.UUID.randomUUID().toString
+    val vdir = base.getParent.resolve(base.getFileName.toString + s".v-$version")
+    codes.write.parquet(vdir.toString)
+    Files.writeString(vdir.resolve("_CORPUS_ROWS"), n.toString)
+    val ptr = pointerFor(base)
+    val tmp = Files.createTempFile(base.getParent, ptr.getFileName.toString, ".tmp")
+    Files.writeString(tmp, vdir.getFileName.toString)
+    Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // reclaim versions the pointer no longer references (best effort;
+    // a concurrent reader of a JUST-replaced version re-resolves)
+    val prefix = base.getFileName.toString + ".v-"
+    Files.list(base.getParent).forEach { q =>
+      val name = q.getFileName.toString
+      if (name.startsWith(prefix) && name != vdir.getFileName.toString)
+        try org.apache.commons.io.FileUtils.deleteDirectory(q.toFile)
+        catch { case _: java.io.IOException => () }
     }
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
   }
+
+  private def pointerFor(base: Path): Path =
+    base.getParent.resolve(base.getFileName.toString + ".PTR")
 
   def loadCodes(spark: SparkSession, dir: String, m: Int, k: Int,
       n: Long): Option[org.apache.spark.sql.DataFrame] = {
-    val p = codesDir(dir, m, k)
-    val meta = p.resolve("_CORPUS_ROWS")
-    if (Files.exists(meta) && Files.readString(meta).trim == n.toString)
-      Some(spark.read.parquet(p.toString))
-    else None
+    val base = codesDir(dir, m, k)
+    val ptr = pointerFor(base)
+    // legacy layout (pre-pointer, the round-10 first cut): the bare dir
+    val resolved =
+      if (Files.exists(ptr)) Some(base.getParent.resolve(Files.readString(ptr).trim))
+      else if (Files.exists(base)) Some(base)
+      else None
+    resolved.filter { p =>
+      val meta = p.resolve("_CORPUS_ROWS")
+      Files.exists(meta) && Files.readString(meta).trim == n.toString
+    }.map(p => spark.read.parquet(p.toString))
   }
 }
