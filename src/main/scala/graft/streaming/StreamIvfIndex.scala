@@ -42,15 +42,32 @@ object StreamIvfIndex {
     * into `stats`. Coverage snaps to DECIMAL(18,8) per row so the
     * running sums are order-independent across merges. */
   def applyBatch(stats: DataFrame, batch: DataFrame, cb: Codebook): DataFrame = {
-    val cbLit = typedLit(cb)
-    val cbMap = typedLit(cb.map { case (cid, cv, cn) => cid -> ((cv, cn)) }.toMap)
-    val delta = batch
+    // same |C|-threshold delivery auto-selection as the batch ANN
+    // queries (round 10's literal-wall removal): below the threshold
+    // the codebook is a plan literal; above it — the √N a 1e9-vector
+    // index wants — it rides one broadcast relation per micro-batch
+    // and the centroid lookup is a BroadcastHashJoin on cid
+    val spark = batch.sparkSession
+    val normed = batch
       .withColumn("nrm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
-      .withColumn("cid", CellFunctions.nearestCell(col("v"), col("nrm"), cbLit))
-      .withColumn("c", element_at(cbMap, col("cid")))
-      .withColumn("cov",
-        (VectorFunctions.dot(col("v"), col("c._1")) / (col("nrm") * col("c._2")))
-          .cast("decimal(18,8)"))
+    val (nb, cbCol) = graft.llm.SimilarityQueries.attachCodebook(spark, normed, cb)
+    val assigned = nb.withColumn("cid",
+      CellFunctions.nearestCell(col("v"), col("nrm"), cbCol))
+    val withC =
+      if (cb.size <= graft.llm.SimilarityQueries.broadcastThreshold) {
+        val cbMap = typedLit(cb.map { case (cid, cv, cn) => cid -> ((cv, cn)) }.toMap)
+        assigned.withColumn("c", element_at(cbMap, col("cid")))
+          .withColumn("cov",
+            (VectorFunctions.dot(col("v"), col("c._1")) / (col("nrm") * col("c._2")))
+              .cast("decimal(18,8)"))
+      } else {
+        import spark.implicits._
+        assigned.join(broadcast(cb.toDF("cid", "cv", "cn")), Seq("cid"))
+          .withColumn("cov",
+            (VectorFunctions.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+              .cast("decimal(18,8)"))
+      }
+    val delta = withC
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("cov")).cast("double").as("cov_sum"))
     stats.unionByName(delta)

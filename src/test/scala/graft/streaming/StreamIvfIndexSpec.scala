@@ -26,6 +26,23 @@ class StreamIvfIndexSpec extends AnyFunSuite {
       cb.size, minCov = -1.0).meanCov
   }
 
+  test("broadcast codebook delivery produces identical stats to the literal path") {
+    val cb = CodebookStore.loadOrTrain(spark, dir)
+    def statsRows() = StreamIvfIndex
+      .applyBatch(StreamIvfIndex.emptyStats(spark), vecs, cb)
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lit = statsRows()
+    val old = sys.props.get("graft.ivf.bcastThreshold")
+    sys.props("graft.ivf.bcastThreshold") = "1"
+    try assert(statsRows() === lit,
+      "streaming index stats must not depend on codebook delivery mode")
+    finally old match {
+      case Some(v) => sys.props("graft.ivf.bcastThreshold") = v
+      case None    => sys.props.remove("graft.ivf.bcastThreshold")
+    }
+  }
+
   test("in-distribution arrivals accumulate healthy per-cell stats across batches") {
     val cb = CodebookStore.loadOrTrain(spark, dir)
     val b1 = vecs.filter(col("vec_id") % 2 === 0)
