@@ -17,6 +17,68 @@ class StreamFunnelSpec extends AnyFunSuite {
   // the hour-window leg is exercised, not just trivially empty
   val dir = "/root/testdata/sf0.01"
 
+  test("property: any ts-ordered batch split folds to the global funnel model") {
+    val rnd = new scala.util.Random(20260814L)
+    val types = Array("click", "view", "purchase", "other")
+    val hourUs = 3600L * 1000000L
+    for (trial <- 1 to 6) {
+      val n = 60 + rnd.nextInt(80)
+      val evs = (0 until n).map { _ =>
+        StreamFunnel.Ev(rnd.nextInt(5).toLong,
+          rnd.nextInt(30).toLong * 1800L * 1000000L, // 30-min grid incl. ties
+          types(rnd.nextInt(4)))
+      }
+      // pure model: global min-based step times per user
+      val model = evs.groupBy(_.user_id).map { case (u, es) =>
+        val t1 = es.filter(_.event_type == "click").map(_.ts_us).minOption
+        val t2 = t1.flatMap(v1 =>
+          es.filter(e => e.event_type == "view" && e.ts_us >= v1).map(_.ts_us).minOption)
+        val t3 = t2.flatMap(v2 =>
+          es.filter(e => e.event_type == "purchase" && e.ts_us >= v2 && e.ts_us <= v2 + hourUs)
+            .map(_.ts_us).minOption)
+        u -> ((t1.getOrElse(-1L), t2.getOrElse(-1L), t3.getOrElse(-1L)))
+      }
+      // ts-VALUE cuts (never split a tie group), random count
+      val sorted = evs.sortBy(_.ts_us)
+      val cutVals = Seq.fill(rnd.nextInt(4))(
+        sorted(rnd.nextInt(n)).ts_us).distinct.sorted
+      val batches = (Long.MinValue +: cutVals :+ Long.MaxValue).sliding(2).map {
+        case Seq(a, b) => sorted.filter(e => e.ts_us > a && e.ts_us <= b)
+        case _         => Seq.empty
+      }.toSeq
+      // fold the update function directly (unit form — no stream needed)
+      val state = scala.collection.mutable.Map[Long, StreamFunnel.FunnelState]()
+      batches.filter(_.nonEmpty).foreach { b =>
+        b.groupBy(_.user_id).foreach { case (u, es) =>
+          val gs = new TestGroupState(state.get(u))
+          StreamFunnel.update(u, es.iterator, gs).foreach(st => state(u) = st)
+        }
+      }
+      val got = state.map { case (u, st) => u -> ((st.t1, st.t2, st.t3)) }.toMap
+      assert(got === model, s"trial $trial diverged (cuts=$cutVals)")
+    }
+  }
+
+  /** Minimal GroupState for unit-folding the update function. */
+  private final class TestGroupState[S](init: Option[S])
+      extends org.apache.spark.sql.streaming.GroupState[S] {
+    private var cur: Option[S] = init
+    override def exists: Boolean = cur.isDefined
+    override def get: S = cur.get
+    override def getOption: Option[S] = cur
+    override def update(s: S): Unit = cur = Some(s)
+    override def remove(): Unit = cur = None
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(d: Long): Unit = ()
+    override def setTimeoutDuration(d: String): Unit = ()
+    override def setTimeoutTimestamp(t: Long): Unit = ()
+    override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+    override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
+    override def getCurrentWatermarkMs(): Long = 0L
+    override def getCurrentProcessingTimeMs(): Long = 0L
+  }
+
   test("streamed funnel states reproduce events_funnel_steps exactly") {
     val base = Files.createTempDirectory("sfunnel").toString
     val ev = graft.ops.Tables.events(spark, dir)
