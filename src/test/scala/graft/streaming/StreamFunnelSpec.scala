@@ -59,26 +59,6 @@ class StreamFunnelSpec extends AnyFunSuite {
     }
   }
 
-  /** Minimal GroupState for unit-folding the update function. */
-  private final class TestGroupState[S](init: Option[S])
-      extends org.apache.spark.sql.streaming.GroupState[S] {
-    private var cur: Option[S] = init
-    override def exists: Boolean = cur.isDefined
-    override def get: S = cur.get
-    override def getOption: Option[S] = cur
-    override def update(s: S): Unit = cur = Some(s)
-    override def remove(): Unit = cur = None
-    override def hasTimedOut: Boolean = false
-    override def setTimeoutDuration(d: Long): Unit = ()
-    override def setTimeoutDuration(d: String): Unit = ()
-    override def setTimeoutTimestamp(t: Long): Unit = ()
-    override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
-    override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
-    override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
-    override def getCurrentWatermarkMs(): Long = 0L
-    override def getCurrentProcessingTimeMs(): Long = 0L
-  }
-
   test("streamed funnel states reproduce events_funnel_steps exactly") {
     val base = Files.createTempDirectory("sfunnel").toString
     val ev = graft.ops.Tables.events(spark, dir)

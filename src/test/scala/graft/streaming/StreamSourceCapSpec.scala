@@ -18,6 +18,35 @@ class StreamSourceCapSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
   val Cap = 7
 
+  test("property: any doc_id-ordered batch split admits exactly the batch first-cap") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 6) {
+      val n = 80 + rnd.nextInt(120)
+      val cap = 1 + rnd.nextInt(6)
+      val docs = (0 until n).map(i =>
+        StreamSourceCap.Doc(i.toLong, s"s${rnd.nextInt(6)}"))
+      // model: first `cap` per source by doc_id
+      val model = docs.groupBy(_.source).flatMap { case (_, ds) =>
+        ds.sortBy(_.doc_id).take(cap)
+      }.map(d => (d.doc_id, d.source)).toSet
+      // random positional cuts over the doc_id-ordered sequence
+      val cuts = (Seq.fill(rnd.nextInt(5))(rnd.nextInt(n + 1)).sorted :+ n).distinct
+      val state = scala.collection.mutable.Map[String, Long]()
+      val admitted = scala.collection.mutable.Set[(Long, String)]()
+      (0 +: cuts).sliding(2).foreach {
+        case Seq(a, b) =>
+          docs.slice(a, b).groupBy(_.source).foreach { case (src, ds) =>
+            val gs = new TestGroupState[Long](state.get(src))
+            StreamSourceCap.admit(cap)(src, ds.iterator, gs)
+              .foreach(d => admitted += ((d.doc_id, d.source)))
+            gs.getOption.foreach(state(src) = _)
+          }
+        case _ => ()
+      }
+      assert(admitted.toSet === model, s"trial $trial (cap=$cap cuts=$cuts)")
+    }
+  }
+
   test("streamed admission equals the batch first-cap across micro-batch boundaries") {
     val base = Files.createTempDirectory("scap").toString
     val docs = graft.ops.Tables.table(spark, dir, "documents")
