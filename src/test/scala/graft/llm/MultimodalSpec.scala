@@ -64,6 +64,24 @@ class MultimodalSpec extends AnyFunSuite {
       === Some((300, 1000, 3)))
   }
 
+  test("property: header parse equals ImageIO's own dimensions across random sizes/formats") {
+    import java.awt.image.BufferedImage._
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 25) {
+      val w = 1 + rnd.nextInt(2000)
+      val h = 1 + rnd.nextInt(2000)
+      val (fmt, typ, ch) = rnd.nextInt(4) match {
+        case 0 => ("png", TYPE_INT_RGB, 3)
+        case 1 => ("png", TYPE_BYTE_GRAY, 1)
+        case 2 => ("jpg", TYPE_INT_RGB, 3)
+        case 3 => ("gif", TYPE_INT_RGB, 3)
+      }
+      val bytes = imageBytes(w, h, fmt, typ)
+      assert(Multimodal.HeaderDecoder.parse(bytes) === Some((w, h, ch)),
+        s"$fmt ${w}x$h type=$typ")
+    }
+  }
+
   test("HeaderDecoder rejects non-container bytes (text falls back to the fake)") {
     val text = "not an image at all, just prose".getBytes("UTF-8")
     assert(Multimodal.HeaderDecoder.parse(text).isEmpty)
