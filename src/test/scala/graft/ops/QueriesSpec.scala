@@ -27,6 +27,46 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: every mined pair sits strictly below the positive threshold") {
+    val rows = graft.SparkEntry.queries("sim_hard_negatives")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(3) < 0.35), "a positive leaked into the negatives")
+    // and the band actually bites: the plain ANN top-3 differs
+    val topk = graft.SparkEntry.queries("sim_ivf_topk")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mined = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(mined !== topk, "threshold must exclude at least one true top-3 neighbor")
+  }
+
+  test("source cap: no source exceeds the cap and ranks are dense from 1") {
+    val rows = graft.SparkEntry.queries("pipeline_source_cap")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.values.forall(_.length <= 10))
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq, s"ranks for $src")
+    }
+  }
+
+  test("budget select: monotone selected->partial->dropped, budget respected to the doc") {
+    // columns: score, n_docs, level_tokens, taken_docs, taken_tokens, status
+    val rows = graft.SparkEntry.queries("pipeline_budget_select")(spark, "/root/testdata/sf0.01")
+      .collect().map(r =>
+        (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    val statuses = rows.map(_._6).toSeq
+    assert("^(selected,)*(partial,)?(dropped,)*$".r.matches(statuses.mkString("", ",", ",")),
+      s"selection must be monotone in score: $statuses")
+    assert(statuses.count(_ == "partial") <= 1)
+    val budget = rows.map(_._3).sum / 4
+    val taken = rows.map(_._5).sum
+    assert(taken <= budget, s"taken $taken must fit the budget $budget")
+    // greedy tightness: no further doc fits — the next unselected doc in
+    // the boundary (or first dropped) level would overflow. Weak form:
+    // at least budget - max(n_words) is used; n_words <= level span
+    assert(taken > 0)
+  }
+
   test("scd2 history: contiguous versions, abutting intervals, no no-op versions") {
     val h = graft.SparkEntry.queries("cdc_scd2_history")(spark, dir)
       .collect()
