@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,11 +52,16 @@ object Bench {
     val fixtureFiles = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     fixtureFiles.foreach { f =>
-      // a table may be a directory of part files (non-harness layouts)
+      // a table may be a directory of part files, possibly nested
+      // (partitioned/bucketed layouts like __bucket=NN/part-*): walk
+      // recursively so every leaf is paged in, not just depth 1
       val leaves =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).filter(_.isFile)
-        else Array(f)
+        if (f.isDirectory) {
+          val walk = java.nio.file.Files.walk(f.toPath)
+          try walk.filter(java.nio.file.Files.isRegularFile(_))
+            .iterator().asScala.map(_.toFile).toArray
+          finally walk.close()
+        } else Array(f)
       leaves.foreach { leaf =>
         val in = java.nio.file.Files.newInputStream(leaf.toPath)
         val buf = new Array[Byte](1 << 20)

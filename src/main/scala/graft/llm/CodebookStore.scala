@@ -185,19 +185,27 @@ object PqStore {
     codes.write.parquet(vdir.toString)
     Files.writeString(vdir.resolve("_CORPUS_ROWS"), n.toString)
     val ptr = pointerFor(base)
+    // the version the pointer referenced until this swap: a concurrent
+    // session may hold a lazy DataFrame over it, so it survives one
+    // more generation instead of being yanked mid-scan
+    val previous =
+      if (Files.exists(ptr)) Some(Files.readString(ptr).trim).filter(_.nonEmpty)
+      else None
     val tmp = Files.createTempFile(base.getParent, ptr.getFileName.toString, ".tmp")
     Files.writeString(tmp, vdir.getFileName.toString)
     Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // reclaim versions the pointer no longer references (best effort;
-    // a concurrent reader of a JUST-replaced version re-resolves)
+    // reclaim versions neither current nor immediately-previous (best
+    // effort; the stream must be closed — it holds a directory fd)
     val prefix = base.getFileName.toString + ".v-"
-    Files.list(base.getParent).forEach { q =>
+    val keep = Set(vdir.getFileName.toString) ++ previous
+    val listing = Files.list(base.getParent)
+    try listing.forEach { q =>
       val name = q.getFileName.toString
-      if (name.startsWith(prefix) && name != vdir.getFileName.toString)
+      if (name.startsWith(prefix) && !keep.contains(name))
         try org.apache.commons.io.FileUtils.deleteDirectory(q.toFile)
         catch { case _: java.io.IOException => () }
-    }
+    } finally listing.close()
   }
 
   private def pointerFor(base: Path): Path =

@@ -233,7 +233,12 @@ final class Scd2BucketedTable(
     val (seq, last) = pointer()
     if (batchId <= last) false
     else if (batch.isEmpty) {
-      // no-op merge: only the replay guard advances
+      // no-op merge: only the replay guard advances. The write still
+      // rewrites the two-token pointer, so it must pass the same CAS
+      // every data commit does — otherwise a concurrent writer's
+      // manifest seq committed between pointer() and here would be
+      // silently reverted (and its data later vacuumed).
+      checkPointerUnmoved(seq)
       StateIO.writeStringAtomic(pointerPath, s"$seq $batchId")
       false
     } else {

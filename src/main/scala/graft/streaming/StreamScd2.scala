@@ -182,8 +182,17 @@ object StreamScd2 {
       if (batchId <= last) false
       else if (batch.isEmpty) {
         // an empty micro-batch (foreachBatch can offer one) is a no-op
-        // merge: just record the batch id so the replay guard advances
-        StateIO.writeStringAtomic(ptr, s"$cur $batchId")
+        // merge: just record the batch id so the replay guard advances.
+        // Re-read the pointer first — writing the stale `cur` would
+        // silently revert a version committed since pointer() above,
+        // orphaning its data under prune().
+        val (cur2, last2) = pointer()
+        if (cur2 != cur)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent writer on scd2 history at $dir: version moved " +
+              s"$cur -> $cur2 since this commit loaded it (single-writer contract)")
+        if (batchId > last2)
+          StateIO.writeStringAtomic(ptr, s"$cur2 $batchId")
         false
       } else {
         val next = cur + 1

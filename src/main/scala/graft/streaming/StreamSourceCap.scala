@@ -32,7 +32,10 @@ object StreamSourceCap {
   ): Iterator[Doc] = {
     val seen = state.getOption.getOrElse(0L)
     val batch = docs.toSeq.sortBy(_.doc_id)
-    val admitted = batch.take(math.max(0, cap - seen.toInt))
+    // Long-domain arithmetic: `cap - seen.toInt` would wrap once a
+    // source has seen >2^31 docs and re-open an exhausted quota.
+    val room = math.min(math.max(0L, cap.toLong - seen), Int.MaxValue.toLong).toInt
+    val admitted = batch.take(room)
     state.update(seen + batch.size)
     admitted.iterator
   }
