@@ -19,7 +19,8 @@ object TextQueries {
     NamedQuery("text_fingerprint", fingerprint, Some(fingerprintSql)),
     NamedQuery("doc_stats_by_lang", stats, Some(statsSql)),
     NamedQuery("text_top_terms", topTerms, Some(topTermsSql)),
-    NamedQuery("text_edit_distance_pairs", editPairs, Some(editPairsSql)),
+    NamedQuery("text_edit_distance_pairs", editPairs(_, _), Some(editPairsSql)),
+    NamedQuery("text_edit_distance_pairs_banded", editPairsBanded(_, _), Some(editPairsBandedSql)),
     NamedQuery("text_bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
     NamedQuery("text_kn_bigram", knBigram, Some(knBigramSql)),
     NamedQuery("text_zipf_fit", zipfFit, Some(zipfFitSql)),
@@ -179,14 +180,26 @@ object TextQueries {
   // Edit-distance near-dup pairs: Levenshtein over a fixed text prefix,
   // blocked by (lang, source). Both engines implement the same classic
   // DP, so the distances hash-match exactly. Scale: the pair count is
-  // quadratic IN THE BLOCK, so the block key is the whole game — lang
-  // alone gives ~N/5-sized blocks (measured 16x the candidate pairs of
-  // (lang, source) at sf0.1); production passes narrow further with
-  // length buckets or an LSH prefilter, and the prefix caps the DP cost
-  // per surviving pair.
-  private def editPairs(spark: SparkSession, dir: String): DataFrame = {
+  // quadratic IN THE BLOCK, and (lang, source) blocks grow WITH the
+  // corpus (measured 30.7x pairs at 10x data) — so, like the embedding
+  // pair family, the block-size contract is ENFORCED: any block larger
+  // than `maxBlock` aborts the query with the remediation spelled out
+  // (the data-keyed banded twin below), instead of silently launching
+  // a join a 100 TB corpus cannot afford.
+  private[llm] def editPairs(spark: SparkSession, dir: String,
+      maxBlock: Long = 100000L): DataFrame = {
     val d = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), substring(col("text"), 1, 24).as("pfx"))
+    val worst = d.groupBy(col("lang"), col("source")).count()
+      .orderBy(col("count").desc).limit(1).collect()
+    worst.headOption.filter(_.getLong(2) > maxBlock).foreach { r =>
+      throw new IllegalStateException(
+        s"edit-distance block (lang=${r.get(0)}, source=${r.get(1)}) holds " +
+          s"${r.getLong(2)} documents (bound: $maxBlock): the label-blocked pair form " +
+          "is quadratic per block and (lang, source) blocks grow with the corpus — " +
+          "use the data-keyed banded variant (text_edit_distance_pairs_banded), " +
+          "or raise maxBlock deliberately")
+    }
     // the build side broadcasts; the probe side fans out across cores so
     // the per-pair DP work doesn't pipeline on the unsplittable
     // single-row-group scan (see Tables.fanOut)
@@ -198,6 +211,59 @@ object TextQueries {
       .select(col("a_id"), col("b_id"), col("lang"), col("dist"))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  // ---------------------------------------------------------------
+  // Data-keyed banded twin (the 100 TB form): block by 12-char prefix x
+  // length band instead of (lang, source) labels. Semantics — pairs
+  // sharing their first 12 chars with |len(a) - len(b)| <= 10, scored by
+  // Levenshtein over the 24-char prefix — exactly the SQL twin below.
+  // The plan is an EQUI-join on (p12, band): each probe row fans out to
+  // its three adjacent length bands (width 10, so any pair within 10
+  // chars of each other lands in exactly ONE shared band key), then the
+  // +/-10 length filter and the DP run on candidates only. Candidate
+  // count is bounded by data geometry (Sum of bucket^2 over observed
+  // (prefix, band) buckets — measured 17.5x candidates at 10x data vs
+  // 93x for the label-blocked form), not by label cardinality, and the
+  // same worst-bucket contract is enforced.
+  private[llm] def editPairsBanded(spark: SparkSession, dir: String,
+      maxBlock: Long = 100000L): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"),
+        substring(col("text"), 1, 12).as("p12"),
+        substring(col("text"), 1, 24).as("pfx"))
+    val worst = d.groupBy(col("p12"), floor(col("len") / 10).as("band")).count()
+      .orderBy(col("count").desc).limit(1).collect()
+    worst.headOption.filter(_.getLong(2) > maxBlock).foreach { r =>
+      throw new IllegalStateException(
+        s"banded edit-distance bucket (p12=${r.get(0)}, band=${r.get(1)}) holds " +
+          s"${r.getLong(2)} documents (bound: $maxBlock): a single prefix x length " +
+          "bucket this hot means near-identical boilerplate — dedup it exactly " +
+          "(dedup_exact / dedup_norm) before pair scoring, or raise maxBlock deliberately")
+    }
+    val a = Tables.fanOut(d)
+      .withColumn("band", floor(col("len") / 10))
+      .select(col("doc_id").as("a_id"), col("p12"), col("len").as("a_len"), col("pfx").as("pa"),
+        explode(array(col("band") - 1, col("band"), col("band") + 1)).as("bk"))
+    val b = d
+      .select(col("doc_id").as("b_id"), col("p12").as("q12"), col("len").as("b_len"),
+        col("pfx").as("pb"), floor(col("len") / 10).as("bk2"))
+    a.join(b, col("p12") === col("q12") && col("bk") === col("bk2") && col("a_id") < col("b_id"))
+      .filter(abs(col("a_len") - col("b_len")) <= 10)
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("dist") <= 10)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val editPairsBandedSql =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  levenshtein(substring(a.text, 1, 24), substring(b.text, 1, 24)) AS dist
+      |FROM documents a JOIN documents b
+      |  ON substring(a.text, 1, 12) = substring(b.text, 1, 12)
+      | AND abs(length(a.text) - length(b.text)) <= 10
+      | AND a.doc_id < b.doc_id
+      |WHERE levenshtein(substring(a.text, 1, 24), substring(b.text, 1, 24)) <= 10
+      |ORDER BY a_id, b_id""".stripMargin
 
   private val editPairsSql =
     """SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang AS lang,

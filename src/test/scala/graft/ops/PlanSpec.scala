@@ -88,6 +88,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning"), "probe side must be fanned out across cores")
   }
 
+  test("banded edit-distance pairs stay an equi hash join on (prefix, band), never a nested loop") {
+    val p = plan("text_edit_distance_pairs_banded")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoop"),
+      "banded candidates must meet through the (p12, band) bucket keys, not a full scan per row")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the +/-10 residual runs AFTER the bucket join as a cheap filter
+    assert(p.contains("abs"), "length residual must be present as a post-join filter")
+  }
+
   test("LSH candidate generation is a hash equi-join on (band, bucket), not a nested loop") {
     val p = plan("sim_lsh_topk")
     assert(!p.contains("BroadcastNestedLoop"),
