@@ -10,14 +10,17 @@ import graft.ops.{NamedQuery, Tables}
   *
   * Container-HEADER decode is REAL ([[Multimodal.HeaderDecoder]]:
   * pure-JVM PNG IHDR / JPEG SOFn / GIF parsing, spec-tested against
-  * ImageIO-synthesized bytes); only PIXEL decoding stays stubbed
-  * ([[Multimodal.FakeDecoder]] derives deterministic fake dimensions
-  * from the payload bytes — no media libraries in this environment,
-  * and the fake keeps the fixture queries DuckDB-reproducible).
+  * ImageIO-synthesized bytes), and PIXEL decode is REAL too
+  * ([[Multimodal.PixelDecoder]]: the JDK's own `javax.imageio` readers
+  * decode PNG/JPEG/GIF pixels with no external media library, feeding
+  * channel-statistics embeddings). [[Multimodal.FakeDecoder]] remains
+  * only as the deterministic fallback for non-image payloads and as
+  * the DuckDB-reproducible path the fixture ORACLE queries pin (the
+  * fixture's payloads are text bytes — no container to decode).
   * Everything Spark-side — the binary schema, the partition-wise
   * batching, the metadata struct the decoder returns, the partition
-  * sizing — is real: swapping in a JNI/FFI pixel decoder changes one
-  * function.
+  * sizing — is shared across all three decoders: swapping in a
+  * JNI/FFI video decoder changes one function.
   *
   * Scale: decode is the canonical CPU-heavy map stage. No shuffle at
   * all; partition sizing (`spark.sql.files.maxPartitionBytes`) controls
@@ -31,9 +34,11 @@ object Multimodal {
       doc_id: Long, byte_len: Long, width: Int, height: Int, channels: Int)
 
   object FakeDecoder {
-    /** STUB decode: deterministic pseudo-metadata from the payload size.
-      * A real implementation would parse the container header; deriving
-      * the fake dimensions from `payload.length` alone keeps the decode
+    /** Deterministic pseudo-metadata from the payload size — the
+      * fallback for payloads that are no decodable container (real
+      * header decode lives in [[HeaderDecoder]], real pixel decode in
+      * [[PixelDecoder]]). Deriving the fake dimensions from
+      * `payload.length` alone keeps the fixture decode
       * DuckDB-reproducible (byte length = octet_length of the text) so
       * the whole partition-wise path is oracle-checked end to end. */
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
@@ -126,6 +131,75 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel decode via the JDK's own ImageIO (the PNG/JPEG/GIF
+    * readers ship with every JRE — the "no media libraries in this
+    * container" constraint only ever applied to video/audio codecs).
+    * Pixels are normalized through `getRGB` (sRGB, palette-expanded),
+    * so indexed GIFs and gray PNGs produce comparable statistics;
+    * `channels` reports the color model's component count, matching
+    * [[HeaderDecoder]]'s container semantics (gray 1, RGB 3, RGBA 4,
+    * palette 3). A production bulk path would read the raster buffer
+    * directly; per-pixel getRGB keeps this dependency-free and exact.
+    * Corrupt or non-image payloads fall back to [[FakeDecoder]], so
+    * the operator stays total over a mixed 100 TB corpus. */
+  object PixelDecoder {
+    final case class PixelStats(width: Int, height: Int, channels: Int,
+        meanR: Double, meanG: Double, meanB: Double,
+        meanLuma: Double, stdLuma: Double)
+
+    /** Decoded-pixel statistics, or None when ImageIO does not
+      * recognize the payload (its readers return null / throw on
+      * truncated containers — both map to the fallback). */
+    def stats(payload: Array[Byte]): Option[PixelStats] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      Option(img).filter(i => i.getWidth > 0 && i.getHeight > 0).map { bi =>
+        val w = bi.getWidth; val h = bi.getHeight
+        var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            val l = (r + g + b) / 3.0
+            sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        val ml = sl / n
+        PixelStats(w, h, bi.getColorModel.getNumComponents,
+          sr / n, sg / n, sb / n, ml,
+          math.sqrt(math.max(0.0, sl2 / n - ml * ml)))
+      }
+    }
+
+    def decode(docId: Long, payload: Array[Byte]): MediaMeta = stats(payload) match {
+      case Some(s) => MediaMeta(docId, payload.length.toLong, s.width, s.height, s.channels)
+      case None    => FakeDecoder.decode(docId, payload)
+    }
+
+    /** The real channel-statistics embedding (8-dim): decoded images
+      * yield [w, h, channels, meanR, meanG, meanB, meanLuma, stdLuma];
+      * non-image payloads fall back to [[embedStub]]'s byte-statistics
+      * vector zero-padded to the same width, so one fixed schema covers
+      * a mixed corpus. */
+    def vector(payload: Array[Byte]): Array[Float] = stats(payload) match {
+      case Some(s) => Array(s.width.toFloat, s.height.toFloat, s.channels.toFloat,
+        s.meanR.toFloat, s.meanG.toFloat, s.meanB.toFloat,
+        s.meanLuma.toFloat, s.stdLuma.toFloat)
+      case None =>
+        val n = math.max(1, payload.length)
+        val mean = payload.foldLeft(0L)(_ + _).toFloat / n
+        val mx = if (payload.isEmpty) 0f else payload.max.toFloat
+        val mn = if (payload.isEmpty) 0f else payload.min.toFloat
+        Array(n.toFloat, mean, mn, mx, 0f, 0f, 0f, 0f)
+    }
+  }
+
   /** Partition-wise decode of an `(id: long, payload: binary)` frame
     * with any decoder — the production entry point. No shuffle; batch
     * memory bounded by `spark.sql.files.maxPartitionBytes`. */
@@ -186,6 +260,26 @@ object Multimodal {
       }
       .toDF()
       .orderBy(col("doc_id"))
+  }
+
+  /** Production twin of [[embedStub]]: the SAME partition-wise batched
+    * "model call" shape, but each batch decodes REAL pixels through
+    * [[PixelDecoder]] and emits channel-statistics vectors — the
+    * drop-in point where a vision model replaces the statistics with
+    * learned features while batching, schema and partition sizing stay
+    * untouched. */
+  def embedFrame(df: DataFrame, batchSize: Int = 16): DataFrame = {
+    implicit val enc = Encoders.product[MediaEmbed]
+    df.as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "model call" per batch: batch.size rows in, |batch| vectors out
+          batch.map { case (id, bytes) =>
+            MediaEmbed(id, batch.size, PixelDecoder.vector(bytes))
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Harness twin of [[embedStub]]: identical partition-wise batched

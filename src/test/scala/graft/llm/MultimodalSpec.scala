@@ -136,6 +136,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3) === ((4L, f.width, f.height, f.channels)))
   }
 
+  // ground truth computed straight from ImageIO's BufferedImage, the
+  // same source of truth the decoder must agree with
+  private def imageIoTruth(bytes: Array[Byte]): (Int, Int, Int, Double, Double, Double) = {
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    for (y <- 0 until bi.getHeight; x <- 0 until bi.getWidth) {
+      val rgb = bi.getRGB(x, y)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+    }
+    val n = bi.getWidth.toDouble * bi.getHeight
+    (bi.getWidth, bi.getHeight, bi.getColorModel.getNumComponents, sr / n, sg / n, sb / n)
+  }
+
+  test("PixelDecoder decodes real PNG/JPEG/GIF pixels: dims, channels and stats match ImageIO") {
+    import java.awt.image.BufferedImage._
+    for ((fmt, typ, ch) <- Seq(("png", TYPE_INT_RGB, 3), ("png", TYPE_BYTE_GRAY, 1),
+        ("jpg", TYPE_INT_RGB, 3), ("gif", TYPE_INT_RGB, 3))) {
+      val bytes = imageBytes(48, 27, fmt, typ)
+      val (w, h, c, mr, mg, mb) = imageIoTruth(bytes)
+      val s = Multimodal.PixelDecoder.stats(bytes).getOrElse(fail(s"$fmt not decoded"))
+      assert((s.width, s.height, s.channels) === ((w, h, c)), fmt)
+      assert((s.width, s.height, s.channels) === ((48, 27, ch)), fmt)
+      // exact agreement: both sides sum the same sRGB pixels
+      assert(s.meanR === mr && s.meanG === mg && s.meanB === mb, fmt)
+      assert(s.stdLuma >= 0.0)
+      // a non-uniform image (setRGB painted 8 pixels) has positive spread
+      if (typ == TYPE_INT_RGB) assert(s.stdLuma > 0.0, fmt)
+    }
+  }
+
+  test("PixelDecoder agrees with HeaderDecoder on container dims and channels") {
+    import java.awt.image.BufferedImage._
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 10) {
+      val w = 1 + rnd.nextInt(300); val h = 1 + rnd.nextInt(300)
+      val (fmt, typ) = rnd.nextInt(3) match {
+        case 0 => ("png", TYPE_INT_RGB); case 1 => ("jpg", TYPE_BYTE_GRAY)
+        case 2 => ("gif", TYPE_INT_RGB)
+      }
+      val bytes = imageBytes(w, h, fmt, typ)
+      val hd = Multimodal.HeaderDecoder.decode(1L, bytes)
+      val px = Multimodal.PixelDecoder.decode(1L, bytes)
+      assert((px.width, px.height, px.channels) === ((hd.width, hd.height, hd.channels)),
+        s"$fmt ${w}x$h")
+    }
+  }
+
+  test("PixelDecoder falls back to the deterministic fake on non-image and corrupt payloads") {
+    val text = "still not an image".getBytes("UTF-8")
+    assert(Multimodal.PixelDecoder.stats(text).isEmpty)
+    assert(Multimodal.PixelDecoder.decode(9L, text) === Multimodal.FakeDecoder.decode(9L, text))
+    // truncated containers: ImageIO throws internally; decode must not
+    val png = imageBytes(20, 20, "png", java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (n <- Seq(0, 10, 30, png.length / 2))
+      Multimodal.PixelDecoder.decode(1L, png.take(n))
+  }
+
+  test("embedFrame runs real pixels through the batched partition-wise Spark path") {
+    import java.awt.image.BufferedImage._
+    import spark.implicits._
+    val png = imageBytes(32, 16, "png", TYPE_INT_RGB)
+    val rows = Seq(
+      (1L, png),
+      (2L, imageBytes(8, 4, "gif", TYPE_INT_RGB)),
+      (3L, "plain text payload".getBytes("UTF-8")),
+    )
+    val out = Multimodal.embedFrame(rows.toDF("doc_id", "payload"), batchSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length === 3)
+    val e1 = out(0).getSeq[Float](out(0).fieldIndex("embedding"))
+    assert(e1.length === 8)
+    // dims/channels ride in the first three components
+    assert((e1(0), e1(1), e1(2)) === ((32f, 16f, 3f)))
+    // and the stats equal the direct decoder call (same code, via Spark)
+    assert(e1 === Multimodal.PixelDecoder.vector(png).toSeq)
+    // text row took the byte-statistics fallback, zero-padded to 8
+    val e3 = out(2).getSeq[Float](out(2).fieldIndex("embedding"))
+    assert(e3.length === 8 && e3(0) === "plain text payload".length.toFloat && e3(7) === 0f)
+    // batch sizes bounded by the configured batchSize
+    assert(out.map(_.getAs[Int]("batch_size")).forall(s => s >= 1 && s <= 2))
+  }
+
   test("NearestCell ranks non-finite sims below finite ones and never crashes") {
     import graft.expressions.CellMath
     import org.apache.spark.sql.catalyst.util.ArrayData
