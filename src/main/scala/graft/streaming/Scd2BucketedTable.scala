@@ -335,6 +335,34 @@ final class Scd2BucketedTable(
     vacuum()
   }
 
+  /** One-time seed of a FRESH bucketed layout from a complete history
+    * frame — the offline legacy→bucketed migration entry point
+    * ([[graft.tools.MigrateState]]): every key's chain lands as the
+    * initial per-bucket BASE (manifest seq 0), and the pointer carries
+    * `lastBatchId` so the resuming tail's replay guard survives the
+    * backend switch exactly. Refuses a dir that already holds a
+    * bucketed layout — migration never overwrites live state. */
+  def seed(history: DataFrame, lastBatchId: Long): Unit = {
+    require(!StateIO.exists(pointerPath),
+      s"scd2 history at $dir already holds a bucketed layout; seed only initializes fresh layouts")
+    checkKeyType()
+    if (!StateIO.exists(keyTypePath))
+      StateIO.writeStringAtomic(keyTypePath, keyType.catalogString)
+    val rel = "data/base_0"
+    history.select(historyCols.map(col): _*)
+      .withColumn("__seq", lit(0L))
+      .withColumn("__bucket", bucketOf(nBuckets))
+      .repartition(col("__bucket"))
+      .sortWithinPartitions(col("__bucket"), col("key"))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(s"$dir/$rel")
+    val buckets = StateIO.list(s"$dir/$rel").collect {
+      case st if st.getPath.getName.startsWith("__bucket=") =>
+        st.getPath.getName.stripPrefix("__bucket=").toInt -> s"$rel/${st.getPath.getName}"
+    }.toMap
+    writeManifest(Manifest(nBuckets, 0L,
+      buckets.map { case (b, p) => b -> BucketFiles(Some(p), Vector.empty) }), lastBatchId)
+  }
+
   /** Keep the newest `retainManifests` manifests; delete older
     * manifest files and any data directory none of them references
     * (same reclamation rule as BucketedStateStore.vacuum, adjusted for
