@@ -19,9 +19,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * order — same-second ties inside one batch are resolved by the min,
   * exactly as the batch query's window-min semantics resolve them.
   *
-  * State: three step times per user — the bounded-key-
-  * space keyed-state doctrine ([[StatefulCounts]]); a deployment adds
-  * a TTL where the funnel window is finite.
+  * State: three step times per user. [[funnelStates]] keeps every
+  * user ever seen — the bounded-key-space keyed-state doctrine
+  * ([[StatefulCounts]]), right when the user domain is bounded.
+  * [[funnelStatesTtl]] is the unbounded-domain deployment shape: an
+  * event-time timeout clears a user's state once the watermark passes
+  * their last event plus a configurable idle horizon, so the store is
+  * sized by RECENTLY ACTIVE users, not users ever seen — while any
+  * user whose activity stays within the horizon folds identically to
+  * the no-TTL form.
   */
 object StreamFunnel {
 
@@ -75,6 +81,47 @@ object StreamFunnel {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** [[Ev]] with the event time surfaced as a Timestamp column so the
+    * watermark (and therefore the event-time timeout) can attach. */
+  final case class EvT(ts: java.sql.Timestamp, user_id: Long, ts_us: Long, event_type: String)
+
+  private def updateTtl(idleMs: Long)(
+      user: Long,
+      evs: Iterator[EvT],
+      state: GroupState[FunnelState],
+  ): Iterator[FunnelState] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val b = evs.toSeq
+    // identical min-fold as the no-TTL path — TTL only adds eviction
+    val res = update(user, b.iterator.map(e => Ev(e.user_id, e.ts_us, e.event_type)), state)
+    // dead once the watermark passes the user's newest event + idle
+    // horizon; the timeout must sit strictly past the current watermark
+    val lastMs = b.map(_.ts_us / 1000L).max
+    state.setTimeoutTimestamp(math.max(lastMs + idleMs, state.getCurrentWatermarkMs() + 1))
+    res
+  }
+
+  /** TTL twin of [[funnelStates]] for unbounded user domains: state is
+    * cleared once a user has been idle past `idleSec` of event time
+    * (watermark-driven, so late events within `lateSec` still fold).
+    * A cleared user re-entering starts a fresh funnel — the standard
+    * windowed-attribution semantics a finite funnel window implies. */
+  def funnelStatesTtl(
+      events: Dataset[Ev],
+      idleSec: Long = 86400L,
+      lateSec: Long = 60L,
+  ): Dataset[FunnelState] = {
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val evtEnc = Encoders.product[EvT]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .map(e => EvT(new java.sql.Timestamp(e.ts_us / 1000L), e.user_id, e.ts_us, e.event_type))
+      .withWatermark("ts", s"$lateSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        updateTtl(idleSec * 1000L))
   }
 
   /** The batch query's output shape from a frame of final per-user

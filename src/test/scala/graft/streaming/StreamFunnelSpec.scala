@@ -110,4 +110,65 @@ class StreamFunnelSpec extends AnyFunSuite {
     val users = streamed.map(_._3)
     assert(users(0) >= users(1) && users(1) >= users(2) && users(2) > 0)
   }
+
+  test("TTL twin: idle users age out of the store; in-horizon folding matches the no-TTL form") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sfunnel_ttl").toString
+    val S = 1000000L // one second in micros
+    // f1: 30 churn users + user 500 click at t=1000s
+    val f1 = ((1L to 30L).map(u => (u, 1000L * S, "click")) :+ ((500L, 1000L * S, "click")))
+      .toDF("user_id", "ts_us", "event_type")
+    // f2: user 500 views 60s later (inside the 120s idle horizon) and a
+    // filler event far in the future pushes the watermark past everyone
+    val f2 = Seq((500L, 1060L * S, "view"), (600L, 200000L * S, "click"))
+      .toDF("user_id", "ts_us", "event_type")
+    // f3: one more batch so the advanced watermark's timers actually fire
+    val f3 = Seq((600L, 300000L * S, "view")).toDF("user_id", "ts_us", "event_type")
+    f1.coalesce(1).write.parquet(s"$base/in/p1")
+    f2.coalesce(1).write.parquet(s"$base/in/p2")
+    f3.coalesce(1).write.parquet(s"$base/in/p3")
+    TestSpark.touch(s"$base/in/p1", 1000L)
+    TestSpark.touch(s"$base/in/p2", 2000L)
+    TestSpark.touch(s"$base/in/p3", 3000L)
+
+    val latest = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+    implicit val evEnc = org.apache.spark.sql.Encoders.product[StreamFunnel.Ev]
+    val q = StreamFunnel.funnelStatesTtl(
+        spark.readStream.schema(f1.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(s"$base/in")
+          .as[StreamFunnel.Ev],
+        idleSec = 120L, lateSec = 10L)
+      .toDF()
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          latest(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getLong(3)))
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.recentProgress.foreach { p =>
+      p.stateOperators.headOption.foreach(so => stateRows += so.numRowsTotal)
+    }
+    q.stop()
+
+    // in-horizon folding identical to the no-TTL semantics: user 500's
+    // click→view chain built across two batches within the horizon
+    assert(latest(500L) === ((1000L * S, 1060L * S, -1L)))
+    // churn users emitted their step-1 state before expiring
+    (1L to 30L).foreach(u => assert(latest(u) === ((1000L * S, -1L, -1L)), s"user $u"))
+    // the store is sized by recently-active users, not users ever seen:
+    // 32 distinct users flowed through; after the watermark passed the
+    // idle horizon only the live user's row remains
+    assert(stateRows.nonEmpty)
+    assert(stateRows.max >= 31L, s"pre-expiry the store held every user (saw $stateRows)")
+    assert(stateRows.last <= 2L,
+      s"idle states must be cleared by the event-time timeout (saw $stateRows)")
+  }
 }
