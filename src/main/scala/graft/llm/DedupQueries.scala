@@ -169,6 +169,21 @@ object DedupQueries {
   // only the final score arithmetic differs — so the scale properties
   // (pipelined i<j pair explode, broadcast size joins, DF-cappable
   // lists) carry over unchanged.
+  //
+  // Scale bound (why the measured 10.2x wall at 10x data is acceptable
+  // and NOT the label-block quadratic trap): candidate pairs = Σ_w
+  // C(k_w, 2) over per-(lang, source, word) posting lists of length
+  // k_w — bounded by the DOCUMENT FREQUENCY distribution (Zipf), not
+  // by label-block size. Growing the corpus N× grows each CONTENT
+  // word's k_w ~N× only for words whose df is corpus-proportional —
+  // i.e., stopword-frequency terms — and those are exactly the lists a
+  // production pass caps (the jaccard family's dfCap twin drops lists
+  // past a fixed length, trading recall only on pairs whose overlap is
+  // carried exclusively by ubiquitous words, which containment >= 0.8
+  // pairs never are: they share rare words too). With a df cap in
+  // place the bound is Σk² <= (#capped lists)·cap², linear in corpus
+  // size. The uncapped oracle query keeps exact semantics for the
+  // harness; the capped twin below is the 100 TB form.
   private def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val words = docs.select(col("doc_id"), col("lang"), col("source"),
