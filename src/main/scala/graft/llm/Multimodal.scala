@@ -136,9 +136,16 @@ object Multimodal {
     * container" constraint only ever applied to video/audio codecs).
     * Pixels are normalized through `getRGB` (sRGB, palette-expanded),
     * so indexed GIFs and gray PNGs produce comparable statistics;
-    * `channels` reports the color model's component count, matching
-    * [[HeaderDecoder]]'s container semantics (gray 1, RGB 3, RGBA 4,
-    * palette 3). A production bulk path would read the raster buffer
+    * `channels` reports the color model's COLOR component count for
+    * palette-indexed models (3 — [[HeaderDecoder]]'s GIF convention,
+    * alpha from transparent palette entries excluded) and the full
+    * component count otherwise (gray 1, gray+alpha 2, RGB 3, RGBA 4 —
+    * matching HeaderDecoder's PNG mapping; the one divergence is
+    * indexed PNG, where the container header says 1 byte/pixel but
+    * decoded pixels are palette RGB). Dimensions are pre-checked from
+    * the container header against [[PixelDecoder.MaxPixels]] before
+    * any raster is allocated, so decompression-bomb payloads cannot
+    * OOM an executor. A production bulk path would read the raster buffer
     * directly; per-pixel getRGB keeps this dependency-free and exact.
     * Corrupt or non-image payloads fall back to [[FakeDecoder]], so
     * the operator stays total over a mixed 100 TB corpus. */
@@ -147,34 +154,63 @@ object Multimodal {
         meanR: Double, meanG: Double, meanB: Double,
         meanLuma: Double, stdLuma: Double)
 
+    /** Per-payload pixel budget: a payload whose header declares more
+      * than this many pixels (W×H) is refused BEFORE the raster is
+      * allocated, so a decompression-bomb container (tiny bytes, huge
+      * declared dimensions) cannot OOM an executor — it just takes the
+      * deterministic fallback like any other undecodable payload.
+      * 2^24 ≈ 16.8 MP ≈ 64 MB of ARGB raster per concurrent task. */
+    val MaxPixels: Long = 1L << 24
+
     /** Decoded-pixel statistics, or None when ImageIO does not
       * recognize the payload (its readers return null / throw on
-      * truncated containers — both map to the fallback). */
-    def stats(payload: Array[Byte]): Option[PixelStats] = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: Exception => null }
-      Option(img).filter(i => i.getWidth > 0 && i.getHeight > 0).map { bi =>
-        val w = bi.getWidth; val h = bi.getHeight
-        var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = bi.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
-            val l = (r + g + b) / 3.0
-            sr += r; sg += g; sb += b; sl += l; sl2 += l * l
-            x += 1
-          }
-          y += 1
-        }
-        val n = w.toDouble * h
-        val ml = sl / n
-        PixelStats(w, h, bi.getColorModel.getNumComponents,
-          sr / n, sg / n, sb / n, ml,
-          math.sqrt(math.max(0.0, sl2 / n - ml * ml)))
-      }
+      * truncated containers — both map to the fallback) or when the
+      * declared dimensions exceed `maxPixels`. Dimensions are read from
+      * the container header via the ImageReader BEFORE `read(0)`
+      * decodes pixels, so oversized declarations never allocate. */
+    def stats(payload: Array[Byte], maxPixels: Long = MaxPixels): Option[PixelStats] = {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        if (iis == null) return None
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0); val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+            val bi = reader.read(0)
+            var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = bi.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                val l = (r + g + b) / 3.0
+                sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toDouble * h
+            val ml = sl / n
+            // palette-indexed models report 3 (palette RGB, HeaderDecoder's
+            // GIF convention) even when a transparent entry adds an alpha
+            // component; non-indexed models keep the alpha-inclusive count
+            // (PNG gray+alpha 2, RGBA 4) that HeaderDecoder also reports.
+            val channels = bi.getColorModel match {
+              case _: java.awt.image.IndexColorModel => 3
+              case cm                                => cm.getNumComponents
+            }
+            Some(PixelStats(w, h, channels,
+              sr / n, sg / n, sb / n, ml,
+              math.sqrt(math.max(0.0, sl2 / n - ml * ml))))
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch { case _: Exception => None }
     }
 
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = stats(payload) match {

@@ -193,6 +193,46 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.PixelDecoder.decode(1L, png.take(n))
   }
 
+  test("PixelDecoder refuses decompression bombs before allocating the raster") {
+    // a real PNG with its IHDR width/height patched to declare a
+    // 60000x60000 image (3.6 G pixels ~ 14 GB ARGB raster): the
+    // dimension pre-check must refuse it without ever calling read(0)
+    val png = imageBytes(20, 20, "png", java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bomb = png.clone()
+    val dim = 60000
+    for (i <- 0 until 4) {
+      bomb(16 + i) = ((dim >> (8 * (3 - i))) & 0xff).toByte // IHDR width  (BE)
+      bomb(20 + i) = ((dim >> (8 * (3 - i))) & 0xff).toByte // IHDR height (BE)
+    }
+    assert(Multimodal.HeaderDecoder.parse(bomb).exists { case (w, h, _) =>
+      w == dim && h == dim }) // the patch really declares huge dims
+    assert(Multimodal.PixelDecoder.stats(bomb).isEmpty)
+    assert(Multimodal.PixelDecoder.decode(5L, bomb)
+      === Multimodal.FakeDecoder.decode(5L, bomb))
+    // an in-budget image still decodes with an explicit cap just above it
+    assert(Multimodal.PixelDecoder.stats(png, maxPixels = 400L).isDefined)
+    assert(Multimodal.PixelDecoder.stats(png, maxPixels = 399L).isEmpty)
+  }
+
+  test("PixelDecoder reports palette channels=3 for GIFs with transparency") {
+    // ARGB image with a transparent pixel -> GIF writer emits a palette
+    // with a transparent entry; the color model then has an alpha
+    // component, but channels must stay 3 (HeaderDecoder's palette
+    // convention), not drift to 4
+    val img = new java.awt.image.BufferedImage(10, 6,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    (0 until 10).foreach(x => img.setRGB(x, 0, 0xff123456 + x))
+    img.setRGB(0, 1, 0x00000000) // fully transparent pixel
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", out))
+    val bytes = out.toByteArray
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(bi.getColorModel.isInstanceOf[java.awt.image.IndexColorModel])
+    val s = Multimodal.PixelDecoder.stats(bytes).getOrElse(fail("gif not decoded"))
+    assert((s.width, s.height, s.channels) === ((10, 6, 3)))
+    assert(s.channels === Multimodal.HeaderDecoder.decode(1L, bytes).channels)
+  }
+
   test("embedFrame runs real pixels through the batched partition-wise Spark path") {
     import java.awt.image.BufferedImage._
     import spark.implicits._
