@@ -46,13 +46,17 @@ object MigrateState {
     * the dir holds no legacy store. */
   def migrateCdc(spark: SparkSession, dir: String,
       spec: BucketedStateStore.Spec = BucketedStateStore.Spec()): Report = {
-    val cur = StateStore.currentVersion(dir).getOrElse(
-      throw new IllegalStateException(s"$dir holds no legacy VERSION store to migrate"))
+    if (StateStore.currentVersion(dir).isEmpty)
+      throw new IllegalStateException(s"$dir holds no legacy VERSION store to migrate")
     require(!BucketedStateStore.exists(dir),
       s"$dir already holds a bucketed manifest — refusing to overwrite " +
         "(an earlier migration may have been interrupted after its swap; " +
         "inspect VERSION.premigration)")
-    val legacy = spark.read.parquet(s"$dir/v_$cur")
+    // snapshot the pointer ONCE; everything below (legacy read, seed,
+    // verify, swap) is keyed to this content so a live writer moving the
+    // pointer mid-migration is caught by the CAS in swapOutLegacy
+    val pointer0 = StateIO.readString(s"$dir/VERSION").trim
+    val legacy = spark.read.parquet(s"$dir/v_${pointer0.toInt}")
     BucketedStateStore.seed(legacy, dir, spec)
     val diff = diffCount(legacy, BucketedStateStore.read(spark, dir))
     if (diff != 0) {
@@ -62,7 +66,7 @@ object MigrateState {
       throw new IllegalStateException(
         s"migration verification failed for $dir: $diff differing rows; legacy store untouched")
     }
-    swapOutLegacy(dir, StateIO.readString(s"$dir/VERSION").trim)
+    swapOutLegacy(dir, pointer0)
     Report("cdc", dir, legacy.count(), spec.nBuckets, -1L)
   }
 
@@ -75,8 +79,11 @@ object MigrateState {
     if (!StateIO.exists(s"$dir/VERSION"))
       throw new IllegalStateException(s"$dir holds no legacy VERSION history to migrate")
     require(!Scd2BucketedTable.exists(dir),
-      s"$dir already holds a bucketed manifest — refusing to overwrite")
-    val keyType = legacyScd2KeyType(spark, dir)
+      s"$dir already holds a bucketed manifest — refusing to overwrite " +
+        "(an earlier migration may have been interrupted after its swap; " +
+        "inspect VERSION.premigration)")
+    val pointer0 = StateIO.readString(s"$dir/VERSION").trim
+    val keyType = legacyScd2KeyType(spark, dir, pointer0)
     val legacyTable = new StreamScd2.Scd2Table(spark, dir, keyType = keyType)
     val legacy = legacyTable.read()
     val lastBatchId = legacyTable.lastBatchId
@@ -88,23 +95,44 @@ object MigrateState {
       throw new IllegalStateException(
         s"migration verification failed for $dir: $diff differing rows; legacy history untouched")
     }
-    swapOutLegacy(dir, StateIO.readString(s"$dir/VERSION").trim)
+    swapOutLegacy(dir, pointer0)
     Report("scd2", dir, legacy.count(), nBuckets, lastBatchId)
   }
 
   /** The legacy history's key type, read from its current version's
     * parquet schema (the legacy backend records no KEYTYPE file). */
-  private def legacyScd2KeyType(spark: SparkSession, dir: String) = {
-    val v = StateIO.readString(s"$dir/VERSION").trim.split(' ')(0).toInt
+  private def legacyScd2KeyType(spark: SparkSession, dir: String, pointer: String) = {
+    val v = pointer.split(' ')(0).toInt
     if (v < 0) org.apache.spark.sql.types.LongType
     else spark.read.parquet(s"$dir/v_$v").schema("key").dataType
   }
 
-  /** The swap: preserve the legacy pointer content for rollback, then
-    * remove the pointer — from here both backends' resolution order
-    * selects the bucketed layout. The v_N data dirs stay on disk. */
-  private def swapOutLegacy(dir: String, pointerContent: String): Unit = {
-    StateIO.writeStringAtomic(s"$dir/VERSION.premigration", pointerContent)
+  /** The swap: CAS-check that the legacy pointer still holds the exact
+    * content the migration snapshotted at start (the tool is documented
+    * offline, but nothing else enforces it — a live tail committing a
+    * new legacy version mid-migration would otherwise be silently
+    * dropped from the bucketed layout), preserve the pointer content
+    * for rollback, then remove the pointer — from here both backends'
+    * resolution order selects the bucketed layout. The v_N data dirs
+    * stay on disk. Mirrors the online commits' checkPointerUnmoved. */
+  /** Test hook: runs immediately before the pointer-swap CAS check,
+    * letting the spec interpose a concurrent legacy writer (the same
+    * discipline as the online commits' preSwap hooks). */
+  private[tools] var preSwapHook: () => Unit = () => ()
+
+  private def swapOutLegacy(dir: String, pointerAtStart: String): Unit = {
+    preSwapHook()
+    val now = StateIO.readString(s"$dir/VERSION").trim
+    if (now != pointerAtStart) {
+      // withdraw the half-built bucketed layout so the directory stays
+      // unambiguously legacy, exactly like a failed verification
+      StateIO.delete(s"$dir/MANIFEST")
+      throw new IllegalStateException(
+        s"concurrent writer on legacy store at $dir during migration: " +
+          s"VERSION moved from '$pointerAtStart' to '$now'; bucketed manifest " +
+          "withdrawn, legacy store untouched — quiesce writers and re-run")
+    }
+    StateIO.writeStringAtomic(s"$dir/VERSION.premigration", pointerAtStart)
     StateIO.delete(s"$dir/VERSION")
   }
 

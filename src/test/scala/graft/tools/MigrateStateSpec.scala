@@ -95,6 +95,66 @@ class MigrateStateSpec extends AnyFunSuite {
     assert(rows === Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (2L, 1L, "x")))
   }
 
+  test("cdc: a legacy commit landing mid-migration aborts the swap (single-writer CAS)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mig_cas").toString + "/state"
+    StateStore.write(Seq(
+      ("a", """{"_id":"a","x":1}""", null: String, 10L),
+    ).toDF("id", "doc", "parent", "ts"), dir)
+
+    // interpose a live tail's commit between the migration's snapshot
+    // and its pointer swap — exactly the window the CAS must close
+    MigrateState.preSwapHook = () => StateStore.write(Seq(
+      ("a", """{"_id":"a","x":1}""", null: String, 10L),
+      ("z", """{"_id":"z","x":9}""", null: String, 99L),
+    ).toDF("id", "doc", "parent", "ts"), dir)
+    try {
+      val ex = intercept[IllegalStateException] {
+        MigrateState.migrateCdc(spark, dir, BucketedStateStore.Spec(nBuckets = 4))
+      }
+      assert(ex.getMessage.contains("concurrent writer"))
+    } finally MigrateState.preSwapHook = () => ()
+
+    // the aborted migration withdrew its manifest: the directory is
+    // unambiguously legacy and the interposed commit is fully visible
+    assert(!BucketedStateStore.exists(dir))
+    assert(StateStore.currentVersion(dir).isDefined)
+    val ids = StateStore.read(spark, dir).collect().map(_.getString(0)).toSet
+    assert(ids === Set("a", "z"))
+
+    // with the writer quiesced, a re-run succeeds and carries the
+    // interposed commit into the bucketed layout
+    val rep = MigrateState.migrateCdc(spark, dir, BucketedStateStore.Spec(nBuckets = 4))
+    assert(rep.rows === 2L)
+    assert(StateStore.read(spark, dir).collect().map(_.getString(0)).toSet === Set("a", "z"))
+  }
+
+  test("cdc: a crash between seed and swap leaves legacy authoritative; re-run refuses") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mig_crash").toString + "/state"
+    val df = Seq(("a", """{"_id":"a","x":1}""", null: String, 10L))
+      .toDF("id", "doc", "parent", "ts")
+    StateStore.write(df, dir)
+    val before = sortedRows(StateStore.read(spark, dir))
+
+    // simulate the crash: the bucketed layout was fully seeded but the
+    // run died before verify/swap — manifest AND legacy pointer coexist
+    BucketedStateStore.seed(spark.read.parquet(s"$dir/v_0"), dir,
+      BucketedStateStore.Spec(nBuckets = 4))
+    assert(BucketedStateStore.exists(dir) && StateIO.exists(s"$dir/VERSION"))
+
+    // resolution order still prefers the legacy pointer: reads unchanged
+    assert(sortedRows(StateStore.read(spark, dir)) === before)
+
+    // a re-run must refuse with the remediation pointer, not overwrite
+    val ex = intercept[IllegalArgumentException] {
+      MigrateState.migrateCdc(spark, dir, BucketedStateStore.Spec(nBuckets = 4))
+    }
+    assert(ex.getMessage.contains("inspect VERSION.premigration"))
+    assert(StateIO.exists(s"$dir/VERSION"), "legacy pointer must survive a refused re-run")
+    assert(sortedRows(StateStore.read(spark, dir)) === before)
+  }
+
   test("scd2: a failed verification leaves the directory unambiguously legacy") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mig_fail").toString + "/hist"
