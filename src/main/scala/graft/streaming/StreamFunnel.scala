@@ -48,13 +48,11 @@ object StreamFunnel {
     case (x, None)      => x
   }
 
-  def update(
-      user: Long,
-      evs: Iterator[Ev],
-      state: GroupState[FunnelState],
-  ): Iterator[FunnelState] = {
-    val prev = state.getOption.getOrElse(FunnelState(user, -1L, -1L, -1L))
-    val b = evs.toSeq
+  /** The pure per-batch min-fold — the single definition of the funnel
+    * transition, shared verbatim by the no-TTL and TTL paths. */
+  private[streaming] def fold(
+      user: Long, prevOpt: Option[FunnelState], b: Seq[Ev]): FunnelState = {
+    val prev = prevOpt.getOrElse(FunnelState(user, -1L, -1L, -1L))
     val t1 = minPos(prev.t1,
       b.collect { case e if e.event_type == "click" => e.ts_us }.minOption)
     val t2 =
@@ -68,7 +66,15 @@ object StreamFunnel {
         b.collect {
           case e if e.event_type == "purchase" && e.ts_us >= t2 && e.ts_us <= t2 + hourUs => e.ts_us
         }.minOption)
-    val next = FunnelState(user, t1, t2, t3)
+    FunnelState(user, t1, t2, t3)
+  }
+
+  def update(
+      user: Long,
+      evs: Iterator[Ev],
+      state: GroupState[FunnelState],
+  ): Iterator[FunnelState] = {
+    val next = fold(user, state.getOption, evs.toSeq)
     state.update(next)
     Iterator.single(next)
   }
@@ -87,20 +93,35 @@ object StreamFunnel {
     * watermark (and therefore the event-time timeout) can attach. */
   final case class EvT(ts: java.sql.Timestamp, user_id: Long, ts_us: Long, event_type: String)
 
-  private def updateTtl(idleMs: Long)(
+  /** TTL-path state: funnel progress plus the newest event time ever
+    * seen for the user (ms). Carrying lastSeen makes the eviction
+    * deadline MONOTONE — a micro-batch holding only late (older)
+    * events for an already-seen user folds normally but can no longer
+    * pull the timeout backward from the documented
+    * 'last event + idle horizon'. */
+  final case class FunnelStateTtl(
+      user_id: Long, t1: Long, t2: Long, t3: Long, lastSeenMs: Long)
+
+  private[streaming] def updateTtl(idleMs: Long)(
       user: Long,
       evs: Iterator[EvT],
-      state: GroupState[FunnelState],
+      state: GroupState[FunnelStateTtl],
   ): Iterator[FunnelState] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val b = evs.toSeq
+    val prev = state.getOption
     // identical min-fold as the no-TTL path — TTL only adds eviction
-    val res = update(user, b.iterator.map(e => Ev(e.user_id, e.ts_us, e.event_type)), state)
-    // dead once the watermark passes the user's newest event + idle
-    // horizon; the timeout must sit strictly past the current watermark
-    val lastMs = b.map(_.ts_us / 1000L).max
-    state.setTimeoutTimestamp(math.max(lastMs + idleMs, state.getCurrentWatermarkMs() + 1))
-    res
+    val next = fold(user, prev.map(p => FunnelState(p.user_id, p.t1, p.t2, p.t3)),
+      b.map(e => Ev(e.user_id, e.ts_us, e.event_type)))
+    // dead once the watermark passes the user's newest-ever event + idle
+    // horizon (clamped against the stored lastSeen so late-only batches
+    // keep the deadline); the timeout must sit strictly past the
+    // current watermark
+    val lastSeenMs = math.max(prev.map(_.lastSeenMs).getOrElse(Long.MinValue),
+      b.map(_.ts_us / 1000L).max)
+    state.update(FunnelStateTtl(user, next.t1, next.t2, next.t3, lastSeenMs))
+    state.setTimeoutTimestamp(math.max(lastSeenMs + idleMs, state.getCurrentWatermarkMs() + 1))
+    Iterator.single(next)
   }
 
   /** TTL twin of [[funnelStates]] for unbounded user domains: state is
@@ -113,7 +134,8 @@ object StreamFunnel {
       idleSec: Long = 86400L,
       lateSec: Long = 60L,
   ): Dataset[FunnelState] = {
-    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val stEnc = Encoders.product[FunnelStateTtl]
+    implicit val outEnc = Encoders.product[FunnelState]
     implicit val evtEnc = Encoders.product[EvT]
     implicit val longEnc = Encoders.scalaLong
     events

@@ -111,6 +111,87 @@ class StreamFunnelSpec extends AnyFunSuite {
     assert(users(0) >= users(1) && users(1) >= users(2) && users(2) > 0)
   }
 
+  test("TTL deadline is monotone: a late-only batch cannot pull eviction backward") {
+    val S = 1000000L
+    val idleMs = 120000L
+    // batch 1: click at t=2000s -> deadline = 2000s + 120s (ms)
+    val gs1 = new TestGroupState[StreamFunnel.FunnelStateTtl](None)
+    StreamFunnel.updateTtl(idleMs)(7L,
+      Iterator(StreamFunnel.EvT(new java.sql.Timestamp(2000L * 1000), 7L, 2000L * S, "click")),
+      gs1).toSeq
+    assert(gs1.lastTimeoutMs === 2000L * 1000 + idleMs)
+    // batch 2: ONLY a late (older) event, still inside the lateness
+    // window — it must fold (the earlier click wins the min) but must
+    // NOT pull the eviction deadline back to 1000s + 120s
+    val gs2 = new TestGroupState[StreamFunnel.FunnelStateTtl](
+      gs1.getOption, watermarkMs = 1990L * 1000)
+    val out = StreamFunnel.updateTtl(idleMs)(7L,
+      Iterator(StreamFunnel.EvT(new java.sql.Timestamp(1000L * 1000), 7L, 1000L * S, "click")),
+      gs2).toSeq
+    assert(out.head.t1 === 1000L * S, "the late event still folds into the funnel")
+    assert(gs2.lastTimeoutMs === 2000L * 1000 + idleMs,
+      "deadline must stay keyed to the newest-ever event, not the batch max")
+    assert(gs2.getOption.exists(_.lastSeenMs === 2000L * 1000))
+  }
+
+  test("TTL twin survives a restart: in-horizon chains resume, expired users re-enter fresh") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sfunnel_restart").toString
+    val S = 1000000L
+    val schema = Seq((0L, 0L, "")).toDF("user_id", "ts_us", "event_type").schema
+    def writeBatch(name: String, mtime: Long, rows: (Long, Long, String)*): Unit = {
+      rows.toDF("user_id", "ts_us", "event_type").coalesce(1).write.parquet(s"$base/in/$name")
+      TestSpark.touch(s"$base/in/$name", mtime)
+    }
+    def runUntilDrained(): Map[Long, (Long, Long, Long)] = {
+      val latest = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+      implicit val evEnc = org.apache.spark.sql.Encoders.product[StreamFunnel.Ev]
+      val q = StreamFunnel.funnelStatesTtl(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(s"$base/in")
+            .as[StreamFunnel.Ev],
+          idleSec = 120L, lateSec = 10L)
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            latest(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getLong(3)))
+          ()
+        }
+        .trigger(Trigger.ProcessingTime(100))
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      latest.toMap
+    }
+
+    // run 1: user 100 clicks then goes idle; user 200 builds a chain
+    // whose last event keeps it in-horizon; user 300 advances the
+    // watermark to 5095s, past user 100's 1120s deadline but short of
+    // user 200's 5115s one — p3 makes the expiry timer actually fire
+    writeBatch("p1", 1000L, (100L, 1000L * S, "click"), (200L, 1000L * S, "click"))
+    writeBatch("p2", 2000L, (200L, 4995L * S, "view"), (300L, 5100L * S, "click"))
+    writeBatch("p3", 3000L, (300L, 5105L * S, "view"))
+    val run1 = runUntilDrained()
+    assert(run1(100L) === ((1000L * S, -1L, -1L)))
+    assert(run1(200L) === ((1000L * S, 4995L * S, -1L)))
+
+    // restart mid-horizon from the same checkpoint: the expired user
+    // re-enters as a FRESH funnel (t1 = the new click, not the old
+    // 1000s one), while the in-horizon user's checkpointed chain
+    // completes with a purchase inside the hour window of its view
+    writeBatch("p4", 4000L, (100L, 5110L * S, "click"), (200L, 5200L * S, "purchase"))
+    val run2 = runUntilDrained()
+    assert(run2(100L) === ((5110L * S, -1L, -1L)),
+      "timed-out-and-removed user must restart as a fresh funnel")
+    assert(run2(200L) === ((1000L * S, 4995L * S, 5200L * S)),
+      "in-horizon user's cross-restart chain must survive via the checkpoint")
+  }
+
   test("TTL twin: idle users age out of the store; in-horizon folding matches the no-TTL form") {
     import spark.implicits._
     val base = Files.createTempDirectory("sfunnel_ttl").toString
