@@ -513,7 +513,8 @@ object DedupQueries {
   // the per-pair work is a single dot product.
   private def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddingsWithUnit(spark, dir).withColumn("block", col("label"))
-    blockedPairs(e, threshold = 0.4)
+    blockedPairs(e, threshold = 0.4,
+      guard = Some(("embedding_pairs_label", s"$dir/embeddings.parquet")))
       .withColumnRenamed("block", "label")
       .select(col("a_id"), col("b_id"), col("label"), col("sim"))
   }
@@ -525,7 +526,8 @@ object DedupQueries {
   private def embeddingPairsLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddingsWithUnit(spark, dir)
       .withColumn("block", graft.expressions.SignFunctions.elementSignBits(col("v"), 8))
-    blockedPairs(e, threshold = 0.3)
+    blockedPairs(e, threshold = 0.3,
+      guard = Some(("embedding_pairs_lsh", s"$dir/embeddings.parquet")))
       .select(col("a_id"), col("b_id"), col("block"), col("sim"))
   }
 
@@ -604,13 +606,23 @@ object DedupQueries {
     * remediation spelled out, instead of silently launching an
     * all-pairs join a 100 TB corpus cannot afford. The bound check is
     * one cheap aggregate over the (already small) per-block counts. */
-  private[llm] def blockedPairs(e: DataFrame, threshold: Double, maxBlock: Long = 100000L): DataFrame = {
+  private[llm] def blockedPairs(e: DataFrame, threshold: Double, maxBlock: Long = 100000L,
+      guard: Option[(String, String)] = None): DataFrame = {
     import graft.expressions.VectorFunctions.{dot => ndot}
-    val worst = e.groupBy(col("block")).count()
-      .orderBy(col("count").desc).limit(1).collect()
-    worst.headOption.filter(_.getLong(1) > maxBlock).foreach { r =>
+    // worst-block stat: session-cached per (guard name, table mtime)
+    // when the caller supplies a stable table identity, recomputed per
+    // call for ad-hoc frames; the bound is enforced on EVERY invocation
+    def computeWorst: Option[(Vector[Any], Long)] =
+      e.groupBy(col("block")).count()
+        .orderBy(col("count").desc).limit(1).collect()
+        .headOption.map(r => (Vector(r.get(0)), r.getLong(1)))
+    val worst = guard match {
+      case Some((name, path)) => graft.ops.BlockGuard.worstBlock(name, path)(computeWorst)
+      case None               => computeWorst
+    }
+    worst.filter(_._2 > maxBlock).foreach { case (labels, n) =>
       throw new IllegalStateException(
-        s"embedding block '${r.get(0)}' holds ${r.getLong(1)} vectors (bound: $maxBlock): " +
+        s"embedding block '${labels(0)}' holds $n vectors (bound: $maxBlock): " +
           "the exact pair form is quadratic per block — use the sign-LSH-blocked variant " +
           "(dedup_embedding_pairs_lsh) or the ANN top-k path, or raise maxBlock deliberately")
     }

@@ -190,12 +190,16 @@ object TextQueries {
       maxBlock: Long = 100000L): DataFrame = {
     val d = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), substring(col("text"), 1, 24).as("pfx"))
-    val worst = d.groupBy(col("lang"), col("source")).count()
-      .orderBy(col("count").desc).limit(1).collect()
-    worst.headOption.filter(_.getLong(2) > maxBlock).foreach { r =>
+    // worst-block stat cached per (guard, table mtime) — the bound is
+    // enforced on EVERY invocation, the two-job stat computed once
+    graft.ops.BlockGuard.worstBlock("edit_pairs", s"$dir/documents.parquet") {
+      d.groupBy(col("lang"), col("source")).count()
+        .orderBy(col("count").desc).limit(1).collect()
+        .headOption.map(r => (Vector(r.get(0), r.get(1)), r.getLong(2)))
+    }.filter(_._2 > maxBlock).foreach { case (labels, n) =>
       throw new IllegalStateException(
-        s"edit-distance block (lang=${r.get(0)}, source=${r.get(1)}) holds " +
-          s"${r.getLong(2)} documents (bound: $maxBlock): the label-blocked pair form " +
+        s"edit-distance block (lang=${labels(0)}, source=${labels(1)}) holds " +
+          s"$n documents (bound: $maxBlock): the label-blocked pair form " +
           "is quadratic per block and (lang, source) blocks grow with the corpus — " +
           "use the data-keyed banded variant (text_edit_distance_pairs_banded), " +
           "or raise maxBlock deliberately")
@@ -231,12 +235,14 @@ object TextQueries {
       .select(col("doc_id"), length(col("text")).as("len"),
         substring(col("text"), 1, 12).as("p12"),
         substring(col("text"), 1, 24).as("pfx"))
-    val worst = d.groupBy(col("p12"), floor(col("len") / 10).as("band")).count()
-      .orderBy(col("count").desc).limit(1).collect()
-    worst.headOption.filter(_.getLong(2) > maxBlock).foreach { r =>
+    graft.ops.BlockGuard.worstBlock("edit_pairs_banded", s"$dir/documents.parquet") {
+      d.groupBy(col("p12"), floor(col("len") / 10).as("band")).count()
+        .orderBy(col("count").desc).limit(1).collect()
+        .headOption.map(r => (Vector(r.get(0), r.get(1)), r.getLong(2)))
+    }.filter(_._2 > maxBlock).foreach { case (labels, n) =>
       throw new IllegalStateException(
-        s"banded edit-distance bucket (p12=${r.get(0)}, band=${r.get(1)}) holds " +
-          s"${r.getLong(2)} documents (bound: $maxBlock): a single prefix x length " +
+        s"banded edit-distance bucket (p12=${labels(0)}, band=${labels(1)}) holds " +
+          s"$n documents (bound: $maxBlock): a single prefix x length " +
           "bucket this hot means near-identical boilerplate — dedup it exactly " +
           "(dedup_exact / dedup_norm) before pair scoring, or raise maxBlock deliberately")
     }
