@@ -35,7 +35,8 @@ object DedupQueries {
     NamedQuery("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     NamedQuery("dedup_substring_frac", substringFrac, Some(substringFracSql)),
     NamedQuery("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
-    NamedQuery("dedup_containment_pairs", containmentPairs, Some(containmentSql)),
+    NamedQuery("dedup_containment_pairs", containment, Some(containmentSql)),
+    NamedQuery("dedup_containment_capped", containmentCapped, Some(containmentCappedSql)),
   )
 
   // ---------------------------------------------------------------
@@ -176,15 +177,22 @@ object DedupQueries {
   // k_w — bounded by the DOCUMENT FREQUENCY distribution (Zipf), not
   // by label-block size. Growing the corpus N× grows each CONTENT
   // word's k_w ~N× only for words whose df is corpus-proportional —
-  // i.e., stopword-frequency terms — and those are exactly the lists a
-  // production pass caps (the jaccard family's dfCap twin drops lists
-  // past a fixed length, trading recall only on pairs whose overlap is
+  // i.e., stopword-frequency terms — and those are exactly the lists
+  // the dfCap twin drops (trading recall only on pairs whose overlap is
   // carried exclusively by ubiquitous words, which containment >= 0.8
   // pairs never are: they share rare words too). With a df cap in
   // place the bound is Σk² <= (#capped lists)·cap², linear in corpus
-  // size. The uncapped oracle query keeps exact semantics for the
-  // harness; the capped twin below is the 100 TB form.
-  private def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+  // size. The uncapped query keeps exact semantics for the harness;
+  // `dedup_containment_capped` (dfCap = 64, same mechanism as
+  // `dedup_jaccard_capped`) is the 100 TB form, and PlanSpec pins the
+  // posting-list equi-join shape of both.
+  private def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(spark, dir, dfCap = None)
+
+  private def containmentCapped(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(spark, dir, dfCap = Some(64))
+
+  private def containmentPairs(spark: SparkSession, dir: String, dfCap: Option[Int]): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val words = docs.select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
@@ -193,7 +201,8 @@ object DedupQueries {
     val posting = words.groupBy(col("lang"), col("source"), col("w"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-    val pairs = posting
+    val capped = dfCap.fold(posting)(c => posting.filter(size(col("ids")) <= c))
+    val pairs = capped
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
       .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
     val inter = pairs.groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
@@ -207,25 +216,39 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  private val containmentSql =
-    """WITH words AS (
-      |  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
-      |  FROM documents
-      |), sizes AS (
-      |  SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
-      |), inter AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-      |  FROM words a JOIN words b
-      |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id
-      |)
-      |SELECT a_id, b_id,
-      |  CAST(round(CAST(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS DECIMAL(18,8)), 4) AS DOUBLE) AS containment
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = a_id
-      |JOIN sizes sb ON sb.doc_id = b_id
-      |WHERE CAST(round(CAST(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.8
-      |ORDER BY a_id, b_id""".stripMargin
+  private def containmentSqlFor(dfCap: Option[Int]): String = {
+    val cappedCtes = dfCap.fold("") { c =>
+      s"""), df AS (
+         |  SELECT lang, source, w, count(*) AS df FROM words GROUP BY lang, source, w
+         |), kept AS (
+         |  SELECT wo.doc_id, wo.lang, wo.source, wo.w
+         |  FROM words wo JOIN df d ON wo.lang = d.lang AND wo.source = d.source AND wo.w = d.w
+         |  WHERE d.df <= $c
+         |""".stripMargin
+    }
+    val src = if (dfCap.isDefined) "kept" else "words"
+    s"""WITH words AS (
+       |  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents
+       |$cappedCtes), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM $src a JOIN $src b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT a_id, b_id,
+       |  CAST(round(CAST(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS DECIMAL(18,8)), 4) AS DOUBLE) AS containment
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE CAST(round(CAST(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS DECIMAL(18,8)), 4) AS DOUBLE) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  private lazy val containmentSql = containmentSqlFor(None)
+  private lazy val containmentCappedSql = containmentSqlFor(Some(64))
 
   // ---------------------------------------------------------------
   // MinHash + LSH banding: 3-word shingles, 4 hash functions taken as

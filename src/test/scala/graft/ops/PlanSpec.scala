@@ -98,6 +98,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("abs"), "length residual must be present as a post-join filter")
   }
 
+  test("containment pairs stream i<j candidates off posting lists, never a doc-level self-join") {
+    for (q <- Seq("dedup_containment_pairs", "dedup_containment_capped")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoop"), q)
+      // candidate generation is the pipelined double Generate over the
+      // per-word posting list (posexplode + slice-explode), not a join
+      // of exploded word rows against themselves
+      assert(p.contains("Generate"), q)
+      assert(p.contains("slice"), s"$q must stream i<j pairs via slice off the sorted list")
+      // the final size lookups ride broadcasts onto the surviving pairs
+      assert(p.contains("BroadcastHashJoin"), q)
+    }
+  }
+
   test("LSH candidate generation is a hash equi-join on (band, bucket), not a nested loop") {
     val p = plan("sim_lsh_topk")
     assert(!p.contains("BroadcastNestedLoop"),
