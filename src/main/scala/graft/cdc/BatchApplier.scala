@@ -64,8 +64,10 @@ object BatchApplier {
       .drop("action")
 
   /** [[applyOplogBatch]] keeping per-key DELETE outcomes as explicit
-    * tombstone rows `(id, null, null, ts, "delete")` instead of dropping
-    * them. The incremental bucketed store needs tombstones: its delta
+    * tombstone rows `(id, null, parent, ts, "delete")` instead of
+    * dropping them (parent = the routing value dispatch recovered from
+    * sink state, which the bulk load leg ships on the delete action).
+    * The incremental bucketed store needs tombstones: its delta
     * files record per-key outcomes, and an absent row means "untouched",
     * not "deleted" — exactly a log-structured MERGE's encoding. */
   def applyOplogBatchKeepDeletes(
@@ -183,7 +185,11 @@ object BatchApplier {
           if (candidates.isEmpty) Iterator.empty // all events dropped, no prior state
           else {
             val winner = candidates.maxBy(c => (c._1, c._2))
-            if (winner._3 == "delete") Iterator.single((id, null: String, null: String, winner._1, "delete"))
+            // a delete tombstone keeps its recovered routing value: the
+            // reference's delete bulk action ships _parent too (ES
+            // parent/child deletes route), and state readers drop
+            // delete rows before parent could matter
+            if (winner._3 == "delete") Iterator.single((id, null: String, winner._5, winner._1, "delete"))
             else Iterator.single((id, winner._4, winner._5, winner._1, "upsert"))
           }
         }

@@ -385,6 +385,11 @@ object BucketedStateStore {
       spec: Spec,
       source: Option[DataFrame] = None,
       dropped: Option[org.apache.spark.util.LongAccumulator] = None,
+      // load-leg side output: the batch's per-key outcomes (id, doc,
+      // parent, ts, action), exactly what the commit writes — e.g. the
+      // tail's bulk-body emitter (L2). The frame is persisted around
+      // the commit when a consumer is present, so the fold runs once.
+      onOutcomes: Option[DataFrame => Unit] = None,
   ): Long = {
     val spark = events.sparkSession
     val keys = events.select(col("id")).distinct().persist()
@@ -394,9 +399,14 @@ object BucketedStateStore {
       val st = keyStats(n, keys)
       val prior = m.map(priorForStats(spark, dir, _, keys, st))
         .getOrElse(StateStore.empty(spark))
-      val applied = BatchApplier.applyOplogBatchKeepDeletes(
+      val applied0 = BatchApplier.applyOplogBatchKeepDeletes(
         events, prior, task, source, dropped, batchKeyCount = Some(st.n))
-      commitDelta(applied, dir, spec, st.dirty)
+      val applied = if (onOutcomes.isDefined) applied0.persist() else applied0
+      try {
+        val r = commitDelta(applied, dir, spec, st.dirty)
+        onOutcomes.foreach(f => f(applied))
+        r
+      } finally if (onOutcomes.isDefined) { applied.unpersist(); () }
     } finally { keys.unpersist(); () }
   }
 

@@ -40,6 +40,10 @@ object Runner {
       // resumes at it); TailQuery.skipAndCount(spark): the reference's
       // log-and-keep-tailing policy with accumulator-counted skips
       failurePolicy: TailQuery.FailurePolicy = TailQuery.FailFast,
+      // Some(spec): the load leg — mirror each micro-batch's outcomes
+      // as ES _bulk bodies (reference src/processor.ts:225-258) via the
+      // DSv2 BulkJsonSink, one directory per batch
+      bulk: Option[TailQuery.BulkSpec] = None,
   )
 
   /** Run (or skip, on restart) the scan backfill, then start the tail.
@@ -65,7 +69,7 @@ object Runner {
       stateDir = cfg.stateDir, checkpointDir = cfg.checkpointDir,
       source = Some(sourceSnapshot), triggerMs = cfg.triggerMs,
       taskName = cfg.name, hooks = hooks, buckets = cfg.buckets,
-      failurePolicy = cfg.failurePolicy)
+      failurePolicy = cfg.failurePolicy, bulk = cfg.bulk)
   }
 
   /** Multi-task orchestration (reference src/index.ts:7-39): backfills
@@ -123,6 +127,13 @@ object Runner {
       failurePolicy: TailQuery.FailurePolicy = TailQuery.FailFast,
   ): Seq[StreamingQuery] = {
     val sourceOpts = config.mongoSourceOptions ++ config.sourceAdmissionOptions
+    // optional file-backed load leg (reference ships bulk bodies over
+    // HTTP; a harness deployment declares `elasticsearch.options.bulkDir`
+    // and gets the same bodies as per-batch bulk files). A relative dir
+    // resolves under baseDir, next to state and checkpoints.
+    val bulkRoot = config.esSinkOptions.get("bulkDir").map { d =>
+      if (new java.io.File(d).isAbsolute) d else s"$baseDir/$d"
+    }
     // sink DDL first (reference src/index.ts:11 Indices.init): every
     // task's output table exists with its mapping-declared types and
     // blue/green suffix before any data flows
@@ -143,6 +154,10 @@ object Runner {
         name = td.name,
         buckets = buckets,
         failurePolicy = failurePolicy,
+        bulk = bulkRoot.map(r => TailQuery.BulkSpec(
+          s"$r/$dirName",
+          td.load.index + config.controls.indexNameSuffix,
+          td.load.esType)),
       )
       val (snapshot, stream) = adapters(td, sourceOpts)
       // scan-phase resume predicate (reference src/mongodb.ts:35-39)

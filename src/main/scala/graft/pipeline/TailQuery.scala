@@ -52,6 +52,25 @@ object TailQuery {
       spark.sparkContext.longAccumulator(s"${name}_skipped_batches"),
       spark.sparkContext.longAccumulator(s"${name}_skipped_rows"))
 
+  /** The load leg (L2): where the reference ships each micro-batch's
+    * outcomes as one ES `_bulk` request (src/processor.ts:225-258 builds
+    * the bodies, src/elasticsearch.ts:22-28 POSTs them), the engine
+    * writes the same bodies through the DSv2
+    * [[graft.source.v2.BulkJsonSink]] — one directory per micro-batch
+    * (`<dir>/batch-NNNNN/part-*.bulk` + `_SUCCESS`), each part file one
+    * bulk request an external loader replays in order. */
+  final case class BulkSpec(dir: String, index: String, esType: String)
+
+  private def writeBulk(outcomes: DataFrame, b: BulkSpec, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    outcomes
+      .select(col("action"), col("id"), col("doc").as("data"), col("parent"), col("ts"))
+      .write.format("graft.source.v2.BulkJsonSink")
+      .option("path", f"${b.dir}/batch-$batchId%05d")
+      .option("index", b.index).option("type", b.esType)
+      .mode("append").save()
+  }
+
   /** Start the tail stream. `oplogStream` must be a streaming DataFrame
     * with the OplogRow schema (ts, op, ns, id, doc, fromMigrate).
     *
@@ -76,6 +95,7 @@ object TailQuery {
       hooks: Option[CheckpointHooks] = None,
       buckets: Option[BucketedStateStore.Spec] = Some(BucketedStateStore.Spec()),
       failurePolicy: FailurePolicy = FailFast,
+      bulk: Option[BulkSpec] = None,
   ): StreamingQuery = {
     val spark = oplogStream.sparkSession
     import OplogRow.encoder
@@ -90,7 +110,7 @@ object TailQuery {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Cache, then exactly ONE materializing pass over the source
         // plan: every further action reads the cache. This keeps the
         // observed metrics exact (each uncached action would re-run the
@@ -106,18 +126,30 @@ object TailQuery {
           if (batchRows > 0) {
             effectiveBuckets match {
               case Some(spec) =>
-                // incremental: touch only the batch's keys and buckets
+                // incremental: touch only the batch's keys and buckets;
+                // the bulk load leg taps the same outcomes the delta
+                // commit writes — no second fold
                 BucketedStateStore.applyBatch(
-                  batch.as[OplogRow], task, stateDir, spec, source)
+                  batch.as[OplogRow], task, stateDir, spec, source,
+                  onOutcomes = bulk.map(b => (o: DataFrame) => writeBulk(o, b, batchId)))
               case None =>
                 val st = StateStore.read(spark, stateDir)
                 // fused compact+dispatch+merge: one co-grouped shuffle per
                 // batch. The row count upper-bounds the distinct-key count,
                 // so it serves as the broadcast-cap probe without the apply
-                // paying a separate distinct-count job per trigger.
-                val newState = BatchApplier.applyOplogBatch(
+                // paying a separate distinct-count job per trigger. Delete
+                // outcomes are kept so the bulk leg sees them; the state
+                // write filters its tombstones exactly as applyOplogBatch.
+                val outcomes0 = BatchApplier.applyOplogBatchKeepDeletes(
                   batch.as[OplogRow], st, task, source, batchKeyCount = Some(batchRows))
-                StateStore.write(newState, stateDir)
+                val outcomes = if (bulk.isDefined) outcomes0.persist() else outcomes0
+                try {
+                  StateStore.write(
+                    outcomes.filter(org.apache.spark.sql.functions.col("action") =!= "delete")
+                      .drop("action"),
+                    stateDir)
+                  bulk.foreach(b => writeBulk(outcomes, b, batchId))
+                } finally if (bulk.isDefined) { outcomes.unpersist(); () }
             }
             // mirror tail progress to user persistence (L4 side channel);
             // failures never kill the batch — the authoritative

@@ -21,15 +21,17 @@ class ExampleSpec extends AnyFunSuite {
     val taskName = "app.banners___banner.banner"
     spark.sql("DROP TABLE IF EXISTS banner_v1")
 
-    // source layout from examples/README.md §2
+    // source layout from examples/README.md §2 (campaign = the config's
+    // parent-routing field, T7)
     Files.createDirectories(Paths.get(s"$data/$taskName/oplog"))
     spark.createDataFrame(Seq(
-      ("a", """{"_id":"a","name":"spring sale","weight":1.0,"deleted":false}"""),
-      ("b", """{"_id":"b","name":"old promo","weight":2.0,"deleted":true}"""),
+      ("a", """{"_id":"a","name":"spring sale","weight":1.0,"deleted":false,"campaign":"cmp1"}"""),
+      ("b", """{"_id":"b","name":"old promo","weight":2.0,"deleted":true,"campaign":"cmp2"}"""),
     )).toDF("id", "doc").write.parquet(s"$data/$taskName/snapshot")
     Files.write(Paths.get(s"$data/$taskName/oplog/b1.jsonl"), Seq(
       """{"ts":100,"op":"u","ns":"app.banners","id":"a","doc":{"$set":{"weight":2.5}}}""",
-      """{"ts":101,"op":"i","ns":"app.banners","id":"c","doc":{"_id":"c","name":"new","weight":3.0,"deleted":false}}""",
+      """{"ts":101,"op":"i","ns":"app.banners","id":"c","doc":{"_id":"c","name":"new","weight":3.0,"deleted":false,"campaign":"cmp1"}}""",
+      """{"ts":102,"op":"d","ns":"app.banners","id":"b","doc":{"_id":"b"}}""",
     ).mkString("\n").getBytes)
 
     // the exact shipped config, not a copy
@@ -45,8 +47,30 @@ class ExampleSpec extends AnyFunSuite {
     val stateDir = s"$base/${taskName}_v1/state"
     val state = StateStore.read(spark, stateDir).collect()
       .map(r => r.getAs[String]("id") -> r.getAs[String]("doc")).toMap
-    assert(state.keySet === Set("a", "b", "c"))
+    assert(state.keySet === Set("a", "c"), "the oplog delete must erase b")
     assert(state("a").contains(""""weight":2.5"""), state("a"))
+
+    // the load leg (reference src/processor.ts:225-258 +
+    // src/elasticsearch.ts:22-28): the config's bulkDir received the
+    // micro-batch's outcomes as _bulk bodies — index arms with their
+    // source line and _parent routing, the delete arm routing-only
+    import scala.jdk.CollectionConverters._
+    val bulkTask = Paths.get(s"$base/bulk/${taskName}_v1")
+    assert(Files.exists(bulkTask), "bulkDir from the shipped config must produce bulk output")
+    def walk() = Files.walk(bulkTask).iterator().asScala.toVector
+    val bulkLines = walk().filter(_.toString.endsWith(".bulk"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+    assert(bulkLines.count(_.startsWith("""{"index":""")) === 2, bulkLines)
+    assert(bulkLines.count(_.startsWith("""{"delete":""")) === 1, bulkLines)
+    val aAction = bulkLines.find(l => l.startsWith("""{"index":""") && l.contains("\"_id\":\"a\"")).get
+    assert(aAction.contains("\"_index\":\"banner_v1\"") && aAction.contains("\"_type\":\"banner\"")
+      && aAction.contains("\"_parent\":\"cmp1\""), aAction)
+    // the update's source line is the post-$set sink doc
+    assert(bulkLines(bulkLines.indexOf(aAction) + 1).contains(""""weight":2.5"""))
+    val dAction = bulkLines.find(_.startsWith("""{"delete":""")).get
+    assert(dAction.contains("\"_id\":\"b\"") && dAction.contains("\"_parent\":\"cmp2\""), dAction)
+    // each batch directory committed atomically (_SUCCESS after parts)
+    assert(walk().exists(_.getFileName.toString == "_SUCCESS"))
 
     // DDL ran (Indices.init equivalent) with the blue/green suffix; the
     // mapping renamed deleted -> isDeleted and typed weight as double,
@@ -72,6 +96,6 @@ class ExampleSpec extends AnyFunSuite {
     queries2.foreach { q => q.processAllAvailable(); q.stop() }
     val state2 = StateStore.read(spark, stateDir).collect()
       .map(r => r.getAs[String]("id")).toSet
-    assert(state2 === Set("a", "b", "c"), "restart with a tail checkpoint must not lose state")
+    assert(state2 === Set("a", "c"), "restart with a tail checkpoint must not lose state")
   }
 }
