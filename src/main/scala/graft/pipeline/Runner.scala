@@ -59,7 +59,7 @@ object Runner {
   ): StreamingQuery = {
     val alreadyScanned = StateStore.exists(cfg.stateDir)
     if (!alreadyScanned && !cfg.skipScan) {
-      ScanJob.backfill(sourceSnapshot, cfg.task, cfg.stateDir, cfg.buckets)
+      ScanJob.backfill(sourceSnapshot, cfg.task, cfg.stateDir, cfg.buckets, cfg.bulk)
       // the endScan phase flip (reference src/config.ts:77-81): tell
       // user persistence the backfill is done and tailing begins
       CheckpointHooks.save(hooks, cfg.name, CheckpointHooks.tailNow())

@@ -45,6 +45,11 @@ object ScanJob {
       task: TaskSpec,
       stateDir: String,
       buckets: Option[BucketedStateStore.Spec] = None,
+      // load leg for the scan phase too: the reference bulk-indexes the
+      // backfill (src/index.ts:27-32 scans and ships _bulk bodies), so
+      // with a BulkSpec the seeded state mirrors out as one
+      // `batch-scan/` bulk directory before tailing begins
+      bulk: Option[TailQuery.BulkSpec] = None,
   ): DataFrame = {
     val spark = source.sparkSession
     val irs = run(source, task)
@@ -53,6 +58,17 @@ object ScanJob {
       case Some(spec) => BucketedStateStore.seed(state, stateDir, spec)
       case None       => StateStore.write(state, stateDir)
     }
-    StateStore.read(spark, stateDir)
+    val seeded = StateStore.read(spark, stateDir)
+    bulk.foreach { b =>
+      import org.apache.spark.sql.functions.{col, lit}
+      seeded
+        .select(lit("upsert").as("action"), col("id"), col("doc").as("data"),
+          col("parent"), col("ts"))
+        .write.format("graft.source.v2.BulkJsonSink")
+        .option("path", s"${b.dir}/batch-scan")
+        .option("index", b.index).option("type", b.esType)
+        .mode("append").save()
+    }
+    seeded
   }
 }

@@ -58,8 +58,18 @@ class ExampleSpec extends AnyFunSuite {
     val bulkTask = Paths.get(s"$base/bulk/${taskName}_v1")
     assert(Files.exists(bulkTask), "bulkDir from the shipped config must produce bulk output")
     def walk() = Files.walk(bulkTask).iterator().asScala.toVector
-    val bulkLines = walk().filter(_.toString.endsWith(".bulk"))
+    def linesUnder(sub: String) = walk()
+      .filter(p => p.toString.contains(s"/$sub/") && p.toString.endsWith(".bulk"))
       .flatMap(p => Files.readAllLines(p).asScala)
+    // scan phase: the backfill bulk-indexes the snapshot (reference
+    // src/index.ts:27-32) — two index arms, pre-oplog docs
+    val scanLines = linesUnder("batch-scan")
+    assert(scanLines.count(_.startsWith("""{"index":""")) === 2, scanLines)
+    assert(scanLines.count(_.startsWith("""{"delete":""")) === 0, scanLines)
+    assert(scanLines.exists(l => l.contains("\"_id\":\"b\"") && l.contains("\"_parent\":\"cmp2\"")),
+      scanLines)
+    // tail phase: the micro-batch's outcomes
+    val bulkLines = linesUnder("batch-00000")
     assert(bulkLines.count(_.startsWith("""{"index":""")) === 2, bulkLines)
     assert(bulkLines.count(_.startsWith("""{"delete":""")) === 1, bulkLines)
     val aAction = bulkLines.find(l => l.startsWith("""{"index":""") && l.contains("\"_id\":\"a\"")).get
