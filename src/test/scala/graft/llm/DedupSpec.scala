@@ -95,6 +95,18 @@ class DedupSpec extends AnyFunSuite {
       prop.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq)
   }
 
+  test("capped containment pairs are a subset of the uncapped pairs (recall loss one-sided)") {
+    // the df cap can only DROP pairs (set sizes stay uncapped, inter
+    // only shrinks) — it must never invent a pair the exact form lacks
+    def ids(name: String) = run(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = ids("dedup_containment_capped")
+    val full = ids("dedup_containment_pairs")
+    assert(capped.nonEmpty, "cap=64 must leave signal at fixture scale")
+    assert(capped.subsetOf(full),
+      s"capped invented pairs: ${capped.diff(full).take(5)}")
+  }
+
   test("embedding pairs: the block-size contract is enforced, not just documented") {
     val e = DedupQueries.embeddingsWithUnit(spark, dir)
       .withColumn("block", org.apache.spark.sql.functions.col("label"))

@@ -155,6 +155,35 @@ class MigrateStateSpec extends AnyFunSuite {
     assert(sortedRows(StateStore.read(spark, dir)) === before)
   }
 
+  test("scd2: a legacy commit landing mid-migration aborts the swap (single-writer CAS)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mig_scd2_cas").toString + "/hist"
+    val legacy = new StreamScd2.Scd2Table(spark, dir)
+    assert(legacy.applyIfNew(
+      Seq((1L, "a", 10L, 1L)).toDF("key", "attr", "sec", "event_id"), batchId = 0L))
+
+    // a live tail commits batch 1 between the snapshot and the swap
+    MigrateState.preSwapHook = () => {
+      val t = new StreamScd2.Scd2Table(spark, dir)
+      assert(t.applyIfNew(
+        Seq((2L, "x", 20L, 2L)).toDF("key", "attr", "sec", "event_id"), batchId = 1L))
+    }
+    try {
+      val ex = intercept[IllegalStateException] { MigrateState.migrateScd2(spark, dir, 4) }
+      assert(ex.getMessage.contains("concurrent writer"))
+    } finally MigrateState.preSwapHook = () => ()
+
+    // unambiguously legacy, interposed commit intact; quiesced re-run
+    // succeeds and carries it (replay guard included)
+    assert(!Scd2BucketedTable.exists(dir))
+    assert(StateIO.exists(s"$dir/VERSION"))
+    val rep = MigrateState.migrateScd2(spark, dir, 4)
+    assert(rep.lastBatchId === 1L)
+    val t2 = StreamScd2.table(spark, dir)
+    assert(t2.isInstanceOf[Scd2BucketedTable])
+    assert(t2.read().select("key").distinct().count() === 2L)
+  }
+
   test("scd2: a failed verification leaves the directory unambiguously legacy") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mig_fail").toString + "/hist"
