@@ -30,6 +30,7 @@ object CurationQueries {
     NamedQuery("text_bm25_topdocs", bm25TopDocs, Some(bm25TopDocsSql)),
     NamedQuery("pipeline_domain_mix", domainMix, Some(domainMixSql)),
     NamedQuery("text_quality_lr_step", qualityLrStep, Some(qualityLrStepSql)),
+    NamedQuery("eval_calibration_bins", calibrationBins, Some(calibrationBinsSql)),
     NamedQuery("pipeline_domain_reweight_step", domainReweight, Some(domainReweightSql)),
     NamedQuery("pipeline_source_cap", sourceCap, Some(sourceCapSql)),
     NamedQuery("pipeline_budget_select", budgetSelect, Some(budgetSelectSql)),
@@ -138,6 +139,83 @@ object CurationQueries {
       |  CAST(round(CAST(w_old - 0.5 * grad AS DECIMAL(18,8)), 6) AS DOUBLE) AS w_next
       |FROM u
       |ORDER BY feature""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Reliability (calibration) bins for the quality classifier — the
+  // evaluation every learned curation gate needs before its scores
+  // drive keep/drop decisions: bucket documents by predicted
+  // seed-probability (10 equal-width bins), compare the bin's mean
+  // prediction against its observed seed fraction; |gap| is the
+  // calibration error per bin (ECE is their n-weighted sum). Uses the
+  // SAME features, weights and hard-sigmoid link as qualityLrStep, so
+  // the two queries grade the same model.
+  //
+  // Scale shape: one corpus pass — features and p are per-row
+  // projections, the bin rollup is a 10-group aggregate with map-side
+  // partials; output is O(bins) at any corpus size. Determinism: the
+  // link is piecewise linear (no exp ulp), bin = floor(p*10) clamped —
+  // integer; bin means use the mean6 exact-decimal discipline.
+  private def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .select(
+        rnd(col("n_stop").cast("double") / col("n_words"), 3).as("f1"),
+        rnd(least(col("n_words").cast("double") / 100.0, lit(1.0)), 3).as("f2"),
+        rnd((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words") / 10.0, 3).as("f3"),
+        when(col("source").isin(lrSeedSources: _*), 1.0d).otherwise(0.0d).as("y"))
+    val z = lit(lrW(0)._2) + lit(lrW(1)._2) * col("f1") +
+      lit(lrW(2)._2) * col("f2") + lit(lrW(3)._2) * col("f3")
+    val p = least(greatest(lit(0.5) + z / 4.0, lit(0.0)), lit(1.0))
+    def mean6(c: org.apache.spark.sql.Column) =
+      rnd(sum(round(c.cast("decimal(18,8)"), 6)).cast("double") / count(lit(1)), 6)
+    feats
+      .withColumn("p", p)
+      .withColumn("bin", least(floor(col("p") * 10), lit(9L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        mean6(col("p")).as("mean_p"),
+        mean6(col("y")).as("frac_pos"))
+      .withColumn("gap", rnd(col("mean_p") - col("frac_pos"), 6))
+      .select(col("bin"), col("n"), col("mean_p"), col("frac_pos"), col("gap"))
+      .orderBy(col("bin"))
+  }
+
+  private val calibrationBinsSql = {
+    val seeds = lrSeedSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+      |  SELECT n_chars, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop
+      |  FROM documents
+      |), f AS (
+      |  SELECT
+      |    CAST(round(CAST(CAST(n_stop AS DOUBLE) / n_words AS DECIMAL(18,8)), 3) AS DOUBLE) AS f1,
+      |    CAST(round(CAST(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) AS DECIMAL(18,8)), 3) AS DOUBLE) AS f2,
+      |    CAST(round(CAST(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words / 10.0 AS DECIMAL(18,8)), 3) AS DOUBLE) AS f3,
+      |    CASE WHEN source IN ($seeds) THEN 1.0 ELSE 0.0 END AS y
+      |  FROM t
+      |), pr AS (
+      |  SELECT least(greatest(0.5 + (${lrW(0)._2} + ${lrW(1)._2} * f1 + ${lrW(2)._2} * f2 + ${lrW(3)._2} * f3) / 4.0, 0.0), 1.0) AS p, y
+      |  FROM f
+      |), binned AS (
+      |  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, p, y FROM pr
+      |)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(round(CAST(CAST(sum(round(CAST(p AS DECIMAL(18,8)), 6)) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_p,
+      |  CAST(round(CAST(CAST(sum(round(CAST(y AS DECIMAL(18,8)), 6)) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS frac_pos,
+      |  CAST(round(CAST(
+      |    CAST(round(CAST(CAST(sum(round(CAST(p AS DECIMAL(18,8)), 6)) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |    - CAST(round(CAST(CAST(sum(round(CAST(y AS DECIMAL(18,8)), 6)) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |  AS DECIMAL(18,8)), 6) AS DOUBLE) AS gap
+      |FROM binned
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin
   }
 
   // ---------------------------------------------------------------

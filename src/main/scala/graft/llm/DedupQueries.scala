@@ -28,6 +28,7 @@ object DedupQueries {
     NamedQuery("dedup_minhash_pairs", minhash, Some(minhashSql)),
     NamedQuery("dedup_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
     NamedQuery("dedup_cluster_star", clusterStar, Some(clusterCanonicalSql)),
+    NamedQuery("dedup_cluster_keep_best", keepBest, Some(keepBestSql)),
     NamedQuery("dedup_simhash", simhash, Some(simhashSql)),
     NamedQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     NamedQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
@@ -340,7 +341,15 @@ object DedupQueries {
   // result, not a second shuffle join. The oracle walks the same
   // reachability with a recursive CTE (UNION-distinct terminates on
   // cycles) and takes min per node.
-  private def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+  private def clusterCanonical(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
+      .withColumn("is_canonical", col("component") === col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** Full-corpus (doc_id, component) labeling — the min-label
+    * propagation loop, singletons included — shared by
+    * [[clusterCanonical]] and [[keepBest]]. */
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir).localCheckpoint()
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
@@ -372,9 +381,65 @@ object DedupQueries {
       .join(labels, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
-      .withColumn("is_canonical", col("component") === col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // Canonical selection by QUALITY, not by id: real dedup pipelines
+  // keep the best-scoring member of each near-dup cluster (longest /
+  // cleanest / highest-LM-score), not the lowest key — the survivor
+  // choice is a policy, and this query is the policy twin of
+  // clusterCanonical with the text_quality score as the priority.
+  // Same component labeling (shared clusterLabels loop + the identical
+  // recursive-CTE oracle), then one argmax window per component over
+  // (quality DESC, doc_id) — the score is 3-dp-rounded BEFORE ranking,
+  // so cross-engine near-ties collapse to exact ties broken by doc_id
+  // (the tfidf_keyword discipline).
+  //
+  // Scale shape: labeling is the propagation loop (O(diameter) rounds,
+  // star-contraction upgrade documented at clusterStar); the argmax is
+  // ONE shuffle on component over doc-level rows. Nothing here touches
+  // the corpus text a second time — quality is a per-row projection.
+  private def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextQueries.qualityScore(Tables.table(spark, dir, "documents"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusterLabels(spark, dir)
+      .join(q, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component"), col("quality"), col("keep"))
       .orderBy(col("doc_id"))
   }
+
+  private lazy val keepBestSql =
+    s"""WITH RECURSIVE $minhashCtes, edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM mh_pairs
+       |  UNION ALL
+       |  SELECT b_id AS u, a_id AS v FROM mh_pairs
+       |), reach(node, r) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+       |), comp AS (
+       |  SELECT node, min(r) AS component FROM reach GROUP BY node
+       |), labeled AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+       |), feat AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id,
+       |    CAST(round(CAST(0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+       |      + 0.5 * (1.0 - CAST(round(CAST(CAST(n_stop AS DOUBLE) / n_words AS DECIMAL(18,8)), 3) AS DOUBLE)) AS DECIMAL(18,8)), 3) AS DOUBLE) AS quality
+       |  FROM feat
+       |)
+       |SELECT l.doc_id, l.component, q.quality,
+       |  (row_number() OVER (PARTITION BY l.component ORDER BY q.quality DESC, l.doc_id) = 1) AS keep
+       |FROM labeled l JOIN q USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // Connected components by ALTERNATING LARGE-STAR/SMALL-STAR

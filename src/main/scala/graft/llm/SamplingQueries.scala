@@ -25,7 +25,89 @@ object SamplingQueries {
     NamedQuery("text_cross_entropy", crossEntropy, Some(crossEntropySql)),
     NamedQuery("text_tfidf_keyword", tfidfKeyword, Some(tfidfKeywordSql)),
     NamedQuery("text_kl_by_source", klBySource, Some(klBySourceSql)),
+    NamedQuery("text_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),
   )
+
+  // ---------------------------------------------------------------
+  // CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+  // document by its cross-entropy under a language model trained on a
+  // CURATED SEED slice (here the same src0-src4 seed convention the LR
+  // quality model uses), then split each language into head/middle/tail
+  // tertiles — head = closest to the seed distribution, tail = furthest.
+  // The seed LM is add-one-smoothed unigram over the corpus vocabulary,
+  // so out-of-seed words get a finite penalty instead of -inf.
+  //
+  // Scale shape: one corpus word explode feeding (a) the vocabulary
+  // count and (b) the seed frequency table — both vocabulary-bounded
+  // (Heaps' law), so both BROADCAST; the per-doc score is one shuffle
+  // on doc_id. The tertile split is a per-language ntile window over
+  // DOC-level rows (not tokens); at 100 TB the exact window would sort
+  // billions of rows per language, so the scale path replaces it with
+  // approx_percentile cutpoints (two numbers per language, broadcast)
+  // joined back as a projection — same outputs up to boundary ties,
+  // zero extra shuffle. The exact ntile here is the oracle-checkable
+  // form of the same contract.
+  //
+  // Determinism: per-word -ln p quantizes to 6 dp through
+  // DECIMAL(18,8) per row, exact decimal sum, ONE double division
+  // (the qualityLrStep mean6 discipline — summation order can never
+  // move the score); tertile ordering is total via (ce_seed, doc_id).
+  private val ppSeedSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  private def perplexityBucket(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.fanOut(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+    val v = words.select(col("word")).distinct()
+      .agg(count(lit(1)).cast("double").as("v"))
+    val seedCounts = words.filter(col("source").isin(ppSeedSources: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("c_seed"))
+    val seedTotal = seedCounts.agg(sum(col("c_seed")).cast("double").as("n_seed"))
+    val nll = -log((coalesce(col("c_seed"), lit(0L)) + lit(1.0)) /
+      (col("n_seed") + col("v")))
+    val scored = words
+      .join(broadcast(seedCounts), Seq("word"), "left")
+      .crossJoin(broadcast(seedTotal)).crossJoin(broadcast(v))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        rnd(sum(round(nll.cast("decimal(18,8)"), 6)).cast("double") / count(lit(1)), 6)
+          .as("ce_seed"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ce_seed"), col("doc_id"))
+    scored.withColumn("t", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("t") === 1, "head").when(col("t") === 2, "middle").otherwise("tail"))
+      .select(col("lang"), col("doc_id"), col("n_words"), col("ce_seed"), col("bucket"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  private val perplexityBucketSql = {
+    val seeds = ppSeedSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH w AS (
+      |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word
+      |  FROM documents
+      |), v AS (
+      |  SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM w
+      |), sc AS (
+      |  SELECT word, count(*) AS c_seed FROM w
+      |  WHERE source IN ($seeds) GROUP BY word
+      |), nt AS (
+      |  SELECT CAST(sum(c_seed) AS DOUBLE) AS n_seed FROM sc
+      |), scored AS (
+      |  SELECT w.lang, w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(round(CAST(CAST(sum(round(CAST(
+      |      -ln((COALESCE(sc.c_seed, 0) + 1.0) / (nt.n_seed + v.v))
+      |    AS DECIMAL(18,8)), 6)) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS ce_seed
+      |  FROM w LEFT JOIN sc USING (word), nt, v
+      |  GROUP BY w.lang, w.doc_id
+      |)
+      |SELECT lang, doc_id, n_words, ce_seed,
+      |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM (
+      |  SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY ce_seed, doc_id) AS t
+      |  FROM scored
+      |)
+      |ORDER BY lang, doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // Per-source distribution drift: KL(source ‖ corpus) over the word

@@ -31,6 +31,8 @@ object SimilarityQueries {
     NamedQuery("sim_kmeans_update", kmeansUpdate, Some(kmeansUpdateSql)),
     NamedQuery("sim_pq_topk", pqTopK, Some(pqTopKSql)),
     NamedQuery("sim_recall_eval", recallEval, Some(recallEvalSql)),
+    NamedQuery("sim_sq_topk", sqTopK, Some(sqTopKSql)),
+    NamedQuery("eval_ndcg_lsh", ndcgEval, Some(ndcgEvalSql)),
     NamedQuery("sample_kcenter_step", kcenterStep, Some(kcenterStepSql)),
     NamedQuery("sim_pca_power_step", pcaPowerStep, Some(pcaPowerStepSql)),
     NamedQuery("eval_auc_centroid", aucCentroid, Some(aucCentroidSql)),
@@ -83,7 +85,12 @@ object SimilarityQueries {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  private def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+  private def lshTopK(spark: SparkSession, dir: String): DataFrame =
+    lshRanked(spark, dir).orderBy(col("q_id"), col("rank"))
+
+  /** The LSH top-3 shortlist (q_id, rank, n_id, sim) without the final
+    * presentation sort — shared by [[lshTopK]] and [[ndcgEval]]. */
+  private def lshRanked(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
@@ -121,14 +128,20 @@ object SimilarityQueries {
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** DuckDB twin of [[lshTopK]]: the seed-deterministic hyperplanes are
     * inlined as array literals (shortest-roundtrip double reprs parse to
     * identical bits), so the oracle reproduces signatures, buckets and
     * ranking exactly. */
-  private lazy val lshTopKSql: String = {
+  private lazy val lshTopKSql: String =
+    s"""WITH $lshCtes
+       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** The e→sig→banded→pairs→sims→ranked CTE chain shared by the LSH
+    * top-k oracle and the NDCG oracle (no leading WITH). */
+  private lazy val lshCtes: String = {
     val planeLits = planes(16, 64)
       .map(p => p.mkString("[", ", ", "]"))
     val sigExpr = planeLits.zipWithIndex
@@ -136,7 +149,7 @@ object SimilarityQueries {
         s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << i} ELSE 0 END)"
       }
       .mkString(" + ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings
@@ -160,10 +173,160 @@ object SimilarityQueries {
        |  SELECT q_id, n_id, sim,
        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
        |  FROM sims
-       |)
-       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
-       |ORDER BY q_id, rank""".stripMargin
+       |)""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Scalar quantization (int8) + exact re-rank — the OTHER standard
+  // compression next to PQ: each component maps to an 8-bit code
+  // against a global [mn, mx] range (the entire "codebook" is two
+  // scalars), candidates are scored ASYMMETRICALLY (exact query ·
+  // dequantized candidate, the ADC pattern), the top-C shortlist is
+  // re-ranked with exact dot products. At 100 TB the stored form is
+  // the int8 code array — a 4× scan-byte shrink over float32 with one
+  // broadcast-scalar pair instead of PQ's trained codebook; the
+  // re-rank touches only C rows per query. Here the code array is
+  // materialized explicitly (what a deployment would persist) and the
+  // dequantized vector derives from IT, not from the floats.
+  //
+  // Determinism: codes use floor + clamp (never round — half-even vs
+  // half-up diverges between engines); every double op (the division,
+  // the midpoint reconstruction) is the same IEEE expression in both
+  // engines, so codes and dequantized values are bit-identical; both
+  // similarity scores snap to 4 dp before any ranking, ties break on
+  // n_id.
+  private def sqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val bounds = e.select(explode(col("v")).as("x"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val cand = e.crossJoin(broadcast(bounds))
+      .withColumn("stp", (col("mx") - col("mn")) / 255.0)
+      .withColumn("code", expr(
+        "transform(v, x -> cast(least(greatest(floor((x - mn) / stp), 0), 255) AS int))"))
+      .withColumn("dv", expr("transform(code, c -> mn + (c + 0.5) * stp)"))
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"), col("dv"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val approx = cand.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim_q",
+        graft.ops.Registry.rnd(ndot(col("qv"), col("dv")) / (col("qn") * col("nn")), 4))
+    val wC = Window.partitionBy(col("q_id")).orderBy(col("sim_q").desc, col("n_id"))
+    val short = approx.withColumn("crk", row_number().over(wC)).filter(col("crk") <= 20)
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    short
+      .withColumn("sim",
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"), col("sim_q"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val sqTopKSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), b AS (
+      |  SELECT min(x) AS mn, max(x) AS mx FROM (SELECT unnest(v) AS x FROM e)
+      |), cand AS (
+      |  SELECT vec_id AS n_id, v AS nv, nrm AS nn,
+      |    list_transform(
+      |      list_transform(v, x -> CAST(least(greatest(floor((x - b.mn) / ((b.mx - b.mn) / 255.0)), 0), 255) AS INT)),
+      |      c -> b.mn + (c + 0.5) * ((b.mx - b.mn) / 255.0)) AS dv
+      |  FROM e, b
+      |), qs AS (
+      |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 8
+      |), approx AS (
+      |  SELECT q.q_id, c.n_id, c.nv, c.nn, q.qv, q.qn,
+      |    CAST(round(CAST(list_dot_product(q.qv, c.dv) / (q.qn * c.nn) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim_q
+      |  FROM qs q JOIN cand c ON c.n_id <> q.q_id
+      |), short AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, n_id) AS crk
+      |    FROM approx
+      |  ) WHERE crk <= 20
+      |), exact AS (
+      |  SELECT q_id, n_id, sim_q,
+      |    CAST(round(CAST(list_dot_product(qv, nv) / (qn * nn) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
+      |  FROM short
+      |)
+      |SELECT q_id, rank, n_id, sim, sim_q FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      |  FROM exact
+      |) WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // NDCG@3 of the LSH index against the exact-cosine ground truth —
+  // the RANKING-quality companion to sim_recall_eval's set-overlap
+  // metric: recall treats all three truth neighbors alike, NDCG pays
+  // more for putting the BEST neighbor first. Graded relevance
+  // rel = 4 − exact_rank (3/2/1); position discounts are the standard
+  // 1/log2(pos+1) FIXED to 3-decimal integer weights (1000, 631, 500
+  // per-mille — exact integer arithmetic end to end, so no engine can
+  // disagree about a logarithm ulp), and IDCG = 3·1000 + 2·631 + 500 =
+  // 4762 is a constant. One left join of the (8×3)-row LSH shortlist
+  // against the (8×3)-row truth set — both sides are bounded by the
+  // query panel, so the whole evaluation is a driver-sized epilogue no
+  // matter the corpus size (the expensive parts, index + truth, are
+  // the queries being graded).
+  private def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .filter(col("q_id") < 8)
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val exact = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), (lit(4) - col("rank")).cast("long").as("rel"))
+    val disc = when(col("rank") === 1, 1000L).when(col("rank") === 2, 631L)
+      .otherwise(500L)
+    val gains = lshRanked(spark, dir)
+      .join(exact, Seq("q_id", "n_id"), "left")
+      .withColumn("gain", coalesce(col("rel"), lit(0L)) * disc)
+      .groupBy(col("q_id"))
+      .agg(count(col("rel")).as("n_hit"), sum(col("gain")).as("dcg_m"))
+    exact.select(col("q_id")).distinct()
+      .join(gains, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("dcg_m"), lit(0L)).as("dcg_m"))
+      .withColumn("ndcg", graft.ops.Registry.rnd(col("dcg_m") / lit(4762.0), 4))
+      .orderBy(col("q_id"))
+  }
+
+  private lazy val ndcgEvalSql =
+    s"""WITH $lshCtes, lsh AS (
+       |  SELECT q_id, rank, n_id FROM ranked WHERE rank <= 3
+       |), exact AS (
+       |  SELECT q_id, n_id, 4 - rank AS rel FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(round(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+       |        b.vec_id) AS rank
+       |    FROM e a JOIN e b ON a.vec_id < 8 AND b.vec_id <> a.vec_id
+       |  ) WHERE rank <= 3
+       |), g AS (
+       |  SELECT l.q_id, count(ex.rel) AS n_hit,
+       |    CAST(sum(COALESCE(ex.rel, 0) *
+       |      CASE l.rank WHEN 1 THEN 1000 WHEN 2 THEN 631 ELSE 500 END) AS BIGINT) AS dcg_m
+       |  FROM lsh l LEFT JOIN exact ex ON ex.q_id = l.q_id AND ex.n_id = l.n_id
+       |  GROUP BY l.q_id
+       |), qpanel AS (
+       |  SELECT DISTINCT q_id FROM exact
+       |)
+       |SELECT p.q_id,
+       |  COALESCE(g.n_hit, 0) AS n_hit,
+       |  COALESCE(g.dcg_m, 0) AS dcg_m,
+       |  CAST(round(CAST(COALESCE(g.dcg_m, 0) / 4762.0 AS DECIMAL(18,8)), 4) AS DOUBLE) AS ndcg
+       |FROM qpanel p LEFT JOIN g USING (q_id)
+       |ORDER BY p.q_id""".stripMargin
 
   // ---------------------------------------------------------------
   // Trained-codebook cache: one spherical k-means train per data dir

@@ -46,6 +46,23 @@ object TextQueries {
           3).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** The text_quality composite score as a (doc_id, quality) projection
+    * over any documents-shaped frame — the survivor priority
+    * dedup_cluster_keep_best ranks by. Kept formula-identical to
+    * [[quality]] (3-dp rounded, so cross-engine ranking ties are exact). */
+  private[llm] def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .select(
+        col("doc_id"),
+        rnd(
+          lit(0.5) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+            lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
+          3).as("quality"))
+
   private val qualitySql =
     """WITH t AS (
       |  SELECT doc_id, n_chars,

@@ -34,6 +34,7 @@ object CdcQueries {
     NamedQuery("cdc_lww_udaf", lwwUdaf, Some(lwwUdafSql)),
     NamedQuery("join_interval_within", intervalWithin, Some(intervalWithinSql)),
     NamedQuery("cdc_scd2_history", scd2History, Some(scd2HistorySql)),
+    NamedQuery("cdc_time_travel", timeTravel, Some(timeTravelSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -582,4 +583,73 @@ object CdcQueries {
       |  lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL AS is_current
       |FROM v
       |ORDER BY user_id, version""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Time travel over the SCD2 dimension: reconstruct the full state
+  // AS OF a past timestamp — the "query yesterday's table" read the
+  // reference's last-writer sink cannot answer (it keeps only current
+  // state) but the scd2History materialization above makes a pure
+  // lookup: the version whose [valid_from, valid_to) covers the as-of
+  // instant. Two data-derived as-of points (1/3 and 2/3 through the
+  // observed time range, integer arithmetic so both engines land on
+  // the same second) stand in for the user's timestamp parameter.
+  //
+  // Scale shape: the history build is the same single user_id shuffle
+  // as cdc_scd2_history (shared window partitioning + ordering → one
+  // Exchange, one Sort); the as-of panel is TWO rows, so the interval
+  // lookup broadcasts the panel and runs as a pipelined per-row filter
+  // over the history — no second shuffle, no sort. At 100 TB with the
+  // history stored partitioned by key, a single as-of is a pruned scan
+  // + the same covering-interval predicate. Users whose first change
+  // is after the as-of instant are correctly absent (they did not
+  // exist yet).
+  private def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val hist = ev(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(wOrd).cast("long"))
+      .withColumn("valid_to", lead(col("sec"), 1).over(wOrd))
+      .select(col("user_id"), col("version"), col("event_type").as("attr"),
+        col("sec").as("valid_from"), col("valid_to"))
+    val asof = ev(spark, dir)
+      .agg(min(col("sec")).as("lo"), max(col("sec")).as("hi"))
+      .select(explode(array(
+        expr("lo + (hi - lo) DIV 3"),
+        expr("lo + (2 * (hi - lo)) DIV 3"))).as("as_of"))
+    hist.join(broadcast(asof),
+        col("valid_from") <= col("as_of") &&
+          (col("valid_to").isNull || col("valid_to") > col("as_of")))
+      .select(col("as_of"), col("user_id"), col("version"), col("attr"),
+        col("valid_from"))
+      .orderBy(col("as_of"), col("user_id"))
+  }
+
+  private val timeTravelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS sec
+      |  FROM events
+      |), ch AS (
+      |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_type
+      |  FROM e
+      |), v AS (
+      |  SELECT user_id, event_id, event_type, sec FROM ch
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |), hist AS (
+      |  SELECT user_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS version,
+      |    event_type AS attr, sec AS valid_from,
+      |    lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to
+      |  FROM v
+      |), b AS (
+      |  SELECT min(sec) AS lo, max(sec) AS hi FROM e
+      |), ao AS (
+      |  SELECT lo + (hi - lo) // 3 AS as_of FROM b
+      |  UNION ALL
+      |  SELECT lo + (2 * (hi - lo)) // 3 AS as_of FROM b
+      |)
+      |SELECT a.as_of, h.user_id, h.version, h.attr, h.valid_from
+      |FROM hist h JOIN ao a
+      |  ON h.valid_from <= a.as_of AND (h.valid_to IS NULL OR h.valid_to > a.as_of)
+      |ORDER BY a.as_of, h.user_id""".stripMargin
 }

@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantic pins for the round-12 additions: each new query's defining
+  * property is asserted independently of the DuckDB oracle (the oracle
+  * pins cross-engine equality; these pin the MEANING).
+  */
+class RoundTwelveSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  // -------------------------------------------------------------
+  test("perplexity buckets: tertiles per language, head <= middle <= tail in score") {
+    val rows = q("text_perplexity_bucket").collect()
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getString(4)).view.mapValues(_.size).toMap
+      // ntile(3): bucket sizes differ by at most 1 within a language
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang sizes $sizes")
+      // score ordering: every head score <= every middle <= every tail
+      def scores(b: String) = rs.filter(_.getString(4) == b).map(_.getDouble(3))
+      if (scores("head").nonEmpty && scores("middle").nonEmpty)
+        assert(scores("head").max <= scores("middle").min + 1e-9, lang)
+      if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+        assert(scores("middle").max <= scores("tail").min + 1e-9, lang)
+    }
+    // every document is bucketed exactly once
+    val n = graft.ops.Tables.table(spark, dir, "documents").count()
+    assert(rows.length.toLong == n)
+  }
+
+  // -------------------------------------------------------------
+  test("time travel: as-of state agrees with the SCD2 covering version and with a direct LWW replay") {
+    val tt = q("cdc_time_travel").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(tt.nonEmpty)
+    val asofs = tt.keys.map(_._1).toSet
+    assert(asofs.size == 2, "two as-of instants")
+    // independent replay: for each as-of, last CHANGE event per user at
+    // or before the instant (collapsing consecutive same-type events
+    // like the SCD2 build does)
+    val ev = graft.ops.Tables.events(spark, dir)
+      .withColumn("sec", expr("ts_ns div 1000000000"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    for (asof <- asofs) {
+      val expected = ev.groupBy(_._1).flatMap { case (uid, es) =>
+        val ordered = es.sortBy(e => (e._4, e._2)).toVector
+        // collapse consecutive duplicates to changes, then take the
+        // last change at or before the as-of instant
+        val changes = ordered.foldLeft(Vector.empty[(Long, Long, String, Long)]) {
+          case (acc, e) if acc.isEmpty || acc.last._3 != e._3 => acc :+ e
+          case (acc, _)                                       => acc
+        }
+        changes.filter(_._4 <= asof).lastOption.map(c => (uid, c._3))
+      }.toMap
+      val got = tt.collect { case ((a, uid), (_, attr, _)) if a == asof => uid -> attr }
+      assert(got == expected, s"as-of $asof state mismatch")
+    }
+  }
+
+  // -------------------------------------------------------------
+  test("keep-best: exactly one survivor per component, and it maximizes (quality, -doc_id)") {
+    val rows = q("dedup_cluster_keep_best").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"component $comp keeps ${kept.length}")
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(kept.head._1 == best._1, s"component $comp kept ${kept.head._1}, best ${best._1}")
+    }
+    // same components as the id-canonical labeling
+    val canon = q("dedup_cluster_canonical").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == canon)
+  }
+
+  // -------------------------------------------------------------
+  test("sq top-k: rerank similarities are exact, codes bounded, high overlap with brute force") {
+    val sq = q("sim_sq_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val exact = q("sim_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exactSim = exact.map(e => (e._1, e._3) -> e._4).toMap
+    // every reranked sim that also appears in the exact table matches it
+    sq.foreach { case (qid, _, nid, sim, _) =>
+      exactSim.get((qid, nid)).foreach(es => assert(math.abs(es - sim) < 1e-9))
+    }
+    // quantization at 8 bits over 64 dims: the top-1 neighbor should
+    // survive the 20-wide shortlist for every query
+    val top1 = exact.filter(_._2 == 1).map(e => (e._1, e._3)).toSet
+    val sqPairs = sq.map(s => (s._1, s._3)).toSet
+    top1.foreach(t => assert(sqPairs.contains(t), s"top-1 $t lost by SQ shortlist"))
+    // approx scores are close to exact on returned rows (8-bit error)
+    sq.foreach { case (_, _, _, sim, simQ) => assert(math.abs(sim - simQ) < 0.05) }
+  }
+
+  // -------------------------------------------------------------
+  test("ndcg: bounded by [0,1], 1.0 iff LSH top-3 equals exact top-3 in order") {
+    val rows = q("eval_ndcg_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 8)
+    rows.foreach { case (qid, nHit, dcg, ndcg) =>
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"q$qid ndcg $ndcg")
+      assert(nHit >= 0 && nHit <= 3)
+      assert(dcg <= 4762L)
+      if (dcg == 4762L) assert(ndcg == 1.0)
+    }
+    // cross-check one query against a by-hand DCG from the two rankings
+    val lsh = q("sim_lsh_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val exact = q("sim_cosine_topk").collect()
+      .filter(_.getInt(1) <= 3).map(r => (r.getLong(0), r.getLong(2), 4 - r.getInt(1)))
+    val relOf = exact.map(e => (e._1, e._2) -> e._3.toLong).toMap
+    val disc = Map(1 -> 1000L, 2 -> 631L, 3 -> 500L)
+    val byQ = lsh.groupBy(_._1)
+    rows.foreach { case (qid, _, dcg, _) =>
+      val hand = byQ.getOrElse(qid, Array.empty)
+        .map { case (_, rk, nid) => relOf.getOrElse((qid, nid), 0L) * disc(rk) }.sum
+      assert(dcg == hand, s"q$qid dcg $dcg != hand $hand")
+    }
+  }
+
+  // -------------------------------------------------------------
+  test("calibration bins: partition the corpus, fractions in range, gap consistent") {
+    val rows = q("eval_calibration_bins").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val n = graft.ops.Tables.table(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum == n, "bins partition the corpus")
+    rows.foreach { case (bin, cnt, meanP, fracPos, gap) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(cnt > 0)
+      assert(meanP >= bin / 10.0 - 1e-6 && meanP <= (bin + 1) / 10.0 + 1e-6,
+        s"bin $bin mean_p $meanP outside its bin")
+      assert(fracPos >= 0.0 && fracPos <= 1.0)
+      assert(math.abs(gap - (meanP - fracPos)) < 1e-6)
+    }
+  }
+}
