@@ -58,15 +58,23 @@ object SamplingQueries {
     val words = Tables.fanOut(table(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("source"),
         explode(split(col("text"), " ")).as("word"))
-    val v = words.select(col("word")).distinct()
-      .agg(count(lit(1)).cast("double").as("v"))
-    val seedCounts = words.filter(col("source").isin(ppSeedSources: _*))
-      .groupBy(col("word")).agg(count(lit(1)).as("c_seed"))
-    val seedTotal = seedCounts.agg(sum(col("c_seed")).cast("double").as("n_seed"))
-    val nll = -log((coalesce(col("c_seed"), lit(0L)) + lit(1.0)) /
-      (col("n_seed") + col("v")))
+    // ONE vocabulary-bounded aggregation serves all three model terms:
+    // per-word seed counts (c_seed = 0 for out-of-seed words, so the
+    // scoring join is a plain inner join — every corpus word is here),
+    // the vocabulary size |V|, and the seed token total. localCheckpoint
+    // pins it so the tiny |V|/N_seed rollups don't re-run the corpus
+    // explode (the klBySource shared-subplan note): two corpus passes
+    // total — the model build and the scoring join — not four.
+    val wc = words
+      .groupBy(col("word"))
+      .agg(sum(when(col("source").isin(ppSeedSources: _*), 1L).otherwise(0L))
+        .as("c_seed"))
+      .localCheckpoint()
+    val v = wc.agg(count(lit(1)).cast("double").as("v"))
+    val seedTotal = wc.agg(sum(col("c_seed")).cast("double").as("n_seed"))
+    val nll = -log((col("c_seed") + lit(1.0)) / (col("n_seed") + col("v")))
     val scored = words
-      .join(broadcast(seedCounts), Seq("word"), "left")
+      .join(broadcast(wc), Seq("word"))
       .crossJoin(broadcast(seedTotal)).crossJoin(broadcast(v))
       .groupBy(col("lang"), col("doc_id"))
       .agg(count(lit(1)).as("n_words"),

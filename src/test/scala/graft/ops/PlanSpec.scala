@@ -428,4 +428,42 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1,
       s"one d-group exchange expected, got $exchanges: " + p.take(800))
   }
+
+  test("perplexity bucket: seed LM broadcasts, scoring pass scans the corpus once") {
+    val p = plan("text_perplexity_bucket")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab-bounded seed model must broadcast to the scoring join: " + p.take(600))
+    // the single-aggregation refactor: the |V| and N_seed rollups read
+    // the checkpointed word-count relation, so the corpus file appears
+    // in exactly ONE scan (the scoring pass)
+    val corpusScans = "documents.parquet".r.findAllIn(p).length
+    assert(corpusScans == 1,
+      s"expected one corpus scan, got $corpusScans: " + p.take(800))
+  }
+
+  test("sq top-k: partial group-limits bound the shortlist before any exchange") {
+    val p = plan("sim_sq_topk")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "the top-C shortlist must map-side group-limit, not sort whole partitions: " + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // both the 2-scalar bounds and the 8-query panel broadcast
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p.take(800))
+  }
+
+  test("calibration bins: one corpus pass, map-side partials, no join") {
+    val p = plan("eval_calibration_bins")
+    assert(p.contains("partial_sum"), p.take(600))
+    assert(!p.contains("Join"), "a join would mean a second corpus pass: " + p.take(600))
+    val corpusScans = "documents.parquet".r.findAllIn(p).length
+    assert(corpusScans == 1, s"expected one corpus scan, got $corpusScans")
+  }
+
+  test("time travel: one user_id exchange for the history, 2-row as-of panel broadcasts") {
+    val p = plan("cdc_time_travel")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1,
+      s"the change-detect and interval windows must share one user_id shuffle, got $userExchanges: " + p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      "the as-of panel is 2 rows — it must broadcast against the history: " + p.take(800))
+  }
 }
