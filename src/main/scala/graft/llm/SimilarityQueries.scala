@@ -32,6 +32,7 @@ object SimilarityQueries {
     NamedQuery("sim_pq_topk", pqTopK, Some(pqTopKSql)),
     NamedQuery("sim_recall_eval", recallEval, Some(recallEvalSql)),
     NamedQuery("sim_sq_topk", sqTopK, Some(sqTopKSql)),
+    NamedQuery("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
     NamedQuery("eval_ndcg_lsh", ndcgEval, Some(ndcgEvalSql)),
     NamedQuery("sample_kcenter_step", kcenterStep, Some(kcenterStepSql)),
     NamedQuery("sim_pca_power_step", pcaPowerStep, Some(pcaPowerStepSql)),
@@ -257,6 +258,116 @@ object SimilarityQueries {
       |  FROM exact
       |) WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Maximum-inner-product search (MIPS) — the retrieval objective of
+  // recommendation and dense-retrieval scoring, where the UNNORMALIZED
+  // dot product ranks candidates (a long vector with the right
+  // direction should beat a short one; cosine top-k deliberately
+  // erases that). Angular LSH cannot bucket for it directly, so this
+  // uses the public Euclidean/angular reduction (Bachrach et al.,
+  // RecSys'14; Neyshabur & Srebro, ICML'15): append one component —
+  // candidates get sqrt(M² − ‖x‖²) (M = max candidate norm, a single
+  // broadcast scalar), queries get 0 — after which all candidates
+  // share norm M and the query's angular neighbor in the augmented
+  // space IS its MIPS neighbor. Then the machinery is the proven LSH
+  // pipeline: 16 sign-bits over the 65-dim augmented vectors (native
+  // SignBits codegen), two 8-bit bands exploded to an EQUI-join key,
+  // exact inner-product re-rank of same-bucket pairs.
+  //
+  // Scale shape: same as sim_lsh_topk — the bucket equi-join replaces
+  // the full scan; the only additions are one max-norm aggregate (two
+  // broadcast scalars) and one extra vector component.
+  private def mipsPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(11)
+    Seq.fill(16)(Seq.fill(65)(rnd.nextGaussian()))
+  }
+
+  private def mipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm2", ndot(col("v"), col("v")))
+    val m2 = e.agg(max(col("nrm2")).as("m2"))
+    val aug = e.crossJoin(broadcast(m2))
+    val planesLit = typedLit(mipsPlanes)
+    // band split as exact bit ops (low byte / high byte) — matches the
+    // oracle's % 256 and // 256 on the non-negative 16-bit signature
+    val bands = (sig: org.apache.spark.sql.Column) => array(
+      struct(lit(0).as("band"), sig.bitwiseAND(lit(255L)).as("bucket")),
+      struct(lit(1).as("band"), shiftright(sig, 8).as("bucket")))
+    val sigC = graft.expressions.SignFunctions.signBits(
+      expr("concat(v, array(sqrt(greatest(m2 - nrm2, 0D))))"), planesLit)
+    val sigQ = graft.expressions.SignFunctions.signBits(
+      expr("concat(v, array(0D))"), planesLit)
+    val c = aug
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), explode(bands(sigC)).as("bb"))
+      .select(col("n_id"), col("nv"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val q = aug.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), explode(bands(sigQ)).as("bb"))
+      .select(col("q_id"), col("qv"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val pairs = c.join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("ip", graft.ops.Registry.rnd(ndot(col("qv"), col("nv")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("ip"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[mipsTopK]]: augmented vectors via list_append,
+    * the seed-deterministic 65-dim planes inlined as literals (the
+    * lshTopKSql pattern). */
+  private lazy val mipsTopKSql: String = {
+    val planeLits = mipsPlanes.map(p => p.mkString("[", ", ", "]"))
+    def sigExpr(augCol: String) = planeLits.zipWithIndex
+      .map { case (p, i) =>
+        s"(CASE WHEN list_dot_product($augCol, $p) > 0 THEN ${1L << i} ELSE 0 END)"
+      }
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm2
+       |  FROM embeddings
+       |), m AS (
+       |  SELECT max(nrm2) AS m2 FROM e
+       |), aug AS (
+       |  SELECT vec_id, v,
+       |    list_append(v, sqrt(greatest(m.m2 - nrm2, 0))) AS augc,
+       |    list_append(v, 0.0) AS augq
+       |  FROM e, m
+       |), sigc AS (
+       |  SELECT vec_id, v, CAST(${"$"}{0} AS BIGINT) AS sig FROM aug
+       |), sigq AS (
+       |  SELECT vec_id, v, CAST(${"$"}{1} AS BIGINT) AS sig FROM aug WHERE vec_id < 8
+       |), bc AS (
+       |  SELECT vec_id, 0 AS band, sig % 256 AS bucket FROM sigc
+       |  UNION ALL
+       |  SELECT vec_id, 1 AS band, sig // 256 AS bucket FROM sigc
+       |), bq AS (
+       |  SELECT vec_id, 0 AS band, sig % 256 AS bucket FROM sigq
+       |  UNION ALL
+       |  SELECT vec_id, 1 AS band, sig // 256 AS bucket FROM sigq
+       |), pairs AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+       |  FROM bq q JOIN bc c ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |), sims AS (
+       |  SELECT p.q_id, p.n_id,
+       |    CAST(round(CAST(list_dot_product(a.v, b.v) AS DECIMAL(18,8)), 4) AS DOUBLE) AS ip
+       |  FROM pairs p
+       |  JOIN e a ON a.vec_id = p.q_id
+       |  JOIN e b ON b.vec_id = p.n_id
+       |)
+       |SELECT q_id, rank, n_id, ip FROM (
+       |  SELECT q_id, n_id, ip,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+      .replace("${0}", sigExpr("augc"))
+      .replace("${1}", sigExpr("augq"))
+  }
 
   // ---------------------------------------------------------------
   // NDCG@3 of the LSH index against the exact-cosine ground truth —

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{NamedQuery, Tables}
 import graft.ops.Registry.rnd
@@ -15,6 +16,7 @@ object TextQueries {
   def queries: Vector[NamedQuery] = Vector(
     NamedQuery("text_quality", quality, Some(qualitySql)),
     NamedQuery("text_langid", langid, Some(langidSql)),
+    NamedQuery("eval_langid_confusion", langidConfusion, Some(langidConfusionSql)),
     NamedQuery("text_tokens", tokens, Some(tokensSql)),
     NamedQuery("text_fingerprint", fingerprint, Some(fingerprintSql)),
     NamedQuery("doc_stats_by_lang", stats, Some(statsSql)),
@@ -93,6 +95,60 @@ object TextQueries {
           .when(col("n_query") > 0, "querylang")
           .otherwise("unknown").as("lang_pred"))
       .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------
+  // Confusion matrix for the lang-ID heuristic against the corpus's
+  // ground-truth labels — the eval every classifier-driven curation
+  // gate needs before its predictions route documents: contingency
+  // counts per (truth, predicted) cell plus the row-normalized
+  // fraction (what share of each true class lands in each predicted
+  // bucket; the diagonal of a per-row-normalized matrix is recall).
+  //
+  // Scale shape: ONE corpus-sized shuffle down to |classes|² cells
+  // (map-side partials), after which the per-class totals are a window
+  // over the tiny cell table — O(classes²) no matter the corpus size.
+  private def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred =
+      when(col("n_the") >= col("n_data") && col("n_the") >= col("n_query") && col("n_the") > 0, "en")
+        .when(col("n_data") >= col("n_query") && col("n_data") > 0, "datalang")
+        .when(col("n_query") > 0, "querylang")
+        .otherwise("unknown")
+    val cells = Tables.table(spark, dir, "documents")
+      .withColumn("n_the", size(expr("regexp_extract_all(text, '\\\\bthe\\\\b', 0)")).cast("long"))
+      .withColumn("n_data", size(expr("regexp_extract_all(text, '\\\\bdata\\\\b', 0)")).cast("long"))
+      .withColumn("n_query", size(expr("regexp_extract_all(text, '\\\\bquery\\\\b', 0)")).cast("long"))
+      .select(col("lang"), pred.as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val wLang = Window.partitionBy(col("lang"))
+    cells
+      .withColumn("frac_of_lang",
+        rnd(col("n").cast("double") / sum(col("n")).over(wLang), 4))
+      .select(col("lang"), col("lang_pred"), col("n"), col("frac_of_lang"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  private val langidConfusionSql =
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT) AS n_the,
+      |    CAST(len(regexp_extract_all(text, '\bdata\b')) AS BIGINT) AS n_data,
+      |    CAST(len(regexp_extract_all(text, '\bquery\b')) AS BIGINT) AS n_query
+      |  FROM documents
+      |), p AS (
+      |  SELECT lang,
+      |    CASE WHEN n_the >= n_data AND n_the >= n_query AND n_the > 0 THEN 'en'
+      |         WHEN n_data >= n_query AND n_data > 0 THEN 'datalang'
+      |         WHEN n_query > 0 THEN 'querylang'
+      |         ELSE 'unknown' END AS lang_pred
+      |  FROM t
+      |), cells AS (
+      |  SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred
+      |)
+      |SELECT lang, lang_pred, n,
+      |  CAST(round(CAST(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) AS DECIMAL(18,8)), 4) AS DOUBLE) AS frac_of_lang
+      |FROM cells
+      |ORDER BY lang, lang_pred""".stripMargin
 
   private val langidSql =
     """WITH t AS (

@@ -129,6 +129,50 @@ class RoundTwelveSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("mips: augmented candidates share norm M (the reduction invariant), scores are exact dots") {
+    import org.apache.spark.sql.functions._
+    val e = graft.ops.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm2", expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val nrm2 = e.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val m2 = nrm2.values.max
+    // the reduction: ||[x, sqrt(M^2-||x||^2)]||^2 == M^2 for every candidate
+    nrm2.foreach { case (id, n2) =>
+      val aug = n2 + (math.sqrt(math.max(m2 - n2, 0)) * math.sqrt(math.max(m2 - n2, 0)))
+      assert(math.abs(aug - m2) < 1e-9 * m2, s"vec $id augmented norm $aug != M2 $m2")
+    }
+    val rows = q("sim_mips_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // each returned score is the true inner product (4 dp), ranking is
+    // by ip desc within each query, and no pair repeats
+    assert(rows.map(r => (r._1, r._3)).distinct.length == rows.length)
+    rows.foreach { case (qid, _, nid, ip) =>
+      val dot = vecs(qid).zip(vecs(nid)).map { case (a, b) => a * b }.sum
+      assert(math.abs(ip - dot) < 5e-4, s"($qid,$nid) ip $ip != dot $dot")
+    }
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"q$qid not ranked by ip desc")
+    }
+  }
+
+  // -------------------------------------------------------------
+  test("langid confusion: cells partition the corpus, per-language fractions sum to 1") {
+    val rows = q("eval_langid_confusion").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val n = graft.ops.Tables.table(spark, dir, "documents").count()
+    assert(rows.map(_._3).sum == n, "cells partition the corpus")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-3, s"$lang fracs don't sum to 1")
+    }
+    val preds = rows.map(_._2).toSet
+    assert(preds.subsetOf(Set("en", "datalang", "querylang", "unknown")))
+  }
+
+  // -------------------------------------------------------------
   test("calibration bins: partition the corpus, fractions in range, gap consistent") {
     val rows = q("eval_calibration_bins").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
