@@ -348,8 +348,27 @@ object DedupQueries {
 
   /** Full-corpus (doc_id, component) labeling — the min-label
     * propagation loop, singletons included — shared by
-    * [[clusterCanonical]] and [[keepBest]]. */
-  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    * [[clusterCanonical]] and [[keepBest]].
+    *
+    * Cached per (dir, session): the labeling is the CLUSTER INDEX a
+    * dedup pipeline materializes once and shares across every policy
+    * query downstream (canonical-by-id, keep-best, dedup_semantic's
+    * consumers) — the same build-once amortization as the trained
+    * codebook / PQ sidecars. Only the checkpointed handle is held on
+    * the driver; the blocks live on the executors. Keyed by session so
+    * a restarted session (whose checkpointed RDDs are gone) rebuilds
+    * instead of dereferencing a dead context. */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, SparkSession), DataFrame]()
+
+  /** Test hook: drop the cached labelings (a "restarted session"). */
+  private[llm] def resetLabelCache(): Unit = labelCache.clear()
+
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    labelCache.computeIfAbsent((dir, spark),
+      (k: (String, SparkSession)) => clusterLabelsBuild(k._2, k._1))
+
+  private def clusterLabelsBuild(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir).localCheckpoint()
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
