@@ -34,6 +34,8 @@ object CurationQueries {
     NamedQuery("pipeline_domain_reweight_step", domainReweight, Some(domainReweightSql)),
     NamedQuery("pipeline_source_cap", sourceCap, Some(sourceCapSql)),
     NamedQuery("pipeline_budget_select", budgetSelect, Some(budgetSelectSql)),
+    NamedQuery("pipeline_epoch_plan", epochPlan, Some(epochPlanSql)),
+    NamedQuery("pipeline_dataset_card", datasetCard, Some(datasetCardSql)),
   )
 
   // ---------------------------------------------------------------
@@ -616,6 +618,103 @@ object CurationQueries {
       |       WHEN sum(CASE WHEN cum_before + run <= budget THEN 1 ELSE 0 END) > 0 THEN 'partial'
       |       ELSE 'dropped' END AS status
       |FROM p GROUP BY score ORDER BY score DESC""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Epoch planning — the LLaMA-style data table: given a token budget
+  // and a target mix (uniform here; any weight vector substitutes the
+  // same way), how many effective EPOCHS of each source does training
+  // consume, and which sources exceed the repetition threshold where
+  // memorization risk outweighs the mixing gain (Muennighoff et al.
+  // 2023 put the knee near 4 epochs)? `pipeline_domain_mix` balances
+  // DOWN to the smallest source; this is the complementary plan when
+  // the budget forces small sources to repeat.
+  //
+  // Scale shape: one corpus pass to per-source token mass (map-side
+  // partial agg), then all planning arithmetic happens on the
+  // |sources|-row table against a broadcast totals row. The output is
+  // the per-source repetition table a training run records in its
+  // data card.
+  private val EpochBudgetMult = 2L // token budget = 2x corpus mass
+  private val EpochRiskCap    = 4.0 // effective epochs beyond which we flag
+
+  private def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.table(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("tokens"))
+    // corpus totals via a window over the |sources|-row aggregate — NOT
+    // a second .agg() lineage, which would rescan the corpus (the
+    // single-partition window input is |sources| rows at any scale)
+    val wAll = Window.partitionBy()
+    bySource
+      .withColumn("total", sum(col("tokens")).over(wAll))
+      .withColumn("n_sources", count(lit(1)).over(wAll))
+      .withColumn("share", rnd(col("tokens").cast("double") / col("total"), 6))
+      .withColumn("planned_tokens",
+        floor((col("total") * lit(EpochBudgetMult)).cast("double") / col("n_sources"))
+          .cast("long"))
+      .withColumn("epochs",
+        rnd(col("planned_tokens").cast("double") / col("tokens"), 4))
+      .withColumn("overfit_risk", col("epochs") > lit(EpochRiskCap))
+      .select(col("source"), col("tokens"), col("share"), col("planned_tokens"),
+        col("epochs"), col("overfit_risk"))
+      .orderBy(col("source"))
+  }
+
+  private val epochPlanSql =
+    s"""WITH s AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source
+      |), t AS (
+      |  SELECT CAST(sum(tokens) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS n_sources FROM s
+      |), p AS (
+      |  SELECT source, tokens,
+      |    CAST(round(CAST(CAST(tokens AS DOUBLE) / total AS DECIMAL(18,8)), 6) AS DOUBLE) AS share,
+      |    CAST(floor(CAST(total * $EpochBudgetMult AS DOUBLE) / n_sources) AS BIGINT) AS planned_tokens
+      |  FROM s, t
+      |)
+      |SELECT source, tokens, share, planned_tokens,
+      |  CAST(round(CAST(CAST(planned_tokens AS DOUBLE) / tokens AS DECIMAL(18,8)), 4) AS DOUBLE) AS epochs,
+      |  CAST(round(CAST(CAST(planned_tokens AS DOUBLE) / tokens AS DECIMAL(18,8)), 4) AS DOUBLE) > $EpochRiskCap AS overfit_risk
+      |FROM p ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Dataset card — the datasheet summary a corpus release publishes:
+  // per (source, lang) cell, per source, and whole-corpus rollups of
+  // document count, token mass, mean/max length and language spread,
+  // in ONE grouping-sets pass (each input row feeds all three levels
+  // through Spark's Expand, partial-aggregated map-side — the corpus
+  // is scanned once no matter how many levels the card reports).
+  private def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    Tables.table(spark, dir, "documents").createOrReplaceTempView("documents_card")
+    spark.sql(
+      """SELECT
+        |  CASE WHEN source IS NULL AND lang IS NULL THEN 'corpus'
+        |       WHEN lang IS NULL THEN 'source' ELSE 'source_lang' END AS level,
+        |  source, lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(size(split(text, ' '))) AS BIGINT) AS tokens,
+        |  CAST(round(avg(CAST(n_chars AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents_card
+        |GROUP BY GROUPING SETS ((source, lang), (source), ())
+        |ORDER BY level ASC, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val datasetCardSql =
+    """SELECT
+      |  CASE WHEN source IS NULL AND lang IS NULL THEN 'corpus'
+      |       WHEN lang IS NULL THEN 'source' ELSE 'source_lang' END AS level,
+      |  source, lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+      |  CAST(round(avg(CAST(n_chars AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM documents
+      |GROUP BY GROUPING SETS ((source, lang), (source), ())
+      |ORDER BY level ASC, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
 
   private val domainMixSql =
     """WITH s AS (

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{NamedQuery, Tables}
@@ -38,6 +38,7 @@ object DedupQueries {
     NamedQuery("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
     NamedQuery("dedup_containment_pairs", containment, Some(containmentSql)),
     NamedQuery("dedup_containment_capped", containmentCapped, Some(containmentCappedSql)),
+    NamedQuery("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),
   )
 
   // ---------------------------------------------------------------
@@ -103,7 +104,8 @@ object DedupQueries {
   private def jaccardCapped(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir, dfCap = Some(64))
 
-  private def jaccardPairs(spark: SparkSession, dir: String, dfCap: Option[Int]): DataFrame = {
+  private def jaccardPairs(spark: SparkSession, dir: String, dfCap: Option[Int],
+      minSim: Double = 0.5, simScale: Int = 4): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val words = docs.select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
@@ -123,8 +125,8 @@ object DedupQueries {
       .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sa")), "a_id")
       .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sb")), "b_id")
       .withColumn("jaccard",
-        graft.ops.Registry.rnd(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.5)
+        graft.ops.Registry.rnd(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), simScale))
+      .filter(col("jaccard") >= minSim)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -162,6 +164,118 @@ object DedupQueries {
 
   private lazy val jaccardSql = jaccardSqlFor(None)
   private lazy val jaccardCappedSql = jaccardSqlFor(Some(64))
+
+  // ---------------------------------------------------------------
+  // LSH parameter tuning FROM DATA — before running minhash-LSH over
+  // 100 TB you pick (bands b, rows-per-band r) with b·r = #hashes; the
+  // wrong choice either misses near-dups (low collision probability at
+  // the target similarity) or floods the verifier with low-similarity
+  // candidates. The S-curve P(candidate | s) = 1 − (1 − s^r)^b is
+  // closed-form, so the right tuning input is the corpus's OWN
+  // pair-similarity histogram: this query measures it (df-capped
+  // posting-list join, the dedup_jaccard_capped universe — exactly the
+  // pairs an LSH could ever surface, since a pair sharing no token has
+  // no common band) and evaluates each candidate config's expected
+  // candidate load and expected recall above the dedup threshold τ.
+  //
+  // Scale shape: the histogram collapses the pair set to ≤ 10³ 3-dp
+  // similarity levels in the same single-shuffle plan as
+  // dedup_jaccard_capped; the S-curve evaluation is a constant-size
+  // (levels × configs) projection. At 100 TB the histogram itself
+  // would come from a SAMPLE of blocks — the estimator is linear in
+  // whatever pair universe feeds it.
+  //
+  // Determinism: the S-curve needs s^r and (1−s^r)^b — libm pow() ulp
+  // is NOT trusted cross-engine; both engines instead compute the
+  // integer powers by repeated DECIMAL(12,8) squaring with a HALF_UP
+  // round to 8 dp after every multiply (r, b are powers of two, so the
+  // chain is 2–5 squarings), making every intermediate bit-exact.
+  private val LshTuneCap = 64
+  private val LshTuneTau = 0.8
+
+  private def lshSq(c: Column): Column = round(c * c, 8).cast("decimal(12,8)")
+
+  private def lshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val hist = jaccardPairs(spark, dir, dfCap = Some(LshTuneCap), minSim = 0.0, simScale = 3)
+      .select(col("jaccard").as("sim"))
+      .groupBy(col("sim")).agg(count(lit(1)).as("n"))
+    val cfgs = array(
+      struct(lit(32L).as("bands"), lit(4L).as("r")),
+      struct(lit(16L).as("bands"), lit(8L).as("r")),
+      struct(lit(8L).as("bands"), lit(16L).as("r")))
+    val scored0 = hist
+      .select(col("sim"), col("n"), explode(cfgs).as("cfg"))
+      .select(col("sim"), col("n"),
+        col("cfg.bands").as("bands"), col("cfg.r").as("rows_per_band"))
+    val one = lit(1).cast("decimal(12,8)")
+    val x0 = col("sim").cast("decimal(12,8)")
+    val x2 = lshSq(lshSq(x0))                    // s^4
+    val x3 = lshSq(x2)                           // s^8
+    val x4 = lshSq(x3)                           // s^16
+    val sr = when(col("rows_per_band") === 4L, x2)
+      .when(col("rows_per_band") === 8L, x3).otherwise(x4)
+    val q0 = (one - sr).cast("decimal(12,8)")
+    val q8 = lshSq(lshSq(lshSq(q0)))             // (1-s^r)^8
+    val qb = when(col("bands") === 8L, q8)
+      .when(col("bands") === 16L, lshSq(q8)).otherwise(lshSq(lshSq(q8)))
+    val scored = scored0.withColumn("p", round(one - qb, 6).cast("double"))
+    val term = round((col("n") * col("p")).cast("decimal(18,8)"), 6)
+    val zero = lit(0).cast("decimal(18,8)")
+    scored.groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        sum(col("n")).as("n_pairs"),
+        round(sum(term), 3).cast("double").as("exp_candidates"),
+        sum(when(col("sim") >= LshTuneTau, col("n")).otherwise(0L)).as("n_above"),
+        round(sum(when(col("sim") >= LshTuneTau, term).otherwise(zero)), 3)
+          .cast("double").as("exp_caught"))
+      .withColumn("recall_above",
+        when(col("n_above") > 0, graft.ops.Registry.rnd(col("exp_caught") / col("n_above"), 4)))
+      .orderBy(col("rows_per_band"))
+  }
+
+  private lazy val lshTuningSql = {
+    val histCore = jaccardSqlFor(Some(LshTuneCap))
+    // reuse the capped-jaccard CTE chain up to `inter`, then histogram
+    // at 3 dp with no threshold (the tuning universe is every pair an
+    // LSH could surface)
+    val upToInter = histCore.substring(0, histCore.indexOf("SELECT a_id"))
+    s"""${upToInter}SELECT bands, rows_per_band, n_pairs, exp_candidates, n_above, exp_caught,
+      |  CASE WHEN n_above > 0 THEN CAST(round(CAST(exp_caught / n_above AS DECIMAL(18,8)), 4) AS DOUBLE) END AS recall_above
+      |FROM (
+      |  SELECT bands, rows_per_band,
+      |    CAST(sum(n) AS BIGINT) AS n_pairs,
+      |    CAST(round(sum(round(CAST(n * p AS DECIMAL(18,8)), 6)), 3) AS DOUBLE) AS exp_candidates,
+      |    CAST(sum(CASE WHEN sim >= $LshTuneTau THEN n ELSE 0 END) AS BIGINT) AS n_above,
+      |    CAST(round(sum(CASE WHEN sim >= $LshTuneTau THEN round(CAST(n * p AS DECIMAL(18,8)), 6) ELSE CAST(0 AS DECIMAL(18,8)) END), 3) AS DOUBLE) AS exp_caught
+      |  FROM (
+      |    SELECT sim, n, bands, rows_per_band,
+      |      CAST(round(1 - (CASE WHEN bands = 8 THEN q3 WHEN bands = 16 THEN q4 ELSE q5 END), 6) AS DOUBLE) AS p
+      |    FROM (SELECT *, CAST(round(q4*q4, 8) AS DECIMAL(12,8)) AS q5
+      |    FROM (SELECT *, CAST(round(q3*q3, 8) AS DECIMAL(12,8)) AS q4
+      |    FROM (SELECT *, CAST(round(q2*q2, 8) AS DECIMAL(12,8)) AS q3
+      |    FROM (SELECT *, CAST(round(q1*q1, 8) AS DECIMAL(12,8)) AS q2
+      |    FROM (SELECT *, CAST(round(q0*q0, 8) AS DECIMAL(12,8)) AS q1
+      |    FROM (SELECT *, CAST(1 - (CASE WHEN rows_per_band = 4 THEN x2 WHEN rows_per_band = 8 THEN x3 ELSE x4 END) AS DECIMAL(12,8)) AS q0
+      |    FROM (SELECT *, CAST(round(x3*x3, 8) AS DECIMAL(12,8)) AS x4
+      |    FROM (SELECT *, CAST(round(x2*x2, 8) AS DECIMAL(12,8)) AS x3
+      |    FROM (SELECT *, CAST(round(x1*x1, 8) AS DECIMAL(12,8)) AS x2
+      |    FROM (SELECT *, CAST(round(x0*x0, 8) AS DECIMAL(12,8)) AS x1
+      |    FROM (
+      |      SELECT h.sim, h.n, c.bands, c.rows_per_band, CAST(h.sim AS DECIMAL(12,8)) AS x0
+      |      FROM (
+      |        SELECT sim, CAST(count(*) AS BIGINT) AS n FROM (
+      |          SELECT CAST(round(CAST(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS DECIMAL(18,8)), 3) AS DOUBLE) AS sim
+      |          FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+      |        ) GROUP BY sim
+      |      ) h CROSS JOIN (
+      |        SELECT CAST(32 AS BIGINT) AS bands, CAST(4 AS BIGINT) AS rows_per_band
+      |        UNION ALL SELECT 16, 8 UNION ALL SELECT 8, 16
+      |      ) c
+      |    ))))))))))))
+      |  GROUP BY bands, rows_per_band
+      |)
+      |ORDER BY rows_per_band""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // Containment (asymmetric overlap): inter / |smaller set|. Jaccard

@@ -187,4 +187,97 @@ class RoundTwelveSpec extends AnyFunSuite {
       assert(math.abs(gap - (meanP - fracPos)) < 1e-6)
     }
   }
+
+  // -------------------------------------------------------------
+  test("epoch plan: uniform budget split, epochs consistent, risk flag thresholded") {
+    val rows = q("pipeline_epoch_plan").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    val total = rows.map(_._2).sum
+    // one planned-token figure for every source: the uniform split of 2x corpus
+    assert(rows.map(_._4).distinct.length == 1)
+    assert(rows.head._4 == math.floor(2.0 * total / rows.length).toLong)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3, "shares sum to 1")
+    rows.foreach { case (src, tokens, _, planned, epochs, risk) =>
+      assert(math.abs(epochs - planned.toDouble / tokens) < 1e-3, src)
+      assert(risk == (epochs > 4.0), src)
+    }
+  }
+
+  // -------------------------------------------------------------
+  test("dataset card: levels roll up exactly — cells -> sources -> corpus") {
+    val rows = q("pipeline_dataset_card").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val corpus = rows.filter(_._1 == "corpus")
+    assert(corpus.length == 1)
+    val docs = graft.ops.Tables.table(spark, dir, "documents")
+    assert(corpus.head._4 == docs.count())
+    val bySource = rows.filter(_._1 == "source")
+    val cells = rows.filter(_._1 == "source_lang")
+    assert(bySource.map(_._4).sum == corpus.head._4, "source docs roll up")
+    assert(cells.map(_._4).sum == corpus.head._4, "cell docs roll up")
+    assert(bySource.map(_._5).sum == corpus.head._5, "source tokens roll up")
+    // each source's cells partition that source's documents
+    cells.groupBy(_._2).foreach { case (src, cs) =>
+      assert(cs.map(_._4).sum == bySource.find(_._2 == src).get._4, src)
+    }
+  }
+
+  // -------------------------------------------------------------
+  test("bradley-terry: strengths agree with an independent in-memory MM step") {
+    val ds = graft.ops.Tables.table(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // matches: consecutive docs per language, longer doc's source wins
+    val matches = ds.groupBy(_._1).values.flatMap { docs =>
+      docs.sortBy(_._2).sliding(2).collect {
+        case Array(a, b) if a._3 != b._3 =>
+          (a._3, b._3, if (a._4 >= b._4) a._3 else b._3)
+      }
+    }.toVector
+    val games = matches.flatMap(m => Seq(m._1, m._2)).groupBy(identity).view.mapValues(_.size)
+    val wins = matches.groupBy(_._3).view.mapValues(_.size).toMap
+    val w1 = games.map { case (s, g) =>
+      s -> math.max(math.rint(2.0 * wins.getOrElse(s, 0) / g * 1e6) / 1e6, 1e-6)
+    }.toMap
+    val nij = matches.flatMap(m => Seq((m._1, m._2), (m._2, m._1)))
+      .groupBy(identity).view.mapValues(_.size)
+    val w2 = games.keys.map { i =>
+      val denom = nij.collect { case ((a, j), n) if a == i => n / (w1(i) + w1(j)) }.sum
+      i -> wins.getOrElse(i, 0) / denom
+    }.toMap
+    val rows = q("eval_bradley_terry_step").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == games.size)
+    rows.foreach { case (src, g, w, qw1, qw2) =>
+      assert(g.toInt == games(src), src)
+      assert(w.toInt == wins.getOrElse(src, 0), src)
+      assert(math.abs(qw1 - w1(src)) < 1e-5, s"$src w1 $qw1 vs ${w1(src)}")
+      assert(math.abs(qw2 - w2(src)) < 1e-4, s"$src w2 $qw2 vs ${w2(src)}")
+    }
+  }
+
+  // -------------------------------------------------------------
+  test("lsh tuning: shared pair universe, S-curve tradeoff monotone in rows-per-band") {
+    val rows = q("dedup_lsh_tuning").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), Option(r.get(6)).map(_.asInstanceOf[Double])))
+    assert(rows.map(t => (t._1, t._2)).toSet ==
+      Set((32L, 4L), (16L, 8L), (8L, 16L)), "the three 128-hash configs")
+    // every config is evaluated over the SAME pair histogram
+    assert(rows.map(_._3).distinct.length == 1)
+    assert(rows.map(_._5).distinct.length == 1)
+    rows.foreach { case (_, r, _, cand, nAbove, caught, recall) =>
+      assert(caught <= nAbove + 1e-6, s"r=$r caught > above")
+      assert(cand >= caught - 1e-6, s"r=$r candidates < caught")
+      if (nAbove > 0) assert(recall.isDefined)
+    }
+    // finer bands (more rows per band) = stricter: fewer candidates, lower recall
+    val byR = rows.sortBy(_._2)
+    assert(byR.map(_._4).toSeq.sliding(2).forall(w => w(0) >= w(1) - 1e-6),
+      "exp_candidates decreasing in rows_per_band")
+    if (byR.head._5 > 0)
+      assert(byR.flatMap(_._7).toSeq.sliding(2).forall(w => w(0) >= w(1) - 1e-6),
+        "recall decreasing in rows_per_band")
+  }
 }

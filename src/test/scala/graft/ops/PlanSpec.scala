@@ -466,4 +466,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
       "the as-of panel is 2 rows — it must broadcast against the history: " + p.take(800))
   }
+
+  test("epoch plan: one partial-agg corpus pass, totals row broadcasts back") {
+    val p = plan("pipeline_epoch_plan")
+    assert(p.contains("partial_sum"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), "planning arithmetic must not shuffle-join: " + p.take(600))
+    val corpusScans = "documents.parquet".r.findAllIn(p).length
+    assert(corpusScans == 1, s"expected one corpus scan, got $corpusScans")
+  }
+
+  test("dataset card: one Expand-fed corpus pass serves all grouping-set levels") {
+    val p = plan("pipeline_dataset_card")
+    assert(p.contains("Expand"), "grouping sets must plan through Expand: " + p.take(600))
+    assert(!p.contains("Join"), "a join would mean per-level corpus passes: " + p.take(600))
+    val corpusScans = "documents.parquet".r.findAllIn(p).length
+    assert(corpusScans == 1, s"expected one corpus scan, got $corpusScans")
+  }
+
+  test("bradley-terry: one lang window pass, strength vector broadcasts into step 2") {
+    val p = plan("eval_bradley_terry_step")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |sources|-row strength vector must broadcast: " + p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "nothing in the MM step justifies a shuffled join: " + p.take(800))
+  }
+
+  test("lsh tuning: posting-list Generate pipeline, no cartesian, sizes broadcast") {
+    val p = plan("dedup_lsh_tuning")
+    assert(p.contains("Generate"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"), "doc-size lookups must broadcast: " + p.take(600))
+    assert(!p.contains("CartesianProduct"), "the config fan-out is an explode, not a cross join")
+  }
 }
