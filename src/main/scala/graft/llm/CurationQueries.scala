@@ -36,6 +36,8 @@ object CurationQueries {
     NamedQuery("pipeline_budget_select", budgetSelect, Some(budgetSelectSql)),
     NamedQuery("pipeline_epoch_plan", epochPlan, Some(epochPlanSql)),
     NamedQuery("pipeline_dataset_card", datasetCard, Some(datasetCardSql)),
+    NamedQuery("eval_judge_agreement", judgeAgreement, Some(judgeAgreementSql)),
+    NamedQuery("eval_psi_drift", psiDrift, Some(psiDriftSql)),
   )
 
   // ---------------------------------------------------------------
@@ -792,4 +794,233 @@ object CurationQueries {
       |  CAST(round(CAST(uw / CAST(sum(CAST(uw AS DECIMAL(18,8))) OVER () AS DOUBLE)
       |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS weight
       |FROM w ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Judge agreement — Cohen's kappa between two independent quality
+  // judges over the same corpus: the Gopher repetition gate (judge A,
+  // rule-based) and the learned LR gate at p >= 0.5 (judge B, same
+  // features/weights/hard-sigmoid as text_quality_lr_step). This is
+  // the LLM-judge / annotation-QA primitive: raw agreement po is
+  // inflated when both judges mostly keep, kappa = (po - pe)/(1 - pe)
+  // corrects for the chance-agreement floor pe. Judge B runs at its
+  // tuned operating point (p >= 0.57, the corpus median — the
+  // FineWeb-Edu "score >= 3" convention) rather than the raw 0.5
+  // midpoint, which on this corpus keeps everything and collapses
+  // kappa to the constant-judge 0. Reported per language
+  // and for the whole corpus via ROLLUP (one Expand pass, the dataset
+  // card discipline). A sub-2-word doc has no bigram frac; the Gopher
+  // verdict treats that NULL as reject (coalesce false), pinning the
+  // same total-verdict convention both engines compute.
+  //
+  // Scale shape: both verdicts are per-row projections fused into the
+  // scan; the rollup is one aggregation to |langs|+1 rows. Chance
+  // terms use marginal FRACTIONS (never n² products), so the
+  // arithmetic cannot overflow at any corpus size. Determinism: the
+  // 2x2 cells are integers; po/pe/kappa divide identical doubles and
+  // round to 6 dp.
+  private def judgeAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("bg", expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) ELSE array() END"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .withColumn("dup_word_frac",
+        rnd(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("n_words"), 4))
+      .withColumn("top_word_frac", rnd(expr(
+        "array_max(transform(array_distinct(ws), d -> size(filter(ws, x -> x = d))))")
+        .cast("long").cast("double") / col("n_words"), 4))
+      .withColumn("top_bigram_frac", when(col("n_words") >= 2, rnd(expr(
+        "array_max(transform(array_distinct(bg), d -> size(filter(bg, x -> x = d))))")
+        .cast("long").cast("double") / (col("n_words") - 1), 4)))
+    val f1 = rnd(col("n_stop").cast("double") / col("n_words"), 3)
+    val f2 = rnd(least(col("n_words").cast("double") / 100.0, lit(1.0)), 3)
+    val f3 = rnd((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words") / 10.0, 3)
+    val z = lit(lrW(0)._2) + lit(lrW(1)._2) * f1 + lit(lrW(2)._2) * f2 + lit(lrW(3)._2) * f3
+    val p = least(greatest(lit(0.5) + z / 4.0, lit(0.0)), lit(1.0))
+    val verdicts = t.select(col("lang"),
+      coalesce(col("dup_word_frac") <= 0.8 && col("top_word_frac") <= 0.2 &&
+        col("top_bigram_frac") <= 0.18, lit(false)).as("ka"),
+      (p >= 0.57).as("kb"))
+    val cells = verdicts.rollup(col("lang")).agg(
+      grouping(col("lang")).as("g"),
+      count(lit(1)).as("n"),
+      sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("n_both_keep"),
+      sum(when(col("ka") && !col("kb"), 1L).otherwise(0L)).as("n_a_only"),
+      sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("n_b_only"),
+      sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("n_both_drop"))
+    val po = (col("n_both_keep") + col("n_both_drop")).cast("double") / col("n")
+    val pa = (col("n_both_keep") + col("n_a_only")).cast("double") / col("n")
+    val pb = (col("n_both_keep") + col("n_b_only")).cast("double") / col("n")
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    cells
+      .withColumn("level", when(col("g") === 1, lit("corpus")).otherwise(lit("lang")))
+      .withColumn("po", rnd(po, 6))
+      .withColumn("pe", rnd(pe, 6))
+      .withColumn("kappa", when(pe < 1.0, rnd((po - pe) / (lit(1.0) - pe), 6)))
+      .select(col("level"), col("lang"), col("n"), col("n_both_keep"),
+        col("n_a_only"), col("n_b_only"), col("n_both_drop"),
+        col("po"), col("pe"), col("kappa"))
+      .orderBy(col("level"), col("lang").asc_nulls_first)
+  }
+
+  private val judgeAgreementSql = {
+    val seeds = lrSeedSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+      |  SELECT lang, n_chars, string_split(text, ' ') AS ws,
+      |    list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS bg
+      |  FROM documents
+      |), m AS (
+      |  SELECT lang, n_chars, CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop,
+      |    CAST(round(CAST(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS DECIMAL(18,8)), 4) AS DOUBLE) AS dup_word_frac,
+      |    CAST(round(CAST(CAST(list_max(list_transform(list_distinct(ws), d -> len(list_filter(ws, x -> x = d)))) AS DOUBLE) / len(ws) AS DECIMAL(18,8)), 4) AS DOUBLE) AS top_word_frac,
+      |    CASE WHEN len(ws) >= 2 THEN CAST(round(CAST(CAST(list_max(list_transform(list_distinct(bg), d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / (len(ws) - 1) AS DECIMAL(18,8)), 4) AS DOUBLE) END AS top_bigram_frac
+      |  FROM t
+      |), f AS (
+      |  SELECT lang,
+      |    coalesce(dup_word_frac <= 0.8 AND top_word_frac <= 0.2 AND top_bigram_frac <= 0.18, false) AS ka,
+      |    CAST(round(CAST(CAST(n_stop AS DOUBLE) / n_words AS DECIMAL(18,8)), 3) AS DOUBLE) AS f1,
+      |    CAST(round(CAST(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) AS DECIMAL(18,8)), 3) AS DOUBLE) AS f2,
+      |    CAST(round(CAST(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words / 10.0 AS DECIMAL(18,8)), 3) AS DOUBLE) AS f3
+      |  FROM m
+      |), v AS (
+      |  SELECT lang, ka,
+      |    least(greatest(0.5 + (${lrW(0)._2} + ${lrW(1)._2} * f1 + ${lrW(2)._2} * f2 + ${lrW(3)._2} * f3) / 4.0, 0.0), 1.0) >= 0.57 AS kb
+      |  FROM f
+      |), c AS (
+      |  SELECT CASE WHEN GROUPING(lang) = 1 THEN 'corpus' ELSE 'lang' END AS level,
+      |    lang, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+      |    CAST(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+      |    CAST(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+      |    CAST(sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop
+      |  FROM v GROUP BY ROLLUP(lang)
+      |), k AS (
+      |  SELECT level, lang, n, n_both_keep, n_a_only, n_b_only, n_both_drop,
+      |    CAST(n_both_keep + n_both_drop AS DOUBLE) / n AS po_raw,
+      |    (CAST(n_both_keep + n_a_only AS DOUBLE) / n) * (CAST(n_both_keep + n_b_only AS DOUBLE) / n)
+      |      + (1.0 - CAST(n_both_keep + n_a_only AS DOUBLE) / n) * (1.0 - CAST(n_both_keep + n_b_only AS DOUBLE) / n) AS pe_raw
+      |  FROM c
+      |)
+      |SELECT level, lang, n, n_both_keep, n_a_only, n_b_only, n_both_drop,
+      |  CAST(round(CAST(po_raw AS DECIMAL(18,8)), 6) AS DOUBLE) AS po,
+      |  CAST(round(CAST(pe_raw AS DECIMAL(18,8)), 6) AS DOUBLE) AS pe,
+      |  CASE WHEN pe_raw < 1.0 THEN CAST(round(CAST((po_raw - pe_raw) / (1.0 - pe_raw) AS DECIMAL(18,8)), 6) AS DOUBLE) END AS kappa
+      |FROM k ORDER BY level, lang ASC NULLS FIRST""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Distribution drift (PSI) — the monitoring primitive a production
+  // curation gate runs per crawl snapshot: how far has each source's
+  // quality-score distribution moved from the trusted reference pool
+  // (the LR seed sources)? PSI = sum_b (p_b - q_b) * ln(p_b / q_b)
+  // over the calibration-bins histogram; > 0.1 is the conventional
+  // "investigate" line and > 0.2 "major drift" (retrain / re-gate).
+  //
+  // Scale shape: ONE corpus pass aggregates per-source DENSE bin
+  // counts (10 conditional sums — no missing-bin skeleton join), the
+  // reference histogram is a window over the |sources|-row table, and
+  // the bins explode back to |sources| x 10 rows for the term sum.
+  // Zero joins, one corpus scan (plan-pinned). Determinism: bin
+  // fractions divide exact integers, the ln() input is a ratio of
+  // identical doubles, and each term snaps to 6 dp through
+  // DECIMAL(18,8) before an exact decimal sum — libm ulp cannot move
+  // the hash (the domain-reweight exp() discipline).
+  private val psiFloor = 0.0005
+
+  private def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val f1 = rnd(col("n_stop").cast("double") / col("n_words"), 3)
+    val f2 = rnd(least(col("n_words").cast("double") / 100.0, lit(1.0)), 3)
+    val f3 = rnd((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words") / 10.0, 3)
+    val z = lit(lrW(0)._2) + lit(lrW(1)._2) * f1 + lit(lrW(2)._2) * f2 + lit(lrW(3)._2) * f3
+    val p = least(greatest(lit(0.5) + z / 4.0, lit(0.0)), lit(1.0))
+    val binned = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .select(col("source"), least(floor(p * 10), lit(9L)).cast("int").as("bin"))
+    val aggCols = count(lit(1)).as("n_docs") +:
+      (0 to 9).map(b => sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val wide = binned.groupBy(col("source")).agg(aggCols.head, aggCols.tail: _*)
+    val wAll = Window.partitionBy()
+    val seeded = (0 to 9).foldLeft(
+        wide.withColumn("ref_total",
+          sum(when(col("source").isin(lrSeedSources: _*), col("n_docs")).otherwise(0L)).over(wAll))) {
+      (df, b) => df.withColumn(s"r$b",
+        sum(when(col("source").isin(lrSeedSources: _*), col(s"c$b")).otherwise(0L)).over(wAll))
+    }
+    val long = seeded.select(col("source"), col("n_docs"), col("ref_total"),
+      explode(array((0 to 9).map(b =>
+        struct(lit(b).as("bin"), col(s"c$b").as("cnt"), col(s"r$b").as("refn"))): _*)).as("e"))
+      .select(col("source"), col("n_docs"), col("ref_total"),
+        col("e.bin").as("bin"), col("e.cnt").as("cnt"), col("e.refn").as("refn"))
+    val fp = greatest(col("cnt").cast("double") / col("n_docs"), lit(psiFloor))
+    val fq = greatest(col("refn").cast("double") / col("ref_total"), lit(psiFloor))
+    val term = rnd((fp - fq) * log(fp / fq), 6)
+    long.groupBy(col("source"), col("n_docs"))
+      .agg(rnd(sum(term.cast("decimal(18,8)")).cast("double"), 6).as("psi"))
+      .withColumn("drift",
+        when(col("psi") > 0.2, "major").when(col("psi") > 0.1, "moderate")
+          .otherwise(lit("stable")))
+      .select(col("source"), col("n_docs"), col("psi"), col("drift"))
+      .orderBy(col("source"))
+  }
+
+  private val psiDriftSql = {
+    val seeds = lrSeedSources.map(s => s"'$s'").mkString(", ")
+    val cCols = (0 to 9).map(b =>
+      s"CAST(sum(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS BIGINT) AS c$b").mkString(",\n      |    ")
+    val rCols = (0 to 9).map(b =>
+      s"CAST(sum(CASE WHEN source IN ($seeds) THEN c$b ELSE 0 END) OVER () AS BIGINT) AS r$b").mkString(",\n      |    ")
+    val cntCase = (0 to 9).map(b => s"WHEN $b THEN c$b").mkString(" ")
+    val refCase = (0 to 9).map(b => s"WHEN $b THEN r$b").mkString(" ")
+    s"""WITH t AS (
+      |  SELECT source, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop
+      |  FROM documents
+      |), f AS (
+      |  SELECT source,
+      |    CAST(round(CAST(CAST(n_stop AS DOUBLE) / n_words AS DECIMAL(18,8)), 3) AS DOUBLE) AS f1,
+      |    CAST(round(CAST(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) AS DECIMAL(18,8)), 3) AS DOUBLE) AS f2,
+      |    CAST(round(CAST(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words / 10.0 AS DECIMAL(18,8)), 3) AS DOUBLE) AS f3
+      |  FROM t
+      |), b AS (
+      |  SELECT source, CAST(least(floor(least(greatest(0.5 + (${lrW(0)._2} + ${lrW(1)._2} * f1 + ${lrW(2)._2} * f2 + ${lrW(3)._2} * f3) / 4.0, 0.0), 1.0) * 10), 9) AS INT) AS bin
+      |  FROM f
+      |), wide AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    $cCols
+      |  FROM b GROUP BY source
+      |), seeded AS (
+      |  SELECT *,
+      |    CAST(sum(CASE WHEN source IN ($seeds) THEN n_docs ELSE 0 END) OVER () AS BIGINT) AS ref_total,
+      |    $rCols
+      |  FROM wide
+      |), long AS (
+      |  SELECT source, n_docs, ref_total, bb.bin,
+      |    CASE bb.bin $cntCase END AS cnt,
+      |    CASE bb.bin $refCase END AS refn
+      |  FROM seeded CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) bb
+      |), terms AS (
+      |  SELECT source, n_docs,
+      |    CAST(round(CAST(
+      |      (greatest(CAST(cnt AS DOUBLE) / n_docs, $psiFloor) - greatest(CAST(refn AS DOUBLE) / ref_total, $psiFloor))
+      |      * ln(greatest(CAST(cnt AS DOUBLE) / n_docs, $psiFloor) / greatest(CAST(refn AS DOUBLE) / ref_total, $psiFloor))
+      |    AS DECIMAL(18,8)), 6) AS DECIMAL(18,8)) AS term
+      |  FROM long
+      |)
+      |SELECT source, n_docs,
+      |  CAST(round(CAST(CAST(sum(term) AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS psi,
+      |  CASE WHEN CAST(round(CAST(CAST(sum(term) AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) > 0.2 THEN 'major'
+      |       WHEN CAST(round(CAST(CAST(sum(term) AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) > 0.1 THEN 'moderate'
+      |       ELSE 'stable' END AS drift
+      |FROM terms GROUP BY source, n_docs
+      |ORDER BY source""".stripMargin
+  }
 }

@@ -280,4 +280,47 @@ class RoundTwelveSpec extends AnyFunSuite {
       assert(byR.flatMap(_._7).toSeq.sliding(2).forall(w => w(0) >= w(1) - 1e-6),
         "recall decreasing in rows_per_band")
   }
+
+  // -------------------------------------------------------------
+  test("judge agreement: cells partition the corpus, kappa matches the 2x2 identity") {
+    val rows = q("eval_judge_agreement").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7), r.getDouble(8), Option(r.get(9)).map(_.asInstanceOf[Double])))
+    val corpus = rows.filter(_._1 == "corpus")
+    assert(corpus.length == 1)
+    val langs = rows.filter(_._1 == "lang")
+    val nDocs = graft.ops.Tables.table(spark, dir, "documents").count()
+    assert(corpus.head._3 == nDocs)
+    assert(langs.map(_._3).sum == nDocs, "lang rows partition the corpus")
+    rows.foreach { case (lvl, lang, n, a, b, c, d, po, pe, kappa) =>
+      assert(a + b + c + d == n, s"$lvl/$lang cells partition")
+      // recompute the statistic from the integer cells
+      val poR = (a + d).toDouble / n
+      val pa = (a + b).toDouble / n; val pb = (a + c).toDouble / n
+      val peR = pa * pb + (1 - pa) * (1 - pb)
+      assert(math.abs(po - poR) < 1e-6, s"$lvl/$lang po")
+      assert(math.abs(pe - peR) < 1e-6, s"$lvl/$lang pe")
+      if (peR < 1.0)
+        assert(math.abs(kappa.get - (poR - peR) / (1 - peR)) < 1e-6, s"$lvl/$lang kappa")
+      else assert(kappa.isEmpty, s"$lvl/$lang constant-agreeing judges have no kappa")
+    }
+  }
+
+  // -------------------------------------------------------------
+  test("psi drift: nonnegative, every source rated, labels follow the thresholds") {
+    val rows = q("eval_psi_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val srcs = graft.ops.Tables.table(spark, dir, "documents")
+      .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_._1).toSet == srcs, "one row per source")
+    val docTotal = graft.ops.Tables.table(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum == docTotal)
+    rows.foreach { case (s, _, psi, drift) =>
+      // each PSI term (p-q)ln(p/q) is nonnegative (same sign factors)
+      assert(psi >= -1e-9, s"$s psi negative")
+      val expect = if (psi > 0.2) "major" else if (psi > 0.1) "moderate" else "stable"
+      assert(drift == expect, s"$s label")
+    }
+  }
 }

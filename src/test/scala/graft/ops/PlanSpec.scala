@@ -497,4 +497,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "doc-size lookups must broadcast: " + p.take(600))
     assert(!p.contains("CartesianProduct"), "the config fan-out is an explode, not a cross join")
   }
+
+  test("judge agreement: both verdicts fuse into one rollup Expand pass, no join") {
+    val p = plan("eval_judge_agreement")
+    assert(p.contains("Expand"), "rollup must plan through Expand: " + p.take(600))
+    assert(!p.contains("Join"), "both judges are projections over the same row: " + p.take(600))
+    val corpusScans = "documents.parquet".r.findAllIn(p).length
+    assert(corpusScans == 1, s"expected one corpus scan, got $corpusScans")
+  }
+
+  test("psi drift: one corpus pass, dense-bin agg, reference via tiny window, no join") {
+    val p = plan("eval_psi_drift")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(600))
+    assert(!p.contains("Join"), "the reference histogram is a window, not a join: " + p.take(600))
+    val corpusScans = "documents.parquet".r.findAllIn(p).length
+    assert(corpusScans == 1, s"expected one corpus scan, got $corpusScans")
+  }
 }
