@@ -38,6 +38,8 @@ object CurationQueries {
     NamedQuery("pipeline_dataset_card", datasetCard, Some(datasetCardSql)),
     NamedQuery("eval_judge_agreement", judgeAgreement, Some(judgeAgreementSql)),
     NamedQuery("eval_psi_drift", psiDrift, Some(psiDriftSql)),
+    NamedQuery("pipeline_temperature_mix", temperatureMix, Some(temperatureMixSql)),
+    NamedQuery("pipeline_length_batches", lengthBatches, Some(lengthBatchesSql)),
   )
 
   // ---------------------------------------------------------------
@@ -794,6 +796,148 @@ object CurationQueries {
       |  CAST(round(CAST(uw / CAST(sum(CAST(uw AS DECIMAL(18,8))) OVER () AS DOUBLE)
       |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS weight
       |FROM w ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Temperature-scaled source mixing — the mT5/multilingual sampling
+  // rule p_i ∝ share_i^alpha: alpha = 1 keeps the natural
+  // distribution, alpha → 0 approaches uniform; 0.2–0.7 is the
+  // published range that up-samples small sources without flooding
+  // the mix with them. Emits the weight table for three alphas side
+  // by side, with the boost factor (weight / natural share) a
+  // pipeline broadcast-joins onto the corpus as a sampling rate.
+  //
+  // Scale shape: one partial-agg corpus pass to per-source token
+  // mass; totals via a window over the |sources|-row table (no
+  // rescan); the alpha fan-out and softmax normalization live on
+  // |sources| x 3 rows. Determinism: share divides exact integers;
+  // share^alpha computes as exp(alpha * ln(share)) with ln snapped to
+  // 6 dp and the exp output snapped again (the domain-reweight exp()
+  // discipline), normalizers sum exact decimals.
+  private val mixAlphas = Seq(0.2, 0.5, 1.0)
+
+  private def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.table(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("tokens"))
+    val wAll = Window.partitionBy()
+    val shared = bySource
+      .withColumn("total", sum(col("tokens")).over(wAll))
+      .withColumn("share", col("tokens").cast("double") / col("total"))
+      .select(col("source"), col("tokens"), col("share"),
+        explode(array(mixAlphas.map(a => lit(a)): _*)).as("alpha"))
+    val term = rnd(exp(col("alpha") * rnd(log(col("share")), 6)), 6)
+    val wAlpha = Window.partitionBy(col("alpha"))
+    shared
+      .withColumn("term", term)
+      .withColumn("weight",
+        rnd(col("term") / sum(col("term").cast("decimal(18,8)")).over(wAlpha).cast("double"), 6))
+      .withColumn("boost", rnd(col("weight") / col("share"), 4))
+      .select(col("alpha"), col("source"), col("tokens"),
+        rnd(col("share"), 6).as("share"), col("weight"), col("boost"))
+      .orderBy(col("alpha"), col("source"))
+  }
+
+  private val temperatureMixSql = {
+    val alphaList = mixAlphas.mkString("[", ", ", "]")
+    s"""WITH s AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source
+      |), t AS (
+      |  SELECT source, tokens,
+      |    CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS share
+      |  FROM s
+      |), x AS (
+      |  SELECT source, tokens, share, CAST(aa.alpha AS DOUBLE) AS alpha,
+      |    CAST(round(CAST(exp(CAST(aa.alpha AS DOUBLE) * CAST(round(CAST(ln(share) AS DECIMAL(18,8)), 6) AS DOUBLE)) AS DECIMAL(18,8)), 6) AS DOUBLE) AS term
+      |  FROM t CROSS JOIN (SELECT unnest($alphaList) AS alpha) aa
+      |)
+      |SELECT alpha, source, tokens,
+      |  CAST(round(CAST(share AS DECIMAL(18,8)), 6) AS DOUBLE) AS share,
+      |  CAST(round(CAST(term / CAST(sum(CAST(term AS DECIMAL(18,8))) OVER (PARTITION BY alpha) AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS weight,
+      |  CAST(round(CAST(
+      |    CAST(round(CAST(term / CAST(sum(CAST(term AS DECIMAL(18,8))) OVER (PARTITION BY alpha) AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) / share
+      |  AS DECIMAL(18,8)), 4) AS DOUBLE) AS boost
+      |FROM x ORDER BY alpha, source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Length-bucketed batch planning — the inference/training batching
+  // decision: fixed-size batches pad every sequence to the batch max,
+  // so arrival-order batches waste (max - len) slots per row while
+  // length-sorted batches put similar lengths together. This query
+  // quantifies the tradeoff on the corpus itself: per (strategy,
+  // language), the batch count, real token mass, padded slot mass and
+  // padding fraction of batching at B = 32. Sorting minimizes the sum
+  // of per-batch maxima over consecutive groups, so the sorted
+  // strategy's padding is provably <= arrival's (spec-pinned).
+  //
+  // Scale shape: ONE language exchange serves both strategies' window
+  // numbering (two sorts, same partitioning); the batch and rollup
+  // aggregations run on ~n/B and |strategies x langs| rows. In
+  // production the partition key gains a shard dimension so each
+  // shard's numbering is independent — the per-lang layout here is
+  // the per-shard unit of that plan.
+  private val batchSize = 32
+
+  private def lengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+    val wSorted = Window.partitionBy(col("lang")).orderBy(col("len"), col("doc_id"))
+    val wArrival = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val long = docs
+      .withColumn("rn_sorted", row_number().over(wSorted))
+      .withColumn("rn_arrival", row_number().over(wArrival))
+      .select(col("lang"), col("len"), explode(array(
+        struct(lit("length_sorted").as("strategy"),
+          floor((col("rn_sorted") - 1) / batchSize).cast("long").as("batch")),
+        struct(lit("arrival").as("strategy"),
+          floor((col("rn_arrival") - 1) / batchSize).cast("long").as("batch")))).as("e"))
+      .select(col("lang"), col("len"),
+        col("e.strategy").as("strategy"), col("e.batch").as("batch"))
+    val perBatch = long.groupBy(col("strategy"), col("lang"), col("batch"))
+      .agg(count(lit(1)).as("bn"), max(col("len")).as("mx"), sum(col("len")).as("sl"))
+    perBatch.groupBy(col("strategy"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_batches"),
+        sum(col("bn")).as("n_docs"),
+        sum(col("sl")).as("total_tokens"),
+        sum(col("mx") * col("bn")).as("padded_slots"))
+      .withColumn("padding_frac",
+        rnd(lit(1.0) - col("total_tokens").cast("double") / col("padded_slots"), 6))
+      .select(col("strategy"), col("lang"), col("n_docs"), col("n_batches"),
+        col("total_tokens"), col("padded_slots"), col("padding_frac"))
+      .orderBy(col("strategy"), col("lang"))
+  }
+
+  private val lengthBatchesSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents
+      |), rn AS (
+      |  SELECT lang, len,
+      |    row_number() OVER (PARTITION BY lang ORDER BY len, doc_id) AS rn_sorted,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn_arrival
+      |  FROM d
+      |), long AS (
+      |  SELECT lang, len, 'length_sorted' AS strategy,
+      |    CAST(floor((rn_sorted - 1) / $batchSize.0) AS BIGINT) AS batch FROM rn
+      |  UNION ALL
+      |  SELECT lang, len, 'arrival' AS strategy,
+      |    CAST(floor((rn_arrival - 1) / $batchSize.0) AS BIGINT) AS batch FROM rn
+      |), b AS (
+      |  SELECT strategy, lang, batch, CAST(count(*) AS BIGINT) AS bn,
+      |    max(len) AS mx, sum(len) AS sl
+      |  FROM long GROUP BY strategy, lang, batch
+      |)
+      |SELECT strategy, lang,
+      |  CAST(sum(bn) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_batches,
+      |  CAST(sum(sl) AS BIGINT) AS total_tokens,
+      |  CAST(sum(mx * bn) AS BIGINT) AS padded_slots,
+      |  CAST(round(CAST(1.0 - CAST(sum(sl) AS DOUBLE) / sum(mx * bn) AS DECIMAL(18,8)), 6) AS DOUBLE) AS padding_frac
+      |FROM b GROUP BY strategy, lang
+      |ORDER BY strategy, lang""".stripMargin
 
   // ---------------------------------------------------------------
   // Judge agreement — Cohen's kappa between two independent quality

@@ -308,6 +308,50 @@ class RoundTwelveSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("temperature mix: weights normalize, alpha=1 is natural, lower alpha is flatter") {
+    val rows = q("pipeline_temperature_mix").collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val byAlpha = rows.groupBy(_._1)
+    assert(byAlpha.keySet == Set(0.2, 0.5, 1.0))
+    byAlpha.foreach { case (a, rs) =>
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-4, s"alpha=$a weights sum")
+      // boost is monotone nonincreasing in share: small sources up-sample
+      val byShare = rs.sortBy(_._4)
+      if (a < 1.0)
+        assert(byShare.map(_._6).toSeq.sliding(2).forall(w => w(0) >= w(1) - 1e-9),
+          s"alpha=$a boost not monotone in share")
+    }
+    // alpha = 1 reproduces the natural distribution
+    byAlpha(1.0).foreach { case (_, s, _, share, w, boost) =>
+      assert(math.abs(w - share) < 1e-4, s"$s natural weight")
+      assert(math.abs(boost - 1.0) < 1e-3, s"$s natural boost")
+    }
+    // flatness: the weight spread grows with alpha
+    val spread = byAlpha.view.mapValues(rs => rs.map(_._5).max - rs.map(_._5).min).toMap
+    assert(spread(0.2) <= spread(0.5) + 1e-9 && spread(0.5) <= spread(1.0) + 1e-9, spread.toString)
+  }
+
+  // -------------------------------------------------------------
+  test("length batches: ceil batch counts, strategies agree on mass, sorted wastes less") {
+    val rows = q("pipeline_length_batches").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val byLang = rows.groupBy(_._2)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_._1).toSet == Set("arrival", "length_sorted"), lang)
+      val Seq(a, s) = rs.sortBy(_._1).toSeq
+      assert(a._3 == s._3 && a._5 == s._5, s"$lang strategies must cover the same docs/tokens")
+      rs.foreach { r =>
+        assert(r._4 == (r._3 + 31) / 32, s"$lang ${r._1} ceil batches")
+        assert(r._6 >= r._5, s"$lang ${r._1} padded >= real")
+      }
+      assert(s._6 <= a._6, s"$lang sorted must pad no more than arrival")
+      assert(s._7 <= a._7 + 1e-9, s"$lang sorted padding_frac")
+    }
+  }
+
+  // -------------------------------------------------------------
   test("psi drift: nonnegative, every source rated, labels follow the thresholds") {
     val rows = q("eval_psi_drift").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))

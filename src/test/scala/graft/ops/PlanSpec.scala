@@ -506,6 +506,24 @@ class PlanSpec extends AnyFunSuite {
     assert(corpusScans == 1, s"expected one corpus scan, got $corpusScans")
   }
 
+  test("temperature mix: one corpus pass, alpha fan-out is an explode, no join") {
+    val p = plan("pipeline_temperature_mix")
+    assert(p.contains("Generate"), "alpha fan-out must be an explode: " + p.take(600))
+    assert(!p.contains("Join"), "all mixing arithmetic lives on the tiny table: " + p.take(600))
+    val corpusScans = "documents.parquet".r.findAllIn(p).length
+    assert(corpusScans == 1, s"expected one corpus scan, got $corpusScans")
+  }
+
+  test("length batches: both strategies number off ONE lang exchange, no join") {
+    val p = plan("pipeline_length_batches")
+    assert(!p.contains("Join"), p.take(600))
+    val corpusScans = "documents.parquet".r.findAllIn(p).length
+    assert(corpusScans == 1, s"expected one corpus scan, got $corpusScans")
+    val langExchanges = "Exchange hashpartitioning\\(lang#".r.findAllIn(p).length
+    assert(langExchanges == 1,
+      s"both strategy windows must share one lang exchange, got $langExchanges: " + p.take(800))
+  }
+
   test("psi drift: one corpus pass, dense-bin agg, reference via tiny window, no join") {
     val p = plan("eval_psi_drift")
     assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(600))
