@@ -38,5 +38,6 @@ object Registry {
       graft.llm.DedupQueries.queries ++ graft.llm.SimilarityQueries.queries ++
       graft.llm.TextQueries.queries ++ graft.llm.MultimodalQueries.queries ++
       graft.llm.PipelineQueries.queries ++ graft.llm.CurationQueries.queries ++
-      graft.llm.SamplingQueries.queries
+      graft.llm.SamplingQueries.queries ++ graft.llm.ForensicsQueries.queries ++
+      SeriesQueries.queries
 }

@@ -1,0 +1,344 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Registry.{dec, rnd, sumDec2}
+import graft.ops.Tables.table
+
+/** Time-series and co-occurrence operators the rest of the suite lacks:
+  *
+  *  - [[resampleHourly]] — grid resampling with forward fill, the
+  *    missing-data treatment every metrics/feature pipeline needs
+  *    before a model sees a regular series.
+  *  - [[markovEntropy]] — entropy rate of the event-type transition
+  *    chain, the information-theoretic summary of behavioral data
+  *    (how predictable is the next event given the current one).
+  *  - [[rfmSegments]] — recency/frequency/monetary segmentation via
+  *    distributed quantile thresholds (no global sort).
+  *  - [[basketAffinity]] — market-basket co-occurrence with lift,
+  *    the classic association-mining primitive.
+  *
+  * All four are oracle-twinned; determinism follows the Registry
+  * DECIMAL-snap discipline (FIXTURES.md).
+  */
+object SeriesQueries {
+
+  def queries: Vector[NamedQuery] = Vector(
+    NamedQuery("events_resample_hourly", resampleHourly, Some(resampleHourlySql)),
+    NamedQuery("events_markov_entropy", markovEntropy, Some(markovEntropySql)),
+    NamedQuery("events_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    NamedQuery("join_basket_affinity", basketAffinity, Some(basketAffinitySql)),
+  )
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("sec", col("ts").cast("long"))
+
+  // ---------------------------------------------------------------
+  // Grid resampling with forward fill — the time-series half of every
+  // feature pipeline: observations land at irregular timestamps, the
+  // model wants a regular grid with the last observation carried
+  // forward across gaps. Per user: resample `value` onto a 1-hour
+  // grid spanning that user's own [first, last] observation hours,
+  // forward-fill the empty cells, and emit the per-user summary
+  // (observed vs filled cells, longest gap, mean of the filled
+  // staircase).
+  //
+  // Scale shape: the per-(user, hour) reduction is ONE partial-agg
+  // pass over events (map-side combine; the "last observation in the
+  // hour" is a max_by over a packed in-hour sort key, an algebraic
+  // aggregate — no window over raw events). The grid explode runs on
+  // the REDUCED per-user bounds table and fans out |users| x
+  // span-hours rows — the irreducible size of the resampled output —
+  // and the forward-fill window partitions by user, so the whole
+  // fill is embarrassingly parallel across users. Nothing global.
+  //
+  // Determinism: the in-hour pick is max_by over (sec-in-hour,
+  // event_id) packed into one BIGINT (event_id < 1e10 by fixture
+  // construction), identical to the oracle's arg_max; the filled-mean
+  // routes through DECIMAL before one double division.
+  private def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val perHour = e
+      .withColumn("hr", expr("sec div 3600"))
+      .withColumn("packed", (col("sec") % 3600) * lit(10000000000L) + col("event_id"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n_obs"), max_by(col("value"), col("packed")).as("v"))
+    val grid = perHour.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = grid.join(perHour, Seq("user_id", "hr"), "left")
+      .withColumn("fv", last(col("v"), ignoreNulls = true).over(wFill))
+    val wObs = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    val gaps = perHour
+      .withColumn("gap", col("hr") - lag(col("hr"), 1).over(wObs) - 1)
+      .groupBy(col("user_id"))
+      .agg(coalesce(max(col("gap")), lit(0L)).as("max_gap_hours"))
+    filled.groupBy(col("user_id"))
+      .agg(
+        min(col("hr")).as("first_hr"),
+        max(col("hr")).as("last_hr"),
+        count(lit(1)).as("n_hours"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_observed"),
+        rnd(sum(dec(col("fv"))).cast("double") / count(lit(1)), 6).as("mean_filled"))
+      .join(gaps, Seq("user_id"))
+      .select(col("user_id"), col("first_hr"), col("last_hr"), col("n_hours"),
+        col("n_observed"), col("max_gap_hours"), col("mean_filled"))
+      .orderBy(col("user_id"))
+  }
+
+  private val resampleHourlySql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts)//1000000000 AS sec, event_id, value FROM events
+      |), ph AS (
+      |  SELECT user_id, sec//3600 AS hr, count(*) AS n_obs,
+      |    arg_max(value, (sec%3600)*10000000000 + event_id) AS v
+      |  FROM e GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx)) AS hr
+      |  FROM (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM ph GROUP BY 1)
+      |), f AS (
+      |  SELECT g.user_id, g.hr, ph.v,
+      |    last_value(ph.v IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      |  FROM grid g LEFT JOIN ph ON ph.user_id = g.user_id AND ph.hr = g.hr
+      |), gaps AS (
+      |  SELECT user_id, coalesce(max(gap), 0) AS max_gap_hours
+      |  FROM (SELECT user_id, hr - lag(hr) OVER (PARTITION BY user_id ORDER BY hr) - 1 AS gap FROM ph)
+      |  GROUP BY user_id
+      |)
+      |SELECT f.user_id,
+      |  min(hr) AS first_hr, max(hr) AS last_hr,
+      |  count(*) AS n_hours,
+      |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+      |  any_value(g.max_gap_hours) AS max_gap_hours,
+      |  CAST(round(CAST(CAST(sum(CAST(fv AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_filled
+      |FROM f JOIN gaps g ON g.user_id = f.user_id
+      |GROUP BY f.user_id
+      |ORDER BY f.user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Entropy rate of the event-type transition chain — treat each
+  // user's event stream as a Markov chain over event types and
+  // measure, per state, how predictable the NEXT event is:
+  // H(s) = -SUM_t p(t|s) log2 p(t|s), weighted by the state's
+  // empirical frequency p(s). The sum of `contrib` is the chain's
+  // entropy rate — the single number that says how much signal a
+  // next-event model can extract from behavioral data.
+  //
+  // Scale shape: ONE per-user window pass over events produces the
+  // transition stream (partitioned by user — no global order);
+  // everything downstream is |types|- and |types|^2-row aggregation
+  // with map-side partials.
+  //
+  // Determinism: p(t|s) is an exact long/long double division,
+  // -ln(p) snaps to 6 dp, each p*ln term snaps to DECIMAL(18,8)
+  // before an exact decimal sum; the bits conversion divides by a
+  // LITERAL ln(2) (no libm call at query time) and rounds to 6 dp.
+  private val Ln2 = 0.6931471805599453
+
+  private def markovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val trans = ev(spark, dir)
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type").as("s"), col("nxt").as("t"))
+    val st = trans.groupBy(col("s"), col("t")).agg(count(lit(1)).as("cnt"))
+    val wS = Window.partitionBy(col("s"))
+    val wAll = Window.partitionBy()
+    st
+      .withColumn("n_s", sum(col("cnt")).over(wS))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("p", col("cnt").cast("double") / col("n_s"))
+      .withColumn("term", round((col("p") * rnd(-log(col("p")), 6)).cast("decimal(18,8)"), 8))
+      .groupBy(col("s"))
+      .agg(
+        max(col("n_s")).as("n_out"),
+        count(lit(1)).as("n_targets"),
+        rnd(sum(col("term")).cast("double") / lit(Ln2), 6).as("h_bits"),
+        rnd(max(col("n_s")).cast("double") / max(col("total")), 6).as("p_state"))
+      .withColumn("contrib", rnd(col("p_state") * col("h_bits"), 6))
+      .select(col("s"), col("n_out"), col("n_targets"), col("h_bits"),
+        col("p_state"), col("contrib"))
+      .orderBy(col("s"))
+  }
+
+  private val markovEntropySql =
+    s"""WITH e AS (
+      |  SELECT user_id, epoch_ns(ts)//1000000000 AS sec, event_id, event_type FROM events
+      |), tr AS (
+      |  SELECT event_type AS s,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS t
+      |  FROM e
+      |), st AS (
+      |  SELECT s, t, count(*) AS cnt FROM tr WHERE t IS NOT NULL GROUP BY s, t
+      |), x AS (
+      |  SELECT s, t, cnt,
+      |    sum(cnt) OVER (PARTITION BY s) AS n_s,
+      |    sum(cnt) OVER () AS total,
+      |    CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY s) AS p
+      |  FROM st
+      |), terms AS (
+      |  SELECT s, n_s, total,
+      |    round(CAST(p * CAST(round(CAST(-ln(p) AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |      AS DECIMAL(18,8)), 8) AS term
+      |  FROM x
+      |)
+      |SELECT s,
+      |  CAST(max(n_s) AS BIGINT) AS n_out,
+      |  count(*) AS n_targets,
+      |  CAST(round(CAST(CAST(sum(term) AS DOUBLE) / $Ln2 AS DECIMAL(18,8)), 6) AS DOUBLE) AS h_bits,
+      |  CAST(round(CAST(CAST(max(n_s) AS DOUBLE) / max(total) AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_state,
+      |  CAST(round(CAST(
+      |    CAST(round(CAST(CAST(max(n_s) AS DOUBLE) / max(total) AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |    * CAST(round(CAST(CAST(sum(term) AS DOUBLE) / $Ln2 AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |  AS DECIMAL(18,8)), 6) AS DOUBLE) AS contrib
+      |FROM terms GROUP BY s ORDER BY s""".stripMargin
+
+  // ---------------------------------------------------------------
+  // RFM segmentation — recency / frequency / monetary quintiles, the
+  // classic customer-value grid. Deliberately NOT ntile: a global
+  // ntile window is a single-partition sort over the per-user table,
+  // which stops scaling the moment |users| does. Instead the quintile
+  // BOUNDARIES are computed once (exact interpolated percentiles, an
+  // algebraic aggregate) and broadcast back, so tile assignment is a
+  // per-row comparison — the same two-pass discipline a 1000-executor
+  // cluster needs. Tiles count boundaries strictly below the value
+  // (ties land in the lower tile on both engines); tile 5 = most
+  // recent / most frequent / highest spend.
+  //
+  // Determinism: monetary snaps through DECIMAL before thresholding;
+  // thresholds snap to 6 dp (Spark `percentile` == DuckDB
+  // `quantile_cont`, linear interpolation — the agg_percentiles
+  // parity); per-segment means route through DECIMAL sums.
+  private def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val m = ev(spark, dir).groupBy(col("user_id"))
+      .agg(
+        max(col("sec")).as("last_sec"),
+        count(lit(1)).as("freq"),
+        sumDec2(col("value")).as("monetary"))
+    val q = m.agg(
+      expr("percentile(last_sec, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rq"),
+      expr("percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fq"),
+      expr("percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mq"))
+    def tile(metric: org.apache.spark.sql.Column, qa: String): org.apache.spark.sql.Column =
+      (1 to 4).map(i => when(metric > rnd(element_at(col(qa), i), 6), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+    m.crossJoin(broadcast(q))
+      .withColumn("r_tile", tile(col("last_sec").cast("double"), "rq"))
+      .withColumn("f_tile", tile(col("freq").cast("double"), "fq"))
+      .withColumn("m_tile", tile(col("monetary"), "mq"))
+      .groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        rnd(sum(dec(col("freq").cast("double"))).cast("double") / count(lit(1)), 2).as("avg_freq"),
+        rnd(sum(dec(col("monetary"))).cast("double") / count(lit(1)), 2).as("avg_monetary"))
+      .withColumn("segment",
+        concat(lit("R"), col("r_tile"), lit("F"), col("f_tile"), lit("M"), col("m_tile")))
+      .select(col("segment"), col("r_tile"), col("f_tile"), col("m_tile"),
+        col("n_users"), col("avg_freq"), col("avg_monetary"))
+      .orderBy(col("r_tile"), col("f_tile"), col("m_tile"))
+  }
+
+  private val rfmSegmentsSql =
+    """WITH m AS (
+      |  SELECT user_id,
+      |    max(epoch_ns(ts)//1000000000) AS last_sec,
+      |    count(*) AS freq,
+      |    CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS monetary
+      |  FROM events GROUP BY user_id
+      |), q AS (
+      |  SELECT quantile_cont(last_sec, [0.2, 0.4, 0.6, 0.8]) AS rq,
+      |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fq,
+      |    quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq
+      |  FROM m
+      |), t AS (
+      |  SELECT user_id, freq, monetary,
+      |    1 + (CASE WHEN CAST(last_sec AS DOUBLE) > CAST(round(CAST(rq[1] AS DECIMAL(18,8)), 6) AS DOUBLE) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN CAST(last_sec AS DOUBLE) > CAST(round(CAST(rq[2] AS DECIMAL(18,8)), 6) AS DOUBLE) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN CAST(last_sec AS DOUBLE) > CAST(round(CAST(rq[3] AS DECIMAL(18,8)), 6) AS DOUBLE) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN CAST(last_sec AS DOUBLE) > CAST(round(CAST(rq[4] AS DECIMAL(18,8)), 6) AS DOUBLE) THEN 1 ELSE 0 END) AS r_tile,
+      |    1 + (CASE WHEN CAST(freq AS DOUBLE) > CAST(round(CAST(fq[1] AS DECIMAL(18,8)), 6) AS DOUBLE) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN CAST(freq AS DOUBLE) > CAST(round(CAST(fq[2] AS DECIMAL(18,8)), 6) AS DOUBLE) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN CAST(freq AS DOUBLE) > CAST(round(CAST(fq[3] AS DECIMAL(18,8)), 6) AS DOUBLE) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN CAST(freq AS DOUBLE) > CAST(round(CAST(fq[4] AS DECIMAL(18,8)), 6) AS DOUBLE) THEN 1 ELSE 0 END) AS f_tile,
+      |    1 + (CASE WHEN monetary > CAST(round(CAST(mq[1] AS DECIMAL(18,8)), 6) AS DOUBLE) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary > CAST(round(CAST(mq[2] AS DECIMAL(18,8)), 6) AS DOUBLE) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary > CAST(round(CAST(mq[3] AS DECIMAL(18,8)), 6) AS DOUBLE) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary > CAST(round(CAST(mq[4] AS DECIMAL(18,8)), 6) AS DOUBLE) THEN 1 ELSE 0 END) AS m_tile
+      |  FROM m, q
+      |)
+      |SELECT concat('R', r_tile, 'F', f_tile, 'M', m_tile) AS segment,
+      |  r_tile, f_tile, m_tile,
+      |  count(*) AS n_users,
+      |  CAST(round(CAST(CAST(sum(CAST(CAST(freq AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |    AS DECIMAL(18,8)), 2) AS DOUBLE) AS avg_freq,
+      |  CAST(round(CAST(CAST(sum(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |    AS DECIMAL(18,8)), 2) AS DOUBLE) AS avg_monetary
+      |FROM t GROUP BY r_tile, f_tile, m_tile
+      |ORDER BY r_tile, f_tile, m_tile""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Market-basket co-occurrence with lift — which parts ship together
+  // in the same order more often than chance:
+  // lift(p1,p2) = P(p1,p2) / (P(p1)·P(p2)), support = co-count/orders.
+  // Emits the top-100 pairs by co-occurrence count.
+  //
+  // Scale shape: the pair fan-out is a SELF EQUI-JOIN on l_orderkey
+  // (both sides shuffle-partition on the same key — co-located, and
+  // bounded per order by basket size, <= 7 items in TPC-H), then the
+  // (p1,p2) aggregation with map-side combine. The top-100 trim runs
+  // BEFORE the lift enrichment (TakeOrderedAndProject — per-partition
+  // top-k merged on the driver), so the per-part frequency table
+  // joins against 100 rows broadcast, never the full pair table: at
+  // 100 TB the frequency side stays distributed and only the trimmed
+  // head moves.
+  //
+  // Determinism: counts are integers; support/lift round via DECIMAL;
+  // the top-100 ordering is total (together DESC, p1, p2).
+  private def basketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("together"))
+    val top = pairs.orderBy(col("together").desc, col("p1"), col("p2")).limit(100)
+    val freq = li.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val nOrders = li.agg(countDistinct(col("ok")).as("n_orders"))
+    top
+      .join(freq.select(col("pk").as("p1"), col("cnt").as("c1")), "p1")
+      .join(freq.select(col("pk").as("p2"), col("cnt").as("c2")), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("together"), col("c1"), col("c2"),
+        rnd(col("together").cast("double") / col("n_orders"), 6).as("support"),
+        rnd(col("together").cast("double") * col("n_orders") / (col("c1") * col("c2")), 4)
+          .as("lift"))
+      .orderBy(col("together").desc, col("p1"), col("p2"))
+  }
+
+  private val basketAffinitySql =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS together
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk
+      |), top AS (
+      |  SELECT * FROM pairs ORDER BY together DESC, p1, p2 LIMIT 100
+      |), freq AS (
+      |  SELECT pk, count(*) AS cnt FROM li GROUP BY pk
+      |), n AS (
+      |  SELECT count(DISTINCT ok) AS n_orders FROM li
+      |)
+      |SELECT p1, p2, together, f1.cnt AS c1, f2.cnt AS c2,
+      |  CAST(round(CAST(CAST(together AS DOUBLE) / n_orders AS DECIMAL(18,8)), 6) AS DOUBLE) AS support,
+      |  CAST(round(CAST(CAST(together AS DOUBLE) * n_orders / (f1.cnt * f2.cnt)
+      |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS lift
+      |FROM top JOIN freq f1 ON f1.pk = p1 JOIN freq f2 ON f2.pk = p2, n
+      |ORDER BY together DESC, p1, p2""".stripMargin
+}

@@ -531,4 +531,51 @@ class PlanSpec extends AnyFunSuite {
     val corpusScans = "documents.parquet".r.findAllIn(p).length
     assert(corpusScans == 1, s"expected one corpus scan, got $corpusScans")
   }
+
+  test("resample: in-hour pick is an algebraic max_by aggregate, fill window partitions by user") {
+    val p = plan("events_resample_hourly")
+    assert(p.contains("max_by"),
+      "per-hour last observation must be an aggregate, not a window over raw events: " + p.take(600))
+    assert(p.contains("windowspecdefinition(user_id"),
+      "forward-fill must partition by user (embarrassingly parallel): " + p.take(600))
+  }
+
+  test("markov entropy: transition stream windows per user, never globally") {
+    val p = plan("events_markov_entropy")
+    assert(p.contains("windowspecdefinition(user_id"), p.take(600))
+    assert(!p.contains("ntile"), p.take(300))
+  }
+
+  test("rfm: quintile thresholds broadcast back — no ntile, no global per-user sort") {
+    val p = plan("events_rfm_segments")
+    assert("(?<!perce)ntile\\(".r.findFirstIn(p).isEmpty,
+      "tiles must come from broadcast thresholds, not a single-partition ntile window: " + p.take(600))
+    assert(p.contains("percentile"), p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row threshold panel must broadcast: " + p.take(600))
+  }
+
+  test("basket affinity: top-100 trims with TakeOrderedAndProject before lift enrichment") {
+    val p = plan("join_basket_affinity")
+    assert(p.contains("TakeOrderedAndProject"),
+      "pair trim must be per-partition top-k: " + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("dsir: the 512-row LM broadcasts into the scoring join") {
+    val p = plan("text_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("heaps fit: prefix-bucket growth needs no cartesian (bounds and fit broadcast)") {
+    val p = plan("text_heaps_fit")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("source affinity: posting-list Generate pipeline, sizes broadcast, no cartesian") {
+    val p = plan("dedup_source_affinity")
+    assert(p.contains("Generate") && p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
 }

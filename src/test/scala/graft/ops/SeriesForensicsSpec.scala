@@ -1,0 +1,256 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantic pins for the series/forensics additions: every query's
+  * defining property is recomputed by an independent in-memory model
+  * (the oracle pins cross-engine equality; these pin the MEANING).
+  */
+class SeriesForensicsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  private def snap(v: Double, s: Int): Double =
+    BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val events: Array[(Long, Long, String, Long, Double)] =
+    graft.ops.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+
+  private lazy val docs: Array[(Long, String, String, String)] =
+    graft.ops.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+
+  // -------------------------------------------------------------
+  test("resample: per-user grid, fill counts, max gap and staircase mean match a direct model") {
+    val rows = q("events_resample_hourly").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    val byUser = events.groupBy(_._1)
+    assert(rows.keySet == byUser.keySet)
+    byUser.foreach { case (uid, es) =>
+      val perHour = es.groupBy(_._4 / 3600).map { case (hr, hs) =>
+        hr -> hs.maxBy(e => (e._4 % 3600, e._2))._5
+      }
+      val hrs = perHour.keys.toVector.sorted
+      val (mn, mx) = (hrs.head, hrs.last)
+      val grid = (mn to mx).toVector
+      val filled = grid.scanLeft(Option.empty[Double]) { (prev, hr) =>
+        perHour.get(hr).orElse(prev)
+      }.tail.map(_.get)
+      val maxGap = if (hrs.size < 2) 0L else hrs.sliding(2).map(p => p(1) - p(0) - 1).max
+      val meanFilled = snap(
+        filled.map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+          / grid.size, 6)
+      val (firstHr, lastHr, nHours, nObs, gotGap, gotMean) = rows(uid)
+      assert(firstHr == mn && lastHr == mx, s"user $uid bounds")
+      assert(nHours == grid.size.toLong, s"user $uid n_hours")
+      assert(nObs == perHour.size.toLong, s"user $uid n_observed")
+      assert(gotGap == maxGap, s"user $uid max_gap")
+      assert(math.abs(gotMean - meanFilled) < 1e-4, s"user $uid mean $gotMean vs $meanFilled")
+    }
+  }
+
+  // -------------------------------------------------------------
+  test("markov entropy: per-state H matches direct transition counts; state weights sum to 1") {
+    val rows = q("events_markov_entropy").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val trans = events.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._4, e._2)).map(_._3).toVector.sliding(2).collect {
+        case Seq(a, b) => (a, b)
+      }
+    }.toVector
+    val bySt = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byS = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val total = trans.size.toDouble
+    assert(rows.map(_._1).toSet == byS.keySet)
+    rows.foreach { case (s, nOut, nTargets, hBits, pState, contrib) =>
+      assert(nOut == byS(s))
+      assert(nTargets.toInt == bySt.keys.count(_._1 == s))
+      val terms = bySt.collect { case ((`s`, _), cnt) =>
+        val p = cnt.toDouble / byS(s)
+        BigDecimal(p * snap(-math.log(p), 6)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val expH = snap(terms.sum.toDouble / 0.6931471805599453, 6)
+      assert(math.abs(hBits - expH) < 1e-5, s"state $s H $hBits vs $expH")
+      assert(hBits >= 0 && hBits <= math.log(nTargets.toDouble) / math.log(2.0) + 1e-6)
+      assert(math.abs(pState - byS(s) / total) < 1e-5)
+      assert(math.abs(contrib - snap(pState * hBits, 6)) < 1e-9)
+    }
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, "state weights sum to 1")
+  }
+
+  // -------------------------------------------------------------
+  test("rfm: quintile-threshold tiles match a direct interpolated-percentile model, users partition exactly") {
+    val rows = q("events_rfm_segments").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getLong(4)).toMap
+    val m = events.groupBy(_._1).map { case (uid, es) =>
+      val monetary = BigDecimal(
+        es.map(e => BigDecimal(e._5).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (uid, es.map(_._4).max.toDouble, es.size.toDouble, monetary)
+    }.toVector
+    def thresholds(vs: Vector[Double]): Vector[Double] = {
+      val s = vs.sorted
+      Vector(0.2, 0.4, 0.6, 0.8).map { p =>
+        val pos = p * (s.size - 1)
+        val lo = pos.toInt
+        val frac = pos - lo
+        val v = if (lo + 1 < s.size) s(lo) + (s(lo + 1) - s(lo)) * frac else s(lo)
+        snap(v, 6)
+      }
+    }
+    val (rq, fq, mq) =
+      (thresholds(m.map(_._2)), thresholds(m.map(_._3)), thresholds(m.map(_._4)))
+    def tile(v: Double, t: Vector[Double]) = 1 + t.count(v > _)
+    val expected = m.groupBy(u => (tile(u._2, rq), tile(u._3, fq), tile(u._4, mq)))
+      .view.mapValues(_.size.toLong).toMap
+    assert(rows == expected)
+    assert(rows.values.sum == m.size.toLong, "every user lands in exactly one segment")
+    assert(rows.keys.forall { case (r, f, mm) =>
+      (1 to 5).contains(r) && (1 to 5).contains(f) && (1 to 5).contains(mm) })
+  }
+
+  // -------------------------------------------------------------
+  test("basket affinity: top-100 pair counts match a direct model; lift/support formulas hold") {
+    val li = graft.ops.Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = q("join_basket_affinity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    val pairCnt = li.groupBy(_._1).values.flatMap { basket =>
+      val pks = basket.map(_._2).toVector.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.size) yield (pks(i), pks(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expTop = pairCnt.toVector.map { case ((a, b), c) => (a, b, c) }
+      .sortBy(t => (-t._3, t._1, t._2)).take(100)
+    assert(rows.map(t => (t._1, t._2, t._3)).toVector == expTop)
+    val freq = li.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nOrders = li.map(_._1).size.toLong
+    rows.foreach { case (p1, p2, together, c1, c2, support, lift) =>
+      assert(p1 < p2)
+      assert(c1 == freq(p1) && c2 == freq(p2))
+      assert(math.abs(support - snap(together.toDouble / nOrders, 6)) < 1e-9)
+      assert(math.abs(lift - snap(together.toDouble * nOrders / (c1 * c2), 4)) < 1e-9)
+    }
+  }
+
+  // -------------------------------------------------------------
+  test("dsir: log-weights match a direct hashed-LM model; target slice scores above the rest") {
+    val rows = q("text_dsir_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Long = {
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % 512
+    }
+    val target = Set("src0", "src1", "src2", "src3")
+    val words = docs.flatMap { case (id, text, _, src) =>
+      text.split(" ", -1).map(w => (id, src, bucket(w)))
+    }
+    val lm = words.groupBy(_._3).map { case (b, ws) =>
+      b -> (ws.count(w => target(w._2)).toLong, ws.size.toLong)
+    }
+    val tt = lm.values.map(_._1).sum.toDouble + 512.0
+    val rt = lm.values.map(_._2).sum.toDouble + 512.0
+    val delta = lm.map { case (b, (t, r)) =>
+      b -> (snap(math.log((t + 1.0) / tt), 6) - snap(math.log((r + 1.0) / rt), 6))
+    }
+    val expected = words.groupBy(_._1).map { case (id, ws) =>
+      val logw = ws.groupBy(_._3).map { case (b, bs) =>
+        BigDecimal(bs.size * delta(b)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      id -> (ws.size.toLong, logw)
+    }
+    assert(rows.length == docs.length)
+    rows.foreach { case (id, nWords, logw, avg, keep) =>
+      val (expN, expW) = expected(id)
+      assert(nWords == expN, s"doc $id n_words")
+      assert(math.abs(logw - snap(expW, 4)) < 1e-3, s"doc $id logw $logw vs $expW")
+      assert(math.abs(avg - snap(expW / expN, 6)) < 1e-3)
+      assert(keep == (logw > 0))
+    }
+    // the defining DSIR property: documents FROM the target slice look
+    // more target-like than the rest on average
+    val bySrc = rows.groupBy(r => target(docs.find(_._1 == r._1).get._4))
+    val meanT = bySrc(true).map(_._4).sum / bySrc(true).size
+    val meanR = bySrc(false).map(_._4).sum / bySrc(false).size
+    assert(meanT > meanR, s"target mean $meanT should exceed non-target $meanR")
+  }
+
+  // -------------------------------------------------------------
+  test("heaps: growth curve matches direct first-occurrence counts; exponent is sub-linear with a tight fit") {
+    val rows = q("text_heaps_fit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val ids = docs.map(_._1)
+    val (mn, mx) = (ids.min, ids.max)
+    val grams = docs.flatMap { case (id, text, _, _) =>
+      val ws = text.split(" ", -1)
+      if (ws.length < 3) Nil
+      else ws.sliding(3).map(g => ((id - mn) * 16 / (mx - mn + 1), g.mkString(" "))).toVector
+    }
+    val tok = grams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val firstB = grams.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val vocabPer = firstB.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val buckets = tok.keys.toVector.sorted
+    var (tc, vc) = (0L, 0L)
+    buckets.zip(rows).foreach { case (b, (gotB, gotT, gotV, _, _)) =>
+      tc += tok(b); vc += vocabPer.getOrElse(b, 0L)
+      assert(gotB == b && gotT == tc && gotV == vc, s"bucket $b: ($gotT,$gotV) vs ($tc,$vc)")
+    }
+    val beta = rows.head._4
+    val r2 = rows.head._5
+    assert(beta > 0.0 && beta < 1.0, s"Heaps exponent sub-linear: $beta")
+    assert(r2 > 0.9 && r2 <= 1.0, s"log-log fit should be tight: $r2")
+    assert(rows.forall(r => r._4 == beta && r._5 == r2), "fit constant across rows")
+  }
+
+  // -------------------------------------------------------------
+  test("source affinity: matrix matches a direct cross-source jaccard model") {
+    val rows = q("dedup_source_affinity").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val wordSets = docs.map { case (id, text, lang, src) =>
+      (id, lang, src, text.split(" ", -1).distinct.toSet)
+    }
+    // df-capped candidate universe: words with 2 <= df <= 64 within lang
+    val df = wordSets.flatMap(d => d._4.map(w => (d._2, w)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val kept = wordSets.map { case (id, lang, src, ws) =>
+      (id, lang, src, ws, ws.filter(w => { val c = df((lang, w)); c >= 2 && c <= 64 }))
+    }
+    val pairs = for {
+      i <- kept.indices; j <- i + 1 until kept.length
+      a = kept(i); b = kept(j)
+      if a._2 == b._2
+      inter = (a._5 & b._5).size
+      if inter > 0
+      jac = snap(inter.toDouble / (a._4.size + b._4.size - inter), 4)
+      if jac >= 0.2
+    } yield (if (a._3 <= b._3) (a._3, b._3) else (b._3, a._3), jac)
+    val expected = pairs.groupBy(_._1).map { case (k, ps) =>
+      val js = ps.map(_._2)
+      k -> (js.size.toLong,
+        snap(js.map(BigDecimal(_).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / js.size, 4),
+        js.max)
+    }
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (k, (n, mean, mx2)) =>
+      val (gotN, gotMean, gotMax) = rows(k)
+      assert(gotN == n, s"$k n_pairs")
+      assert(math.abs(gotMean - mean) < 1e-3, s"$k mean")
+      assert(math.abs(gotMax - mx2) < 1e-9, s"$k max")
+    }
+  }
+}
