@@ -555,11 +555,15 @@ class PlanSpec extends AnyFunSuite {
       "the 1-row threshold panel must broadcast: " + p.take(600))
   }
 
-  test("basket affinity: top-100 trims with TakeOrderedAndProject before lift enrichment") {
+  test("basket affinity: Generate-pipelined pairs (no self-join), top-100 trims before lift enrichment") {
     val p = plan("join_basket_affinity")
     assert(p.contains("TakeOrderedAndProject"),
       "pair trim must be per-partition top-k: " + p.take(600))
     assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("Generate"),
+      "i<j pairs must stream off the basket arrays, not a lineitem self-join: " + p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "the only joins are the 100-row enrichment — they must broadcast: " + p.take(800))
   }
 
   test("dsir: the 512-row LM broadcasts into the scoring join") {
