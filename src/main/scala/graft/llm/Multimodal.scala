@@ -352,6 +352,161 @@ object Multimodal {
       |  CAST((n_chars * 131 + 17) % 1013 AS DOUBLE) AS e2,
       |  CAST((n_chars * 1021 + 5) % 997 AS DOUBLE) AS e3
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Perceptual average-hash (aHash) — the image near-duplicate
+    * fingerprint: partition the image into a coarse block grid, set
+    * bit i when block i's mean luma exceeds the global mean. Nearly
+    * identical images (recompressions, small edits, brightness-
+    * preserving resizes) land within a small Hamming distance; the
+    * same trick CSAM/copyright/dedup pipelines run at crawl scale.
+    * 48 bits here (an 8x6 block grid) so `1 << i` stays in BIGINT
+    * range on both engines and the 12-bit bucket prefix leaves 36
+    * bits of discriminating tail.
+    *
+    * Image payloads hash the REAL decoded raster (same ImageIO path
+    * and decompression-bomb guard as [[PixelDecoder]]); non-image
+    * payloads (the fixture's text bytes) take the byte-stripe
+    * fallback — the same mean rule over 48 payload stripes — which
+    * keeps the whole pair pipeline DuckDB-reproducible. All
+    * comparisons are exact integer cross-products (sum_i * n >
+    * total * cnt_i), so no float ulp can flip a bit in either engine.
+    */
+  object PHash {
+    val Stripes = 48
+
+    def ahash(payload: Array[Byte], maxPixels: Long = PixelDecoder.MaxPixels): Long =
+      ahashImage(payload, maxPixels).getOrElse(ahashBytes(payload))
+
+    /** Byte-stripe fallback hash (oracle-reproducible). */
+    def ahashBytes(payload: Array[Byte]): Long = {
+      val n = payload.length
+      if (n == 0) return 0L
+      val sums = new Array[Long](Stripes)
+      val cnts = new Array[Long](Stripes)
+      var total = 0L
+      var j = 0
+      while (j < n) {
+        val v = payload(j) & 0xff
+        val i = (j.toLong * Stripes / n).toInt
+        sums(i) += v; cnts(i) += 1; total += v
+        j += 1
+      }
+      var h = 0L
+      var i = 0
+      while (i < Stripes) {
+        if (cnts(i) > 0 && sums(i) * n > total * cnts(i)) h |= 1L << i
+        i += 1
+      }
+      h
+    }
+
+    /** Real-pixel aHash over an 8x6 luma-block grid, or None when the
+      * payload is no decodable image (or exceeds the pixel budget). */
+    def ahashImage(payload: Array[Byte],
+        maxPixels: Long = PixelDecoder.MaxPixels): Option[Long] = {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        if (iis == null) return None
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0); val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+            val bi = reader.read(0)
+            val sums = new Array[Long](Stripes)
+            val cnts = new Array[Long](Stripes)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              val by = y.toLong * 6 / h
+              var x = 0
+              while (x < w) {
+                val rgb = bi.getRGB(x, y)
+                // 3x the mean luma keeps the block statistic integral
+                val l3 = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                val i = (by * 8 + x.toLong * 8 / w).toInt
+                sums(i) += l3; cnts(i) += 1; total += l3
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            var hash = 0L
+            var i = 0
+            while (i < Stripes) {
+              if (cnts(i) > 0 && sums(i) * n > total * cnts(i)) hash |= 1L << i
+              i += 1
+            }
+            Some(hash)
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: per-payload aHash
+    * (real pixels for images, byte-stripe fallback for the fixture),
+    * single-band LSH on the hash's 12-bit prefix (the StreamNearDedup
+    * bucketing), Hamming <= 12 of 48 within the bucket.
+    *
+    * Scale shape: the hash is a partition-local projection over the
+    * binary column (no shuffle); candidates form per 12-bit bucket via
+    * ONE collect_list shuffle and stream out of the posting-list
+    * Generate pair — never a doc-level self-join — so candidate volume
+    * is sum-of-C(bucket,2), bounded by how hard the corpus actually
+    * collides (the dedup_simhash_pairs contract, measured 12.6k
+    * candidates for 5k docs at sf0.1). */
+  final case class PhashSig(doc_id: Long, phash: Long)
+
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.table(spark, dir, "documents"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    implicit val enc = Encoders.product[PhashSig]
+    val sigs = docs.as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
+      .mapPartitions(_.map { case (id, bytes) => PhashSig(id, PHash.ahash(bytes)) })
+      .toDF()
+      .withColumn("bucket", shiftright(col("phash"), 36))
+    val posting = sigs
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("phash")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+    posting
+      .select(col("xs"), posexplode(col("xs")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(xs, i + 2, size(xs))")).as("b"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 12)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val phashPairsSql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, n, j, ord(substring(text, j, 1)) AS v,
+      |    ((j - 1) * 48) // n AS stripe
+      |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |    unnest(range(1, octet_length(encode(text)) + 1)) AS t(j)
+      |), st AS (
+      |  SELECT doc_id, n, stripe, sum(v) AS sv, count(*) AS cv
+      |  FROM pos GROUP BY doc_id, n, stripe
+      |), tot AS (
+      |  SELECT doc_id, sum(v) AS tv FROM pos GROUP BY doc_id
+      |), sig AS (
+      |  SELECT s.doc_id,
+      |    CAST(sum(CASE WHEN s.sv * s.n > t.tv * s.cv
+      |      THEN (1::BIGINT << s.stripe) ELSE 0 END) AS BIGINT) AS phash
+      |  FROM st s JOIN tot t USING (doc_id) GROUP BY s.doc_id
+      |), b AS (
+      |  SELECT doc_id, phash, phash >> 36 AS bucket FROM sig
+      |)
+      |SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+      |  CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming
+      |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+      |WHERE bit_count(xor(a.phash, b2.phash)) <= 12
+      |ORDER BY a_id, b_id""".stripMargin
 }
 
 /** Relational halves of the multimodal pipeline — the resize planning
@@ -431,5 +586,7 @@ object MultimodalQueries {
       (s, d) => MultimodalPlan.resizePlan(s, d), Some(MultimodalPlan.resizePlanSql)),
     NamedQuery("multimodal_frame_sample",
       (s, d) => MultimodalPlan.frameSample(s, d), Some(MultimodalPlan.frameSampleSql)),
+    NamedQuery("multimodal_phash_pairs",
+      (s, d) => Multimodal.phashPairs(s, d), Some(Multimodal.phashPairsSql)),
   )
 }

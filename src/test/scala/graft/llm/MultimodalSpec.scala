@@ -275,4 +275,77 @@ class MultimodalSpec extends AnyFunSuite {
     // zero-norm input vector: every sim non-finite -> min cid fallback
     assert(CellMath.nearest(arr(0.0, 0.0), 0.0, cells) === 0L)
   }
+
+  // ---- perceptual hash -------------------------------------------
+
+  /** Block-pattern image (2 colors, GIF-safe): left half dark, right
+    * half bright, optionally lifted by `boost` on every channel. */
+  private def blockImage(w: Int, h: Int, fmt: String, boost: Int = 0,
+      invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val bright = (x >= w / 2) != invert
+      val base = (if (bright) 200 else 40) + boost
+      val v = math.min(255, base)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"ImageIO cannot write $fmt")
+    out.toByteArray
+  }
+
+  test("PHash: real-pixel aHash — format-stable, brightness-invariant, pattern-sensitive") {
+    val png = Multimodal.PHash.ahash(blockImage(64, 48, "png"))
+    // same pixels through a different lossless container: identical hash
+    assert(Multimodal.PHash.ahash(blockImage(64, 48, "gif")) === png)
+    // +20 brightness on every channel: mean shifts with the blocks, the
+    // relative comparison (and so the hash) is exactly invariant
+    assert(Multimodal.PHash.ahash(blockImage(64, 48, "png", boost = 20)) === png)
+    // the inverted pattern flips every non-tied block
+    val inv = Multimodal.PHash.ahash(blockImage(64, 48, "png", invert = true))
+    assert(java.lang.Long.bitCount(png ^ inv) >= 40,
+      s"inverted pattern should flip most of the 48 bits, got ${java.lang.Long.bitCount(png ^ inv)}")
+    // a resize of the same pattern stays within a small Hamming distance
+    val small = Multimodal.PHash.ahash(blockImage(32, 24, "png"))
+    assert(java.lang.Long.bitCount(png ^ small) <= 8,
+      s"resized twin too far: ${java.lang.Long.bitCount(png ^ small)}")
+  }
+
+  test("PHash: byte-stripe fallback is deterministic and matches the hand model") {
+    val payload = "abcdefgh".getBytes("UTF-8")
+    val got = Multimodal.PHash.ahashBytes(payload)
+    // hand model: stripe i of 48 gets byte j where i = j*48/8 = 6j —
+    // each byte its own stripe, empty stripes contribute 0; bit set
+    // when byte > mean ('e'..'h' > mean of 'a'..'h')
+    var expected = 0L
+    val bytes = payload.map(_ & 0xff)
+    val total = bytes.sum
+    for (j <- bytes.indices)
+      if (bytes(j).toLong * bytes.length > total.toLong) expected |= 1L << (j * 48 / bytes.length)
+    assert(got === expected)
+    assert(Multimodal.PHash.ahashBytes(Array.emptyByteArray) === 0L)
+    // non-image payloads route through the fallback in the dispatcher
+    assert(Multimodal.PHash.ahash(payload) === got)
+  }
+
+  test("phashPairs matches a brute-force fallback-hash model on the fixture") {
+    val rows = Multimodal.phashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = graft.ops.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sigs = docs.map { case (id, text) =>
+      (id, Multimodal.PHash.ahashBytes(text.getBytes("UTF-8")))
+    }
+    val expected = (for {
+      i <- sigs.indices; j <- i + 1 until sigs.length
+      (a, ha) = sigs(i); (b, hb) = sigs(j)
+      if (ha >> 36) == (hb >> 36)
+      hd = java.lang.Long.bitCount(ha ^ hb).toLong
+      if hd <= 12
+      key = if (a < b) (a, b) else (b, a)
+    } yield key -> hd).toMap
+    assert(rows === expected)
+  }
 }

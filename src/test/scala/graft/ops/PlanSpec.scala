@@ -582,4 +582,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate") && p.contains("BroadcastHashJoin"), p.take(600))
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
+
+  test("phash pairs: hash is a partition-local projection, candidates stream join-free off buckets") {
+    val p = plan("multimodal_phash_pairs")
+    assert(p.contains("Generate"),
+      "i<j candidates must stream off the bucket posting lists: " + p.take(600))
+    assert(!p.contains("Join"),
+      "the whole pipeline is projection + one bucket shuffle — no join anywhere: " + p.take(600))
+  }
 }
