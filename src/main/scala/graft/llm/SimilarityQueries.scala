@@ -38,6 +38,7 @@ object SimilarityQueries {
     NamedQuery("sim_pca_power_step", pcaPowerStep, Some(pcaPowerStepSql)),
     NamedQuery("eval_auc_centroid", aucCentroid, Some(aucCentroidSql)),
     NamedQuery("eval_auc_binned", aucBinned, Some(aucBinnedSql)),
+    NamedQuery("sim_recall_matryoshka", recallMatryoshka, Some(recallMatryoshkaSql)),
   )
 
   private val dot =
@@ -1519,4 +1520,91 @@ object SimilarityQueries {
       |  AS DECIMAL(18,8)), 6) AS DOUBLE) AS auc
       |FROM cum GROUP BY clabel
       |ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Matryoshka recall — evaluate truncated-dimension retrieval
+  // (Kusupati et al. 2022): with MRL-style embeddings, the FIRST d
+  // dimensions form a usable d-dim embedding, so a pipeline can
+  // shortlist on a cheap prefix (8 of 64 dims = 8x less memory
+  // bandwidth) and re-rank the shortlist at full width. This query
+  // measures exactly what that costs: recall@3 of top-3-by-prefix-
+  // cosine against the full-width exact top-3, for d in {8, 16, 64},
+  // over the 8-query panel (d = 64 is the sanity anchor — recall 1).
+  //
+  // Scale shape: ONE corpus x panel broadcast join (the sim_ family's
+  // 8-row panel discipline) computes all three truncation sims per
+  // row — the d fan-out explodes AFTER the join, so the corpus is
+  // touched once; ranking windows partition by (d, q_id). The exact
+  // baseline reuses the same joined frame at d = 64.
+  //
+  // Determinism: sims quantize to 4 dp before ranking (ulp-safe),
+  // ties break on n_id; recall counts are integers over 3.
+  private val matryoshkaDims = Seq(8, 16, 64)
+
+  private def recallMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val joined = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+    val sims = joined.select(col("q_id"), col("n_id"),
+      explode(array(matryoshkaDims.map { d =>
+        struct(lit(d).as("d"),
+          graft.ops.Registry.rnd(
+            ndot(expr(s"slice(qv, 1, $d)"), expr(s"slice(nv, 1, $d)")) /
+              (sqrt(ndot(expr(s"slice(qv, 1, $d)"), expr(s"slice(qv, 1, $d)"))) *
+                sqrt(ndot(expr(s"slice(nv, 1, $d)"), expr(s"slice(nv, 1, $d)")))), 4)
+            .as("sim"))
+      }: _*)).as("x"))
+      .select(col("q_id"), col("n_id"), col("x.d").as("d"), col("x.sim").as("sim"))
+    val wD = Window.partitionBy(col("d"), col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val top = sims.withColumn("rank", row_number().over(wD)).filter(col("rank") <= 3)
+    val exact = top.filter(col("d") === 64)
+      .select(col("q_id"), col("n_id"))
+    // every (q_id, d) cell survives even at zero hits (the recallEval
+    // cross-levels + left-join discipline)
+    exact
+      .crossJoin(spark.range(1)
+        .select(explode(array(matryoshkaDims.map(lit(_)): _*)).as("d")))
+      .join(top.select(col("d"), col("q_id"), col("n_id"), lit(1).as("hit")),
+        Seq("d", "q_id", "n_id"), "left")
+      .groupBy(col("q_id"), col("d"))
+      .agg(count(col("hit")).as("n_hit"))
+      .withColumn("recall", graft.ops.Registry.rnd(col("n_hit") / lit(3.0), 4))
+      .orderBy(col("q_id"), col("d"))
+  }
+
+  private val recallMatryoshkaSql = {
+    val dims = matryoshkaDims.mkString(", ")
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), sims AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, dd.d,
+      |    CAST(round(CAST(
+      |      list_dot_product(a.v[1:dd.d], b.v[1:dd.d])
+      |        / (sqrt(list_dot_product(a.v[1:dd.d], a.v[1:dd.d]))
+      |           * sqrt(list_dot_product(b.v[1:dd.d], b.v[1:dd.d])))
+      |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
+      |  FROM e a
+      |  JOIN e b ON a.vec_id < 8 AND b.vec_id <> a.vec_id
+      |  CROSS JOIN (SELECT unnest([$dims]) AS d) dd
+      |), top AS (
+      |  SELECT d, q_id, n_id FROM (
+      |    SELECT d, q_id, n_id,
+      |      row_number() OVER (PARTITION BY d, q_id ORDER BY sim DESC, n_id) AS rank
+      |    FROM sims
+      |  ) WHERE rank <= 3
+      |), exact AS (
+      |  SELECT q_id, n_id FROM top WHERE d = 64
+      |), levels AS (
+      |  SELECT unnest([$dims]) AS d
+      |)
+      |SELECT x.q_id, l.d, CAST(count(t.n_id) AS BIGINT) AS n_hit,
+      |  CAST(round(CAST(count(t.n_id) / 3.0 AS DECIMAL(18,8)), 4) AS DOUBLE) AS recall
+      |FROM exact x CROSS JOIN levels l
+      |LEFT JOIN top t ON t.d = l.d AND t.q_id = x.q_id AND t.n_id = x.n_id
+      |GROUP BY x.q_id, l.d
+      |ORDER BY x.q_id, l.d""".stripMargin
+  }
 }

@@ -583,6 +583,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("matryoshka recall: panel broadcasts, d fan-out explodes after the one corpus join") {
+    val p = plan("sim_recall_matryoshka")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the 8-query panel must broadcast: " + p.take(600))
+    assert(p.contains("Generate"),
+      "truncation levels must explode AFTER the join, not multiply it: " + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("phash pairs: hash is a partition-local projection, candidates stream join-free off buckets") {
     val p = plan("multimodal_phash_pairs")
     assert(p.contains("Generate"),

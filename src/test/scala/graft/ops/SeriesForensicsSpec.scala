@@ -217,6 +217,22 @@ class SeriesForensicsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("matryoshka recall: complete grid, full-width anchor exact, hits bounded") {
+    val rows = q("sim_recall_matryoshka").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // complete (q, d) grid: 8 panel queries x 3 truncation levels
+    assert(rows.length == 24, s"expected 8x3 cells, got ${rows.length}")
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0L to 7L))
+    rows.foreach { case (qid, d, nHit, recall) =>
+      assert(Seq(8, 16, 64).contains(d))
+      assert(nHit >= 0 && nHit <= 3, s"q $qid d $d hits $nHit")
+      assert(math.abs(recall - nHit / 3.0) < 1e-3)
+      // the full-width run IS the ground truth
+      if (d == 64) assert(nHit == 3L, s"q $qid full-width recall must be 1")
+    }
+  }
+
+  // -------------------------------------------------------------
   test("source affinity: matrix matches a direct cross-source jaccard model") {
     val rows = q("dedup_source_affinity").collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
