@@ -39,5 +39,5 @@ object Registry {
       graft.llm.TextQueries.queries ++ graft.llm.MultimodalQueries.queries ++
       graft.llm.PipelineQueries.queries ++ graft.llm.CurationQueries.queries ++
       graft.llm.SamplingQueries.queries ++ graft.llm.ForensicsQueries.queries ++
-      SeriesQueries.queries ++ MonitorQueries.queries
+      SeriesQueries.queries ++ MonitorQueries.queries ++ StatsQueries.queries
 }

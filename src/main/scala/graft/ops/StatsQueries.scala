@@ -1,0 +1,414 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Registry.{dec, rnd}
+
+/** Statistical-testing operators — the hypothesis-testing /
+  * feature-association half of the eval family:
+  *
+  *  - [[miAssociation]] — mutual information, chi-square and Cramér's
+  *    V between two categorical columns (source × lang). THE
+  *    feature-association screen: after ONE corpus reduction to the
+  *    |S|×|L| contingency table, everything is window math on ≤100
+  *    rows.
+  *  - [[ksBySource]] — two-sample Kolmogorov–Smirnov statistic of the
+  *    quality-score distribution, each source vs the rest of the
+  *    corpus. Train/serve-skew and per-shard drift detection; the
+  *    supremum runs over the DISCRETE score grid with an
+  *    integer-exact argmax (cross-multiplied CDFs — no float compare
+  *    picks the winner).
+  *  - [[bestSplit]] — decision-stump / supervised-discretization
+  *    step: information gain of every score threshold from one corpus
+  *    pass (the same 20-bucket reduction as eval_threshold_sweep,
+  *    scored by entropy instead of P/R).
+  *  - [[trimmedMean]] — 5% two-sided trimmed and winsorized means per
+  *    event type: the robust-aggregation idiom via broadcast
+  *    percentile thresholds (no global sort; thresholds snap to the
+  *    DATA's own 4-dp grain so the trim boundary cannot drift
+  *    cross-engine).
+  *
+  * All four are oracle-twinned; determinism follows the Registry
+  * DECIMAL-snap discipline (FIXTURES.md): counts stay integer as long
+  * as possible, every transcendental snaps before it aggregates.
+  */
+object StatsQueries {
+
+  def queries: Vector[NamedQuery] = Vector(
+    NamedQuery("eval_mi_association", miAssociation, Some(miAssociationSql)),
+    NamedQuery("eval_ks_by_source", ksBySource, Some(ksBySourceSql)),
+    NamedQuery("eval_best_split", bestSplit, Some(bestSplitSql)),
+    NamedQuery("agg_trimmed_mean", trimmedMean, Some(trimmedMeanSql)),
+  )
+
+  private val Ln2 = 0.6931471805599453
+
+  // ---------------------------------------------------------------
+  // Mutual information / chi-square / Cramér's V between source and
+  // lang. Scale shape: ONE partial-agg pass reduces the corpus to the
+  // contingency table (|sources| × |langs| rows); marginals, expected
+  // counts and both statistics are windows over that tiny frame, and
+  // the (r, c) cardinalities ride a broadcast 1-row agg. At 100 TB
+  // nothing after the first shuffle touches more than |S|·|L| rows.
+  //
+  // Determinism: p and the expected-count ratio are exact long/long
+  // divisions; ln snaps at 6 dp (the markov-entropy discipline), each
+  // cell term at 8 (MI) / 6 (chi2) dp, cell terms sum in DECIMAL.
+  private def miAssociation(spark: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.table(spark, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_sl"))
+    val dims = joint
+      .agg(countDistinct(col("source")).as("r"), countDistinct(col("lang")).as("c"))
+    val wS = Window.partitionBy(col("source"))
+    val wL = Window.partitionBy(col("lang"))
+    val wAll = Window.partitionBy()
+    val cells = joint
+      .withColumn("n_s", sum(col("n_sl")).over(wS))
+      .withColumn("n_l", sum(col("n_sl")).over(wL))
+      .withColumn("n", sum(col("n_sl")).over(wAll))
+      .withColumn("p", col("n_sl").cast("double") / col("n"))
+      .withColumn("lnr", rnd(log((col("n_sl") * col("n")).cast("double")
+        / (col("n_s") * col("n_l")).cast("double")), 6))
+      .withColumn("mi_term", round((col("p") * col("lnr")).cast("decimal(18,8)"), 8))
+      .withColumn("e", (col("n_s") * col("n_l")).cast("double") / col("n"))
+      .withColumn("chi_term",
+        round((pow(col("n_sl").cast("double") - col("e"), 2.0) / col("e")).cast("decimal(18,8)"), 6))
+      .withColumn("mi_bits", rnd(sum(col("mi_term")).over(wAll).cast("double") / Ln2, 6))
+      .withColumn("chi2", rnd(sum(col("chi_term")).over(wAll).cast("double"), 4))
+    cells
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_sl")).as("n_docs"),
+        rnd(sum(col("mi_term")).cast("double") / Ln2, 6).as("mi_part_bits"),
+        rnd(sum(col("chi_term")).cast("double"), 4).as("chi2_part"),
+        max(col("mi_bits")).as("mi_bits"),
+        max(col("chi2")).as("chi2"),
+        max(col("n")).as("n"))
+      .crossJoin(broadcast(dims))
+      .withColumn("cramers_v", rnd(sqrt(col("chi2")
+        / (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")), 6))
+      .select(col("source"), col("n_docs"), col("mi_part_bits"), col("chi2_part"),
+        col("mi_bits"), col("chi2"), col("cramers_v"))
+      .orderBy(col("source"))
+  }
+
+  private val miAssociationSql =
+    """WITH joint AS (
+      |  SELECT source, lang, count(*) AS n_sl FROM documents GROUP BY 1, 2
+      |), dims AS (
+      |  SELECT count(DISTINCT source) AS r, count(DISTINCT lang) AS c FROM documents
+      |), cells AS (
+      |  SELECT source, lang, n_sl,
+      |    sum(n_sl) OVER (PARTITION BY source) AS n_s,
+      |    sum(n_sl) OVER (PARTITION BY lang) AS n_l,
+      |    sum(n_sl) OVER () AS n
+      |  FROM joint
+      |), terms AS (
+      |  SELECT source, n_sl, n,
+      |    round(CAST((CAST(n_sl AS DOUBLE) / n) *
+      |      CAST(round(CAST(ln(CAST(n_sl * n AS DOUBLE) / CAST(n_s * n_l AS DOUBLE))
+      |        AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |      AS DECIMAL(18,8)), 8) AS mi_term,
+      |    round(CAST(pow(CAST(n_sl AS DOUBLE) - CAST(n_s * n_l AS DOUBLE) / n, 2.0)
+      |      / (CAST(n_s * n_l AS DOUBLE) / n) AS DECIMAL(18,8)), 6) AS chi_term
+      |  FROM cells
+      |), g AS (
+      |  SELECT CAST(round(CAST(CAST(sum(mi_term) AS DOUBLE) / 0.6931471805599453
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS mi_bits,
+      |    CAST(round(CAST(CAST(sum(chi_term) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) AS chi2,
+      |    any_value(n) AS n
+      |  FROM terms
+      |)
+      |SELECT t.source,
+      |  CAST(sum(t.n_sl) AS BIGINT) AS n_docs,
+      |  CAST(round(CAST(CAST(sum(t.mi_term) AS DOUBLE) / 0.6931471805599453
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mi_part_bits,
+      |  CAST(round(CAST(CAST(sum(t.chi_term) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) AS chi2_part,
+      |  any_value(g.mi_bits) AS mi_bits,
+      |  any_value(g.chi2) AS chi2,
+      |  CAST(round(CAST(sqrt(any_value(g.chi2)
+      |    / CAST(any_value(g.n) * least(any_value(d.r) - 1, any_value(d.c) - 1) AS DOUBLE))
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS cramers_v
+      |FROM terms t, g, dims d
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Two-sample KS statistic per source: sup over the score grid of
+  // |F_source(v) - F_rest(v)|, quality score at its native 3-dp grain.
+  //
+  // Scale shape: one corpus pass reduces to (source, score) counts
+  // (≤ |S|·1001 rows); the CDF windows, the complement and the
+  // supremum all run on that reduction. The grid is densified per
+  // source (every source's CDF is evaluated at every global step
+  // point) via a broadcast cross of two tiny dimension frames.
+  //
+  // Exactness: the argmax runs on |cum_s·n_r - cum_rest·n_s| — pure
+  // integer cross-multiplication, so no float comparison ever picks
+  // the supremum; only the final reported ratio floats (then snaps).
+  private def ksBySource(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .withColumn("v", rnd(
+        lit(0.5) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
+        3))
+    val counts = scored.groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
+    val sources = counts.groupBy(col("source")).agg(sum(col("cnt")).as("n_in"))
+    val grid = counts.select(col("v")).distinct()
+    val perV = counts.groupBy(col("v")).agg(sum(col("cnt")).as("cnt_all"))
+    val wAllByV = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumAll = perV.withColumn("cum_all", sum(col("cnt_all")).over(wAllByV))
+      .select(col("v"), col("cum_all"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dense = sources.crossJoin(grid) // |S| x |grid| — both tiny reductions
+      .join(counts, Seq("source", "v"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cum_s", sum(col("cnt")).over(wSrc))
+      .join(broadcast(cumAll), Seq("v"))
+      .withColumn("n", max(col("cum_all")).over(Window.partitionBy()))
+      .withColumn("n_rest", col("n") - col("n_in"))
+      .withColumn("cum_rest", col("cum_all") - col("cum_s"))
+      .withColumn("num", abs(col("cum_s") * col("n_rest") - col("cum_rest") * col("n_in")))
+    dense.groupBy(col("source"))
+      .agg(
+        max(col("n_in")).as("n_in"),
+        max(col("n_rest")).as("n_rest"),
+        max(col("num")).as("max_num"))
+      .withColumn("ks_stat",
+        rnd(col("max_num").cast("double") / (col("n_in") * col("n_rest")).cast("double"), 6))
+      .withColumn("ks_scaled", rnd(col("ks_stat") * sqrt(
+        (col("n_in") * col("n_rest")).cast("double") / (col("n_in") + col("n_rest")).cast("double")), 4))
+      .select(col("source"), col("n_in"), col("n_rest"), col("ks_stat"), col("ks_scaled"))
+      .orderBy(col("source"))
+  }
+
+  private val ksBySourceSql =
+    """WITH scored AS (
+      |  SELECT source,
+      |    CAST(round(CAST(0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+      |      + 0.5 * (1.0 - CAST(round(CAST(CAST(n_stop AS DOUBLE) / n_words AS DECIMAL(18,8)), 3) AS DOUBLE))
+      |      AS DECIMAL(18,8)), 3) AS DOUBLE) AS v
+      |  FROM (
+      |    SELECT source,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |      CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop
+      |    FROM documents
+      |  )
+      |), counts AS (
+      |  SELECT source, v, count(*) AS cnt FROM scored GROUP BY 1, 2
+      |), sources AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_in FROM counts GROUP BY 1),
+      |grid AS (SELECT DISTINCT v FROM counts),
+      |cum_all AS (
+      |  SELECT v, CAST(sum(cnt_all) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+      |  FROM (SELECT v, sum(cnt) AS cnt_all FROM counts GROUP BY 1)
+      |), dense AS (
+      |  SELECT s.source, g.v, s.n_in,
+      |    CAST(sum(coalesce(c.cnt, 0)) OVER (PARTITION BY s.source ORDER BY g.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s,
+      |    a.cum_all
+      |  FROM sources s CROSS JOIN grid g
+      |  LEFT JOIN counts c ON c.source = s.source AND c.v = g.v
+      |  JOIN cum_all a ON a.v = g.v
+      |), m AS (
+      |  SELECT source, n_in,
+      |    (SELECT max(cum_all) FROM cum_all) - n_in AS n_rest,
+      |    max(abs(cum_s * ((SELECT max(cum_all) FROM cum_all) - n_in)
+      |      - (cum_all - cum_s) * n_in)) AS max_num
+      |  FROM dense GROUP BY source, n_in
+      |)
+      |SELECT source, n_in, n_rest,
+      |  CAST(round(CAST(CAST(max_num AS DOUBLE) / CAST(n_in * n_rest AS DOUBLE)
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS ks_stat,
+      |  CAST(round(CAST(CAST(round(CAST(CAST(max_num AS DOUBLE) / CAST(n_in * n_rest AS DOUBLE)
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |    * sqrt(CAST(n_in * n_rest AS DOUBLE) / CAST(n_in + n_rest AS DOUBLE))
+      |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS ks_scaled
+      |FROM m ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Decision stump: information gain of every threshold of the
+  // stopword-ratio score against the is-English label — supervised
+  // discretization / the inner loop of tree induction. Same one-pass
+  // 20-bucket reduction as eval_threshold_sweep; the entropy algebra
+  // runs on the 20-row frame.
+  //
+  // Determinism: entropies are built from exact long counts; each
+  // -p·ln p term snaps at 6 dp, weighted child entropies and the gain
+  // snap at 6; the best flag compares two identically-snapped doubles
+  // (exact), so ties flag deterministically.
+  private def bestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val byBucket = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .withColumn("bucket", least(expr("(n_stop * 20) div n_words"), lit(19L)))
+      .withColumn("pos", when(col("lang") === "en", 1L).otherwise(0L))
+      .groupBy(col("bucket"))
+      .agg(sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
+    // entropy of a (pos, neg) pair in bits, every transcendental snapped
+    def h(p: Column, q: Column): Column = {
+      val n = p + q
+      def term(c: Column): Column =
+        when(c === 0 || n === 0, lit(0.0))
+          .otherwise(-(c.cast("double") / n) * rnd(log(c.cast("double") / n), 6))
+      rnd((rnd(term(p), 6) + rnd(term(q), 6)) / Ln2, 6)
+    }
+    val grid = (0L to 19L).toDF("thr_idx")
+    val wTop = Window.orderBy(col("thr_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    grid.join(byBucket, col("thr_idx") === col("bucket"), "left")
+      .withColumn("bp", coalesce(col("n_pos"), lit(0L)))
+      .withColumn("bn", coalesce(col("n_neg"), lit(0L)))
+      .withColumn("hi_pos", sum(col("bp")).over(wTop))
+      .withColumn("hi_neg", sum(col("bn")).over(wTop))
+      .withColumn("p_total", sum(col("bp")).over(wAll))
+      .withColumn("n_total", sum(col("bn")).over(wAll))
+      .withColumn("lo_pos", col("p_total") - col("hi_pos"))
+      .withColumn("lo_neg", col("n_total") - col("hi_neg"))
+      .withColumn("n_hi", col("hi_pos") + col("hi_neg"))
+      .withColumn("n_lo", col("lo_pos") + col("lo_neg"))
+      .withColumn("n_all", col("p_total") + col("n_total"))
+      .withColumn("h_parent", h(col("p_total"), col("n_total")))
+      .withColumn("h_children", rnd(
+        (col("n_hi").cast("double") / col("n_all")) * h(col("hi_pos"), col("hi_neg")) +
+          (col("n_lo").cast("double") / col("n_all")) * h(col("lo_pos"), col("lo_neg")), 6))
+      .withColumn("gain_bits", rnd(col("h_parent") - col("h_children"), 6))
+      .withColumn("is_best",
+        when(col("gain_bits") === max(col("gain_bits")).over(wAll), 1).otherwise(0).cast("int"))
+      .select(col("thr_idx"), col("n_hi"), col("n_lo"), col("gain_bits"), col("is_best"))
+      .orderBy(col("thr_idx"))
+  }
+
+  private val bestSplitSql =
+    """WITH scored AS (
+      |  SELECT least((CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) * 20)
+      |      // CAST(len(string_split(text, ' ')) AS BIGINT), 19) AS bucket,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents
+      |), bb AS (
+      |  SELECT bucket, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(sum(1 - pos) AS BIGINT) AS n_neg
+      |  FROM scored GROUP BY 1
+      |), grid AS (SELECT unnest(generate_series(0, 19)) AS thr_idx),
+      |c AS (
+      |  SELECT g.thr_idx,
+      |    CAST(sum(coalesce(bb.n_pos, 0)) OVER (ORDER BY g.thr_idx DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi_pos,
+      |    CAST(sum(coalesce(bb.n_neg, 0)) OVER (ORDER BY g.thr_idx DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi_neg,
+      |    CAST(sum(coalesce(bb.n_pos, 0)) OVER () AS BIGINT) AS p_total,
+      |    CAST(sum(coalesce(bb.n_neg, 0)) OVER () AS BIGINT) AS n_total
+      |  FROM grid g LEFT JOIN bb ON bb.bucket = g.thr_idx
+      |), e AS (
+      |  SELECT thr_idx, hi_pos, hi_neg, p_total, n_total,
+      |    p_total - hi_pos AS lo_pos, n_total - hi_neg AS lo_neg,
+      |    hi_pos + hi_neg AS n_hi,
+      |    (p_total - hi_pos) + (n_total - hi_neg) AS n_lo,
+      |    p_total + n_total AS n_all
+      |  FROM c
+      |), macro_h AS (
+      |  SELECT *,
+      |    CAST(round(CAST((
+      |      CAST(round(CAST(CASE WHEN p_total = 0 OR p_total + n_total = 0 THEN 0.0
+      |        ELSE -(CAST(p_total AS DOUBLE)/(p_total+n_total)) * CAST(round(CAST(ln(CAST(p_total AS DOUBLE)/(p_total+n_total)) AS DECIMAL(18,8)), 6) AS DOUBLE) END AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |      + CAST(round(CAST(CASE WHEN n_total = 0 OR p_total + n_total = 0 THEN 0.0
+      |        ELSE -(CAST(n_total AS DOUBLE)/(p_total+n_total)) * CAST(round(CAST(ln(CAST(n_total AS DOUBLE)/(p_total+n_total)) AS DECIMAL(18,8)), 6) AS DOUBLE) END AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |    ) / 0.6931471805599453 AS DECIMAL(18,8)), 6) AS DOUBLE) AS h_parent,
+      |    CAST(round(CAST((
+      |      CAST(round(CAST(CASE WHEN hi_pos = 0 OR n_hi = 0 THEN 0.0
+      |        ELSE -(CAST(hi_pos AS DOUBLE)/n_hi) * CAST(round(CAST(ln(CAST(hi_pos AS DOUBLE)/n_hi) AS DECIMAL(18,8)), 6) AS DOUBLE) END AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |      + CAST(round(CAST(CASE WHEN hi_neg = 0 OR n_hi = 0 THEN 0.0
+      |        ELSE -(CAST(hi_neg AS DOUBLE)/n_hi) * CAST(round(CAST(ln(CAST(hi_neg AS DOUBLE)/n_hi) AS DECIMAL(18,8)), 6) AS DOUBLE) END AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |    ) / 0.6931471805599453 AS DECIMAL(18,8)), 6) AS DOUBLE) AS h_hi,
+      |    CAST(round(CAST((
+      |      CAST(round(CAST(CASE WHEN lo_pos = 0 OR n_lo = 0 THEN 0.0
+      |        ELSE -(CAST(lo_pos AS DOUBLE)/n_lo) * CAST(round(CAST(ln(CAST(lo_pos AS DOUBLE)/n_lo) AS DECIMAL(18,8)), 6) AS DOUBLE) END AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |      + CAST(round(CAST(CASE WHEN lo_neg = 0 OR n_lo = 0 THEN 0.0
+      |        ELSE -(CAST(lo_neg AS DOUBLE)/n_lo) * CAST(round(CAST(ln(CAST(lo_neg AS DOUBLE)/n_lo) AS DECIMAL(18,8)), 6) AS DOUBLE) END AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |    ) / 0.6931471805599453 AS DECIMAL(18,8)), 6) AS DOUBLE) AS h_lo
+      |  FROM e
+      |), gains AS (
+      |  SELECT thr_idx, n_hi, n_lo,
+      |    CAST(round(CAST(h_parent - CAST(round(CAST(
+      |      (CAST(n_hi AS DOUBLE)/n_all) * h_hi + (CAST(n_lo AS DOUBLE)/n_all) * h_lo
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS gain_bits
+      |  FROM macro_h
+      |)
+      |SELECT thr_idx, n_hi, n_lo, gain_bits,
+      |  CAST(CASE WHEN gain_bits = max(gain_bits) OVER () THEN 1 ELSE 0 END AS INT) AS is_best
+      |FROM gains ORDER BY thr_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Robust per-group means: 5% two-sided trim and winsorization of
+  // event values per event type. Thresholds come from the exact
+  // interpolated percentile (the rfm_segments parity discipline),
+  // SNAPPED TO THE DATA'S OWN 4-dp GRAIN before they cut or clamp —
+  // so the boundary comparison and the clamped values are exact in
+  // both engines and downstream DECIMAL sums never re-round.
+  //
+  // Scale shape: one partial-agg pass for the thresholds (percentile
+  // is a typed-agg reduction, not a sort), broadcast back, one more
+  // pass for the three means. No global sort, no window over raw
+  // events.
+  private def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val thr = e.groupBy(col("event_type")).agg(
+      rnd(expr("percentile(value, 0.05D)"), 4).as("lo"),
+      rnd(expr("percentile(value, 0.95D)"), 4).as("hi"))
+    e.join(broadcast(thr), Seq("event_type"))
+      .withColumn("w", greatest(col("lo"), least(col("value"), col("hi"))))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(sum(dec(col("value"))).cast("double") / count(lit(1)), 4).as("mean_all"),
+        max(col("lo")).as("p05"),
+        max(col("hi")).as("p95"),
+        sum(when(col("value") >= col("lo") && col("value") <= col("hi"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        rnd(sum(when(col("value") >= col("lo") && col("value") <= col("hi"),
+          dec(col("value"))).otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+          / sum(when(col("value") >= col("lo") && col("value") <= col("hi"), 1L)
+            .otherwise(0L)), 4).as("trimmed_mean"),
+        rnd(sum(dec(col("w"))).cast("double") / count(lit(1)), 4).as("winsor_mean"))
+      .select(col("event_type"), col("n"), col("mean_all"), col("p05"), col("p95"),
+        col("n_kept"), col("trimmed_mean"), col("winsor_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  private val trimmedMeanSql =
+    """WITH e AS (
+      |  SELECT event_type, value FROM events
+      |), thr AS (
+      |  SELECT event_type,
+      |    CAST(round(CAST(quantile_cont(value, 0.05) AS DECIMAL(18,8)), 4) AS DOUBLE) AS lo,
+      |    CAST(round(CAST(quantile_cont(value, 0.95) AS DECIMAL(18,8)), 4) AS DOUBLE) AS hi
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT e.event_type,
+      |  count(*) AS n,
+      |  CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS mean_all,
+      |  any_value(lo) AS p05,
+      |  any_value(hi) AS p95,
+      |  CAST(sum(CASE WHEN value >= lo AND value <= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(round(CAST(CAST(sum(CASE WHEN value >= lo AND value <= hi
+      |      THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / sum(CASE WHEN value >= lo AND value <= hi THEN 1 ELSE 0 END)
+      |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS trimmed_mean,
+      |  CAST(round(CAST(CAST(sum(CAST(greatest(lo, least(value, hi)) AS DECIMAL(18,4))) AS DOUBLE)
+      |    / count(*) AS DECIMAL(18,8)), 4) AS DOUBLE) AS winsor_mean
+      |FROM e JOIN thr ON thr.event_type = e.event_type
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+}

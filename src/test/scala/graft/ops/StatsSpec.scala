@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantic pins for the statistical-testing additions (mutual
+  * information / chi-square, per-source KS, decision stump, robust
+  * means): every statistic is recomputed by an independent in-memory
+  * model — the oracle pins cross-engine equality; these pin the
+  * MEANING (and, for KS, that the integer cross-multiplied supremum
+  * really is the sup of the CDF difference).
+  */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  private def snap(v: Double, s: Int): Double =
+    BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val Ln2 = 0.6931471805599453
+  private val Stop = Set("the", "a", "and", "of", "to", "in")
+  private def words(text: String): Array[String] = text.split(" ", -1)
+
+  private lazy val docs: Array[(String, String, String)] =
+    Tables.table(spark, dir, "documents")
+      .select(col("text"), col("lang"), col("source"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+
+  private lazy val events: Array[(String, Double)] =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+
+  /** The text_quality composite score at its 3-dp grain. */
+  private def quality(text: String): Double = {
+    val ws = words(text)
+    val nw = ws.length
+    val nStop = ws.count(Stop)
+    snap(0.5 * math.min(nw / 100.0, 1.0) + 0.5 * (1.0 - snap(nStop.toDouble / nw, 3)), 3)
+  }
+
+  // -------------------------------------------------------------
+  test("MI/chi-square: contingency statistics match a direct model") {
+    val joint = docs.groupBy(d => (d._3, d._2)).view.mapValues(_.length.toLong).toMap
+    val nS = joint.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nL = joint.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = docs.length.toLong
+    def miTerm(sl: ((String, String), Long)): BigDecimal = {
+      val ((s, l), c) = sl
+      val p = c.toDouble / n
+      val lnr = snap(math.log((c * n).toDouble / (nS(s) * nL(l)).toDouble), 6)
+      BigDecimal(p * lnr).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }
+    def chiTerm(sl: ((String, String), Long)): BigDecimal = {
+      val ((s, l), c) = sl
+      val e = (nS(s) * nL(l)).toDouble / n
+      BigDecimal(math.pow(c - e, 2.0) / e).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val miBits = snap(joint.map(miTerm).sum.toDouble / Ln2, 6)
+    val chi2 = snap(joint.map(chiTerm).sum.toDouble, 4)
+    val v = snap(math.sqrt(chi2 / (n * math.min(nS.size - 1, nL.size - 1))), 6)
+    val got = q("eval_mi_association").collect()
+    assert(got.map(_.getString(0)).toSet == nS.keySet)
+    got.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) == nS(s), s"$s n_docs")
+      val miPart = snap(joint.filter(_._1._1 == s).map(miTerm).sum.toDouble / Ln2, 6)
+      val chiPart = snap(joint.filter(_._1._1 == s).map(chiTerm).sum.toDouble, 4)
+      assert(math.abs(r.getDouble(2) - miPart) < 1e-9, s"$s mi_part")
+      assert(math.abs(r.getDouble(3) - chiPart) < 1e-9, s"$s chi2_part")
+      assert(math.abs(r.getDouble(4) - miBits) < 1e-9, "global mi")
+      assert(math.abs(r.getDouble(5) - chi2) < 1e-9, "global chi2")
+      assert(math.abs(r.getDouble(6) - v) < 1e-9, "cramers v")
+    }
+    assert(miBits > 0.0 && v > 0.0 && v <= 1.0, "fixture association is non-degenerate")
+  }
+
+  // -------------------------------------------------------------
+  test("KS per source: integer-argmax supremum equals the direct CDF sup") {
+    val scored = docs.map(d => (d._3, quality(d._1)))
+    val gridV = scored.map(_._2).distinct.sorted
+    val n = scored.length.toLong
+    val got = q("eval_ks_by_source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    scored.groupBy(_._1).foreach { case (src, inRows) =>
+      val nIn = inRows.length.toLong
+      val nRest = n - nIn
+      val inVals = inRows.map(_._2)
+      val restVals = scored.filter(_._1 != src).map(_._2)
+      val d = gridV.map { v =>
+        val fIn = inVals.count(_ <= v).toDouble / nIn
+        val fRest = restVals.count(_ <= v).toDouble / nRest
+        math.abs(fIn - fRest)
+      }.max
+      val (gn, gr, gks, gsc) = got(src)
+      assert(gn == nIn && gr == nRest, s"$src sizes")
+      assert(math.abs(gks - snap(d, 6)) < 1e-6, s"$src ks $gks vs $d")
+      val scaled = snap(snap(d, 6) * math.sqrt(nIn.toDouble * nRest / (nIn + nRest)), 4)
+      assert(math.abs(gsc - scaled) < 1e-9, s"$src scaled")
+    }
+  }
+
+  // -------------------------------------------------------------
+  test("decision stump: information gain per threshold and the best flag match a direct model") {
+    val scored = docs.map { case (text, lang, _) =>
+      val ws = words(text)
+      val nStop = ws.count(Stop)
+      (math.min(nStop * 20L / ws.length, 19L), lang == "en")
+    }
+    def h(p: Long, q: Long): Double = {
+      val n = p + q
+      def term(c: Long): Double =
+        if (c == 0 || n == 0) 0.0
+        else snap(-(c.toDouble / n) * snap(math.log(c.toDouble / n), 6), 6)
+      snap((term(p) + term(q)) / Ln2, 6)
+    }
+    val pT = scored.count(_._2).toLong
+    val nT = scored.length - pT
+    val gains = (0L to 19L).map { thr =>
+      val hiP = scored.count(s => s._1 >= thr && s._2).toLong
+      val hiN = scored.count(s => s._1 >= thr && !s._2).toLong
+      val (loP, loN) = (pT - hiP, nT - hiN)
+      val (nHi, nLo) = (hiP + hiN, loP + loN)
+      val nAll = nHi + nLo
+      val children = snap(
+        (nHi.toDouble / nAll) * h(hiP, hiN) + (nLo.toDouble / nAll) * h(loP, loN), 6)
+      (thr, nHi, nLo, snap(h(pT, nT) - children, 6))
+    }
+    val best = gains.map(_._4).max
+    val got = q("eval_best_split").collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val (thr, nHi, nLo, gain) = gains(r.getLong(0).toInt)
+      assert(r.getLong(1) == nHi && r.getLong(2) == nLo, s"thr $thr sizes")
+      assert(math.abs(r.getDouble(3) - gain) < 1e-9, s"thr $thr gain")
+      assert(r.getInt(4) == (if (gain == best) 1 else 0), s"thr $thr best flag")
+    }
+    assert(best > 0.0, "fixture must have a positive-gain split")
+    assert(got.map(_.getInt(4)).sum >= 1)
+  }
+
+  // -------------------------------------------------------------
+  test("trimmed/winsorized means match a direct interpolated-percentile model") {
+    def pct(sorted: Vector[Double], p: Double): Double = {
+      val h = (sorted.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 >= sorted.length) sorted.last
+      else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val got = q("agg_trimmed_mean").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    events.groupBy(_._1).foreach { case (et, rows) =>
+      val vs = rows.map(_._2).toVector
+      val sorted = vs.sorted
+      val lo = snap(pct(sorted, 0.05), 4)
+      val hi = snap(pct(sorted, 0.95), 4)
+      def decSum(xs: Seq[Double]): BigDecimal =
+        xs.map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      val kept = vs.filter(v => v >= lo && v <= hi)
+      val wins = vs.map(v => math.max(lo, math.min(v, hi)))
+      val (gn, gmean, glo, ghi, gkept, gtrim, gwins) = got(et)
+      assert(gn == vs.length.toLong, s"$et n")
+      assert(math.abs(gmean - snap(decSum(vs).toDouble / vs.length, 4)) < 1e-9, s"$et mean")
+      assert(math.abs(glo - lo) < 1e-9 && math.abs(ghi - hi) < 1e-9, s"$et thresholds")
+      assert(gkept == kept.length.toLong, s"$et n_kept")
+      assert(math.abs(gtrim - snap(decSum(kept).toDouble / kept.length, 4)) < 1e-9, s"$et trimmed")
+      assert(math.abs(gwins - snap(decSum(wins).toDouble / wins.length, 4)) < 1e-9, s"$et winsor")
+      // the trim must bite: something was actually excluded
+      assert(kept.length < vs.length, s"$et trim excluded nothing")
+    }
+  }
+
+  test("stats plans: corpus reduces before the tiny-frame math") {
+    // MI: the only exchange over corpus-sized data is the contingency
+    // reduction — the window math runs on the |S|x|L| frame
+    val p = q("eval_mi_association").queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "contingency build must partial-aggregate map-side: " + p.take(400))
+    // trimmed mean: thresholds broadcast back, no sort of raw events
+    val t = q("agg_trimmed_mean").queryExecution.executedPlan.toString
+    assert(t.contains("BroadcastHashJoin"), "thresholds must broadcast: " + t.take(400))
+    assert(!t.contains("windowspecdefinition"), "no window over raw events: " + t.take(400))
+  }
+}
