@@ -29,6 +29,8 @@ object SeriesQueries {
     NamedQuery("events_markov_entropy", markovEntropy, Some(markovEntropySql)),
     NamedQuery("events_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     NamedQuery("join_basket_affinity", basketAffinity, Some(basketAffinitySql)),
+    NamedQuery("events_attribution_linear", attributionLinear, Some(attributionLinearSql)),
+    NamedQuery("events_funnel_latency", funnelLatency, Some(funnelLatencySql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -354,4 +356,152 @@ object SeriesQueries {
       |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS lift
       |FROM top JOIN freq f1 ON f1.pk = p1 JOIN freq f2 ON f2.pk = p2, n
       |ORDER BY together DESC, p1, p2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Linear multi-touch attribution — the fair-share counterpart of
+  // events_attribution_last_touch: each purchase splits its value
+  // EQUALLY across every non-purchase touch in the preceding hour,
+  // and purchases with no admissible touch surface as an explicit
+  // '(none)' bucket carrying full value — so total credited value
+  // conserves the total purchase value exactly (spec-pinned).
+  //
+  // Scale shape: purchases ⋈ touches is an EQUI hash join on user_id
+  // with the hour-range as residual (never a cross product); fan-out
+  // is bounded by per-user events-per-hour. The per-purchase touch
+  // count is one window over the join output keyed by purchase id.
+  // Shares are snapped to 6 dp and summed in DECIMAL, so conservation
+  // survives any aggregation order.
+  private def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("sec").as("p_sec"), col("value"))
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("sec").as("t_sec"), col("event_type").as("touch_type"))
+    val wP = Window.partitionBy(col("p_id"))
+    val credited = purchases.join(touches,
+        purchases("user_id") === touches("user_id") &&
+          col("t_sec") >= col("p_sec") - 3600 && col("t_sec") < col("p_sec"))
+      .withColumn("n_t", count(lit(1)).over(wP))
+      .withColumn("share", rnd(col("value") / col("n_t"), 6).cast("decimal(18,6)"))
+      .groupBy(col("touch_type"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        rnd(sum(col("share")).cast("double"), 2).as("credit"))
+    val unattributed = purchases
+      .join(touches,
+        purchases("user_id") === touches("user_id") &&
+          col("t_sec") >= col("p_sec") - 3600 && col("t_sec") < col("p_sec"),
+        "left_anti")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        rnd(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("credit"))
+      .filter(col("n_purchases") > 0)
+      .select(lit("(none)").as("touch_type"), lit(0L).as("n_touches"),
+        col("n_purchases"), col("credit"))
+    credited.unionByName(unattributed).orderBy(col("touch_type"))
+  }
+
+  private val attributionLinearSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ns(ts)//1000000000 AS sec
+      |  FROM events
+      |), p AS (
+      |  SELECT user_id, event_id AS p_id, sec AS p_sec, value
+      |  FROM e WHERE event_type = 'purchase'
+      |), t AS (
+      |  SELECT user_id, sec AS t_sec, event_type AS touch_type
+      |  FROM e WHERE event_type <> 'purchase'
+      |), j AS (
+      |  SELECT p.p_id, p.value, t.touch_type,
+      |    count(*) OVER (PARTITION BY p.p_id) AS n_t
+      |  FROM p JOIN t ON t.user_id = p.user_id
+      |    AND t.t_sec >= p.p_sec - 3600 AND t.t_sec < p.p_sec
+      |), credited AS (
+      |  SELECT touch_type, count(*) AS n_touches,
+      |    CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+      |    CAST(round(CAST(CAST(sum(CAST(round(CAST(value / n_t AS DECIMAL(18,8)), 6) AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS DECIMAL(18,8)), 2) AS DOUBLE) AS credit
+      |  FROM j GROUP BY touch_type
+      |), un AS (
+      |  SELECT '(none)' AS touch_type, CAST(0 AS BIGINT) AS n_touches,
+      |    count(*) AS n_purchases,
+      |    CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS DECIMAL(18,8)), 2) AS DOUBLE) AS credit
+      |  FROM p WHERE NOT EXISTS (
+      |    SELECT 1 FROM t WHERE t.user_id = p.user_id
+      |      AND t.t_sec >= p.p_sec - 3600 AND t.t_sec < p.p_sec)
+      |  HAVING count(*) > 0
+      |)
+      |SELECT * FROM credited UNION ALL SELECT * FROM un
+      |ORDER BY touch_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Funnel latency: among users who COMPLETE the sequential funnel
+  // (events_funnel_steps semantics, reused verbatim — earliest click,
+  // earliest view at-or-after it, earliest purchase within the hour
+  // after that), the distribution of per-step and total conversion
+  // time. The product question behind every funnel: not just how many
+  // convert, but how long each transition takes.
+  //
+  // Scale shape: the same ONE user_id exchange as the funnel (three
+  // same-partitioning window passes), reduced to one row per
+  // CONVERTED user before the percentile aggregation — a grouped
+  // exact percentile over the (tiny) converted population, the
+  // rfm/mad discipline.
+  private def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val conv = ev(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t1", min(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "view" && col("ts") >= col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") >= col("t2")
+        && col("ts") <= col("t2") + expr("INTERVAL 1 HOUR"), col("ts"))).over(w))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3")).distinct()
+      .filter(col("t3").isNotNull)
+      .select(col("user_id"),
+        (col("t2").cast("long") - col("t1").cast("long")).as("step12"),
+        (col("t3").cast("long") - col("t2").cast("long")).as("step23"),
+        (col("t3").cast("long") - col("t1").cast("long")).as("total"))
+    conv
+      .selectExpr("stack(3, 'step12', step12, 'step23', step23, 'total', total) AS (metric, secs)")
+      .groupBy(col("metric"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        rnd(sum(col("secs")).cast("double") / count(lit(1)), 2).as("mean_sec"),
+        rnd(expr("percentile(secs, 0.5D)"), 2).as("p50_sec"),
+        rnd(expr("percentile(secs, 0.9D)"), 2).as("p90_sec"),
+        max(col("secs")).as("max_sec"))
+      .orderBy(col("metric"))
+  }
+
+  private val funnelLatencySql =
+    """WITH a AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS t1
+      |  FROM events GROUP BY user_id
+      |), b AS (
+      |  SELECT e.user_id, min(CASE WHEN e.event_type = 'view' AND e.ts >= a.t1 THEN e.ts END) AS t2
+      |  FROM events e JOIN a ON e.user_id = a.user_id GROUP BY e.user_id
+      |), c AS (
+      |  SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase'
+      |    AND e.ts >= b.t2 AND e.ts <= b.t2 + INTERVAL 1 HOUR THEN e.ts END) AS t3
+      |  FROM events e JOIN b ON e.user_id = b.user_id GROUP BY e.user_id
+      |), conv AS (
+      |  SELECT a.user_id,
+      |    epoch_ns(b.t2)//1000000000 - epoch_ns(a.t1)//1000000000 AS step12,
+      |    epoch_ns(c.t3)//1000000000 - epoch_ns(b.t2)//1000000000 AS step23,
+      |    epoch_ns(c.t3)//1000000000 - epoch_ns(a.t1)//1000000000 AS total
+      |  FROM a JOIN b ON b.user_id = a.user_id JOIN c ON c.user_id = a.user_id
+      |  WHERE c.t3 IS NOT NULL
+      |), m AS (
+      |  SELECT 'step12' AS metric, step12 AS secs FROM conv
+      |  UNION ALL SELECT 'step23', step23 FROM conv
+      |  UNION ALL SELECT 'total', total FROM conv
+      |)
+      |SELECT metric, count(*) AS n_users,
+      |  CAST(round(CAST(CAST(sum(secs) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 2) AS DOUBLE) AS mean_sec,
+      |  CAST(round(CAST(quantile_cont(secs, 0.5) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p50_sec,
+      |  CAST(round(CAST(quantile_cont(secs, 0.9) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p90_sec,
+      |  max(secs) AS max_sec
+      |FROM m GROUP BY metric ORDER BY metric""".stripMargin
 }

@@ -269,4 +269,94 @@ class SeriesForensicsSpec extends AnyFunSuite {
       assert(math.abs(gotMax - mx2) < 1e-9, s"$k max")
     }
   }
+
+  // -------------------------------------------------------------
+  test("linear attribution: shares match a direct model and credit conserves purchase value") {
+    val byUser = events.groupBy(_._1)
+    // model: per purchase, the admissible touches in the preceding hour
+    case class Credit(touchType: String, share: BigDecimal)
+    val credits = scala.collection.mutable.ArrayBuffer[Credit]()
+    var unattributedN = 0L
+    var unattributedV = BigDecimal(0)
+    byUser.foreach { case (_, es) =>
+      val purchases = es.filter(_._3 == "purchase")
+      val touches = es.filter(_._3 != "purchase")
+      purchases.foreach { case (_, _, _, pSec, v) =>
+        val adm = touches.filter(t => t._4 >= pSec - 3600 && t._4 < pSec)
+        if (adm.isEmpty) {
+          unattributedN += 1
+          unattributedV += BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        } else adm.foreach { t =>
+          credits += Credit(t._3,
+            BigDecimal(snap(v / adm.length, 6)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+      }
+    }
+    val expected = credits.groupBy(_.touchType).map { case (tt, cs) =>
+      tt -> (cs.size.toLong, snap(cs.map(_.share).sum.toDouble, 2))
+    }
+    val got = q("events_attribution_linear").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    expected.foreach { case (tt, (n, credit)) =>
+      val (gn, _, gcredit) = got(tt)
+      assert(gn == n, s"$tt n_touches")
+      assert(math.abs(gcredit - credit) < 1e-9, s"$tt credit")
+    }
+    if (unattributedN > 0) {
+      val (gn0, gtouch0, gcred0) = got("(none)")
+      assert(gtouch0 == unattributedN && gn0 == 0L)
+      assert(math.abs(gcred0 - snap(unattributedV.toDouble, 2)) < 1e-9)
+    }
+    // conservation: total credited value (incl. the (none) bucket) equals
+    // total purchase value, up to the documented 6-dp per-share snap
+    val totalCredit = got.values.map(_._3).sum
+    val totalPurchase = events.filter(_._3 == "purchase").map(_._5).sum
+    assert(math.abs(totalCredit - totalPurchase) < 0.01 * got.size + 1e-6,
+      s"credit $totalCredit must conserve purchase value $totalPurchase")
+  }
+
+  test("funnel latency: step/total distributions match a direct funnel model") {
+    // the funnel chain compares raw MICROSECOND timestamps (only the
+    // reported diffs truncate to seconds), so the model works in micros;
+    // sf0.01 is the smallest fixture with step-3 conversions (see
+    // StreamFunnelSpec)
+    val latDir = "/root/testdata/sf0.01"
+    val micro = graft.ops.Tables.events(spark, latDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = micro.groupBy(_._1)
+    val lat = byUser.values.flatMap { es =>
+      val t1 = es.filter(_._2 == "click").map(_._3).minOption
+      val t2 = t1.flatMap(v1 => es.filter(e => e._2 == "view" && e._3 >= v1).map(_._3).minOption)
+      val t3 = t2.flatMap(v2 => es.filter(e =>
+        e._2 == "purchase" && e._3 >= v2 && e._3 <= v2 + 3600L * 1000000L).map(_._3).minOption)
+      (t1, t2, t3) match {
+        case (Some(a), Some(b), Some(c)) =>
+          Some((b / 1000000L - a / 1000000L, c / 1000000L - b / 1000000L,
+            c / 1000000L - a / 1000000L))
+        case _ => None
+      }
+    }.toVector
+    assert(lat.nonEmpty, "fixture must have conversions")
+    def pct(vs: Vector[Long], p: Double): Double = {
+      val s = vs.sorted.map(_.toDouble)
+      val h = (s.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 >= s.length) s.last else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    val model = Map(
+      "step12" -> lat.map(_._1), "step23" -> lat.map(_._2), "total" -> lat.map(_._3))
+    val got = graft.SparkEntry.queries("events_funnel_latency")(spark, latDir).collect()
+    assert(got.map(_.getString(0)).toSet == model.keySet)
+    got.foreach { r =>
+      val vs = model(r.getString(0))
+      assert(r.getLong(1) == vs.length.toLong, s"${r.getString(0)} n")
+      assert(math.abs(r.getDouble(2) - snap(vs.sum.toDouble / vs.length, 2)) < 1e-9)
+      assert(math.abs(r.getDouble(3) - snap(pct(vs, 0.5), 2)) < 1e-9)
+      assert(math.abs(r.getDouble(4) - snap(pct(vs, 0.9), 2)) < 1e-9)
+      assert(r.getLong(5) == vs.max)
+    }
+  }
 }
