@@ -377,10 +377,11 @@ object SeriesQueries {
       .select(col("user_id"), col("event_id").as("p_id"),
         col("sec").as("p_sec"), col("value"))
     val touches = e.filter(col("event_type") =!= "purchase")
-      .select(col("user_id"), col("sec").as("t_sec"), col("event_type").as("touch_type"))
+      .select(col("user_id").as("t_uid"), col("sec").as("t_sec"),
+        col("event_type").as("touch_type"))
     val wP = Window.partitionBy(col("p_id"))
     val credited = purchases.join(touches,
-        purchases("user_id") === touches("user_id") &&
+        col("t_uid") === col("user_id") &&
           col("t_sec") >= col("p_sec") - 3600 && col("t_sec") < col("p_sec"))
       .withColumn("n_t", count(lit(1)).over(wP))
       .withColumn("share", rnd(col("value") / col("n_t"), 6).cast("decimal(18,6)"))
@@ -391,7 +392,7 @@ object SeriesQueries {
         rnd(sum(col("share")).cast("double"), 2).as("credit"))
     val unattributed = purchases
       .join(touches,
-        purchases("user_id") === touches("user_id") &&
+        col("t_uid") === col("user_id") &&
           col("t_sec") >= col("p_sec") - 3600 && col("t_sec") < col("p_sec"),
         "left_anti")
       .agg(
@@ -463,7 +464,7 @@ object SeriesQueries {
         (col("t2").cast("long") - col("t1").cast("long")).as("step12"),
         (col("t3").cast("long") - col("t2").cast("long")).as("step23"),
         (col("t3").cast("long") - col("t1").cast("long")).as("total"))
-    conv
+    val stats = conv
       .selectExpr("stack(3, 'step12', step12, 'step23', step23, 'total', total) AS (metric, secs)")
       .groupBy(col("metric"))
       .agg(
@@ -472,6 +473,12 @@ object SeriesQueries {
         rnd(expr("percentile(secs, 0.5D)"), 2).as("p50_sec"),
         rnd(expr("percentile(secs, 0.9D)"), 2).as("p90_sec"),
         max(col("secs")).as("max_sec"))
+    // the 3-row metric grid always emits (zero conversions -> n_users 0,
+    // NULL stats), so the report shape is scale-independent
+    val spark2 = spark; import spark2.implicits._
+    Seq("step12", "step23", "total").toDF("metric")
+      .join(stats, Seq("metric"), "left")
+      .withColumn("n_users", coalesce(col("n_users"), lit(0L)))
       .orderBy(col("metric"))
   }
 
@@ -497,11 +504,17 @@ object SeriesQueries {
       |  SELECT 'step12' AS metric, step12 AS secs FROM conv
       |  UNION ALL SELECT 'step23', step23 FROM conv
       |  UNION ALL SELECT 'total', total FROM conv
+      |), st AS (
+      |  SELECT metric, count(*) AS n_users,
+      |    CAST(round(CAST(CAST(sum(secs) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 2) AS DOUBLE) AS mean_sec,
+      |    CAST(round(CAST(quantile_cont(secs, 0.5) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p50_sec,
+      |    CAST(round(CAST(quantile_cont(secs, 0.9) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p90_sec,
+      |    max(secs) AS max_sec
+      |  FROM m GROUP BY metric
       |)
-      |SELECT metric, count(*) AS n_users,
-      |  CAST(round(CAST(CAST(sum(secs) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 2) AS DOUBLE) AS mean_sec,
-      |  CAST(round(CAST(quantile_cont(secs, 0.5) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p50_sec,
-      |  CAST(round(CAST(quantile_cont(secs, 0.9) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p90_sec,
-      |  max(secs) AS max_sec
-      |FROM m GROUP BY metric ORDER BY metric""".stripMargin
+      |SELECT g.metric, coalesce(st.n_users, 0) AS n_users,
+      |  st.mean_sec, st.p50_sec, st.p90_sec, st.max_sec
+      |FROM (VALUES ('step12'), ('step23'), ('total')) AS g(metric)
+      |LEFT JOIN st ON st.metric = g.metric
+      |ORDER BY g.metric""".stripMargin
 }
