@@ -55,6 +55,14 @@ object StreamResample {
       * complete): wm >= (h+1)*3600s  <=>  h <= wm/3600s - 1. */
     private def sealedHr(wmMs: Long): Long = wmMs / HourMs - 1
 
+    /** THE timer formula — the single source for arming, re-deriving
+      * and deleting (any drift between arm and re-derive would orphan
+      * real timers): while blocked cells remain, one timer at the end
+      * of the NEXT cell's hour so fills flow even if this user goes
+      * silent while the watermark advances. */
+    private def timerFor(state: ResampleState): Option[Long] =
+      if (state.open.nonEmpty) Some((state.lastEmittedHr + 2) * HourMs) else None
+
     /** Emit every sealed cell up to the user's latest observation,
       * persist the rest, keep one timer while blocked cells remain. */
     private def sweep(key: Long, prevTimerAt: Option[Long],
@@ -74,12 +82,7 @@ object StreamResample {
       }
       val live = state.open.filter(_.hr > emitTo)
       val next = ResampleState(emitTo.max(state.lastEmittedHr), carry, live)
-      // cells remain to emit exactly while open observations remain
-      // (every open hour > lastEmitted, so the span hasn't caught up);
-      // arm the timer at the end of the next cell's hour so fills flow
-      // even if this user goes silent while the watermark advances
-      val pendingTimer =
-        if (live.nonEmpty) Some((next.lastEmittedHr + 2) * HourMs) else None
+      val pendingTimer = timerFor(next)
       if (prevTimerAt != pendingTimer) {
         prevTimerAt.foreach(getHandle.deleteTimer)
         pendingTimer.foreach(getHandle.registerTimer)
@@ -88,29 +91,41 @@ object StreamResample {
       cells.result().iterator
     }
 
-    /** The timer `sweep` left armed for this state (None for a fresh key). */
-    private def currentTimer(state: ResampleState): Option[Long] =
-      if (state.open.nonEmpty) Some((state.lastEmittedHr + 2) * HourMs) else None
-
     override def handleInputRows(
         key: Long, rows: Iterator[Ev], timers: TimerValues): Iterator[Cell] = {
       val existed = st.exists()
       val prev =
         if (existed) st.get()
         else ResampleState(Long.MinValue, Double.NaN, Seq.empty)
-      val arrivals = rows.map { e =>
+      // fold arrivals straight into the per-hour maxima so batch memory
+      // is O(distinct hours), never O(events) for a hot key
+      val acc = scala.collection.mutable.HashMap.empty[Long, HourObs]
+      def keepMax(o: HourObs): Unit = acc.get(o.hr) match {
+        case Some(p) if p.packed >= o.packed => ()
+        case _                               => acc(o.hr) = o
+      }
+      prev.open.foreach(keepMax)
+      var sawRows = false
+      rows.foreach { e =>
+        sawRows = true
         val sec = e.ts.getTime / 1000L
-        HourObs(sec / 3600L, (sec % 3600L) * 10000000000L + e.event_id, e.value)
-      }.toSeq
-      if (arrivals.isEmpty && !existed) return Iterator.empty
-      val merged = (prev.open ++ arrivals)
-        .groupBy(_.hr).map { case (_, os) => os.maxBy(_.packed) }
-        .toSeq.sortBy(_.hr)
-      // first contact: the grid starts at the user's first observed hour
+        keepMax(HourObs(sec / 3600L, (sec % 3600L) * 10000000000L + e.event_id, e.value))
+      }
+      if (!sawRows && !existed) return Iterator.empty
+      val merged = acc.values.toSeq.sortBy(_.hr)
+      // The grid starts at the user's first observed hour — and an
+      // admissible out-of-order arrival may EXTEND it downward, because
+      // the first event's own hour need not be sealed yet (the
+      // watermark lags maxEventTime by lateSec). Lowering is always
+      // safe: emitting ANY cell implies the grid-start hour was sealed,
+      // after which an event in-or-below it is behind the watermark and
+      // dropped before the operator — so an arrival at or below
+      // lastEmittedHr can only happen while NOTHING has been emitted.
       val lastEmitted =
-        if (prev.lastEmittedHr == Long.MinValue) merged.map(_.hr).min - 1
-        else prev.lastEmittedHr
-      sweep(key, if (existed) currentTimer(prev) else None,
+        if (merged.isEmpty) prev.lastEmittedHr
+        else if (prev.lastEmittedHr == Long.MinValue) merged.map(_.hr).min - 1
+        else math.min(prev.lastEmittedHr, merged.map(_.hr).min - 1)
+      sweep(key, if (existed) timerFor(prev) else None,
         ResampleState(lastEmitted, prev.lastValue, merged),
         timers.getCurrentWatermarkInMs())
     }
@@ -129,7 +144,18 @@ object StreamResample {
 
   /** Wire hourly resampling onto a streaming Dataset[Ev]; `lateSec` is
     * the watermark lateness tolerance (it delays sealing, never the
-    * grid definition). */
+    * grid definition).
+    *
+    * Preconditions/caveats:
+    *  - `event_id < 1e10` (the batch twin's fixture contract): the
+    *    in-hour tiebreak packs (sec-in-hour, event_id) into one Long;
+    *    larger ids would corrupt the ordering.
+    *  - State persists for every user ever seen (the carry value is
+    *    what lets a returning user's silence forward-fill, exactly as
+    *    the batch grid spans [first, last]) — for unbounded key
+    *    domains where that span semantics can be relaxed, front the
+    *    stream with an idle-horizon filter or clear state on a
+    *    deployment-chosen TTL (the funnelStatesTtl pattern). */
   def cells(events: Dataset[Ev], lateSec: Long = 60L): Dataset[Cell] = {
     implicit val cellEnc = Encoders.product[Cell]
     implicit val longEnc = Encoders.scalaLong

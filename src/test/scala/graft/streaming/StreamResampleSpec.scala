@@ -90,6 +90,47 @@ class StreamResampleSpec extends AnyFunSuite {
     assert(cells.length == cells.distinct.length)
   }
 
+  test("admissible out-of-order arrival BELOW the first-seen hour extends the grid downward") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("streamresample3").toString
+    // batch 1: u1's first event lands 10s into hour 10 -> watermark
+    // 35950s, so hour 9 is NOT yet sealed
+    Seq(ev(36010, 1L, 1L, 1.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p1")
+    // batch 2: an ADMISSIBLE (>= watermark) event in hour 9 arrives —
+    // the grid start must move down to hour 9, matching the batch
+    // twin's [first observed, last observed] span
+    Seq(ev(35980, 1L, 2L, 5.5))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p2")
+    // batch 3: watermark driver seals through hour 12
+    Seq(ev(50000, 2L, 3L, 0.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/p3")
+    (1 to 3).foreach(i => graft.TestSpark.touch(s"$base/in/p$i", i * 1000L))
+
+    graft.TestSpark.withRocksDB {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[StreamResample.Ev]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$base/in")
+        .as[StreamResample.Ev]
+      val q = StreamResample.cells(stream, lateSec = 60L)
+        .writeStream
+        .outputMode("append").format("memory").queryName("streamresample3_out")
+        .trigger(Trigger.ProcessingTime(100))
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    val got = spark.table("streamresample3_out")
+      .filter("user_id = 1").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(got == Set((9L, 5.5, true), (10L, 1.0, true)),
+      s"the hour-9 observation must emit, not vanish: got ${got.toVector.sortBy(_._1)}")
+  }
+
   test("streamed staircase equals the batch resample on the sealed horizon") {
     import spark.implicits._
     val base = Files.createTempDirectory("streamresample2").toString
