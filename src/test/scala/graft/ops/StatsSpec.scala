@@ -178,6 +178,13 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution join is an equi hash/merge join on user, never a nested loop") {
+    val p = graft.SparkEntry.queries("events_attribution_linear")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "purchase-touch pairing must key on user_id with the hour range as residual: " + p.take(600))
+  }
+
   test("stats plans: corpus reduces before the tiny-frame math") {
     // MI: the only exchange over corpus-sized data is the contingency
     // reduction — the window math runs on the |S|x|L| frame
