@@ -374,6 +374,19 @@ object Multimodal {
   object PHash {
     val Stripes = 48
 
+    /** Exact a·b > c·d for non-negative longs via 128-bit products.
+      * The stripe-vs-mean vote compares sums(i)·n against total·cnts(i);
+      * in plain Long that overflows once 255·n² exceeds 2⁶³ (payloads
+      * past ~190 MB — the doc positions the byte fallback for audio/
+      * video blobs), silently corrupting hash bits. Lexicographic
+      * (multiplyHigh, unsigned-low) comparison is exact at any size. */
+    private[llm] def prodGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+      val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+      val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+      if (hi1 != hi2) hi1 > hi2
+      else java.lang.Long.compareUnsigned(lo1, lo2) > 0
+    }
+
     def ahash(payload: Array[Byte], maxPixels: Long = PixelDecoder.MaxPixels): Long =
       ahashImage(payload, maxPixels).getOrElse(ahashBytes(payload))
 
@@ -394,7 +407,7 @@ object Multimodal {
       var h = 0L
       var i = 0
       while (i < Stripes) {
-        if (cnts(i) > 0 && sums(i) * n > total * cnts(i)) h |= 1L << i
+        if (cnts(i) > 0 && prodGt(sums(i), n, total, cnts(i))) h |= 1L << i
         i += 1
       }
       h
@@ -438,7 +451,7 @@ object Multimodal {
             var hash = 0L
             var i = 0
             while (i < Stripes) {
-              if (cnts(i) > 0 && sums(i) * n > total * cnts(i)) hash |= 1L << i
+              if (cnts(i) > 0 && prodGt(sums(i), n, total, cnts(i))) hash |= 1L << i
               i += 1
             }
             Some(hash)
@@ -483,12 +496,22 @@ object Multimodal {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  // The twin indexes the UTF-8 blob BYTE-exactly: hex(encode(text))
+  // spells each byte as two hex digits, and strpos over the 15-char
+  // digit alphabet maps a digit to its value ('0' falls through to
+  // strpos = 0, its value). The previous form read CHARACTERS
+  // (ord(substring(text, j, 1))) while j ranged over bytes — any
+  // non-ASCII document diverged from the Spark side's raw-byte hash,
+  // and j past the character length made ord('') error outright.
   val phashPairsSql: String =
     """WITH pos AS (
-      |  SELECT doc_id, n, j, ord(substring(text, j, 1)) AS v,
+      |  SELECT doc_id, n, j,
+      |    strpos('123456789ABCDEF', substring(hx, 2*j-1, 1)) * 16
+      |      + strpos('123456789ABCDEF', substring(hx, 2*j, 1)) AS v,
       |    ((j - 1) * 48) // n AS stripe
-      |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
-      |    unnest(range(1, octet_length(encode(text)) + 1)) AS t(j)
+      |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+      |          octet_length(encode(text)) AS n FROM documents),
+      |    unnest(range(1, n + 1)) AS t(j)
       |), st AS (
       |  SELECT doc_id, n, stripe, sum(v) AS sv, count(*) AS cv
       |  FROM pos GROUP BY doc_id, n, stripe
@@ -499,6 +522,12 @@ object Multimodal {
       |    CAST(sum(CASE WHEN s.sv * s.n > t.tv * s.cv
       |      THEN (1::BIGINT << s.stripe) ELSE 0 END) AS BIGINT) AS phash
       |  FROM st s JOIN tot t USING (doc_id) GROUP BY s.doc_id
+      |  UNION ALL
+      |  -- zero-length payloads hash to 0 on the Spark side (ahashBytes
+      |  -- returns 0 for n = 0); emit them here too so both engines pair
+      |  -- empty documents identically if the fixture ever gains any
+      |  SELECT doc_id, CAST(0 AS BIGINT) AS phash FROM documents
+      |  WHERE octet_length(encode(text)) = 0
       |), b AS (
       |  SELECT doc_id, phash, phash >> 36 AS bucket FROM sig
       |)

@@ -42,6 +42,16 @@ object StreamCusum {
   final case class Scored(
       user_id: Long, event_id: Long, sec: Long, stat: Double, alert: Boolean)
 
+  /** value → integer micro-units with the batch twin's exact snap.
+    * The batch query casts DOUBLE to DECIMAL(18,6), which rounds
+    * HALF_UP on the shortest decimal repr (away from zero); a bare
+    * math.round(v*1e6) rounds half toward +∞ instead, so the two
+    * disagree on negative values carrying more than 6 decimal places
+    * (e.g. −0.0000005 → −1 micro there, 0 here). */
+  private[streaming] def micro(v: Double): Long =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.movePointRight(6).longValueExact
+
   final class Processor extends StatefulProcessor[Long, EvB, Scored] {
     @transient private var st: org.apache.spark.sql.streaming.ValueState[CusumState] = _
 
@@ -54,7 +64,7 @@ object StreamCusum {
       var s = if (st.exists()) st.get().s_micro else 0L
       val out = Vector.newBuilder[Scored]
       rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val d = math.round(e.value * 1e6) - e.mu_micro - e.k_micro
+        val d = micro(e.value) - e.mu_micro - e.k_micro
         s = math.max(0L, s + d)
         out += Scored(key, e.event_id, e.ts.getTime / 1000L,
           s.toDouble / 1e6, s > e.h_micro)

@@ -348,4 +348,24 @@ class MultimodalSpec extends AnyFunSuite {
     } yield key -> hd).toMap
     assert(rows === expected)
   }
+
+  test("stripe vote comparison is exact past the Long-overflow line") {
+    import Multimodal.PHash.prodGt
+    // agrees with plain Long arithmetic in the safe range
+    assert(prodGt(7L, 11L, 5L, 13L) === (7L * 11L > 5L * 13L))
+    assert(!prodGt(5L, 13L, 5L, 13L))
+    // a multi-GB payload keeps the vote exact: one luma-unit above an
+    // even split must still vote 1 (sums·n = total·cnts + n there)
+    val n = 8000000000L // 8 GB
+    val stripeCnt = n / 48
+    val total = 255L * n
+    assert(prodGt(255L * stripeCnt + 1L, n, total, stripeCnt))
+    assert(!prodGt(255L * stripeCnt, n, total, stripeCnt))
+    // and a case where the wrapped Long comparison demonstrably flips
+    // (2⁶²·4 = 2⁶⁴ wraps to 0, losing to 3·2⁶¹): the 128-bit form must
+    // answer from the true products
+    assert(prodGt(1L << 62, 4L, 3L, 1L << 61))
+    assert((1L << 62) * 4L < 3L * (1L << 61),
+      "guard: plain Long must overflow on this fixture, else the test is vacuous")
+  }
 }

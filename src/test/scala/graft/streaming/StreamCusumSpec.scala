@@ -97,4 +97,25 @@ class StreamCusumSpec extends AnyFunSuite {
       "some first alert must land beyond the first micro-batch cut")
     }
   }
+
+  test("micro-unit snap matches the batch DECIMAL(18,6) cast on negative half-way values") {
+    // DECIMAL casts round HALF_UP (away from zero); math.round rounds
+    // half toward +inf — they disagree exactly on negative values with
+    // more than 6 decimal places
+    assert(StreamCusum.micro(-0.0000005) === -1L)
+    assert(math.round(-0.0000005 * 1e6) === 0L, "guard: the old form really differed")
+    assert(StreamCusum.micro(0.0000005) === 1L)
+    assert(StreamCusum.micro(-2.3456785) === -2345679L)
+    assert(StreamCusum.micro(1.25) === 1250000L)
+    // and bit-agreement with Spark's own double -> DECIMAL(18,6) cast
+    // over a sign-mixed sample, the batch twin's exact arithmetic
+    val vals = Seq(-3.14159265, -0.0000015, -0.1234565, 0.0, 0.9999995, 7.5e-7)
+    val viaSpark = {
+      val s2 = spark; import s2.implicits._
+      vals.toDF("v")
+        .select((col("v").cast("decimal(18,6)") * 1000000L).cast("long"))
+        .collect().map(_.getLong(0)).toSeq
+    }
+    assert(vals.map(StreamCusum.micro) === viaSpark)
+  }
 }
