@@ -48,6 +48,35 @@ object Bench {
     // (planning + Janino codegen), and `fixture_warm_sec` makes the
     // ambient-IO share a recorded number instead of noise smeared over
     // whichever queries pass 1 happened to run first.
+    // Ambient-IO probe (r12 verdict #2): the driver window's cold total
+    // swung 3.5x on a degraded box while the steady column stayed
+    // healthy, and nothing in the JSON let a reader attribute it. So
+    // measure the box directly — write+fsync+read a 256 MB scratch
+    // file — once before the cold pass and at each steady-pass
+    // boundary, and record the MB/s series. BASELINE.md's rule: a cold
+    // total is only comparable across windows at similar probe rates.
+    def ioProbe(): Double = {
+      val mb = 256
+      val buf = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(buf, 0x5a.toByte)
+      val p = java.nio.file.Files.createTempFile("graft_io_probe", ".bin")
+      try {
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          var i = 0
+          while (i < mb) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+          ch.force(false)
+        } finally ch.close()
+        val in = java.nio.file.Files.newInputStream(p)
+        try { while (in.read(buf) != -1) () } finally in.close()
+        val sec = (System.nanoTime() - t0) / 1e9
+        2.0 * mb / sec // MB moved (write + read) per second
+      } finally java.nio.file.Files.deleteIfExists(p)
+    }
+    val ioProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    ioProbes += ioProbe()
     val warmT0 = System.nanoTime()
     val fixtureFiles = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -118,7 +147,9 @@ object Bench {
     // GCs naturally; a 4-pass bench JVM may not).
     def gcPause(): Unit = { System.gc(); Thread.sleep(200) }
     val cold = timeAll(0)
-    val steady = (1 to steadyPasses).map { p => gcPause(); timeAll(p) }
+    val steady = (1 to steadyPasses).map { p =>
+      ioProbes += ioProbe(); gcPause(); timeAll(p)
+    }
     def stat(f: Seq[Double] => Double): Map[String, Double] =
       cold.keys.map(k => k -> f(steady.map(_(k)))).toMap
     def median(xs: Seq[Double]): Double = {
@@ -139,7 +170,10 @@ object Bench {
     // with the fixture pre-warmed this is planning + codegen, the part
     // a long-running deployment pays once per query shape
     val coldDelta = cold.map { case (k, v) => k -> (v - results.getOrElse(k, 0.0)) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"fixture_warm_sec":$fixtureWarmSec,"sf":"$sfDir"}""")
+    // probe[0] ran before the cold pass, probe[i>=1] before steady pass i
+    val ioJson = ioProbes.map(v => "%.1f".formatLocal(java.util.Locale.ROOT, v))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
     // The harness records only the LAST ~2000 chars of output; at 130+
     // queries the full detail line above outgrows that window and its
     // leading headline scalars get truncated away (BENCH_r05 recorded
@@ -152,7 +186,7 @@ object Bench {
     def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def js3(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"fixture_warm_sec":${ms(fixtureWarmSec)},"steady_passes":$steadyPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"fixture_warm_sec":${ms(fixtureWarmSec)},"ambient_io_probe":$ioJson,"steady_passes":$steadyPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}"""
     println(summary)
     // Belt-and-braces for the driver's parser: persist the summary (and
     // the full per-query detail) to files too, so a logger prefix or an
@@ -168,7 +202,7 @@ object Bench {
     if (only.isEmpty) try {
       writeFile("BENCH_SUMMARY.json", summary)
       writeFile("BENCH_DETAIL.json",
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"cold_delta_queries":${js(coldDelta)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"fixture_warm_sec":$fixtureWarmSec,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"cold_delta_queries":${js(coldDelta)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not persist summary files: $e") }
     spark.stop()
