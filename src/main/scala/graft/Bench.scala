@@ -108,6 +108,10 @@ object Bench {
     // the bucketed read), not harness store construction
     if (only.forall(_.contains("cdc_bucketed_state")))
       graft.ops.CdcQueries.warmBucketedFixture(spark, sfDir)
+    // same discipline for the archive MinHash sidecar: the one-time
+    // index build is deployment setup, not per-query cost
+    if (only.forall(_.contains("pipeline_incremental_neardup")))
+      graft.llm.MinHashIndexStore.loadOrBuild(spark, sfDir)
     val fixtureWarmSec = (System.nanoTime() - warmT0) / 1e9
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

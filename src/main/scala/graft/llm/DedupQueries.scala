@@ -374,11 +374,19 @@ object DedupQueries {
   private def minhash(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(spark, dir).orderBy(col("a_id"), col("b_id"))
 
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(spark, dir, "documents")
+  /** (doc_id, band, bucket) LSH band rows for any `(doc_id, text)`
+    * frame — the signature scheme shared by dedup_minhash_pairs and
+    * the incremental archive index (MinHashIndexStore /
+    * pipeline_incremental_neardup): 3-word shingles, ONE md5 per
+    * shingle sliced into 4 disjoint 8-hex min-hashes, 2 bands of 2.
+    * One row per (doc, band) via array-explode (a union of two selects
+    * would carry the aggregation subtree twice). Docs under 3 words
+    * have no signature and emit no rows. */
+  private[llm] def bandRows(docs: DataFrame): DataFrame = {
+    val ws = docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
-    val shingled = docs.select(col("doc_id"),
+    val shingled = ws.select(col("doc_id"),
       explode(expr("transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("sh"))
     val mins = shingled
       .withColumn("h", md5(col("sh")))
@@ -388,15 +396,17 @@ object DedupQueries {
         min(substring(col("h"), 9, 8)).as("m1"),
         min(substring(col("h"), 17, 8)).as("m2"),
         min(substring(col("h"), 25, 8)).as("m3"))
-    // one row per (doc, band) via array-explode (a union of two selects
-    // over `mins` would carry the aggregation subtree twice); candidate
-    // pairs from per-bucket posting lists — the signature aggregation is
-    // planned ONCE and the pair space stays bucket-bounded, with no
-    // self-join re-reading the corpus
-    val bands = mins.select(col("doc_id"), explode(array(
+    mins.select(col("doc_id"), explode(array(
         struct(lit(0).as("band"), concat(col("m0"), lit("|"), col("m1")).as("bucket")),
         struct(lit(1).as("band"), concat(col("m2"), lit("|"), col("m3")).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // candidate pairs from per-bucket posting lists — the signature
+    // aggregation is planned ONCE and the pair space stays
+    // bucket-bounded, with no self-join re-reading the corpus
+    val bands = bandRows(Tables.table(spark, dir, "documents"))
     bands.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -405,7 +415,7 @@ object DedupQueries {
       .distinct()
   }
 
-  private val minhashCtes =
+  private[llm] val minhashCtes =
     """ws AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3
       |), shingles AS (

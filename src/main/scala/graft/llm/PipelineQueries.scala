@@ -56,6 +56,7 @@ object PipelineQueries {
     NamedQuery("pipeline_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     NamedQuery("pipeline_curate_corpus", curateCorpus, Some(curateCorpusSql)),
     NamedQuery("pipeline_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    NamedQuery("pipeline_incremental_neardup", incrementalNearDup, Some(incrementalNearDupSql)),
   )
 
   // ---------------------------------------------------------------
@@ -351,6 +352,51 @@ object PipelineQueries {
       .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("duplicate"))
       .orderBy(col("doc_id"))
   }
+
+  // ---------------------------------------------------------------
+  // Incremental NEAR-dup against the archive — the production
+  // crawl-ingest shape pipeline_incremental_dedup covers for exact
+  // hashes, extended to MinHash/LSH: a new batch must drop anything
+  // NEAR-duplicating the (100 TB) archive, without re-signaturing or
+  // reshuffling the archive. The archive's (doc_id, band, bucket)
+  // posting rows live in a persisted sidecar ([[MinHashIndexStore]],
+  // built once per archive snapshot, pointer-swapped, restart = zero
+  // re-index jobs); per batch only the BATCH's signatures are
+  // computed (O(batch)), broadcast, and the archive index streams
+  // map-side against them — the index scan never exchanges
+  // (plan-asserted, the incremental_dedup discipline). A batch doc is
+  // near-dup iff it shares any LSH band bucket with an archive doc
+  // (the dedup_minhash_pairs candidate criterion); docs under 3 words
+  // carry no signature and report false.
+  private def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val archiveIdx = MinHashIndexStore.loadOrBuild(spark, dir)
+    val batch = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    val batchBands = DedupQueries.bandRows(batch.select(col("doc_id"), col("text")))
+      .withColumnRenamed("doc_id", "b_id")
+    // archive index probes the BROADCAST batch bands: no index shuffle
+    val hits = archiveIdx
+      .join(broadcast(batchBands), Seq("band", "bucket"))
+      .select(col("b_id").as("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(broadcast(hits.withColumn("near_dup", lit(true))), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("near_dup"), lit(false)).as("near_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  // the oracle recomputes both sides' signatures inline (the
+  // LSH-planes precedent): the shared minhash CTE chain feeds a
+  // batch-vs-archive bucket join split on the doc_id % 10 harness seam
+  private val incrementalNearDupSql =
+    s"""WITH ${DedupQueries.minhashCtes}, hits AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM bands b JOIN bands a ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE b.doc_id % 10 = 0 AND a.doc_id % 10 <> 0
+       |)
+       |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS near_dup
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+       |LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private val incrementalDedupSql =
     """WITH d AS (

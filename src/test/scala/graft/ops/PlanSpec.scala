@@ -404,6 +404,20 @@ class PlanSpec extends AnyFunSuite {
         "operator exists to avoid: " + p.take(800))
   }
 
+  test("incremental neardup: the archive index never joins through a shuffle") {
+    val p = plan("pipeline_incremental_neardup")
+    assert(p.contains("BroadcastHashJoin"),
+      "batch band rows must broadcast so the archive index streams map-side: " + p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a shuffled join would reshuffle the archive index — the thing this " +
+        "operator exists to avoid: " + p.take(800))
+    // and the corpus-side text work must be the BATCH only: the raw
+    // documents scan feeds the plan exactly twice (batch bands + the
+    // flag join-back); archive signatures come from the sidecar parquet
+    assert(p.contains("minhash_archive_"),
+      "archive signatures must come from the persisted sidecar: " + p.take(800))
+  }
+
   test("auc eval: centroids broadcast to the scoring join, no cartesian") {
     val p = plan("eval_auc_centroid")
     assert(p.contains("BroadcastHashJoin"),
