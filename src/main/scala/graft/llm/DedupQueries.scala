@@ -725,7 +725,7 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  private val simhashPairsSql =
+  private def simhashPairsSql: String =
     s"""WITH $fingerprintCtes
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -910,7 +910,7 @@ object DedupQueries {
   private def simhash(spark: SparkSession, dir: String): DataFrame =
     fingerprints(spark, dir).orderBy(col("doc_id"))
 
-  private val simhashSql =
+  private def simhashSql: String =
     s"""WITH $fingerprintCtes
        |SELECT doc_id, simhash, prefix16 FROM fp ORDER BY doc_id""".stripMargin
 
@@ -927,11 +927,15 @@ object DedupQueries {
     words.groupBy(col("doc_id"))
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"), expr(assemble).as("simhash"))
-      .withColumn("prefix16", expr(s"simhash div ${1L << 44}L"))
+      // bucket = top prefix bits of the 60-bit fingerprint; width from
+      // the one LSH knob (graft.ops.Lsh — default 16, oracle-stable).
+      // the column keeps its historical name at any width
+      .withColumn("prefix16",
+        expr(s"simhash div ${1L << (60 - graft.ops.Lsh.prefixBits(16, 60))}L"))
   }
 
   /** DuckDB twin of [[fingerprints]], shared by both simhash oracles. */
-  private lazy val fingerprintCtes: String = {
+  private def fingerprintCtes: String = {
     val votes = (0 until 60)
       .map(i => s"sum(CASE WHEN (hl // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
       .mkString(",\n    ")
@@ -949,7 +953,8 @@ object DedupQueries {
        |), fp0 AS (
        |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes
        |), fp AS (
-       |  SELECT doc_id, simhash, simhash // ${1L << 44} AS prefix16 FROM fp0
+       |  SELECT doc_id, simhash,
+       |    simhash // ${1L << (60 - graft.ops.Lsh.prefixBits(16, 60))} AS prefix16 FROM fp0
        |)""".stripMargin
   }
 

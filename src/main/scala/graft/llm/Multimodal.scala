@@ -482,7 +482,10 @@ object Multimodal {
     val sigs = docs.as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
       .mapPartitions(_.map { case (id, bytes) => PhashSig(id, PHash.ahash(bytes)) })
       .toDF()
-      .withColumn("bucket", shiftright(col("phash"), 36))
+      // prefix width from the one LSH knob (graft.ops.Lsh — default 12
+      // of 48, oracle-stable; a 10⁶-image corpus sets ~20 via bitsFor)
+      .withColumn("bucket",
+        shiftright(col("phash"), 48 - graft.ops.Lsh.prefixBits(12, 48)))
     val posting = sigs
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("phash")))).as("xs"))
@@ -503,8 +506,8 @@ object Multimodal {
   // (ord(substring(text, j, 1))) while j ranged over bytes — any
   // non-ASCII document diverged from the Spark side's raw-byte hash,
   // and j past the character length made ord('') error outright.
-  val phashPairsSql: String =
-    """WITH pos AS (
+  def phashPairsSql: String =
+    s"""WITH pos AS (
       |  SELECT doc_id, n, j,
       |    strpos('123456789ABCDEF', substring(hx, 2*j-1, 1)) * 16
       |      + strpos('123456789ABCDEF', substring(hx, 2*j, 1)) AS v,
@@ -529,7 +532,8 @@ object Multimodal {
       |  SELECT doc_id, CAST(0 AS BIGINT) AS phash FROM documents
       |  WHERE octet_length(encode(text)) = 0
       |), b AS (
-      |  SELECT doc_id, phash, phash >> 36 AS bucket FROM sig
+      |  SELECT doc_id, phash,
+      |    phash >> ${48 - graft.ops.Lsh.prefixBits(12, 48)} AS bucket FROM sig
       |)
       |SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
       |  CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming

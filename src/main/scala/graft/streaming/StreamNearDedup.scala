@@ -74,8 +74,11 @@ object StreamNearDedup {
     (0 until 60).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
   }
 
-  /** The 16-bit LSH bucket: same `simhash div 2^44` as the batch op. */
-  def prefix16(fp: Long): Long = fp >>> 44
+  /** The LSH state-key bucket: the fingerprint's top prefix bits, same
+    * derivation as the batch op's `prefix16`, width from the one LSH
+    * knob (graft.ops.Lsh — default 16 of 60, so `fp >>> 44` unset). */
+  def prefix16(fp: Long): Long =
+    fp >>> (60 - graft.ops.Lsh.prefixBits(16, 60))
 
   private def update(maxHamming: Int, horizonMs: Long)(
       bucket: Long,
