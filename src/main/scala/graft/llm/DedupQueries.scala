@@ -39,6 +39,7 @@ object DedupQueries {
     NamedQuery("dedup_containment_pairs", containment, Some(containmentSql)),
     NamedQuery("dedup_containment_capped", containmentCapped, Some(containmentCappedSql)),
     NamedQuery("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),
+    NamedQuery("dedup_lsh_tuning_sampled", lshTuningSampled, Some(lshTuningSampledSql)),
   )
 
   // ---------------------------------------------------------------
@@ -104,9 +105,17 @@ object DedupQueries {
   private def jaccardCapped(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir, dfCap = Some(64))
 
+  /** Deterministic 50% doc sample: first md5 hex digit of the doc id
+    * below '8' — the suite's no-RNG block-sampling discipline (same
+    * hash-slice family as pipeline_split_assign). Identical text in
+    * both engines. */
+  private val sampleCondSpark = "substring(md5(cast(doc_id as string)), 1, 1) < '8'"
+  private val sampleCondSql = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'"
+
   private def jaccardPairs(spark: SparkSession, dir: String, dfCap: Option[Int],
-      minSim: Double = 0.5, simScale: Int = 4): DataFrame = {
-    val docs = Tables.table(spark, dir, "documents")
+      minSim: Double = 0.5, simScale: Int = 4, sample: Boolean = false): DataFrame = {
+    val docs0 = Tables.table(spark, dir, "documents")
+    val docs = if (sample) docs0.filter(expr(sampleCondSpark)) else docs0
     val words = docs.select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
     val sizes = docs.select(col("doc_id"),
@@ -131,7 +140,8 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  private def jaccardSqlFor(dfCap: Option[Int]): String = {
+  private def jaccardSqlFor(dfCap: Option[Int], sample: Boolean = false): String = {
+    val docSrc = if (sample) s"documents WHERE $sampleCondSql" else "documents"
     val cappedCtes = dfCap.fold("") { c =>
       s"""), df AS (
          |  SELECT lang, source, w, count(*) AS df FROM words GROUP BY lang, source, w
@@ -144,7 +154,7 @@ object DedupQueries {
     val src = if (dfCap.isDefined) "kept" else "words"
     s"""WITH words AS (
        |  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
-       |  FROM documents
+       |  FROM $docSrc
        |$cappedCtes), sizes AS (
        |  SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
        |), inter AS (
@@ -193,16 +203,42 @@ object DedupQueries {
   private val LshTuneCap = 64
   private val LshTuneTau = 0.8
 
+  /** (bands, rows_per_band) candidate grid. The classic form evaluates
+    * three configs at b·r = 128; the sampled 100 TB form widens to
+    * b·r ∈ {64, 128, 256} (all powers of two — the repeated-squaring
+    * determinism chain needs nothing else). */
+  private def lshTuneConfigs(wide: Boolean): Seq[(Long, Long)] =
+    if (!wide) Seq((32L, 4L), (16L, 8L), (8L, 16L))
+    else Seq(
+      (16L, 4L), (8L, 8L),                         // b·r = 64
+      (32L, 4L), (16L, 8L), (8L, 16L),             // b·r = 128
+      (64L, 4L), (32L, 8L), (16L, 16L))            // b·r = 256
+
   private def lshSq(c: Column): Column = round(c * c, 8).cast("decimal(12,8)")
 
-  private def lshTuning(spark: SparkSession, dir: String): DataFrame = {
-    val hist = jaccardPairs(spark, dir, dfCap = Some(LshTuneCap), minSim = 0.0, simScale = 3)
+  private def lshTuning(spark: SparkSession, dir: String): DataFrame =
+    lshTuningOn(spark, dir, wide = false, sample = false)
+
+  /** The 100 TB form (r12 verdict #6): the pair-similarity histogram
+    * comes from a deterministic md5-keyed 50% BLOCK SAMPLE of the
+    * corpus instead of every pair, and the config grid widens to
+    * b·r ∈ {64,128,256}. The S-curve is a property of the similarity
+    * DISTRIBUTION, not the pair count, so the sampled histogram picks
+    * the same config ranking (LshTuningSpec pins sample-vs-full
+    * agreement on the shared configs) at a quarter of the pair
+    * volume — at real scale the sample is what makes measuring the
+    * histogram feasible at all. */
+  private def lshTuningSampled(spark: SparkSession, dir: String): DataFrame =
+    lshTuningOn(spark, dir, wide = true, sample = true)
+
+  private def lshTuningOn(
+      spark: SparkSession, dir: String, wide: Boolean, sample: Boolean): DataFrame = {
+    val hist = jaccardPairs(spark, dir, dfCap = Some(LshTuneCap),
+        minSim = 0.0, simScale = 3, sample = sample)
       .select(col("jaccard").as("sim"))
       .groupBy(col("sim")).agg(count(lit(1)).as("n"))
-    val cfgs = array(
-      struct(lit(32L).as("bands"), lit(4L).as("r")),
-      struct(lit(16L).as("bands"), lit(8L).as("r")),
-      struct(lit(8L).as("bands"), lit(16L).as("r")))
+    val cfgs = array(lshTuneConfigs(wide).map { case (b, r) =>
+      struct(lit(b).as("bands"), lit(r).as("r")) }: _*)
     val scored0 = hist
       .select(col("sim"), col("n"), explode(cfgs).as("cfg"))
       .select(col("sim"), col("n"),
@@ -216,8 +252,12 @@ object DedupQueries {
       .when(col("rows_per_band") === 8L, x3).otherwise(x4)
     val q0 = (one - sr).cast("decimal(12,8)")
     val q8 = lshSq(lshSq(lshSq(q0)))             // (1-s^r)^8
+    val q16 = lshSq(q8)
+    val q32 = lshSq(q16)
+    val q64 = lshSq(q32)
     val qb = when(col("bands") === 8L, q8)
-      .when(col("bands") === 16L, lshSq(q8)).otherwise(lshSq(lshSq(q8)))
+      .when(col("bands") === 16L, q16)
+      .when(col("bands") === 32L, q32).otherwise(q64)
     val scored = scored0.withColumn("p", round(one - qb, 6).cast("double"))
     val term = round((col("n") * col("p")).cast("decimal(18,8)"), 6)
     val zero = lit(0).cast("decimal(18,8)")
@@ -230,15 +270,19 @@ object DedupQueries {
           .cast("double").as("exp_caught"))
       .withColumn("recall_above",
         when(col("n_above") > 0, graft.ops.Registry.rnd(col("exp_caught") / col("n_above"), 4)))
-      .orderBy(col("rows_per_band"))
+      .orderBy(col("rows_per_band"), col("bands"))
   }
 
-  private lazy val lshTuningSql = {
-    val histCore = jaccardSqlFor(Some(LshTuneCap))
+  private def lshTuningSqlFor(wide: Boolean, sample: Boolean): String = {
+    val histCore = jaccardSqlFor(Some(LshTuneCap), sample = sample)
     // reuse the capped-jaccard CTE chain up to `inter`, then histogram
     // at 3 dp with no threshold (the tuning universe is every pair an
     // LSH could surface)
     val upToInter = histCore.substring(0, histCore.indexOf("SELECT a_id"))
+    val cfgRows = lshTuneConfigs(wide).zipWithIndex.map {
+      case ((b, r), 0) => s"SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band"
+      case ((b, r), _) => s"UNION ALL SELECT $b, $r"
+    }.mkString("\n      |        ")
     s"""${upToInter}SELECT bands, rows_per_band, n_pairs, exp_candidates, n_above, exp_caught,
       |  CASE WHEN n_above > 0 THEN CAST(round(CAST(exp_caught / n_above AS DECIMAL(18,8)), 4) AS DOUBLE) END AS recall_above
       |FROM (
@@ -249,7 +293,8 @@ object DedupQueries {
       |    CAST(round(sum(CASE WHEN sim >= $LshTuneTau THEN round(CAST(n * p AS DECIMAL(18,8)), 6) ELSE CAST(0 AS DECIMAL(18,8)) END), 3) AS DOUBLE) AS exp_caught
       |  FROM (
       |    SELECT sim, n, bands, rows_per_band,
-      |      CAST(round(1 - (CASE WHEN bands = 8 THEN q3 WHEN bands = 16 THEN q4 ELSE q5 END), 6) AS DOUBLE) AS p
+      |      CAST(round(1 - (CASE WHEN bands = 8 THEN q3 WHEN bands = 16 THEN q4 WHEN bands = 32 THEN q5 ELSE q6 END), 6) AS DOUBLE) AS p
+      |    FROM (SELECT *, CAST(round(q5*q5, 8) AS DECIMAL(12,8)) AS q6
       |    FROM (SELECT *, CAST(round(q4*q4, 8) AS DECIMAL(12,8)) AS q5
       |    FROM (SELECT *, CAST(round(q3*q3, 8) AS DECIMAL(12,8)) AS q4
       |    FROM (SELECT *, CAST(round(q2*q2, 8) AS DECIMAL(12,8)) AS q3
@@ -268,14 +313,16 @@ object DedupQueries {
       |          FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
       |        ) GROUP BY sim
       |      ) h CROSS JOIN (
-      |        SELECT CAST(32 AS BIGINT) AS bands, CAST(4 AS BIGINT) AS rows_per_band
-      |        UNION ALL SELECT 16, 8 UNION ALL SELECT 8, 16
+      |        $cfgRows
       |      ) c
-      |    ))))))))))))
+      |    )))))))))))))
       |  GROUP BY bands, rows_per_band
       |)
-      |ORDER BY rows_per_band""".stripMargin
+      |ORDER BY rows_per_band, bands""".stripMargin
   }
+
+  private lazy val lshTuningSql = lshTuningSqlFor(wide = false, sample = false)
+  private lazy val lshTuningSampledSql = lshTuningSqlFor(wide = true, sample = true)
 
   // ---------------------------------------------------------------
   // Containment (asymmetric overlap): inter / |smaller set|. Jaccard
