@@ -404,6 +404,22 @@ class PlanSpec extends AnyFunSuite {
         "operator exists to avoid: " + p.take(800))
   }
 
+  test("funnel latency: exact grouped percentiles over the converted population, no global sort") {
+    val p = plan("events_funnel_latency")
+    // the percentile must stay the exact grouped aggregate with
+    // map-side partials (deterministic, and it runs on the TINY
+    // converted population), never an approximation...
+    assert(p.contains("partial_percentile"),
+      "exact grouped percentile with map-side partials expected: " + p.take(800))
+    assert(!p.contains("approx_percentile"), p.take(600))
+    // ...and never a rewrite that globally sorts the measure column
+    // (rank-arithmetic percentile over a full sort — the scale trap)
+    assert(!p.contains("rangepartitioning(secs") && !p.contains("Sort [secs"),
+      "secs must not be globally sorted: " + p.take(800))
+    // the funnel windows keep the ONE user_id partitioning
+    assert(p.contains("windowspecdefinition(user_id"), p.take(600))
+  }
+
   test("incremental neardup: the archive index never joins through a shuffle") {
     val p = plan("pipeline_incremental_neardup")
     assert(p.contains("BroadcastHashJoin"),

@@ -359,4 +359,36 @@ class SeriesForensicsSpec extends AnyFunSuite {
       assert(r.getLong(5) == vs.max)
     }
   }
+
+  // the 3-row metric grid is the report CONTRACT: it must survive the
+  // two degenerate corpora a fresh deployment actually serves first
+  private def assertEmptyGrid(dir: String): Unit = {
+    val got = graft.SparkEntry.queries("events_funnel_latency")(spark, dir)
+      .collect().sortBy(_.getString(0))
+    assert(got.map(_.getString(0)).toSeq === Seq("step12", "step23", "total"))
+    got.foreach { r =>
+      assert(r.getLong(1) === 0L, s"${r.getString(0)} n_users")
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
+        s"${r.getString(0)} stats must be NULL with no conversions")
+    }
+  }
+
+  test("funnel latency: an empty corpus still emits the full 3-row grid") {
+    val tmp = java.nio.file.Files.createTempDirectory("flat_empty").toString
+    graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 0)
+      .drop("ts_ns")
+      .coalesce(1).write.parquet(s"$tmp/events.parquet")
+    assertEmptyGrid(tmp)
+  }
+
+  test("funnel latency: users but zero conversions -> 3-row grid, NULL stats") {
+    val tmp = java.nio.file.Files.createTempDirectory("flat_noconv").toString
+    // plenty of clicks and views, but no purchase ever completes a chain
+    graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") =!= "purchase")
+      .drop("ts_ns")
+      .coalesce(1).write.parquet(s"$tmp/events.parquet")
+    assertEmptyGrid(tmp)
+  }
 }
