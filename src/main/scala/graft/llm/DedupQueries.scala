@@ -231,9 +231,17 @@ object DedupQueries {
   private def lshTuningSampled(spark: SparkSession, dir: String): DataFrame =
     lshTuningOn(spark, dir, wide = true, sample = true)
 
+  /** The df-cap must SCALE with the sample fraction (64 → 32 at 50%):
+    * a word's sampled document frequency is ~frac·df, so an unscaled
+    * cap would admit words the full-corpus tuner excludes (df in
+    * 65..128), inflating — not estimating — the pair histogram.
+    * Measured: unscaled, the sampled run costs MORE than the full one
+    * at sf1; scaled, it observes the same word population at a quarter
+    * of the pair volume. */
   private def lshTuningOn(
       spark: SparkSession, dir: String, wide: Boolean, sample: Boolean): DataFrame = {
-    val hist = jaccardPairs(spark, dir, dfCap = Some(LshTuneCap),
+    val hist = jaccardPairs(spark, dir,
+        dfCap = Some(if (sample) LshTuneCap / 2 else LshTuneCap),
         minSim = 0.0, simScale = 3, sample = sample)
       .select(col("jaccard").as("sim"))
       .groupBy(col("sim")).agg(count(lit(1)).as("n"))
@@ -274,7 +282,8 @@ object DedupQueries {
   }
 
   private def lshTuningSqlFor(wide: Boolean, sample: Boolean): String = {
-    val histCore = jaccardSqlFor(Some(LshTuneCap), sample = sample)
+    val histCore = jaccardSqlFor(
+      Some(if (sample) LshTuneCap / 2 else LshTuneCap), sample = sample)
     // reuse the capped-jaccard CTE chain up to `inter`, then histogram
     // at 3 dp with no threshold (the tuning universe is every pair an
     // LSH could surface)

@@ -36,6 +36,7 @@ object SimilarityQueries {
     NamedQuery("eval_ndcg_lsh", ndcgEval, Some(ndcgEvalSql)),
     NamedQuery("sample_kcenter_step", kcenterStep, Some(kcenterStepSql)),
     NamedQuery("sim_pca_power_step", pcaPowerStep, Some(pcaPowerStepSql)),
+    NamedQuery("sim_centroid_drift", centroidDrift, Some(centroidDriftSql)),
     NamedQuery("eval_auc_centroid", aucCentroid, Some(aucCentroidSql)),
     NamedQuery("eval_auc_binned", aucBinned, Some(aucBinnedSql)),
     NamedQuery("sim_recall_matryoshka", recallMatryoshka, Some(recallMatryoshkaSql)),
@@ -1607,4 +1608,62 @@ object SimilarityQueries {
       |GROUP BY x.q_id, l.d
       |ORDER BY x.q_id, l.d""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Embedding-centroid drift per label between two corpus halves
+  // (vec_id parity = the harness stand-in for "last snapshot vs this
+  // one"): cosine distance between each label's per-half mean vector.
+  // The embedding-space monitoring primitive — a label whose centroid
+  // moves is a class whose upstream encoder, data mix, or labeling
+  // drifted, caught without re-running any eval set.
+  //
+  // Scale shape: ONE pass over (vec, dim) rows reduces to
+  // |labels| x 2 x d per-dim DECIMAL sums (map-side combinable);
+  // centroid assembly and the cosine are window/array math on that
+  // reduction. Nothing after the first shuffle exceeds |labels| x d
+  // rows. Determinism: per-dim means divide exact DECIMAL sums and
+  // snap at 6 dp; the dot products run left-to-right over the same
+  // 6-dp arrays in both engines (the dedup_embedding_pairs
+  // list_dot_product discipline); sqrt is IEEE-exact.
+  private def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.table(spark, dir, "embeddings")
+      .select(col("label"), pmod(col("vec_id"), lit(2)).as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+    val means = comp.groupBy(col("label"), col("half"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Registry.rnd(
+          sum(col("x").cast("decimal(18,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+    val vecs = means.groupBy(col("label"), col("half"))
+      .agg(max(col("n")).as("n"),
+        expr("transform(sort_array(collect_list(struct(dim, mu))), s -> s.mu)").as("c"))
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
+    vecs.filter(col("half") === 0).select(col("label"), col("n").as("n_even"), col("c").as("c0"))
+      .join(vecs.filter(col("half") === 1)
+        .select(col("label"), col("n").as("n_odd"), col("c").as("c1")), Seq("label"))
+      .withColumn("drift", graft.ops.Registry.rnd(
+        lit(1.0) - dot("c0", "c1") / (sqrt(dot("c0", "c0")) * sqrt(dot("c1", "c1"))), 6))
+      .select(col("label"), col("n_even"), col("n_odd"), col("drift"))
+      .orderBy(col("label"))
+  }
+
+  private val centroidDriftSql =
+    """WITH comp AS (
+      |  SELECT label, vec_id % 2 AS half, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      |), m AS (
+      |  SELECT label, half, dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(round(CAST(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*)
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS mu
+      |  FROM comp GROUP BY label, half, dim
+      |), v AS (
+      |  SELECT label, half, max(n) AS n, list(mu ORDER BY dim) AS c
+      |  FROM m GROUP BY label, half
+      |)
+      |SELECT a.label, a.n AS n_even, b.n AS n_odd,
+      |  CAST(round(CAST(1.0 - list_dot_product(a.c, b.c)
+      |    / (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c)))
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS drift
+      |FROM v a JOIN v b ON a.label = b.label AND a.half = 0 AND b.half = 1
+      |ORDER BY a.label""".stripMargin
 }

@@ -26,6 +26,8 @@ object TextQueries {
     NamedQuery("text_bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
     NamedQuery("text_kn_bigram", knBigram, Some(knBigramSql)),
     NamedQuery("text_zipf_fit", zipfFit, Some(zipfFitSql)),
+    NamedQuery("text_readability", readability, Some(readabilitySql)),
+    NamedQuery("text_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
   )
 
   // ---------------------------------------------------------------
@@ -534,4 +536,119 @@ object TextQueries {
       |  CAST(round(CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy))
       |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS DECIMAL(18,8)), 4) AS DOUBLE) AS r2
       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Readability (Flesch reading ease, vowel-group syllable heuristic):
+  // FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word),
+  // syllables counted as maximal [aeiouy]+ runs, sentences as
+  // [.!?] occurrences floored at 1. The classic text-quality filter a
+  // pretraining pipeline runs beside Gopher rules — too-low FRE is
+  // boilerplate/gibberish, implausibly-high is listicle spam.
+  //
+  // Scale shape: a pure projection (two regex passes per doc, no
+  // shuffle) reduced to per-source aggregates — one exchange of the
+  // |sources|-row frame. Determinism: all three components are exact
+  // integer ratios; the per-doc FRE is one fixed-order double
+  // expression snapped at 4 dp, and the per-source mean divides an
+  // exact DECIMAL sum.
+  private def readability(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_sents", greatest(lit(1L),
+        length(regexp_replace(col("text"), "[^.!?]", "")).cast("long")))
+      .withColumn("n_syll",
+        length(regexp_replace(
+          regexp_replace(lower(col("text")), "[aeiouy]+", "V"), "[^V]", "")).cast("long"))
+      .withColumn("fre", rnd(
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+          - lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 4))
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rnd(sum(round(col("fre").cast("decimal(18,8)"), 8)).cast("double") / count(lit(1)), 4)
+          .as("mean_fre"),
+        min(col("fre")).as("min_fre"),
+        max(col("fre")).as("max_fre"))
+      .withColumn("band",
+        when(col("mean_fre") >= 60.0, "easy")
+          .when(col("mean_fre") >= 30.0, "medium").otherwise(lit("hard")))
+      .select(col("source"), col("n_docs"), col("mean_fre"),
+        col("min_fre"), col("max_fre"), col("band"))
+      .orderBy(col("source"))
+  }
+
+  private val readabilitySql =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    greatest(1, CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT)) AS n_sents,
+      |    CAST(length(regexp_replace(
+      |      regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'), '[^V]', '', 'g')) AS BIGINT) AS n_syll
+      |  FROM documents
+      |), f AS (
+      |  SELECT source,
+      |    CAST(round(CAST(206.835
+      |      - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+      |      - 84.6 * (CAST(n_syll AS DOUBLE) / n_words) AS DECIMAL(18,8)), 4) AS DOUBLE) AS fre
+      |  FROM d
+      |), s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(round(CAST(CAST(sum(round(CAST(fre AS DECIMAL(18,8)), 8)) AS DOUBLE) / count(*)
+      |      AS DECIMAL(18,8)), 4) AS DOUBLE) AS mean_fre,
+      |    min(fre) AS min_fre, max(fre) AS max_fre
+      |  FROM f GROUP BY source
+      |)
+      |SELECT source, n_docs, mean_fre, min_fre, max_fre,
+      |  CASE WHEN mean_fre >= 60.0 THEN 'easy'
+      |       WHEN mean_fre >= 30.0 THEN 'medium' ELSE 'hard' END AS band
+      |FROM s ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Within-document repetition: distinct word-3-grams over total
+  // 3-grams (1.0 = no internal repetition, low = the template/spam
+  // loop pattern near-dedup can't see because nothing else matches
+  // it). The intra-doc complement to the cross-doc dedup family.
+  //
+  // Scale shape: the ratio is ENTIRELY partition-local —
+  // array_distinct over the in-row shingle array, no explode, no
+  // shuffle — then one per-source exchange of the |sources|-row
+  // aggregate. Determinism: the ratio divides exact integers and
+  // snaps at 4 dp; the mean divides an exact DECIMAL sum.
+  private def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+      .withColumn("ratio", rnd(
+        size(array_distinct(col("sh"))).cast("double") / size(col("sh")), 4))
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rnd(sum(round(col("ratio").cast("decimal(18,8)"), 8)).cast("double") / count(lit(1)), 4)
+          .as("mean_ratio"),
+        min(col("ratio")).as("min_ratio"),
+        sum(when(col("ratio") < 0.5, 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy(col("source"))
+  }
+
+  private val repetitionRatioSql =
+    """WITH d AS (
+      |  SELECT source, list_transform(generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+      |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3
+      |), r AS (
+      |  SELECT source,
+      |    CAST(round(CAST(CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+      |      AS DECIMAL(18,8)), 4) AS DOUBLE) AS ratio
+      |  FROM d
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(round(CAST(CAST(sum(round(CAST(ratio AS DECIMAL(18,8)), 8)) AS DOUBLE) / count(*)
+      |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS mean_ratio,
+      |  min(ratio) AS min_ratio,
+      |  CAST(sum(CASE WHEN ratio < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
 }

@@ -42,6 +42,7 @@ object MonitorQueries {
     NamedQuery("events_bot_regularity", botRegularity, Some(botRegularitySql)),
     NamedQuery("eval_spearman_doclen", spearmanDoclen, Some(spearmanDoclenSql)),
     NamedQuery("eval_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)),
+    NamedQuery("events_pareto_users", paretoUsers, Some(paretoUsersSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -455,4 +456,67 @@ object MonitorQueries {
       |      AS DECIMAL(18,8)), 4) AS DOUBLE)
       |  END AS f1
       |FROM pr ORDER BY thr_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Revenue concentration across USERS (the whale report): what share
+  // of purchase revenue comes from the top 1% / 5% / 10% of users?
+  // The per-population Pareto check every ops review wants beside the
+  // per-supplier q11 — a dataset whose revenue (or traffic) hangs on
+  // a handful of whales needs different risk handling than a flat one.
+  //
+  // Scale shape: the corpus reduces to one row per PURCHASING user
+  // (map-side combinable DECIMAL sum) before anything orders; the
+  // ranking window runs over that reduction, and the three tier rows
+  // come from a broadcast 1-row total joined to the ranked cumsum at
+  // three rank positions — never a second pass over events. At 100 TB
+  // the user reduction is the irreducible table; everything after is
+  // |users|-bounded window math.
+  //
+  // Determinism: revenue stays DECIMAL(18,4) end to end (order-free
+  // sums, exact cumulative); rank ties break on user_id; the tier
+  // share is one exact-decimal ratio snapped at 4 dp.
+  private def paretoUsers(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = ev(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(dec(col("value"))).as("rev"))
+    val total = perUser.agg(
+      count(lit(1)).as("n_users"), sum(col("rev")).as("total_rev"))
+    val wRank = Window.orderBy(col("rev").desc, col("user_id"))
+    val wCum = Window.orderBy(col("rk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perUser
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("cum", sum(col("rev")).over(wCum))
+    val spark2 = spark; import spark2.implicits._
+    val tiers = Seq(("top1", 0.01), ("top5", 0.05), ("top10", 0.10))
+      .toDF("tier", "frac")
+    tiers
+      .crossJoin(broadcast(total))
+      .withColumn("n_top", greatest(lit(1L), floor(col("n_users") * col("frac")).cast("long")))
+      .join(ranked.select(col("rk"), col("cum")), col("rk") === col("n_top"))
+      .select(col("tier"), col("n_top"), col("n_users"),
+        rnd(col("cum").cast("double") / col("total_rev").cast("double"), 4).as("revenue_share"))
+      .orderBy(col("tier"))
+  }
+
+  private val paretoUsersSql =
+    """WITH u AS (
+      |  SELECT user_id, sum(CAST(value AS DECIMAL(18,4))) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      |), t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_users, sum(rev) AS total_rev FROM u
+      |), r AS (
+      |  SELECT rev, row_number() OVER (ORDER BY rev DESC, user_id) AS rk FROM u
+      |), c AS (
+      |  SELECT rk, sum(rev) OVER (ORDER BY rk
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM r
+      |)
+      |SELECT p.tier, greatest(1, CAST(floor(t.n_users * p.frac) AS BIGINT)) AS n_top,
+      |  t.n_users,
+      |  CAST(round(CAST(CAST(c.cum AS DOUBLE) / CAST(t.total_rev AS DOUBLE)
+      |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS revenue_share
+      |FROM t, (VALUES ('top1', 0.01), ('top5', 0.05), ('top10', 0.10)) p(tier, frac)
+      |JOIN c ON c.rk = greatest(1, CAST(floor(t.n_users * p.frac) AS BIGINT))
+      |ORDER BY p.tier""".stripMargin
 }

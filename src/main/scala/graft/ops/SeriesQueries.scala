@@ -31,6 +31,7 @@ object SeriesQueries {
     NamedQuery("join_basket_affinity", basketAffinity, Some(basketAffinitySql)),
     NamedQuery("events_attribution_linear", attributionLinear, Some(attributionLinearSql)),
     NamedQuery("events_funnel_latency", funnelLatency, Some(funnelLatencySql)),
+    NamedQuery("events_abandonment_rate", abandonmentRate, Some(abandonmentRateSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -517,4 +518,60 @@ object SeriesQueries {
       |FROM (VALUES ('step12'), ('step23'), ('total')) AS g(metric)
       |LEFT JOIN st ON st.metric = g.metric
       |ORDER BY g.metric""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Funnel abandonment by hour-of-day: among users who REACHED step 2
+  // (events_funnel_steps semantics — earliest click, earliest view
+  // at-or-after it), the fraction whose chain never completes with a
+  // purchase inside the hour window, bucketed by when step 2 happened.
+  // The question the funnel count doesn't answer: WHEN do we lose
+  // people — and the complement of funnel latency, which only sees
+  // converters.
+  //
+  // Scale shape: the same ONE user_id exchange as the funnel (three
+  // window passes over the same partitioning), reduced to one row per
+  // step-2 user before a 24-row hour aggregation. Determinism: the
+  // rate divides exact integers and snaps at 4 dp; hour() runs on the
+  // same UTC microsecond timestamps in both engines.
+  private def abandonmentRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val reached = ev(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t1", min(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "view" && col("ts") >= col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") >= col("t2")
+        && col("ts") <= col("t2") + expr("INTERVAL 1 HOUR"), col("ts"))).over(w))
+      .select(col("user_id"), col("t2"), col("t3")).distinct()
+      .filter(col("t2").isNotNull)
+    reached
+      .groupBy(hour(col("t2")).cast("int").as("hour_of_day"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(when(col("t3").isNull, 1L).otherwise(0L)).as("n_abandoned"))
+      .withColumn("abandon_rate",
+        rnd(col("n_abandoned").cast("double") / col("n_reached"), 4))
+      .orderBy(col("hour_of_day"))
+  }
+
+  private val abandonmentRateSql =
+    """WITH a AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS t1
+      |  FROM events GROUP BY user_id
+      |), b AS (
+      |  SELECT e.user_id, min(CASE WHEN e.event_type = 'view' AND e.ts >= a.t1 THEN e.ts END) AS t2
+      |  FROM events e JOIN a ON e.user_id = a.user_id GROUP BY e.user_id
+      |), c AS (
+      |  SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase'
+      |    AND e.ts >= b.t2 AND e.ts <= b.t2 + INTERVAL 1 HOUR THEN e.ts END) AS t3
+      |  FROM events e JOIN b ON e.user_id = b.user_id GROUP BY e.user_id
+      |), r AS (
+      |  SELECT b.user_id, b.t2, c.t3 FROM b JOIN c USING (user_id)
+      |  WHERE b.t2 IS NOT NULL
+      |)
+      |SELECT CAST(hour(t2) AS INT) AS hour_of_day,
+      |  count(*) AS n_reached,
+      |  CAST(sum(CASE WHEN t3 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+      |  CAST(round(CAST(CAST(sum(CASE WHEN t3 IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS abandon_rate
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 }

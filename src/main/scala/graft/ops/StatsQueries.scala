@@ -40,6 +40,7 @@ object StatsQueries {
     NamedQuery("eval_ks_by_source", ksBySource, Some(ksBySourceSql)),
     NamedQuery("eval_best_split", bestSplit, Some(bestSplitSql)),
     NamedQuery("agg_trimmed_mean", trimmedMean, Some(trimmedMeanSql)),
+    NamedQuery("eval_ols_doclen", olsDoclen, Some(olsDoclenSql)),
   )
 
   private val Ln2 = 0.6931471805599453
@@ -411,4 +412,95 @@ object StatsQueries {
       |FROM e JOIN thr ON thr.event_type = e.event_type
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Per-source OLS fit of quality score on log document length —
+  // "does this source's quality degrade with length, and how fast?"
+  // The regression-diagnostics primitive a curation gate runs per
+  // crawl: slope/intercept from the closed-form normal equations, r²
+  // for how much of the score variance length explains.
+  //
+  // Scale shape: ONE corpus pass reduces each source to five
+  // sufficient statistics (Σx, Σy, Σxy, Σx², Σy² — all map-side
+  // combinable DECIMAL sums); the fit itself is arithmetic on the
+  // |sources|-row frame. Nothing after the first shuffle touches more
+  // than |S| rows — the mi/ks reduction discipline.
+  //
+  // Determinism: x = ln(n_words) snaps to 6 dp (the psi/markov ln
+  // discipline), y is the 3-dp quality score; every product snaps to
+  // 8 dp before the exact DECIMAL sum, and the closed-form divisions
+  // run on identical doubles in both engines. Degenerate sources
+  // (zero length variance) report NULL slope/intercept/r2.
+  private def olsDoclen(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .withColumn("y", rnd(
+        lit(0.5) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
+        3))
+      .withColumn("x", rnd(log(col("n_words").cast("double")), 6))
+    // products of the 6-dp x and 3-dp y carry up to 12 decimal digits;
+    // snapping at any coarser scale lands on EXACT half-way points
+    // where the two engines' double->decimal casts disagree (shortest
+    // repr vs binary). At 12 dp every product is exactly representable
+    // (the doubles sit ~1e-14 from the true decimal, half-way gap
+    // 5e-13), so the sums are bit-identical by construction.
+    def s12(c: Column): Column = sum(round(c.cast("decimal(18,12)"), 12)).cast("double")
+    val stats = scored.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      s12(col("x")).as("sx"),
+      s12(col("y")).as("sy"),
+      s12(col("x") * col("y")).as("sxy"),
+      s12(col("x") * col("x")).as("sxx"),
+      s12(col("y") * col("y")).as("syy"))
+    stats
+      .withColumn("den", col("n_docs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("num", col("n_docs") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("deny", col("n_docs") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope", when(col("den") > 0, rnd(col("num") / col("den"), 6)))
+      .withColumn("intercept",
+        when(col("den") > 0, rnd((col("sy") - (col("num") / col("den")) * col("sx")) / col("n_docs"), 6)))
+      .withColumn("r2", when(col("den") > 0 && col("deny") > 0,
+        rnd(col("num") * col("num") / (col("den") * col("deny")), 6)))
+      .select(col("source"), col("n_docs"), col("slope"), col("intercept"), col("r2"))
+      .orderBy(col("source"))
+  }
+
+  private val olsDoclenSql =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop
+      |  FROM documents
+      |), xy AS (
+      |  SELECT source,
+      |    CAST(round(CAST(ln(CAST(n_words AS DOUBLE)) AS DECIMAL(18,8)), 6) AS DOUBLE) AS x,
+      |    CAST(round(CAST(0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+      |      + 0.5 * (1.0 - CAST(round(CAST(CAST(n_stop AS DOUBLE) / n_words AS DECIMAL(18,8)), 3) AS DOUBLE))
+      |      AS DECIMAL(18,8)), 3) AS DOUBLE) AS y
+      |  FROM t
+      |), st AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(round(CAST(x AS DECIMAL(18,12)), 12)) AS DOUBLE) AS sx,
+      |    CAST(sum(round(CAST(y AS DECIMAL(18,12)), 12)) AS DOUBLE) AS sy,
+      |    CAST(sum(round(CAST(x * y AS DECIMAL(18,12)), 12)) AS DOUBLE) AS sxy,
+      |    CAST(sum(round(CAST(x * x AS DECIMAL(18,12)), 12)) AS DOUBLE) AS sxx,
+      |    CAST(sum(round(CAST(y * y AS DECIMAL(18,12)), 12)) AS DOUBLE) AS syy
+      |  FROM xy GROUP BY source
+      |), f AS (
+      |  SELECT source, n_docs, sx, sy,
+      |    n_docs * sxx - sx * sx AS den,
+      |    n_docs * sxy - sx * sy AS num,
+      |    n_docs * syy - sy * sy AS deny
+      |  FROM st
+      |)
+      |SELECT source, n_docs,
+      |  CASE WHEN den > 0 THEN CAST(round(CAST(num / den AS DECIMAL(18,8)), 6) AS DOUBLE) END AS slope,
+      |  CASE WHEN den > 0 THEN CAST(round(CAST((sy - (num / den) * sx) / n_docs AS DECIMAL(18,8)), 6) AS DOUBLE) END AS intercept,
+      |  CASE WHEN den > 0 AND deny > 0 THEN CAST(round(CAST(num * num / (den * deny) AS DECIMAL(18,8)), 6) AS DOUBLE) END AS r2
+      |FROM f ORDER BY source""".stripMargin
 }
