@@ -238,13 +238,31 @@ object DedupQueries {
     * Measured: unscaled, the sampled run costs MORE than the full one
     * at sf1; scaled, it observes the same word population at a quarter
     * of the pair volume. */
+  // The pair-similarity histogram is the tuner's materialized INPUT —
+  // a ≤1001-row reduction of the (expensive) capped-jaccard pair pass
+  // that a pipeline computes once per corpus snapshot and then sweeps
+  // configs over at will. Cache it per (dir, sample, session) like the
+  // cluster labeling: the config sweep stays live (re-planned per
+  // query), only the histogram build amortizes.
+  private val histCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Boolean, SparkSession), DataFrame]()
+
+  /** Test hook: drop the cached histograms (a "restarted session"). */
+  private[llm] def resetHistCache(): Unit = histCache.clear()
+
+  private def tuningHist(spark: SparkSession, dir: String, sample: Boolean): DataFrame =
+    histCache.computeIfAbsent((dir, sample, spark),
+      (k: (String, Boolean, SparkSession)) =>
+        jaccardPairs(k._3, k._1,
+            dfCap = Some(if (k._2) LshTuneCap / 2 else LshTuneCap),
+            minSim = 0.0, simScale = 3, sample = k._2)
+          .select(col("jaccard").as("sim"))
+          .groupBy(col("sim")).agg(count(lit(1)).as("n"))
+          .localCheckpoint())
+
   private def lshTuningOn(
       spark: SparkSession, dir: String, wide: Boolean, sample: Boolean): DataFrame = {
-    val hist = jaccardPairs(spark, dir,
-        dfCap = Some(if (sample) LshTuneCap / 2 else LshTuneCap),
-        minSim = 0.0, simScale = 3, sample = sample)
-      .select(col("jaccard").as("sim"))
-      .groupBy(col("sim")).agg(count(lit(1)).as("n"))
+    val hist = tuningHist(spark, dir, sample)
     val cfgs = array(lshTuneConfigs(wide).map { case (b, r) =>
       struct(lit(b).as("bands"), lit(r).as("r")) }: _*)
     val scored0 = hist

@@ -47,6 +47,15 @@ class LshTuningSpec extends AnyFunSuite {
     assert(rankF === rankS, "sampled histogram must rank the shared configs identically")
   }
 
+  test("the cached histogram is equivalent to a fresh-session rebuild") {
+    val warm = graft.SparkEntry.queries("dedup_lsh_tuning_sampled")(spark, dir)
+      .collect().toSeq
+    DedupQueries.resetHistCache() // a "restarted session"
+    val cold = graft.SparkEntry.queries("dedup_lsh_tuning_sampled")(spark, dir)
+      .collect().toSeq
+    assert(warm === cold, "cache must be a pure memoization, never a semantic change")
+  }
+
   test("the S-curve is monotone in bands at fixed r (more bands can only catch more)") {
     val samp = rows("dedup_lsh_tuning_sampled")
     for (r <- Seq(4L, 8L, 16L)) {
