@@ -77,6 +77,59 @@ class StreamPsiSpec extends AnyFunSuite {
       batch.size * 2L, "sources must emit across multiple micro-batches")
   }
 
+  test("bin state survives a checkpoint restart: resumed counts continue, not restart") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("spsi_restart").toString
+    val ref = StreamPsi.referenceFrom(spark, dir)
+
+    def runUntilDrained(qn: String): Map[String, (Long, Double)] = {
+      val latest = scala.collection.mutable.Map[String, (Long, Double)]()
+      val q = StreamPsi.monitored(
+          spark.readStream
+            .schema(implicitly[org.apache.spark.sql.Encoder[StreamPsi.Doc]].schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(s"$base/in")
+            .as[StreamPsi.Doc],
+          ref)
+        .toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => latest(r.getString(0)) = (r.getLong(1), r.getDouble(2)))
+          ()
+        }
+        .trigger(Trigger.ProcessingTime(100))
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.processAllAvailable(); q.stop()
+      latest.toMap
+    }
+
+    TestSpark.withRocksDB {
+      // range split: every source (doc_id-keyed round-robin) appears in
+      // BOTH halves, so each source's state genuinely crosses the restart
+      docsDf.filter(col("doc_id") < 250).coalesce(1).write.parquet(s"$base/in/p1")
+      TestSpark.touch(s"$base/in/p1", 1000L)
+      val run1 = runUntilDrained("spsi_r1")
+      // stop the JVM-side query entirely, then deliver the rest: the
+      // resumed run must CONTINUE the persisted bin counts
+      docsDf.filter(col("doc_id") >= 250).coalesce(1).write.parquet(s"$base/in/p2")
+      TestSpark.touch(s"$base/in/p2", 2000L)
+      val run2 = runUntilDrained("spsi_r2")
+
+      val batch = graft.SparkEntry.queries("eval_psi_drift")(spark, dir)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(run2.keySet === batch.keySet)
+      batch.foreach { case (src, (n, psi)) =>
+        assert(run2(src)._1 === n,
+          s"source $src: post-restart n_docs must be the FULL corpus count")
+        assert(run2(src)._2 === psi, s"source $src: sealed-horizon PSI across the restart")
+        assert(run1(src)._1 < n,
+          s"source $src: run 1 must be partial or the restart proves nothing")
+      }
+    }
+  }
+
   test("psiOf: identical histogram scores 0/stable, disjoint mass scores major") {
     val ref = Array(0.5, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     val same = Array(50L, 50L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
