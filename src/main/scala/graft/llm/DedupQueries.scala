@@ -250,15 +250,21 @@ object DedupQueries {
   /** Test hook: drop the cached histograms (a "restarted session"). */
   private[llm] def resetHistCache(): Unit = histCache.clear()
 
+  /** The un-checkpointed histogram pipeline — exposed so PlanSpec can
+    * pin the BUILD plan (posting-list Generates, broadcast sizes, no
+    * cartesian), which the cached query no longer shows. */
+  private[graft] def tuningHistFresh(
+      spark: SparkSession, dir: String, sample: Boolean): DataFrame =
+    jaccardPairs(spark, dir,
+        dfCap = Some(if (sample) LshTuneCap / 2 else LshTuneCap),
+        minSim = 0.0, simScale = 3, sample = sample)
+      .select(col("jaccard").as("sim"))
+      .groupBy(col("sim")).agg(count(lit(1)).as("n"))
+
   private def tuningHist(spark: SparkSession, dir: String, sample: Boolean): DataFrame =
     histCache.computeIfAbsent((dir, sample, spark),
       (k: (String, Boolean, SparkSession)) =>
-        jaccardPairs(k._3, k._1,
-            dfCap = Some(if (k._2) LshTuneCap / 2 else LshTuneCap),
-            minSim = 0.0, simScale = 3, sample = k._2)
-          .select(col("jaccard").as("sim"))
-          .groupBy(col("sim")).agg(count(lit(1)).as("n"))
-          .localCheckpoint())
+        tuningHistFresh(k._3, k._1, k._2).localCheckpoint())
 
   private def lshTuningOn(
       spark: SparkSession, dir: String, wide: Boolean, sample: Boolean): DataFrame = {

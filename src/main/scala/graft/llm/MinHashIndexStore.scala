@@ -14,24 +14,36 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * archive snapshot, not once per arriving batch. This store
   * materializes the archive's `(doc_id, band, bucket)` rows
   * (DedupQueries.bandRows — the dedup_minhash_pairs signature scheme)
-  * as a parquet sidecar with the PqStore pointer-swap discipline:
-  * versioned immutable directory + atomically-renamed pointer file, so
-  * a reader never races a replacement through a delete window and a
-  * crashed builder at worst leaves an orphaned unreferenced version.
+  * as parquet SEGMENTS under a manifest pointer with the PqStore swap
+  * discipline: immutable versioned directories + an atomically-renamed
+  * pointer file, so a reader never races a replacement through a
+  * delete window and a crashed builder at worst leaves an orphaned
+  * unreferenced segment.
   *
-  * Validity is keyed on the archive row count (`_CORPUS_ROWS`): a
-  * regenerated corpus re-indexes instead of silently reusing signatures
-  * from vanished data — the CodebookStore/PqStore contract. The
-  * harness's archive predicate (doc_id % 10 <> 0, mirroring
-  * pipeline_incremental_dedup's batch split) is part of what the row
-  * count fingerprints; a deployment indexes its whole archive and keys
-  * on the snapshot id instead.
+  * The manifest is a newline-separated segment list (LSM-ish): a full
+  * build writes one segment; [[absorb]] appends an O(batch) delta
+  * segment when a batch is ACCEPTED into the archive — the existing
+  * archive is never re-signatured (the BucketedStateStore motion
+  * applied to the index). Segment compaction is an offline concern,
+  * exactly like the bucketed store's.
+  *
+  * Validity is keyed on the covered-document count (per-segment
+  * `_CORPUS_ROWS`, summed across the manifest): a regenerated corpus
+  * re-indexes instead of silently reusing signatures from vanished
+  * data — the CodebookStore/PqStore contract. The harness's archive
+  * predicate (doc_id % 10 <> 0, mirroring pipeline_incremental_dedup's
+  * batch split) is part of what the count fingerprints; a deployment
+  * indexes its whole archive and keys on the snapshot id instead.
   */
 object MinHashIndexStore {
 
-  /** Bumped on every actual index-build job; the restart spec pins that
+  /** Bumped on every FULL index-build job; the restart spec pins that
     * a second session loads the sidecar instead of bumping this. */
   @volatile var buildCount: Long = 0L
+
+  /** Bumped on every O(batch) delta absorption; the absorb spec pins
+    * that absorbing never bumps [[buildCount]]. */
+  @volatile var absorbCount: Long = 0L
 
   private def sane(dir: String) = dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
@@ -60,40 +72,54 @@ object MinHashIndexStore {
     }
   }
 
-  private[llm] def load(spark: SparkSession, dir: String, n: Long): Option[DataFrame] = {
+  /** Manifest segments referenced by the current pointer (empty when
+    * no index exists yet). */
+  private def segments(dir: String): Vector[Path] = {
     val base = baseFor(dir)
     val ptr = pointerFor(base)
-    val resolved =
-      if (Files.exists(ptr)) Some(base.getParent.resolve(Files.readString(ptr).trim))
-      else None
-    resolved.filter { p =>
-      val meta = p.resolve("_CORPUS_ROWS")
-      Files.exists(meta) && Files.readString(meta).trim == n.toString
-    }.map(p => spark.read.parquet(p.toString))
+    if (!Files.exists(ptr)) Vector.empty
+    else Files.readString(ptr).trim.split("\n").toVector
+      .map(_.trim).filter(_.nonEmpty).map(base.getParent.resolve(_))
   }
 
-  private def build(spark: SparkSession, dir: String, n: Long): Unit = {
+  private def segmentRows(p: Path): Option[Long] = {
+    val meta = p.resolve("_CORPUS_ROWS")
+    if (Files.exists(meta)) Some(Files.readString(meta).trim.toLong) else None
+  }
+
+  private[llm] def load(spark: SparkSession, dir: String, n: Long): Option[DataFrame] = {
+    val segs = segments(dir)
+    val covered = segs.map(segmentRows)
+    if (segs.isEmpty || covered.exists(_.isEmpty) || covered.flatten.sum != n) None
+    else Some(spark.read.parquet(segs.map(_.toString): _*))
+  }
+
+  /** Write one immutable segment holding `rows` band rows covering
+    * `covers` corpus documents; returns the segment dir name. */
+  private def writeSegment(dir: String, rows: DataFrame, covers: Long): String = {
     val base = baseFor(dir)
     Files.createDirectories(base.getParent)
     val version = java.util.UUID.randomUUID().toString
     val vdir = base.getParent.resolve(base.getFileName.toString + s".v-$version")
-    DedupQueries.bandRows(archiveDocs(spark, dir).select(col("doc_id"), col("text")))
-      .write.parquet(vdir.toString)
-    Files.writeString(vdir.resolve("_CORPUS_ROWS"), n.toString)
-    buildCount += 1
+    rows.write.parquet(vdir.toString)
+    Files.writeString(vdir.resolve("_CORPUS_ROWS"), covers.toString)
+    vdir.getFileName.toString
+  }
+
+  /** Atomically swap the manifest to `newSegs`, reclaiming segments
+    * referenced by neither the new manifest nor the immediately
+    * previous one (a concurrent session may hold a lazy DataFrame over
+    * the previous generation). */
+  private def swapManifest(dir: String, newSegs: Vector[String]): Unit = {
+    val base = baseFor(dir)
     val ptr = pointerFor(base)
-    val previous =
-      if (Files.exists(ptr)) Some(Files.readString(ptr).trim).filter(_.nonEmpty)
-      else None
+    val previous = segments(dir).map(_.getFileName.toString)
     val tmp = Files.createTempFile(base.getParent, ptr.getFileName.toString, ".tmp")
-    Files.writeString(tmp, vdir.getFileName.toString)
+    Files.writeString(tmp, newSegs.mkString("\n"))
     Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // reclaim versions neither current nor immediately-previous (a
-    // concurrent session may hold a lazy DataFrame over the previous
-    // one, so it survives one more generation)
     val prefix = base.getFileName.toString + ".v-"
-    val keep = Set(vdir.getFileName.toString) ++ previous
+    val keep = newSegs.toSet ++ previous
     val listing = Files.list(base.getParent)
     try listing.forEach { q =>
       val name = q.getFileName.toString
@@ -101,5 +127,32 @@ object MinHashIndexStore {
         try org.apache.commons.io.FileUtils.deleteDirectory(q.toFile)
         catch { case _: java.io.IOException => () }
     } finally listing.close()
+  }
+
+  private def build(spark: SparkSession, dir: String, n: Long): Unit = {
+    val seg = writeSegment(dir,
+      DedupQueries.bandRows(archiveDocs(spark, dir).select(col("doc_id"), col("text"))), n)
+    buildCount += 1
+    swapManifest(dir, Vector(seg))
+  }
+
+  /** O(batch) index maintenance: when `accepted` (doc_id, text) docs
+    * are admitted into the archive, append ONLY their band rows as a
+    * new immutable segment and swap the manifest — the existing
+    * archive is never re-signatured. Returns the updated index frame
+    * (union of all segments). The caller owns corpus-count accounting:
+    * after absorption the index covers previous-total + |accepted|
+    * documents, and [[load]] resolves against that new total. */
+  def absorb(spark: SparkSession, dir: String, accepted: DataFrame): DataFrame = {
+    val prevSegs = segments(dir)
+    require(prevSegs.nonEmpty, s"no index to absorb into for $dir — build first")
+    val prevTotal = prevSegs.flatMap(segmentRows).sum
+    val nNew = accepted.count()
+    val seg = writeSegment(dir,
+      DedupQueries.bandRows(accepted.select(col("doc_id"), col("text"))), nNew)
+    absorbCount += 1
+    swapManifest(dir, prevSegs.map(_.getFileName.toString) :+ seg)
+    load(spark, dir, prevTotal + nNew).getOrElse(
+      sys.error(s"minhash index for $dir failed to resolve after absorb"))
   }
 }

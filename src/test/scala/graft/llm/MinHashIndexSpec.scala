@@ -52,6 +52,34 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(r1 === r2, "reloaded index must give bit-identical flags")
   }
 
+  test("absorb appends an O(batch) delta: union equals a full re-index, zero rebuild jobs") {
+    val tmp = java.nio.file.Files.createTempDirectory("mh_absorb").toString
+    val docs = graft.ops.Tables.table(spark, dir, "documents")
+    docs.write.parquet(s"$tmp/documents.parquet")
+    MinHashIndexStore.loadOrBuild(spark, tmp).count() // base segment
+    val (b0, a0) = (MinHashIndexStore.buildCount, MinHashIndexStore.absorbCount)
+
+    // the batch gets ACCEPTED into the archive: index absorbs only its rows
+    val batch = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+    val absorbed = MinHashIndexStore.absorb(spark, tmp, batch)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(MinHashIndexStore.buildCount === b0,
+      "absorbing a batch must never re-signature the archive")
+    assert(MinHashIndexStore.absorbCount === a0 + 1)
+
+    val full = DedupQueries.bandRows(docs.select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(absorbed === full, "base + delta must equal a from-scratch index of archive+batch")
+
+    // a second delta stacks (the LSM manifest holds many segments)
+    val more = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val absorbed2 = MinHashIndexStore.absorb(spark, tmp, more).count()
+    assert(MinHashIndexStore.absorbCount === a0 + 2)
+    assert(absorbed2 > absorbed.size, "second segment's rows must be visible")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("a changed archive invalidates the sidecar (row-count fingerprint)") {
     val tmp = java.nio.file.Files.createTempDirectory("mh_corpus").toString
     val docs = graft.ops.Tables.table(spark, dir, "documents")

@@ -522,10 +522,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("lsh tuning: posting-list Generate pipeline, no cartesian, sizes broadcast") {
-    val p = plan("dedup_lsh_tuning")
+    // the histogram BUILD (paid once per (dir, sample, session)) keeps
+    // the capped-jaccard shape...
+    val p = graft.llm.DedupQueries.tuningHistFresh(spark, dir, sample = false)
+      .queryExecution.executedPlan.toString
     assert(p.contains("Generate"), p.take(600))
     assert(p.contains("BroadcastHashJoin"), "doc-size lookups must broadcast: " + p.take(600))
     assert(!p.contains("CartesianProduct"), "the config fan-out is an explode, not a cross join")
+    // ...and the cached QUERY never re-scans the corpus: the sweep runs
+    // off the checkpointed <=1001-row histogram
+    val q = plan("dedup_lsh_tuning")
+    assert(!q.contains("documents.parquet"),
+      "cached tuning sweep must not re-read the corpus: " + q.take(600))
+    assert(!q.contains("CartesianProduct"))
   }
 
   test("judge agreement: both verdicts fuse into one rollup Expand pass, no join") {
