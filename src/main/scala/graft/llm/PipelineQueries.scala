@@ -57,6 +57,7 @@ object PipelineQueries {
     NamedQuery("pipeline_curate_corpus", curateCorpus, Some(curateCorpusSql)),
     NamedQuery("pipeline_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     NamedQuery("pipeline_incremental_neardup", incrementalNearDup, Some(incrementalNearDupSql)),
+    NamedQuery("pipeline_neardup_confirmed", nearDupConfirmed, Some(nearDupConfirmedSql)),
   )
 
   // ---------------------------------------------------------------
@@ -396,6 +397,105 @@ object PipelineQueries {
        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS near_dup
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // The full production ingest shape: LSH candidates → EXACT confirm.
+  // pipeline_incremental_neardup flags bucket collisions; this query
+  // verifies each candidate pair with exact word-set jaccard before
+  // the batch doc is declared a duplicate — LSH-then-verify, the
+  // two-stage discipline every real near-dup pipeline runs (candidates
+  // bound the quadratic, the verifier restores precision).
+  //
+  // Scale shape: candidates come off the sidecar index map-side (the
+  // incremental_neardup plan); the confirm stage touches ONLY hit
+  // docs — archive text is fetched through a broadcast semi-join on
+  // the (tiny) hit-id set, so the archive scan still never shuffles,
+  // and the per-pair intersection joins words THROUGH the broadcast
+  // pair list (batch-side words carry the pair fan-out; archive words
+  // only exist for hit docs). Verify cost is O(candidates · doc len),
+  // not O(batch · archive).
+  private def nearDupConfirmed(spark: SparkSession, dir: String): DataFrame = {
+    val archiveIdx = MinHashIndexStore.loadOrBuild(spark, dir)
+    val docs = Tables.table(spark, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val batchBands = DedupQueries.bandRows(batch.select(col("doc_id"), col("text")))
+      .withColumnRenamed("doc_id", "b_id")
+    val pairs = archiveIdx
+      .join(broadcast(batchBands), Seq("band", "bucket"))
+      .select(col("b_id"), col("doc_id").as("a_id")).distinct()
+    // exact confirm on candidate pairs only: each hit population's
+    // word arrays materialize ONCE (localCheckpoint — candidate-
+    // bounded tiny, and it caps the archive at a single text-column
+    // scan), then words and sizes both derive from the materialized
+    // frame instead of re-scanning the corpus per use
+    def hitWords(df: DataFrame, ids: DataFrame, idAs: String) = df
+      .join(broadcast(ids.toDF("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as(idAs),
+        array_distinct(split(col("text"), " ")).as("ws"))
+      .localCheckpoint()
+    val archW = hitWords(docs.filter(col("doc_id") % 10 =!= 0),
+      pairs.select(col("a_id")).distinct(), "a2")
+    val batchW = hitWords(batch, pairs.select(col("b_id")).distinct(), "b_id")
+    val inter = batchW.select(col("b_id"), explode(col("ws")).as("w"))
+      .join(broadcast(pairs), Seq("b_id"))
+      .join(archW.select(col("a2"), explode(col("ws")).as("w2")),
+        col("a_id") === col("a2") && col("w") === col("w2"))
+      .groupBy(col("b_id"), col("a_id")).agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(broadcast(batchW.select(col("b_id"), size(col("ws")).as("sb"))), Seq("b_id"))
+      .join(broadcast(archW.select(col("a2").as("a_id"), size(col("ws")).as("sa"))), Seq("a_id"))
+      .withColumn("jaccard", graft.ops.Registry.rnd(
+        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 4))
+    val perDoc = pairs.groupBy(col("b_id")).agg(count(lit(1)).as("n_candidates"))
+      .join(scored.groupBy(col("b_id")).agg(max(col("jaccard")).as("best_jaccard")),
+        Seq("b_id"), "left")
+    batch.select(col("doc_id"))
+      .join(broadcast(perDoc.withColumnRenamed("b_id", "doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_jaccard"),
+        coalesce(col("best_jaccard") >= 0.5, lit(false)).as("confirmed_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val nearDupConfirmedSql =
+    s"""WITH ${DedupQueries.minhashCtes}, cand AS (
+       |  SELECT DISTINCT b.doc_id AS b_id, a.doc_id AS a_id
+       |  FROM bands b JOIN bands a ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE b.doc_id % 10 = 0 AND a.doc_id % 10 <> 0
+       |), wsets AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents
+       |), sizes AS (
+       |  SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS sz
+       |  FROM documents
+       |), inter AS (
+       |  SELECT c.b_id, c.a_id, count(*) AS inter
+       |  FROM cand c
+       |  JOIN wsets wb ON wb.doc_id = c.b_id
+       |  JOIN wsets wa ON wa.doc_id = c.a_id AND wa.w = wb.w
+       |  GROUP BY c.b_id, c.a_id
+       |), scored AS (
+       |  SELECT i.b_id,
+       |    CAST(round(CAST(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)
+       |      AS DECIMAL(18,8)), 4) AS DOUBLE) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sb ON sb.doc_id = i.b_id
+       |  JOIN sizes sa ON sa.doc_id = i.a_id
+       |), per_doc AS (
+       |  SELECT c.b_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cand c GROUP BY c.b_id
+       |), best AS (
+       |  SELECT b_id, max(jaccard) AS best_jaccard FROM scored GROUP BY b_id
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_candidates, 0) AS n_candidates,
+       |  b.best_jaccard,
+       |  coalesce(b.best_jaccard >= 0.5, false) AS confirmed_dup
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+       |LEFT JOIN per_doc p ON p.b_id = d.doc_id
+       |LEFT JOIN best b ON b.b_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
   private val incrementalDedupSql =

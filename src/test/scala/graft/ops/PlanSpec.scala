@@ -434,6 +434,18 @@ class PlanSpec extends AnyFunSuite {
       "archive signatures must come from the persisted sidecar: " + p.take(800))
   }
 
+  test("neardup confirm: one archive text scan, no cartesian, candidates off the sidecar") {
+    val p = plan("pipeline_neardup_confirmed")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("minhash_archive_"),
+      "candidates must come from the persisted sidecar: " + p.take(600))
+    // the verify stage materializes hit-doc words once: the raw corpus
+    // text reaches the plan at most 3 times (bands batch scan + one
+    // archive fetch + one batch fetch) — never per confirm sub-use
+    val scans = "documents.parquet".r.findAllIn(p).length
+    assert(scans <= 3, s"expected <=3 corpus scans, got $scans: " + p.take(800))
+  }
+
   test("auc eval: centroids broadcast to the scoring join, no cartesian") {
     val p = plan("eval_auc_centroid")
     assert(p.contains("BroadcastHashJoin"),
