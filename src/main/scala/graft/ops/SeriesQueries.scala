@@ -32,6 +32,7 @@ object SeriesQueries {
     NamedQuery("events_attribution_linear", attributionLinear, Some(attributionLinearSql)),
     NamedQuery("events_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     NamedQuery("events_abandonment_rate", abandonmentRate, Some(abandonmentRateSql)),
+    NamedQuery("events_survival_km", survivalKm, Some(survivalKmSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -574,4 +575,116 @@ object SeriesQueries {
       |  CAST(round(CAST(CAST(sum(CASE WHEN t3 IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
       |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS abandon_rate
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Kaplan–Meier time-to-event: survival curve of "time from first
+  // signup to first purchase inside a 48-hour activation window",
+  // right-censored administratively at min(48 h, corpus horizon) — the
+  // survival-analysis primitive behind activation dashboards ("how
+  // long until half the signups convert?") that a plain conversion
+  // rate can't answer because censored users carry information a mean
+  // would throw away.
+  //
+  // Scale shape: one user_id exchange reduces every user to a
+  // (duration, converted) pair; the event-time grid groupBy is a
+  // second bounded reduction (≤ |users| rows), and the risk-set /
+  // product-limit windows run over THAT — nothing global ever touches
+  // raw events. Determinism: risk sets and event counts are exact
+  // integers; each product-limit factor enters as ln(1 − d/n) snapped
+  // at 6 dp into an exact DECIMAL cumulative sum (the KS/psi ln
+  // discipline), exp snaps at 4 dp (the domain-reweight exp
+  // discipline); a step where d = n_risk pins survival to exactly 0
+  // rather than feeding ln(0).
+  private val KmWindowSec = 172800L // the 48-hour activation window
+
+  private def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+    val subj = e
+      .withColumn("t0", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t1", min(when(col("event_type") === "purchase" && col("ts") >= col("t0"), col("ts"))).over(w))
+      .select(col("user_id"), col("t0"), col("t1")).distinct()
+      .filter(col("t0").isNotNull)
+      .crossJoin(broadcast(e.agg(max(col("ts")).as("tmax"))))
+      // administrative censor time per subject: the activation window,
+      // truncated by how much corpus the subject had left to convert in
+      .withColumn("c", least(lit(KmWindowSec), col("tmax").cast("long") - col("t0").cast("long")))
+      .withColumn("delta", col("t1").cast("long") - col("t0").cast("long"))
+      .select(
+        when(col("t1").isNotNull && col("delta") <= col("c"), col("delta"))
+          .otherwise(col("c")).as("dur"),
+        (col("t1").isNotNull && col("delta") <= col("c")).as("converted"))
+    val grid = subj.groupBy(col("dur").as("t_sec"))
+      .agg(
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("removed"))
+    val wT = Window.orderBy(col("t_sec"))
+    val wCum = wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zero = lit(0).cast("decimal(18,8)")
+    val km = grid
+      .withColumn("n_risk",
+        sum(col("removed")).over(Window.orderBy(col("t_sec"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("hit_zero",
+        max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(wCum))
+      .withColumn("lnsum", sum(
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          rnd(log(lit(1.0) - col("d").cast("double") / col("n_risk")), 6)
+            .cast("decimal(18,8)"))
+          .otherwise(zero)).over(wCum))
+    km.filter(col("d") > 0)
+      .select(col("t_sec"), col("n_risk"), col("d").as("n_events"),
+        rnd(col("d").cast("double") / col("n_risk"), 6).as("hazard"),
+        when(col("hit_zero") === 1, lit(0.0))
+          .otherwise(rnd(exp(col("lnsum").cast("double")), 4)).as("survival"))
+      .orderBy(col("t_sec"))
+  }
+
+  private val survivalKmSql =
+    """WITH u AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+      |  FROM events GROUP BY user_id
+      |), p AS (
+      |  SELECT e.user_id,
+      |    min(CASE WHEN e.event_type = 'purchase' AND e.ts >= u.t0 THEN e.ts END) AS t1,
+      |    any_value(u.t0) AS t0
+      |  FROM events e JOIN u ON e.user_id = u.user_id
+      |  WHERE u.t0 IS NOT NULL GROUP BY e.user_id
+      |), horizon AS (SELECT max(ts) AS tmax FROM events),
+      |subj AS (
+      |  SELECT user_id,
+      |    CASE WHEN t1 IS NOT NULL AND delta <= c THEN delta ELSE c END AS dur,
+      |    (t1 IS NOT NULL AND delta <= c) AS converted
+      |  FROM (
+      |    SELECT user_id, t1,
+      |      least(172800, epoch_ns(h.tmax)//1000000000 - epoch_ns(t0)//1000000000) AS c,
+      |      epoch_ns(t1)//1000000000 - epoch_ns(t0)//1000000000 AS delta
+      |    FROM p, horizon h
+      |  )
+      |), grid AS (
+      |  SELECT dur AS t_sec,
+      |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS removed
+      |  FROM subj GROUP BY dur
+      |), km AS (
+      |  SELECT t_sec, d,
+      |    CAST(sum(removed) OVER (ORDER BY t_sec
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      |  FROM grid
+      |), acc AS (
+      |  SELECT t_sec, n_risk, d,
+      |    max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t_sec
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero,
+      |    sum(CASE WHEN d > 0 AND d < n_risk THEN
+      |        CAST(round(CAST(ln(1.0 - CAST(d AS DOUBLE) / n_risk) AS DECIMAL(18,8)), 6) AS DECIMAL(18,8))
+      |      ELSE CAST(0 AS DECIMAL(18,8)) END) OVER (ORDER BY t_sec
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+      |  FROM km
+      |)
+      |SELECT t_sec, n_risk, d AS n_events,
+      |  CAST(round(CAST(CAST(d AS DOUBLE) / n_risk AS DECIMAL(18,8)), 6) AS DOUBLE) AS hazard,
+      |  CASE WHEN hit_zero = 1 THEN 0.0
+      |    ELSE CAST(round(CAST(exp(CAST(lnsum AS DOUBLE)) AS DECIMAL(18,8)), 4) AS DOUBLE) END AS survival
+      |FROM acc WHERE d > 0
+      |ORDER BY t_sec""".stripMargin
 }

@@ -139,6 +139,51 @@ class RoundThirteenSpec extends AnyFunSuite {
     assert(model.values.exists(_._2 > 0), "fixture must contain abandonments")
   }
 
+  test("events_survival_km matches a textbook Kaplan-Meier model") {
+    val kmDir = dir
+    val es = graft.ops.Tables.events(spark, kmDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tmax = es.map(_._3).max / 1000000L
+    val subj = es.groupBy(_._1).values.flatMap { evs =>
+      val t0 = evs.filter(_._2 == "signup").map(_._3).minOption
+      t0.map { s =>
+        val t1 = evs.filter(e => e._2 == "purchase" && e._3 >= s).map(_._3).minOption
+        val c = math.min(172800L, tmax - s / 1000000L) // 48 h administrative censor
+        t1.map(_ / 1000000L - s / 1000000L) match {
+          case Some(d) if d <= c => (d, true)
+          case _                 => (c, false)
+        }
+      }
+    }.toVector
+    // textbook product-limit over the event-time grid
+    val grid = subj.groupBy(_._1).toVector.sortBy(_._1)
+      .map { case (t, xs) => (t, xs.count(_._2).toLong, xs.size.toLong) }
+    var atRisk = subj.size.toLong
+    var surv = 1.0
+    val model = grid.flatMap { case (t, d, removed) =>
+      val row = if (d > 0) {
+        surv = if (d >= atRisk) 0.0 else surv * (1.0 - d.toDouble / atRisk)
+        Some((t, (atRisk, d, d.toDouble / atRisk, surv)))
+      } else None
+      atRisk -= removed
+      row
+    }.toMap
+    val got = graft.SparkEntry.queries("events_survival_km")(spark, kmDir).collect()
+    assert(got.map(_.getLong(0)).toSet === model.keySet)
+    got.foreach { r =>
+      val (nRisk, d, hazard, s) = model(r.getLong(0))
+      assert(r.getLong(1) === nRisk, s"t=${r.getLong(0)} n_risk")
+      assert(r.getLong(2) === d)
+      assert(math.abs(r.getDouble(3) - hazard) < 1e-4)
+      assert(math.abs(r.getDouble(4) - s) < 1e-3, s"t=${r.getLong(0)} survival")
+    }
+    // the curve is a proper survival function: monotone non-increasing
+    val curve = got.sortBy(_.getLong(0)).map(_.getDouble(4))
+    assert(curve.zip(curve.tail).forall { case (a, b) => a >= b - 1e-9 })
+    assert(subj.exists(!_._2), "fixture must contain censored users")
+  }
+
   test("sim_centroid_drift matches a per-label mean-vector model") {
     val rows = graft.ops.Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
