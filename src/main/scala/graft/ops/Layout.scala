@@ -36,6 +36,7 @@ object Layout {
 
   def queries: Vector[NamedQuery] = Vector(
     NamedQuery("layout_zorder_stats", zorderStats, Some(zorderStatsSql)),
+    NamedQuery("layout_shard_skew", shardSkew, Some(shardSkewSql)),
   )
 
   /** Morton interleave of two pre-quantized 8-bit values as an integer
@@ -99,6 +100,49 @@ object Layout {
       .select(col("layout"), col("bucket"), col("n"), col("p_span"), col("s_span"))
       .orderBy(col("layout"), col("bucket"))
   }
+
+  // ---------------------------------------------------------------
+  // Shard-skew audit — the pre-flight check before any distributed
+  // write: hash documents into 64 shards (md5 of the doc id, the
+  // split_assign slice family) and report each shard's doc and token
+  // mass against the mean. A load_factor far from 1.0 means a straggler
+  // shard at write AND read time; with a uniform hash the factors
+  // concentrate near 1, and any systematic drift here catches a broken
+  // key long before a 100 TB job does.
+  //
+  // Scale shape: ONE map-side-combinable pass reduces the corpus to 64
+  // rows; the mean rides a window over those 64. Determinism: masses
+  // are exact integers, the load factor is one snapped division.
+  private def shardSkew(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val sharded = graft.ops.Tables.table(spark, dir, "documents")
+      .select(expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 64")
+        .as("shard"), col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    sharded
+      .withColumn("mean_chars",
+        sum(col("chars")).over(wAll).cast("double") / count(lit(1)).over(wAll))
+      .select(col("shard"), col("n_docs"), col("chars"),
+        graft.ops.Registry.rnd(col("chars").cast("double") / col("mean_chars"), 4)
+          .as("load_factor"))
+      .orderBy(col("shard"))
+  }
+
+  private val shardSkewSql =
+    """WITH s AS (
+      |  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS BIGINT) AS shard,
+      |    n_chars
+      |  FROM documents
+      |), g AS (
+      |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM s GROUP BY shard
+      |), m AS (
+      |  SELECT *, CAST(sum(chars) OVER () AS DOUBLE) / count(*) OVER () AS mean_chars FROM g
+      |)
+      |SELECT shard, n_docs, chars,
+      |  CAST(round(CAST(CAST(chars AS DOUBLE) / mean_chars AS DECIMAL(18,8)), 4) AS DOUBLE) AS load_factor
+      |FROM m ORDER BY shard""".stripMargin
 
   private val zorderStatsSql = {
     val morton = mortonExpr("qp", "qs", "//")

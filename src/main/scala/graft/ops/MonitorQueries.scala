@@ -43,6 +43,7 @@ object MonitorQueries {
     NamedQuery("eval_spearman_doclen", spearmanDoclen, Some(spearmanDoclenSql)),
     NamedQuery("eval_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)),
     NamedQuery("events_pareto_users", paretoUsers, Some(paretoUsersSql)),
+    NamedQuery("events_growth_accounting", growthAccounting, Some(growthAccountingSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -519,4 +520,96 @@ object MonitorQueries {
       |FROM t, (VALUES ('top1', 0.01), ('top5', 0.05), ('top10', 0.10)) p(tier, frac)
       |JOIN c ON c.rk = greatest(1, CAST(floor(t.n_users * p.frac) AS BIGINT))
       |ORDER BY p.tier""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Growth accounting (the new/retained/resurrected/churned weekly
+  // decomposition): every weekly-active count splits exactly into
+  // new + retained + resurrected, churn is charged to the first
+  // inactive week after an active one, and the quick ratio
+  // (new + resurrected) / churned says whether the population is
+  // structurally growing. The standard growth-team report — and an
+  // identity-checked one: WAU(w) ≡ new + retained + resurrected.
+  //
+  // Scale shape: events reduce to the distinct (user, week) activity
+  // table in ONE pass; stage classification is a lag/lead window per
+  // user over that reduction; the weekly report is a |weeks|-row
+  // aggregation. Churn events fan out of the same window pass (a
+  // lead() gap check), so nothing ever scans events twice.
+  private def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val uw = ev(spark, dir)
+      .select(col("user_id"), expr("sec div 604800").as("week"))
+      .groupBy(col("user_id"), col("week")).agg(count(lit(1)).as("n_ev"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val staged = uw
+      .withColumn("first_week", min(col("week")).over(
+        Window.partitionBy(col("user_id"))))
+      .withColumn("prev", lag(col("week"), 1).over(wU))
+      .withColumn("next", lead(col("week"), 1).over(wU))
+      .withColumn("stage",
+        when(col("week") === col("first_week"), "new")
+          .when(col("prev") === col("week") - 1, "retained")
+          .otherwise(lit("resurrected")))
+    val horizon = uw.agg(max(col("week")).as("max_week"))
+    // churn event at week+1 whenever the next active week isn't week+1
+    // (and week+1 is still inside the horizon)
+    val churn = staged
+      .crossJoin(broadcast(horizon))
+      .filter((col("next").isNull || col("next") > col("week") + 1)
+        && col("week") + 1 <= col("max_week"))
+      .select((col("week") + 1).as("week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    val weekly = staged.groupBy(col("week"))
+      .agg(
+        sum(when(col("stage") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("stage") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("stage") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        count(lit(1)).as("wau"))
+    weekly.join(churn, Seq("week"), "left")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .withColumn("quick_ratio",
+        when(col("n_churned") > 0, rnd(
+          (col("n_new") + col("n_resurrected")).cast("double") / col("n_churned"), 4)))
+      .select(col("week"), col("wau"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"), col("quick_ratio"))
+      .orderBy(col("week"))
+  }
+
+  private val growthAccountingSql =
+    """WITH uw AS (
+      |  SELECT user_id, (epoch_ns(ts)//1000000000)//604800 AS week
+      |  FROM events GROUP BY 1, 2
+      |), staged AS (
+      |  SELECT user_id, week,
+      |    min(week) OVER (PARTITION BY user_id) AS first_week,
+      |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+      |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next
+      |  FROM uw
+      |), labeled AS (
+      |  SELECT week,
+      |    CASE WHEN week = first_week THEN 'new'
+      |         WHEN prev = week - 1 THEN 'retained'
+      |         ELSE 'resurrected' END AS stage,
+      |    next
+      |  FROM staged
+      |), horizon AS (SELECT max(week) AS max_week FROM uw),
+      |churn AS (
+      |  SELECT week + 1 AS week, CAST(count(*) AS BIGINT) AS n_churned
+      |  FROM labeled, horizon
+      |  WHERE (next IS NULL OR next > week + 1) AND week + 1 <= max_week
+      |  GROUP BY week + 1
+      |), weekly AS (
+      |  SELECT week,
+      |    CAST(sum(CASE WHEN stage = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(sum(CASE WHEN stage = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(sum(CASE WHEN stage = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+      |    CAST(count(*) AS BIGINT) AS wau
+      |  FROM labeled GROUP BY week
+      |)
+      |SELECT w.week, w.wau, w.n_new, w.n_retained, w.n_resurrected,
+      |  coalesce(c.n_churned, 0) AS n_churned,
+      |  CASE WHEN coalesce(c.n_churned, 0) > 0 THEN
+      |    CAST(round(CAST(CAST(w.n_new + w.n_resurrected AS DOUBLE) / c.n_churned
+      |      AS DECIMAL(18,8)), 4) AS DOUBLE) END AS quick_ratio
+      |FROM weekly w LEFT JOIN churn c ON c.week = w.week
+      |ORDER BY w.week""".stripMargin
 }
