@@ -1625,7 +1625,11 @@ object SimilarityQueries {
   // snap at 6 dp; the dot products run left-to-right over the same
   // 6-dp arrays in both engines (the dedup_embedding_pairs
   // list_dot_product discipline); sqrt is IEEE-exact.
-  private def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(label, half) 6-dp centroid arrays — shared by the batch
+    * drift query and StreamCentroidDrift.referenceFrom (the streaming
+    * twin's static reference must be THIS exact arithmetic or the
+    * bit-exactness contract breaks). */
+  private[graft] def centroidMeans(spark: SparkSession, dir: String): DataFrame = {
     val comp = Tables.table(spark, dir, "embeddings")
       .select(col("label"), pmod(col("vec_id"), lit(2)).as("half"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -1633,9 +1637,13 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n"),
         graft.ops.Registry.rnd(
           sum(col("x").cast("decimal(18,8)")).cast("double") / count(lit(1)), 6).as("mu"))
-    val vecs = means.groupBy(col("label"), col("half"))
+    means.groupBy(col("label"), col("half"))
       .agg(max(col("n")).as("n"),
         expr("transform(sort_array(collect_list(struct(dim, mu))), s -> s.mu)").as("c"))
+  }
+
+  private def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = centroidMeans(spark, dir)
     val dot = (a: String, b: String) =>
       expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
     vecs.filter(col("half") === 0).select(col("label"), col("n").as("n_even"), col("c").as("c0"))
