@@ -80,6 +80,21 @@ class MinHashIndexSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("a reader holding the pre-absorb manifest survives the swap (one-generation keep)") {
+    val tmp = java.nio.file.Files.createTempDirectory("mh_swap").toString
+    val docs = graft.ops.Tables.table(spark, dir, "documents")
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val before = MinHashIndexStore.loadOrBuild(spark, tmp) // lazy over the old manifest
+    val nBefore = before.count()
+    val batch = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+    MinHashIndexStore.absorb(spark, tmp, batch).count()
+    // the swap must not have deleted the segments the old frame reads:
+    // a concurrent session's in-flight scan survives one generation
+    assert(before.count() === nBefore,
+      "pre-swap DataFrame must still scan after absorb replaced the manifest")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("a changed archive invalidates the sidecar (row-count fingerprint)") {
     val tmp = java.nio.file.Files.createTempDirectory("mh_corpus").toString
     val docs = graft.ops.Tables.table(spark, dir, "documents")
