@@ -166,9 +166,29 @@ object Bench {
       if (xs.size <= 1) median(xs) else median(xs.sorted.dropRight(1))
     val results = stat(trimmedMedian)
     val mins = stat(_.min)
+    // Probe-filtered steady (r13 verdict #8): the probe column proved
+    // cross-window drift is usually the BOX, so make the instrument
+    // act, not just record. A steady pass whose preceding probe point
+    // is more than 2x below the window's probe median ran on a
+    // transiently degraded box — drop that whole pass from the
+    // filtered medians. Both the raw (`value`, unchanged methodology,
+    // comparable to every prior round) and the filtered
+    // (`steady_filtered`) totals are reported; BASELINE.md states the
+    // rule. If every pass fails the gate the filter is a no-op (a
+    // uniformly slow box is the raw number's problem to attribute).
+    val probeMedian = median(ioProbes.toSeq)
+    val keptPasses = (1 to steadyPasses)
+      .filter(i => ioProbes(i) * 2.0 >= probeMedian)
+    val keptSteady =
+      if (keptPasses.isEmpty) steady else keptPasses.map(i => steady(i - 1))
+    val resultsFiltered =
+      cold.keys.map(k => k -> trimmedMedian(keptSteady.map(_(k)))).toMap
+    val nKeptPasses = if (keptPasses.isEmpty) steadyPasses else keptPasses.size
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totalFiltered =
+      if (resultsFiltered.nonEmpty) resultsFiltered.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     // plan-attributable cold cost per query (cold minus steady median):
     // with the fixture pre-warmed this is planning + codegen, the part
@@ -177,7 +197,7 @@ object Bench {
     // probe[0] ran before the cold pass, probe[i>=1] before steady pass i
     val ioJson = ioProbes.map(v => "%.1f".formatLocal(java.util.Locale.ROOT, v))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"steady_filtered":$totalFiltered,"steady_passes_kept":$nKeptPasses,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
     // The harness records only the LAST ~2000 chars of output; at 130+
     // queries the full detail line above outgrows that window and its
     // leading headline scalars get truncated away (BENCH_r05 recorded
@@ -190,7 +210,7 @@ object Bench {
     def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def js3(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"fixture_warm_sec":${ms(fixtureWarmSec)},"ambient_io_probe":$ioJson,"steady_passes":$steadyPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"fixture_warm_sec":${ms(fixtureWarmSec)},"ambient_io_probe":$ioJson,"steady_passes":$steadyPasses,"steady_filtered":${ms(totalFiltered)},"steady_passes_kept":$nKeptPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}"""
     println(summary)
     // Belt-and-braces for the driver's parser: persist the summary (and
     // the full per-query detail) to files too, so a logger prefix or an
@@ -206,7 +226,7 @@ object Bench {
     if (only.isEmpty) try {
       writeFile("BENCH_SUMMARY.json", summary)
       writeFile("BENCH_DETAIL.json",
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"cold_delta_queries":${js(coldDelta)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"cold_delta_queries":${js(coldDelta)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"steady_filtered":$totalFiltered,"steady_passes_kept":$nKeptPasses,"queries_filtered":${js(resultsFiltered)},"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not persist summary files: $e") }
     spark.stop()

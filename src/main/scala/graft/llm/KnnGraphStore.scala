@@ -1,0 +1,135 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, StandardCopyOption}
+import graft.expressions.VectorFunctions.{dot => ndot}
+
+/** Persistent k-NN graph sidecar — the graph-refined ANN index family
+  * (HNSW/NSG's core idea reduced to its Spark-native batch form): for
+  * every corpus vector, its top-[[degree]] exact-cosine neighbors among
+  * the candidates its own IVF cells admit (nProbe=2 — a vector's two
+  * nearest trained cells, so edges cross Voronoi boundaries, which is
+  * precisely where plain IVF loses recall). Search then does one beam
+  * hop: IVF-probe candidates seed the beam, the graph expands the top
+  * seeds' neighborhoods, and an exact re-rank over the union returns
+  * the answer (`sim_graph_topk`).
+  *
+  * Build shape: one corpus pass assigns cells (zero-exchange NearestCell
+  * projection against the trained codebook), one shuffle keyed by cell
+  * joins probers to members (posting-list shape — cell population
+  * ≈ √N keeps each list bounded), and a per-source top-k window over
+  * the candidate pairs keeps [[degree]] edges. At 100 TB that is the
+  * offline index build, paid once — which is why the edges persist with
+  * the [[PqStore]] pointer-swap discipline (versioned parquet dir +
+  * atomically-renamed pointer + `_CORPUS_ROWS` fingerprint): a
+  * restarted session loads the edge table, it never re-derives it
+  * ([[graft.llm.KnnGraphStoreSpec]] pins restart = zero rebuilds).
+  *
+  * Determinism: similarities are 4-dp-decimal-rounded with dst-id
+  * tiebreaks (the IVF convention), so the edge set is a pure function
+  * of the corpus — the DuckDB oracle for `sim_graph_topk` re-derives
+  * the same graph from the inlined codebook literals and hash-matches.
+  */
+object KnnGraphStore {
+
+  /** Edges kept per source vector. 8 is the HNSW-default neighborhood
+    * size class; the beam expands top-3 seeds so a query's expansion
+    * set is ≤ 24 ids regardless of corpus size. */
+  val degree = 8
+
+  /** Bumped on every actual graph-build job; the restart spec pins
+    * that a second session loads the sidecar instead of bumping it. */
+  @volatile var buildCount: Long = 0L
+
+  private def sane(dir: String) = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def graphBase(dir: String): Path =
+    CodebookStore.indexRoot.resolve(s"knn_graph_${sane(dir)}_d$degree.parquet")
+
+  private def pointerFor(base: Path): Path =
+    base.getParent.resolve(base.getFileName.toString + ".PTR")
+
+  /** The corpus frame the graph is defined over. */
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+
+  /** Derive the edge table `(src_id, rank, dst_id, sim)` — one cell
+    * shuffle + one per-source top-k window; no all-pairs anywhere. */
+  private[llm] def build(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val cb = CodebookStore.loadOrTrain(spark, dir)
+    val (ec, cbCol) = SimilarityQueries.attachCodebook(spark, e, cb)
+    val members = ec
+      .withColumn("cid", graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbCol))
+      .select(col("vec_id").as("dst_id"), col("cid"), col("v").as("dv"), col("nrm").as("dn"))
+    val probers = ec
+      .withColumn("probe", explode(
+        graft.expressions.CellFunctions.nearestCells(col("v"), col("nrm"), cbCol, 2)))
+      .select(col("vec_id").as("src_id"), col("probe"), col("v").as("sv"), col("nrm").as("sn"))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("dst_id"))
+    members.join(probers, col("probe") === col("cid") && col("src_id") =!= col("dst_id"))
+      .withColumn("sim",
+        graft.ops.Registry.rnd(ndot(col("sv"), col("dv")) / (col("sn") * col("dn")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= degree)
+      .select(col("src_id"), col("rank"), col("dst_id"), col("sim"))
+  }
+
+  /** Persist with the pointer-swap discipline (versioned immutable dir,
+    * atomic pointer rename, previous generation kept one swap for any
+    * concurrent lazy reader — the PqStore.saveCodes contract). */
+  private def save(edges: DataFrame, dir: String, n: Long): Unit = {
+    val base = graphBase(dir)
+    Files.createDirectories(base.getParent)
+    val version = java.util.UUID.randomUUID().toString
+    val vdir = base.getParent.resolve(base.getFileName.toString + s".v-$version")
+    edges.write.parquet(vdir.toString)
+    Files.writeString(vdir.resolve("_CORPUS_ROWS"), n.toString)
+    val ptr = pointerFor(base)
+    val previous =
+      if (Files.exists(ptr)) Some(Files.readString(ptr).trim).filter(_.nonEmpty)
+      else None
+    val tmp = Files.createTempFile(base.getParent, ptr.getFileName.toString, ".tmp")
+    Files.writeString(tmp, vdir.getFileName.toString)
+    Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    val prefix = base.getFileName.toString + ".v-"
+    val keep = Set(vdir.getFileName.toString) ++ previous
+    val listing = Files.list(base.getParent)
+    try listing.forEach { q =>
+      val name = q.getFileName.toString
+      if (name.startsWith(prefix) && !keep.contains(name))
+        try org.apache.commons.io.FileUtils.deleteDirectory(q.toFile)
+        catch { case _: java.io.IOException => () }
+    } finally listing.close()
+  }
+
+  private def load(spark: SparkSession, dir: String, n: Long): Option[DataFrame] = {
+    val base = graphBase(dir)
+    val ptr = pointerFor(base)
+    val resolved =
+      if (Files.exists(ptr)) Some(base.getParent.resolve(Files.readString(ptr).trim))
+      else None
+    resolved.filter { p =>
+      val meta = p.resolve("_CORPUS_ROWS")
+      Files.exists(meta) && Files.readString(meta).trim == n.toString
+    }.map(p => spark.read.parquet(p.toString))
+  }
+
+  /** The edge table for `dir`: sidecar if fresh, else build + persist.
+    * The fingerprint is the corpus row count — a regenerated corpus
+    * rebuilds, a restarted session over the same corpus loads. */
+  def loadOrBuild(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.ops.Tables.table(spark, dir, "embeddings").count()
+    load(spark, dir, n).getOrElse {
+      buildCount += 1
+      save(build(spark, dir), dir, n)
+      load(spark, dir, n).getOrElse(
+        sys.error(s"knn graph sidecar unreadable after save: $dir"))
+    }
+  }
+}

@@ -40,6 +40,7 @@ object SimilarityQueries {
     NamedQuery("eval_auc_centroid", aucCentroid, Some(aucCentroidSql)),
     NamedQuery("eval_auc_binned", aucBinned, Some(aucBinnedSql)),
     NamedQuery("sim_recall_matryoshka", recallMatryoshka, Some(recallMatryoshkaSql)),
+    NamedQuery("sim_graph_topk", graphTopk, Some(graphTopkSql)),
   )
 
   private val dot =
@@ -1674,4 +1675,129 @@ object SimilarityQueries {
       |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS drift
       |FROM v a JOIN v b ON a.label = b.label AND a.half = 0 AND b.half = 1
       |ORDER BY a.label""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Graph-refined ANN — one beam-search hop over the persisted k-NN
+  // graph sidecar ([[KnnGraphStore]]): seed candidates are the query's
+  // own IVF cell (nProbe=1, the cheap probe), the graph expands the
+  // top-3 seeds' stored neighborhoods (≤ 24 ids — edges built at
+  // nProbe=2 cross the Voronoi boundaries plain IVF misses), and an
+  // exact cosine re-rank over seed ∪ expansion returns top-3. This is
+  // the HNSW/NSG refinement idea in its batch form: recall recovered
+  // not by probing more cells (multiprobe's linear cost in nProbe) but
+  // by following edges from the best hits found so far.
+  //
+  // Scale shape: the corpus NEVER joins through a shuffle here — cell
+  // members stream against the broadcast 8-query panel, the graph
+  // sidecar streams against the broadcast seed ids, and the expansion
+  // vector fetch streams the corpus against the broadcast ≤192-id
+  // candidate list (PlanSpec pins: no SortMergeJoin/ShuffledHashJoin/
+  // CartesianProduct). Per-query cost is one cell (N/|C| ≈ √N) plus a
+  // CONSTANT 24-vector fetch, vs multiprobe's 2N/|C| — half the
+  // candidate budget at equal-or-better recall (BASELINE.md records
+  // the recall@3 table from tools.GraphRecall). The graph build itself
+  // is the offline pre-paid index pass (see KnnGraphStore).
+  private def graphTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val (ec, cbCol) = attachCodebook(spark, e, trainedCodebook(spark, dir))
+    val assign = ec
+      .withColumn("cid",
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbCol))
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+    val q = assign.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("cid").as("qcid"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    // seed leg: the query's own cell, exact sims (sim_ivf_topk's shape)
+    val seedPairs = assign
+      .select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(q), col("qcid") === col("cid") && col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .select(col("q_id"), col("n_id"), col("sim"))
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val beam = seedPairs.withColumn("rk", row_number().over(wQ)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("n_id").as("seed_id"))
+    // expansion leg: stored neighborhoods of the beam — the graph
+    // sidecar streams, the ≤24-row beam broadcasts
+    val expansion = KnnGraphStore.loadOrBuild(spark, dir)
+      .join(broadcast(beam), col("src_id") === col("seed_id"))
+      .select(col("q_id"), col("dst_id").as("n_id"))
+    // exact re-rank over seed ∪ expansion: fetch the expansion vectors
+    // map-side (broadcast id list), recompute the identical sim
+    val expPairs = e
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(expansion), Seq("n_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .select(col("q_id"), col("n_id"), col("sim"))
+    seedPairs.unionByName(expPairs)
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // The oracle re-derives the graph from the inlined codebook literals
+  // (build determinism is the sidecar's contract — 4-dp sims, dst-id
+  // tiebreaks), then replays the same seed/expansion/re-rank legs.
+  private def graphTopkSql =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), c AS (
+      |  $codebookSql
+      |), cells AS (
+      |  SELECT e.vec_id, c.cid, e.v, e.nrm,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |      c.cid) AS rn
+      |  FROM e CROSS JOIN c
+      |), assign AS (
+      |  SELECT vec_id, cid, v, nrm FROM cells WHERE rn = 1
+      |), graph AS (
+      |  SELECT src_id, dst_id FROM (
+      |    SELECT p.vec_id AS src_id, a.vec_id AS dst_id,
+      |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(p.v, a.v) / (p.nrm * a.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        a.vec_id) AS rank
+      |    FROM (SELECT * FROM cells WHERE rn <= 2) p
+      |    JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+      |  ) WHERE rank <= ${KnnGraphStore.degree}
+      |), q AS (
+      |  SELECT vec_id AS q_id, cid AS qcid, v AS qv, nrm AS qn
+      |  FROM assign WHERE vec_id < 8
+      |), seedpairs AS (
+      |  SELECT q.q_id, a.vec_id AS n_id,
+      |    CAST(round(CAST(list_dot_product(q.qv, a.v) / (q.qn * a.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
+      |  FROM assign a JOIN q ON a.cid = q.qcid AND q.q_id <> a.vec_id
+      |), beam AS (
+      |  SELECT q_id, n_id AS seed_id FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+      |    FROM seedpairs
+      |  ) WHERE rk <= 3
+      |), exppairs AS (
+      |  SELECT b.q_id, g.dst_id AS n_id,
+      |    CAST(round(CAST(list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
+      |  FROM beam b JOIN graph g ON g.src_id = b.seed_id
+      |  JOIN e ON e.vec_id = g.dst_id
+      |  JOIN q ON q.q_id = b.q_id
+      |  WHERE g.dst_id <> b.q_id
+      |), cand AS (
+      |  SELECT DISTINCT q_id, n_id, sim FROM (
+      |    SELECT * FROM seedpairs UNION ALL SELECT * FROM exppairs
+      |  )
+      |), ranked AS (
+      |  SELECT q_id, n_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      |  FROM cand
+      |)
+      |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
 }

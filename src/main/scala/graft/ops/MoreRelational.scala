@@ -27,6 +27,7 @@ object MoreRelational {
     NamedQuery("q19_bracket_revenue", q19, Some(q19Sql)),
     NamedQuery("agg_stats_funcs", aggStats, Some(aggStatsSql)),
     NamedQuery("agg_percentiles", aggPercentiles, Some(aggPercentilesSql)),
+    NamedQuery("agg_percentiles_approx", aggPercentilesApprox, Some(aggPercentilesApproxSql)),
     NamedQuery("win_rank_funcs", winRank, Some(winRankSql)),
     NamedQuery("join_theta_linepairs", thetaPairs, Some(thetaPairsSql)),
     NamedQuery("agg_salted_hot_keys", saltedHotKeys, Some(saltedHotKeysSql)),
@@ -337,6 +338,45 @@ object MoreRelational {
       |  CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p50,
       |  CAST(round(CAST(quantile_cont(o_totalprice, 0.75) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p75,
       |  CAST(round(CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p95
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------
+  // approx_percentile twin of agg_percentiles — the 100 TB form. Exact
+  // grouped `percentile` is a TypedImperativeAggregate that BUFFERS the
+  // group's values: fine at bench scale, but at 100 TB a percentile
+  // over billions of rows per group holds the group in memory. The
+  // KLL/GK-style `approx_percentile` sketch is the production shape:
+  // fixed-size state, map-side partial sketches merged at the final
+  // agg (plan-pinned in PlanSpec: partial ObjectHashAggregate, no Sort
+  // before the aggregate, no global sort anywhere). Oracle discipline
+  // is agg_approx_sketches': the exact columns hash-check against
+  // DuckDB's quantile_cont, the sketch answers are asserted
+  // in-tolerance as booleans (accuracy=10000 bounds rank error at
+  // 1e-4·n — orders of magnitude tighter than the 1%+1.0 gate, so the
+  // booleans are stable across engines and scale factors). A
+  // deployment keeps only the sketch columns.
+  private def aggPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        rnd(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("ap95"))
+      .select(col("o_orderstatus"), col("n"), col("p50"), col("p95"),
+        (abs(col("ap50") - col("p50")) <= col("p50") * 0.01 + 1.0).as("ap50_ok"),
+        (abs(col("ap95") - col("p95")) <= col("p95") * 0.01 + 1.0).as("ap95_ok"))
+      .orderBy(col("o_orderstatus"))
+
+  private val aggPercentilesApproxSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p50,
+      |  CAST(round(CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p95,
+      |  TRUE AS ap50_ok,
+      |  TRUE AS ap95_ok
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin

@@ -643,6 +643,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("approx percentile twin: partial sketch combine, no global sort of the measure") {
+    val p = plan("agg_percentiles_approx")
+    // the sketch must aggregate with map-side partials (fixed-size
+    // state merged at the final agg — the property that makes it the
+    // 100 TB form next to the value-buffering exact percentile)
+    assert(p.contains("partial_percentile_approx"),
+      "approx_percentile with map-side partial sketches expected: " + p.take(800))
+    // and no rewrite may globally sort the measure column (the 3-row
+    // output orderBy is fine; a rank-arithmetic percentile over a full
+    // sort of o_totalprice is not)
+    assert(!p.contains("rangepartitioning(o_totalprice") && !p.contains("Sort [o_totalprice"),
+      "o_totalprice must not be globally sorted: " + p.take(800))
+    assert(!p.contains("windowspecdefinition"), p.take(600))
+  }
+
+  test("graph beam search: the corpus never joins through a shuffle") {
+    val p = plan("sim_graph_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "panel/beam/candidate ids must broadcast so the corpus and the " +
+        "graph sidecar stream map-side: " + p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a shuffled join would re-shuffle the corpus for a <=192-id fetch: " + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "assignment must stay the native NearestCell projection")
+  }
+
   test("phash pairs: hash is a partition-local projection, candidates stream join-free off buckets") {
     val p = plan("multimodal_phash_pairs")
     assert(p.contains("Generate"),
