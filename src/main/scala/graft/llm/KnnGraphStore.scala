@@ -35,9 +35,20 @@ import graft.expressions.VectorFunctions.{dot => ndot}
 object KnnGraphStore {
 
   /** Edges kept per source vector. 8 is the HNSW-default neighborhood
-    * size class; the beam expands top-3 seeds so a query's expansion
-    * set is ≤ 24 ids regardless of corpus size. */
+    * size class; the beam expands top-[[beamWidth]] seeds so a query's
+    * expansion set is ≤ degree·beamWidth ids regardless of corpus
+    * size. */
   val degree = 8
+
+  /** Seeds whose stored neighborhoods the beam expands — the recall
+    * knob (one knob, LSH-prefix discipline: the oracle SQL
+    * interpolates the same resolved value, so an overridden run stays
+    * DuckDB-checkable). Cost is linear in it and bounded by
+    * degree·beamWidth extra exact sims per query. */
+  def beamWidth: Int =
+    sys.props.get("graft.knn.beamWidth")
+      .orElse(sys.env.get("SPARK_GRAFT_KNN_BEAM_WIDTH"))
+      .map(_.toInt).getOrElse(8)
 
   /** Bumped on every actual graph-build job; the restart spec pins
     * that a second session loads the sidecar instead of bumping it. */

@@ -1717,7 +1717,8 @@ object SimilarityQueries {
         graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
       .select(col("q_id"), col("n_id"), col("sim"))
     val wQ = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    val beam = seedPairs.withColumn("rk", row_number().over(wQ)).filter(col("rk") <= 3)
+    val beam = seedPairs.withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= KnnGraphStore.beamWidth)
       .select(col("q_id"), col("n_id").as("seed_id"))
     // expansion leg: stored neighborhoods of the beam — the graph
     // sidecar streams, the ≤24-row beam broadcasts
@@ -1781,7 +1782,7 @@ object SimilarityQueries {
       |    SELECT q_id, n_id,
       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
       |    FROM seedpairs
-      |  ) WHERE rk <= 3
+      |  ) WHERE rk <= ${KnnGraphStore.beamWidth}
       |), exppairs AS (
       |  SELECT b.q_id, g.dst_id AS n_id,
       |    CAST(round(CAST(list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
