@@ -31,6 +31,7 @@ object CurationQueries {
     NamedQuery("pipeline_domain_mix", domainMix, Some(domainMixSql)),
     NamedQuery("text_quality_lr_step", qualityLrStep, Some(qualityLrStepSql)),
     NamedQuery("eval_calibration_bins", calibrationBins, Some(calibrationBinsSql)),
+    NamedQuery("eval_calibration_trained", calibrationTrained, Some(calibrationTrainedSql)),
     NamedQuery("pipeline_domain_reweight_step", domainReweight, Some(domainReweightSql)),
     NamedQuery("pipeline_source_cap", sourceCap, Some(sourceCapSql)),
     NamedQuery("pipeline_budget_select", budgetSelect, Some(budgetSelectSql)),
@@ -69,9 +70,13 @@ object CurationQueries {
   private val lrW = Seq("bias" -> 0.1, "f1_stopword" -> -0.2,
     "f2_len" -> 0.3, "f3_wordlen" -> 0.05)
 
-  private def qualityLrStep(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Registry.dec
-    val feats = Tables.table(spark, dir, "documents")
+  /** The quality model's feature frame `(f1, f2, f3, y)` — 3-dp
+    * decimal-quantized features + seed-source label, shared verbatim by
+    * the one-step gradient query, both calibration queries, and the
+    * [[LrModel]] training loop (one definition so the trained model
+    * scores EXACTLY what the oracle-checked step trained on). */
+  private[llm] def lrFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("n_stop", expr(
@@ -81,6 +86,9 @@ object CurationQueries {
         rnd(least(col("n_words").cast("double") / 100.0, lit(1.0)), 3).as("f2"),
         rnd((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words") / 10.0, 3).as("f3"),
         when(col("source").isin(lrSeedSources: _*), 1.0d).otherwise(0.0d).as("y"))
+
+  private def qualityLrStep(spark: SparkSession, dir: String): DataFrame = {
+    val feats = lrFeatures(spark, dir)
     val z = lit(lrW(0)._2) + lit(lrW(1)._2) * col("f1") +
       lit(lrW(2)._2) * col("f2") + lit(lrW(3)._2) * col("f3")
     val p = least(greatest(lit(0.5) + z / 4.0, lit(0.0)), lit(1.0))
@@ -162,19 +170,33 @@ object CurationQueries {
   // partials; output is O(bins) at any corpus size. Determinism: the
   // link is piecewise linear (no exp ulp), bin = floor(p*10) clamped —
   // integer; bin means use the mean6 exact-decimal discipline.
-  private def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
-    val feats = Tables.table(spark, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("n_words", size(col("ws")).cast("long"))
-      .withColumn("n_stop", expr(
-        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
-      .select(
-        rnd(col("n_stop").cast("double") / col("n_words"), 3).as("f1"),
-        rnd(least(col("n_words").cast("double") / 100.0, lit(1.0)), 3).as("f2"),
-        rnd((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words") / 10.0, 3).as("f3"),
-        when(col("source").isin(lrSeedSources: _*), 1.0d).otherwise(0.0d).as("y"))
-    val z = lit(lrW(0)._2) + lit(lrW(1)._2) * col("f1") +
-      lit(lrW(2)._2) * col("f2") + lit(lrW(3)._2) * col("f3")
+  private def calibrationBins(spark: SparkSession, dir: String): DataFrame =
+    calibrationOf(spark, dir, lrW.map(_._2).toVector)
+
+  // The trained-model twin (r13 verdict #6): the SAME binning over the
+  // weights LrModel trained to its 6-dp fixpoint. The fixed-weight
+  // query above stays as-is — it anchors the streaming twins
+  // (StreamCalibration/StreamPsi score with the fixed weights inlined
+  // row-side) — while this one closes the loop model-training →
+  // persisted sidecar → calibration eval. Its oracle SQL inlines the
+  // trained weights (codebookSql pattern: Verify renders oracle SQL
+  // AFTER the queries ran, so the literals are the exact doubles the
+  // Spark plan used).
+  private def calibrationTrained(spark: SparkSession, dir: String): DataFrame = {
+    val w = LrModel.loadOrTrain(spark, dir)
+    trainedLrCache.put(dir, w)
+    lastTrainedLrDir = Some(dir)
+    calibrationOf(spark, dir, w)
+  }
+
+  private val trainedLrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Double]]()
+  @volatile private var lastTrainedLrDir: Option[String] = None
+
+  private def calibrationOf(spark: SparkSession, dir: String, w: Vector[Double]): DataFrame = {
+    val feats = lrFeatures(spark, dir)
+    val z = lit(w(0)) + lit(w(1)) * col("f1") +
+      lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
     val p = least(greatest(lit(0.5) + z / 4.0, lit(0.0)), lit(1.0))
     def mean6(c: org.apache.spark.sql.Column) =
       rnd(sum(round(c.cast("decimal(18,8)"), 6)).cast("double") / count(lit(1)), 6)
@@ -191,7 +213,18 @@ object CurationQueries {
       .orderBy(col("bin"))
   }
 
-  private val calibrationBinsSql = {
+  private val calibrationBinsSql = calibrationSqlOf(lrW.map(_._2).toVector)
+
+  /** Trained-weight twin SQL — the weights LrModel converged to,
+    * inlined as literals (6-dp decimals; shortest-repr round-trip is
+    * exact in both engines). Falls back to the seed weights if no
+    * trained run happened in this JVM — which only occurs when the
+    * query itself never ran, i.e. there is no dump to compare against. */
+  private def calibrationTrainedSql: String = calibrationSqlOf(
+    lastTrainedLrDir.flatMap(d => Option(trainedLrCache.get(d)))
+      .getOrElse(lrW.map(_._2).toVector))
+
+  private def calibrationSqlOf(w: Vector[Double]): String = {
     val seeds = lrSeedSources.map(s => s"'$s'").mkString(", ")
     s"""WITH t AS (
       |  SELECT n_chars, source,
@@ -207,7 +240,7 @@ object CurationQueries {
       |    CASE WHEN source IN ($seeds) THEN 1.0 ELSE 0.0 END AS y
       |  FROM t
       |), pr AS (
-      |  SELECT least(greatest(0.5 + (${lrW(0)._2} + ${lrW(1)._2} * f1 + ${lrW(2)._2} * f2 + ${lrW(3)._2} * f3) / 4.0, 0.0), 1.0) AS p, y
+      |  SELECT least(greatest(0.5 + (${w(0)} + ${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3) / 4.0, 0.0), 1.0) AS p, y
       |  FROM f
       |), binned AS (
       |  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, p, y FROM pr
