@@ -41,6 +41,8 @@ object SimilarityQueries {
     NamedQuery("eval_auc_binned", aucBinned, Some(aucBinnedSql)),
     NamedQuery("sim_recall_matryoshka", recallMatryoshka, Some(recallMatryoshkaSql)),
     NamedQuery("sim_graph_topk", graphTopk, Some(graphTopkSql)),
+    NamedQuery("sim_graph_reach", graphReach, Some(graphReachSql)),
+    NamedQuery("pipeline_cluster_mix", clusterMix, Some(clusterMixSql)),
   )
 
   private val dot =
@@ -1801,4 +1803,129 @@ object SimilarityQueries {
       |)
       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // k-NN graph health audit — the acceptance metrics an ANN index
+  // ships with, over the persisted edge sidecar: per edge rank, the
+  // edge count, the mean similarity (how fast neighborhood quality
+  // decays with rank), and reciprocity (fraction of rank-r edges whose
+  // reverse edge exists at ANY rank — low reciprocity marks hub-and-
+  // spoke regions where beam search loses recall; HNSW's neighbor
+  // selection heuristics exist precisely to manage this). Scale shape:
+  // every operator here touches the EDGE TABLE (N·degree rows), never
+  // the corpus — one self-join keyed on the edge pair and one rank
+  // aggregation.
+  private def graphReach(spark: SparkSession, dir: String): DataFrame = {
+    val g = KnnGraphStore.loadOrBuild(spark, dir)
+    val fwd = g.select(col("src_id"), col("rank"), col("dst_id"), col("sim"))
+    val rev = g.select(col("src_id").as("r_dst"), col("dst_id").as("r_src"))
+    fwd.join(rev,
+        col("src_id") === col("r_src") && col("dst_id") === col("r_dst"), "left")
+      .groupBy(col("rank"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        graft.ops.Registry.rnd(
+          sum(round(col("sim").cast("decimal(18,8)"), 6)).cast("double") / count(lit(1)), 6)
+          .as("mean_sim"),
+        graft.ops.Registry.rnd(
+          sum(when(col("r_src").isNotNull, 1.0d).otherwise(0.0d)).cast("double")
+            / count(lit(1)), 6).as("reciprocity"))
+      .select(col("rank"), col("n_edges"), col("mean_sim"), col("reciprocity"))
+      .orderBy(col("rank"))
+  }
+
+  private def graphReachSql =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), c AS (
+      |  $codebookSql
+      |), cells AS (
+      |  SELECT e.vec_id, c.cid, e.v, e.nrm,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |      c.cid) AS rn
+      |  FROM e CROSS JOIN c
+      |), assign AS (
+      |  SELECT vec_id, cid, v, nrm FROM cells WHERE rn = 1
+      |), graph AS (
+      |  SELECT src_id, rank, dst_id, sim FROM (
+      |    SELECT p.vec_id AS src_id, a.vec_id AS dst_id,
+      |      CAST(round(CAST(list_dot_product(p.v, a.v) / (p.nrm * a.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim,
+      |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(p.v, a.v) / (p.nrm * a.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        a.vec_id) AS rank
+      |    FROM (SELECT * FROM cells WHERE rn <= 2) p
+      |    JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+      |  ) WHERE rank <= ${KnnGraphStore.degree}
+      |)
+      |SELECT f.rank, CAST(count(*) AS BIGINT) AS n_edges,
+      |  CAST(round(CAST(CAST(sum(round(CAST(f.sim AS DECIMAL(18,8)), 6)) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_sim,
+      |  CAST(round(CAST(CAST(sum(CASE WHEN r.src_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS reciprocity
+      |FROM graph f LEFT JOIN graph r ON r.src_id = f.dst_id AND r.dst_id = f.src_id
+      |GROUP BY f.rank
+      |ORDER BY f.rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Cluster-aware curation mix — the cross-modal operator joining the
+  // IVF cell structure (over embeddings) with the documents it indexes
+  // (vec_id ≡ doc_id, TESTDATA's contract): per cell, how many docs,
+  // how many distinct sources, their mean length, and the modal
+  // source's share. A cell dominated by one source (share → 1) is the
+  // curation signal for near-dup-heavy or single-crawl clusters that a
+  // mix rebalancer down-weights; k-means-cluster-level source audits
+  // are standard curation practice. Scale shape: the assignment is the
+  // zero-exchange NearestCell projection, the documents side joins on
+  // doc_id map-side only at bench scale — at 100 TB BOTH sides
+  // pre-shuffle once on the shared id, then (cid, source) → cid are
+  // two map-side-combinable aggregations; nothing quadratic, nothing
+  // driver-side.
+  private def clusterMix(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssignment(spark, dir).select(col("vec_id"), col("cid"))
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val perSource = assign.join(docs, col("vec_id") === col("doc_id"))
+      .groupBy(col("cid"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    perSource.groupBy(col("cid"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        graft.ops.Registry.rnd(
+          sum(col("chars")).cast("double") / sum(col("n")), 2).as("mean_chars"),
+        graft.ops.Registry.rnd(
+          max(col("n")).cast("double") / sum(col("n")), 6).as("top_source_share"))
+      .select(col("cid"), col("n_docs"), col("n_sources"),
+        col("mean_chars"), col("top_source_share"))
+      .orderBy(col("cid"))
+  }
+
+  private def clusterMixSql =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), c AS (
+      |  $codebookSql
+      |), assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c
+      |  ) WHERE rn = 1
+      |), per_source AS (
+      |  SELECT a.cid, d.source, count(*) AS n, sum(d.n_chars) AS chars
+      |  FROM assign a JOIN documents d ON a.vec_id = d.doc_id
+      |  GROUP BY a.cid, d.source
+      |)
+      |SELECT cid, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_sources,
+      |  CAST(round(CAST(CAST(sum(chars) AS DOUBLE) / sum(n) AS DECIMAL(18,8)), 2) AS DOUBLE) AS mean_chars,
+      |  CAST(round(CAST(CAST(max(n) AS DOUBLE) / sum(n) AS DECIMAL(18,8)), 6) AS DOUBLE) AS top_source_share
+      |FROM per_source
+      |GROUP BY cid
+      |ORDER BY cid""".stripMargin
 }
