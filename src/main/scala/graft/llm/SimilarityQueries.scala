@@ -1708,16 +1708,25 @@ object SimilarityQueries {
       .withColumn("cid",
         graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbCol))
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+    // the 8-row panel materializes once (localCheckpoint): it feeds
+    // the seed join's broadcast side AND the expansion re-rank — left
+    // lazy, each consumer re-scans the corpus just to re-derive it
     val q = assign.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("cid").as("qcid"),
         col("v").as("qv"), col("nrm").as("qn"))
-    // seed leg: the query's own cell, exact sims (sim_ivf_topk's shape)
+      .localCheckpoint()
+    // seed leg: the query's own cell, exact sims (sim_ivf_topk's
+    // shape). Materialized once (panel × cell ≈ 8·N/|C| rows — KBs):
+    // the beam window, the candidate union, and the expansion's
+    // broadcast seed list all reuse it; lazy, the corpus-sized seed
+    // join would run four times
     val seedPairs = assign
       .select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
       .join(broadcast(q), col("qcid") === col("cid") && col("q_id") =!= col("n_id"))
       .withColumn("sim",
         graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
       .select(col("q_id"), col("n_id"), col("sim"))
+      .localCheckpoint()
     val wQ = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     val beam = seedPairs.withColumn("rk", row_number().over(wQ))
       .filter(col("rk") <= KnnGraphStore.beamWidth)
