@@ -134,6 +134,14 @@ object Runner {
     val bulkRoot = config.esSinkOptions.get("bulkDir").map { d =>
       if (new java.io.File(d).isAbsolute) d else s"$baseDir/$d"
     }
+    // optional LIVE leg on top of the file leg: `bulkEndpoint` POSTs
+    // each committed bulk file to an ES-compatible `_bulk` URL with
+    // the BulkHttp retry/at-least-once semantics; `bulkMaxRetries`
+    // tunes the schedule. File leg remains the durable record either
+    // way (replayable, auditable).
+    val bulkEndpoint = config.esSinkOptions.get("bulkEndpoint")
+    val bulkPolicy = graft.sink.BulkHttp.Policy(
+      maxRetries = config.esSinkOptions.get("bulkMaxRetries").map(_.toInt).getOrElse(3))
     // sink DDL first (reference src/index.ts:11 Indices.init): every
     // task's output table exists with its mapping-declared types and
     // blue/green suffix before any data flows
@@ -157,7 +165,9 @@ object Runner {
         bulk = bulkRoot.map(r => TailQuery.BulkSpec(
           s"$r/$dirName",
           td.load.index + config.controls.indexNameSuffix,
-          td.load.esType)),
+          td.load.esType,
+          endpoint = bulkEndpoint,
+          httpPolicy = bulkPolicy)),
       )
       val (snapshot, stream) = adapters(td, sourceOpts)
       // scan-phase resume predicate (reference src/mongodb.ts:35-39)

@@ -68,6 +68,10 @@ object ScanJob {
         .option("path", s"${b.dir}/batch-scan")
         .option("index", b.index).option("type", b.esType)
         .mode("append").save()
+      // live leg, like the tail's: a delivery failure fails the
+      // backfill before any tailing starts (reference src/index.ts:27-32
+      // bulk-indexes the scan through the same client)
+      TailQuery.deliverBulkDir(s"${b.dir}/batch-scan", b)
     }
     seeded
   }

@@ -58,17 +58,44 @@ object TailQuery {
     * writes the same bodies through the DSv2
     * [[graft.source.v2.BulkJsonSink]] — one directory per micro-batch
     * (`<dir>/batch-NNNNN/part-*.bulk` + `_SUCCESS`), each part file one
-    * bulk request an external loader replays in order. */
-  final case class BulkSpec(dir: String, index: String, esType: String)
+    * bulk request an external loader replays in order.
+    *
+    * With `endpoint` set (config `elasticsearch.options.bulkEndpoint`),
+    * the engine ALSO posts each committed part file live via
+    * [[graft.sink.BulkHttp]] after the batch directory lands — the
+    * reference's `client.bulk` call with its failure semantics made
+    * explicit: retryable item statuses retry with backoff, and an
+    * exhausted failure throws INSIDE foreachBatch, so the micro-batch
+    * fails, the checkpoint never advances, and the restart replays the
+    * batch (at-least-once, idempotent under id-keyed upserts — exactly
+    * src/processor.ts:393-395's drop-without-checkpoint). Files post
+    * from the driver per trigger, mirroring the reference's single
+    * client; a wide deployment lifts the same call into
+    * foreachPartition. */
+  final case class BulkSpec(dir: String, index: String, esType: String,
+      endpoint: Option[String] = None,
+      httpPolicy: graft.sink.BulkHttp.Policy = graft.sink.BulkHttp.Policy())
+
+  /** POST every committed part file of one batch directory, in name
+    * order (deterministic replay order, the external-loader contract). */
+  private[pipeline] def deliverBulkDir(batchDir: String, b: BulkSpec): Unit =
+    b.endpoint.foreach { ep =>
+      val uri = java.net.URI.create(ep)
+      val parts = Option(new java.io.File(batchDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      parts.foreach(p => graft.sink.BulkHttp.deliverFile(p.getPath, uri, b.httpPolicy))
+    }
 
   private def writeBulk(outcomes: DataFrame, b: BulkSpec, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.col
+    val batchDir = f"${b.dir}/batch-$batchId%05d"
     outcomes
       .select(col("action"), col("id"), col("doc").as("data"), col("parent"), col("ts"))
       .write.format("graft.source.v2.BulkJsonSink")
-      .option("path", f"${b.dir}/batch-$batchId%05d")
+      .option("path", batchDir)
       .option("index", b.index).option("type", b.esType)
       .mode("append").save()
+    deliverBulkDir(batchDir, b)
   }
 
   /** Start the tail stream. `oplogStream` must be a streaming DataFrame
