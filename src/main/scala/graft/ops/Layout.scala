@@ -37,7 +37,79 @@ object Layout {
   def queries: Vector[NamedQuery] = Vector(
     NamedQuery("layout_zorder_stats", zorderStats, Some(zorderStatsSql)),
     NamedQuery("layout_shard_skew", shardSkew, Some(shardSkewSql)),
+    NamedQuery("join_bucketed_colocated", bucketedJoin, Some(bucketedJoinSql)),
   )
+
+  // ---------------------------------------------------------------
+  // Co-located bucketed join — the OTHER half of the layout story next
+  // to Z-order's scan pruning: pre-bucketing both join sides on the
+  // join key (bucketBy + sortBy at write time) lets the SortMergeJoin
+  // consume the bucket layout directly — NO Exchange on either side,
+  // no shuffle of the fact table at all (PlanSpec pins both). At
+  // 100 TB this is THE fact⋈fact pattern: the shuffle a plain
+  // lineitem⋈orders join pays on every run is paid ONCE at write time
+  // and amortized across every subsequent join on that key. The
+  // bucketed tables build once per (dir) as session tables (the
+  // cdc_bucketed_state fixture discipline — an existing table with the
+  // right row count is reused, across sessions too); the oracle runs
+  // the same join over the plain parquet — layout must never change
+  // answers.
+  private val bucketedReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureBucketed(spark: SparkSession, dir: String,
+      name: String, key: String): String = {
+    val tbl = ("graft_bkt_" + name + "_" + dir).replaceAll("[^A-Za-z0-9]", "_")
+    if (!bucketedReady.contains(tbl)) {
+      val src = Tables.table(spark, dir, name)
+      val fresh = spark.catalog.tableExists(tbl) &&
+        spark.table(tbl).count() == src.count()
+      if (!fresh) {
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        // a stale warehouse directory from a torn-down previous session
+        // (table gone from THIS catalog, files still on disk) blocks
+        // the managed-table create — clear it first
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val loc = new java.io.File(wh, tbl)
+        if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+        src.write.bucketBy(8, key).sortBy(key).format("parquet").saveAsTable(tbl)
+      }
+      bucketedReady.add(tbl)
+    }
+    tbl
+  }
+
+  /** Bench warm hook (the cdc_bucketed_state fixture discipline): the
+    * write-time bucketing is pre-paid deployment layout, not per-query
+    * cost, so the bench builds it inside the fixture-warm window. */
+  def warmBucketedFixture(spark: SparkSession, dir: String): Unit = {
+    ensureBucketed(spark, dir, "lineitem", "l_orderkey")
+    ensureBucketed(spark, dir, "orders", "o_orderkey")
+    ()
+  }
+
+  private def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.table(ensureBucketed(spark, dir, "lineitem", "l_orderkey"))
+    val o = spark.table(ensureBucketed(spark, dir, "orders", "o_orderkey"))
+    // MERGE hint: at bench SFs the orders side fits a broadcast and
+    // Catalyst rightly picks BHJ — but the operator exists to pin the
+    // fact⋈fact shape where NEITHER side broadcasts (the 100 TB case),
+    // so force the strategy the big case picks naturally and assert
+    // the bucket layout feeds it exchange-free
+    l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Registry.sumDec2(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val bucketedJoinSql =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** Morton interleave of two pre-quantized 8-bit values as an integer
     * arithmetic expression: bit i of `qp` lands at position 2i+1, bit i

@@ -658,6 +658,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p.take(600))
   }
 
+  test("bucketed co-located join: SortMergeJoin with NO exchange on either side") {
+    val p = plan("join_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), p.take(600))
+    // the bucket layout must satisfy the join's distribution directly —
+    // any hashpartitioning exchange on a join key means the pre-paid
+    // write-time shuffle was wasted
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey")
+      && !p.contains("Exchange hashpartitioning(o_orderkey"),
+      "join keys must not re-shuffle — the bucket layout provides the distribution: " + p.take(900))
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      "scan must actually read the bucketed layout: " + p.take(900))
+  }
+
   test("graph beam search: the corpus never joins through a shuffle") {
     val p = plan("sim_graph_topk")
     assert(p.contains("BroadcastHashJoin"),
