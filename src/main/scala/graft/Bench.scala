@@ -115,6 +115,8 @@ object Bench {
     // and for the write-time bucketed layout the co-located join reads
     if (only.forall(_.contains("join_bucketed_colocated")))
       graft.ops.Layout.warmBucketedFixture(spark, sfDir)
+    if (only.forall(_.contains("layout_partition_pruning")))
+      graft.ops.Layout.warmPartitionedFixture(spark, sfDir)
     val fixtureWarmSec = (System.nanoTime() - warmT0) / 1e9
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -38,7 +38,58 @@ object Layout {
     NamedQuery("layout_zorder_stats", zorderStats, Some(zorderStatsSql)),
     NamedQuery("layout_shard_skew", shardSkew, Some(shardSkewSql)),
     NamedQuery("join_bucketed_colocated", bucketedJoin, Some(bucketedJoinSql)),
+    NamedQuery("layout_partition_pruning", partitionPruning, Some(partitionPruningSql)),
   )
+
+  // ---------------------------------------------------------------
+  // Partition pruning — the third leg of the layout triad (directory
+  // partitioning / Z-order / bucketing): events re-laid-out as
+  // `event_type=<v>/` directories (Hive-style, built once per corpus —
+  // the bucketed-join fixture discipline), so a predicate on the
+  // partition column never OPENS the other partitions' files — the
+  // listing prunes them (PlanSpec pins a non-empty PartitionFilters
+  // and that the pushed data filter reaches the scan). At 100 TB this
+  // is the first line of IO defense: a selective event_type predicate
+  // reads 1/|types| of the bytes before any row group or page logic
+  // runs. The oracle runs the same aggregate over the flat parquet —
+  // layout never changes answers.
+  private def ensurePartitioned(spark: SparkSession, dir: String): String = {
+    val tbl = ("graft_part_events_" + dir).replaceAll("[^A-Za-z0-9]", "_")
+    if (!bucketedReady.contains(tbl)) {
+      val src = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val fresh = spark.catalog.tableExists(tbl) &&
+        spark.table(tbl).count() == src.count()
+      if (!fresh) {
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val loc = new java.io.File(wh, tbl)
+        if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+        src.write.partitionBy("event_type").format("parquet").saveAsTable(tbl)
+      }
+      bucketedReady.add(tbl)
+    }
+    tbl
+  }
+
+  private def partitionPruning(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensurePartitioned(spark, dir))
+      .filter(col("event_type") === "purchase" && col("value") > 10.0)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Registry.sumDec2(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  private val partitionPruningSql =
+    """SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_type = 'purchase' AND value > 10.0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
   // Co-located bucketed join — the OTHER half of the layout story next
@@ -86,6 +137,11 @@ object Layout {
     ensureBucketed(spark, dir, "lineitem", "l_orderkey")
     ensureBucketed(spark, dir, "orders", "o_orderkey")
     ()
+  }
+
+  /** Same for the Hive-partitioned events layout. */
+  def warmPartitionedFixture(spark: SparkSession, dir: String): Unit = {
+    ensurePartitioned(spark, dir); ()
   }
 
   private def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -671,6 +671,16 @@ class PlanSpec extends AnyFunSuite {
       "scan must actually read the bucketed layout: " + p.take(900))
   }
 
+  test("partition pruning: the event_type predicate prunes at the LISTING, value pushes to the scan") {
+    val p = plan("layout_partition_pruning")
+    assert(p.contains("PartitionFilters: [") && p.contains("event_type#"),
+      "partition column predicate must prune directories: " + p.take(900))
+    assert(!p.contains("PartitionFilters: []"),
+      "empty PartitionFilters = the layout is not pruning: " + p.take(900))
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(value"),
+      "the data predicate must reach the parquet scan: " + p.take(900))
+  }
+
   test("graph beam search: the corpus never joins through a shuffle") {
     val p = plan("sim_graph_topk")
     assert(p.contains("BroadcastHashJoin"),
