@@ -26,6 +26,7 @@ object DedupQueries {
     NamedQuery("dedup_jaccard_pairs", jaccard, Some(jaccardSql)),
     NamedQuery("dedup_jaccard_capped", jaccardCapped, Some(jaccardCappedSql)),
     NamedQuery("dedup_minhash_pairs", minhash, Some(minhashSql)),
+    NamedQuery("dedup_minhash_estimate", minhashEstimate, Some(minhashEstimateSql)),
     NamedQuery("dedup_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
     NamedQuery("dedup_cluster_star", clusterStar, Some(clusterCanonicalSql)),
     NamedQuery("dedup_cluster_keep_best", keepBest, Some(keepBestSql)),
@@ -481,6 +482,116 @@ object DedupQueries {
         struct(lit(1).as("band"), concat(col("m2"), lit("|"), col("m3")).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
+
+  // ---------------------------------------------------------------
+  // MinHash estimator calibration — the dedup-index analogue of
+  // sim_recall_eval: over the banding's OWN candidate pairs, compare
+  // the signature-agreement Jaccard estimate (matching positions / 4 —
+  // the only similarity a 100 TB pipeline can afford to read off the
+  // index) against the exact 3-shingle-set Jaccard, grouped into the
+  // estimator's quarter-grain calibration curve (est → n_pairs, mean
+  // exact Jaccard, mean |error|). A banding regression (broken hash
+  // slicing, wrong shingle width) flips this query's hash, not a
+  // human eyeball. Exactness: est is an exact binary quarter, the
+  // exact Jaccard is an integer ratio 4-dp-snapped, and the per-pair
+  // |error| terms quantize to 6 dp before an exact decimal sum (the
+  // mean6 discipline). Scale shape: pairs are bucket-bounded (the
+  // thing LSH guarantees); the intersection join touches only
+  // candidate docs' shingles — never all pairs.
+  private def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Registry.rnd
+    val docs = Tables.table(spark, dir, "documents")
+    val pairs = minhashPairs(spark, dir)
+    val sig = sigRows(docs)
+    def renamed(p: String) = sig.toDF(s"${p}_id", s"${p}0", s"${p}1", s"${p}2", s"${p}3")
+    val est = pairs
+      .join(renamed("a"), "a_id").join(renamed("b"), "b_id")
+      .withColumn("n_match", (0 to 3).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _))
+      .select(col("a_id"), col("b_id"), rnd(col("n_match") / lit(4.0), 2).as("est"))
+    val sh = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+    def mean6(c: org.apache.spark.sql.Column) =
+      rnd(sum(round(c.cast("decimal(18,8)"), 6)).cast("double") / count(lit(1)), 6)
+    est
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .join(sizes.toDF("a_id", "a_sh"), "a_id")
+      .join(sizes.toDF("b_id", "b_sh"), "b_id")
+      .withColumn("jaccard",
+        rnd(col("n_inter") / (col("a_sh") + col("b_sh") - col("n_inter")), 4))
+      .groupBy(col("est"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        mean6(col("jaccard")).as("mean_jaccard"),
+        mean6(abs(col("est") - col("jaccard"))).as("mean_abs_err"))
+      .select(col("est"), col("n_pairs"), col("mean_jaccard"), col("mean_abs_err"))
+      .orderBy(col("est"))
+  }
+
+  /** The 4-slice minhash signature per doc — bandRows' `mins` stage
+    * surfaced for position-wise comparison. */
+  private def sigRows(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("sh"))
+      .withColumn("h", md5(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(substring(col("h"), 1, 8)).as("m0"),
+        min(substring(col("h"), 9, 8)).as("m1"),
+        min(substring(col("h"), 17, 8)).as("m2"),
+        min(substring(col("h"), 25, 8)).as("m3"))
+
+  // def, not val: minhashCtes is declared further down the object and
+  // a val here would interpolate null at object init
+  private def minhashEstimateSql =
+    s"""WITH $minhashCtes, shd AS (
+      |  SELECT DISTINCT doc_id, sh FROM shingles
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
+      |), est AS (
+      |  SELECT p.a_id, p.b_id,
+      |    CAST(round(CAST((
+      |      CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END +
+      |      CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END +
+      |      CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END +
+      |      CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END) / 4.0 AS DECIMAL(18,8)), 2) AS DOUBLE) AS est
+      |  FROM mh_pairs p
+      |  JOIN mins sa ON sa.doc_id = p.a_id
+      |  JOIN mins sb ON sb.doc_id = p.b_id
+      |), inter AS (
+      |  SELECT p.a_id, p.b_id, count(*) AS n_inter
+      |  FROM mh_pairs p
+      |  JOIN shd a ON a.doc_id = p.a_id
+      |  JOIN shd b ON b.doc_id = p.b_id AND b.sh = a.sh
+      |  GROUP BY p.a_id, p.b_id
+      |), scored AS (
+      |  SELECT e.est,
+      |    CAST(round(CAST(COALESCE(i.n_inter, 0)
+      |      / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)) AS DECIMAL(18,8)), 4) AS DOUBLE) AS jaccard
+      |  FROM est e
+      |  LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+      |  JOIN sizes sa ON sa.doc_id = e.a_id
+      |  JOIN sizes sb ON sb.doc_id = e.b_id
+      |)
+      |SELECT est, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(round(CAST(CAST(sum(round(CAST(jaccard AS DECIMAL(18,8)), 6)) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_jaccard,
+      |  CAST(round(CAST(CAST(sum(round(CAST(abs(est - jaccard) AS DECIMAL(18,8)), 6)) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_abs_err
+      |FROM scored
+      |GROUP BY est
+      |ORDER BY est""".stripMargin
 
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // candidate pairs from per-bucket posting lists — the signature
