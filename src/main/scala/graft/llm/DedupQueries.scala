@@ -501,47 +501,17 @@ object DedupQueries {
   private def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Registry.rnd
     val docs = Tables.table(spark, dir, "documents")
-    val pairs = minhashPairs(spark, dir)
-    val sig = sigRows(docs)
-    def renamed(p: String) = sig.toDF(s"${p}_id", s"${p}0", s"${p}1", s"${p}2", s"${p}3")
-    val est = pairs
-      .join(renamed("a"), "a_id").join(renamed("b"), "b_id")
-      .withColumn("n_match", (0 to 3).map(i =>
-        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _))
-      .select(col("a_id"), col("b_id"), rnd(col("n_match") / lit(4.0), 2).as("est"))
-    val sh = docs
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("sh"))
-      .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
-    def mean6(c: org.apache.spark.sql.Column) =
-      rnd(sum(round(c.cast("decimal(18,8)"), 6)).cast("double") / count(lit(1)), 6)
-    est
-      .join(inter, Seq("a_id", "b_id"), "left")
-      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
-      .join(sizes.toDF("a_id", "a_sh"), "a_id")
-      .join(sizes.toDF("b_id", "b_sh"), "b_id")
-      .withColumn("jaccard",
-        rnd(col("n_inter") / (col("a_sh") + col("b_sh") - col("n_inter")), 4))
-      .groupBy(col("est"))
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        mean6(col("jaccard")).as("mean_jaccard"),
-        mean6(abs(col("est") - col("jaccard"))).as("mean_abs_err"))
-      .select(col("est"), col("n_pairs"), col("mean_jaccard"), col("mean_abs_err"))
-      .orderBy(col("est"))
-  }
-
-  /** The 4-slice minhash signature per doc — bandRows' `mins` stage
-    * surfaced for position-wise comparison. */
-  private def sigRows(docs: DataFrame): DataFrame =
-    docs
+    // ONE doc-keyed pass carries everything downstream: the 4
+    // signature mins (duplicate-invariant) AND the distinct shingle
+    // SET itself — so the exact-Jaccard leg becomes a row-local
+    // array_intersect over the candidate pairs instead of re-shuffling
+    // the corpus-sized (doc, shingle) stream per intersection side
+    // (measured: the shuffled-join form paid ~8 s at sf1 for 5k pairs;
+    // this shape pays one corpus agg + 5k-row joins). The doc-sized
+    // frame materializes per call (localCheckpoint, no cross-call
+    // cache) and feeds the pair derivation, the estimate, and the
+    // exact leg.
+    val sig = Tables.fanOut(docs) // single-row-group fixture: spread the explode+md5
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
@@ -552,7 +522,44 @@ object DedupQueries {
         min(substring(col("h"), 1, 8)).as("m0"),
         min(substring(col("h"), 9, 8)).as("m1"),
         min(substring(col("h"), 17, 8)).as("m2"),
-        min(substring(col("h"), 25, 8)).as("m3"))
+        min(substring(col("h"), 25, 8)).as("m3"),
+        collect_set(col("sh")).as("shs"))
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+      .localCheckpoint()
+    // candidate pairs off the signature's 2x2 banding (minhashPairs'
+    // posting-list shape, from the already-aggregated doc-sized frame)
+    val pairs = sig
+      .select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"), concat(col("m0"), lit("|"), col("m1")).as("bucket")),
+        struct(lit(1).as("band"), concat(col("m2"), lit("|"), col("m3")).as("bucket")))).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
+      .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
+      .distinct()
+    def renamed(p: String) =
+      sig.toDF(s"${p}_id", s"${p}0", s"${p}1", s"${p}2", s"${p}3",
+        s"${p}_shs", s"${p}_sh")
+    def mean6(c: org.apache.spark.sql.Column) =
+      rnd(sum(round(c.cast("decimal(18,8)"), 6)).cast("double") / count(lit(1)), 6)
+    pairs
+      .join(renamed("a"), "a_id").join(renamed("b"), "b_id")
+      .withColumn("n_match", (0 to 3).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _))
+      .withColumn("est", rnd(col("n_match") / lit(4.0), 2))
+      .withColumn("n_inter",
+        size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
+      .withColumn("jaccard",
+        rnd(col("n_inter") / (col("a_sh") + col("b_sh") - col("n_inter")), 4))
+      .groupBy(col("est"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        mean6(col("jaccard")).as("mean_jaccard"),
+        mean6(abs(col("est") - col("jaccard"))).as("mean_abs_err"))
+      .select(col("est"), col("n_pairs"), col("mean_jaccard"), col("mean_abs_err"))
+      .orderBy(col("est"))
+  }
 
   // def, not val: minhashCtes is declared further down the object and
   // a val here would interpolate null at object init
