@@ -42,6 +42,7 @@ object SimilarityQueries {
     NamedQuery("sim_recall_matryoshka", recallMatryoshka, Some(recallMatryoshkaSql)),
     NamedQuery("sim_graph_topk", graphTopk, Some(graphTopkSql)),
     NamedQuery("sim_graph_reach", graphReach, Some(graphReachSql)),
+    NamedQuery("sim_recall_graph", recallGraph, Some(recallGraphSql)),
     NamedQuery("pipeline_cluster_mix", clusterMix, Some(clusterMixSql)),
   )
 
@@ -1757,8 +1758,14 @@ object SimilarityQueries {
   // The oracle re-derives the graph from the inlined codebook literals
   // (build determinism is the sidecar's contract — 4-dp sims, dst-id
   // tiebreaks), then replays the same seed/expansion/re-rank legs.
+  // The CTE body is shared with the recall eval's oracle.
   private def graphTopkSql =
-    s"""WITH e AS (
+    s"""WITH $graphBeamCtes
+      |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
+  private def graphBeamCtes =
+    s"""e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
@@ -1809,9 +1816,54 @@ object SimilarityQueries {
       |  SELECT q_id, n_id, sim,
       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
       |  FROM cand
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Graph-beam recall eval — sim_recall_eval's discipline applied to
+  // the graph-refined index: recall@3 of the beam search vs exact
+  // cosine top-3, hash-gated every round, so a graph-build or
+  // beam-width regression flips a correctness row instead of waiting
+  // for a human to re-run tools.GraphRecall. Ground truth is the one
+  // broadcast-panel exact pass; the beam leg is sim_graph_topk's own
+  // dataflow (sidecar graph + constant expansion).
+  private def recallGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val exact = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val got = graphTopk(spark, dir).select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    exact.join(got, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id")).agg(count(col("hit")).as("n_hit"))
+      .withColumn("recall", graft.ops.Registry.rnd(col("n_hit") / lit(3.0), 4))
+      .select(col("q_id"), col("n_hit"), col("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  private def recallGraphSql =
+    s"""WITH $graphBeamCtes, gt AS (
+      |  SELECT q_id, n_id FROM ranked WHERE rank <= 3
+      |), exact AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        b.vec_id) AS rank
+      |    FROM e a JOIN e b ON a.vec_id < 8 AND b.vec_id <> a.vec_id
+      |  ) WHERE rank <= 3
       |)
-      |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
-      |ORDER BY q_id, rank""".stripMargin
+      |SELECT ex.q_id, count(g.n_id) AS n_hit,
+      |  CAST(round(CAST(count(g.n_id) / 3.0 AS DECIMAL(18,8)), 4) AS DOUBLE) AS recall
+      |FROM exact ex LEFT JOIN gt g ON g.q_id = ex.q_id AND g.n_id = ex.n_id
+      |GROUP BY ex.q_id
+      |ORDER BY ex.q_id""".stripMargin
 
   // ---------------------------------------------------------------
   // k-NN graph health audit — the acceptance metrics an ANN index
