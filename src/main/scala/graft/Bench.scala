@@ -181,7 +181,11 @@ object Bench {
     // (`steady_filtered`) totals are reported; BASELINE.md states the
     // rule. If every pass fails the gate the filter is a no-op (a
     // uniformly slow box is the raw number's problem to attribute).
-    val probeMedian = median(ioProbes.toSeq)
+    // gate on the STEADY-boundary probes only (indices 1..steadyPasses):
+    // probe[0] ran before the cold pass on a cold page cache, and with
+    // few steady passes one anomalous cold-window point would shift the
+    // 2x gate enough to drop a healthy pass
+    val probeMedian = median(ioProbes.toSeq.drop(1))
     val keptPasses = (1 to steadyPasses)
       .filter(i => ioProbes(i) * 2.0 >= probeMedian)
     val keptSteady =

@@ -71,7 +71,7 @@ object ScanJob {
       // live leg, like the tail's: a delivery failure fails the
       // backfill before any tailing starts (reference src/index.ts:27-32
       // bulk-indexes the scan through the same client)
-      TailQuery.deliverBulkDir(s"${b.dir}/batch-scan", b)
+      TailQuery.deliverBulkDir(spark, s"${b.dir}/batch-scan", b)
     }
     seeded
   }

@@ -68,22 +68,53 @@ object TailQuery {
     * exhausted failure throws INSIDE foreachBatch, so the micro-batch
     * fails, the checkpoint never advances, and the restart replays the
     * batch (at-least-once, idempotent under id-keyed upserts — exactly
-    * src/processor.ts:393-395's drop-without-checkpoint). Files post
-    * from the driver per trigger, mirroring the reference's single
-    * client; a wide deployment lifts the same call into
-    * foreachPartition. */
+    * src/processor.ts:393-395's drop-without-checkpoint). Delivery runs
+    * in EXECUTOR tasks — one task per committed part file — so delivery
+    * bandwidth scales with the write parallelism instead of serializing
+    * through the driver (the reference's single client is its 10k docs/s
+    * ceiling); the driver only lists part-file NAMES. */
   final case class BulkSpec(dir: String, index: String, esType: String,
       endpoint: Option[String] = None,
       httpPolicy: graft.sink.BulkHttp.Policy = graft.sink.BulkHttp.Policy())
 
-  /** POST every committed part file of one batch directory, in name
-    * order (deterministic replay order, the external-loader contract). */
-  private[pipeline] def deliverBulkDir(batchDir: String, b: BulkSpec): Unit =
+  /** POST every committed part file of one batch directory — from
+    * EXECUTOR tasks, one task per part file, so the in-flight state per
+    * task is a single bulk body and delivery bandwidth is the cluster's,
+    * not the driver's. The driver only LISTS part-file names (metadata);
+    * it never reads a byte of bulk body. Any task whose delivery
+    * exhausts its retry schedule throws [[graft.sink.BulkHttp.BulkFailedException]],
+    * which fails the Spark job and therefore the enclosing micro-batch —
+    * the checkpoint never advances past an undelivered batch, and the
+    * restart replays it (at-least-once; a re-POSTed file is idempotent
+    * under id-keyed upserts). Cross-file ORDER within one batch is not
+    * preserved — and not needed: the batch fold emits at most one
+    * outcome per id, so one batch's part files touch disjoint keys and
+    * commute; batch-to-batch order stays serial because delivery
+    * completes inside foreachBatch before the next trigger fires. Each
+    * task tags its POSTs with an `X-Graft-Task` header
+    * (task-partition-attempt) so delivery parallelism is observable
+    * downstream (and spec-pinned: >1 distinct delivering task, none of
+    * them the driver). */
+  private[pipeline] def deliverBulkDir(spark: SparkSession, batchDir: String,
+      b: BulkSpec): Unit =
     b.endpoint.foreach { ep =>
-      val uri = java.net.URI.create(ep)
       val parts = Option(new java.io.File(batchDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-      parts.foreach(p => graft.sink.BulkHttp.deliverFile(p.getPath, uri, b.httpPolicy))
+        .filter(f => f.getName.startsWith("part-")).map(_.getPath).sorted.toSeq
+      if (parts.nonEmpty) {
+        val policy = b.httpPolicy
+        import spark.implicits._
+        spark.createDataset(parts)
+          .repartition(parts.size) // one task per file
+          .foreach { path =>
+            val tc = org.apache.spark.TaskContext.get()
+            val tag =
+              if (tc == null) "driver"
+              else s"task-${tc.partitionId()}-${tc.taskAttemptId()}"
+            graft.sink.BulkHttp.deliverFile(
+              path, java.net.URI.create(ep), policy, tag = tag)
+            ()
+          }
+      }
     }
 
   private def writeBulk(outcomes: DataFrame, b: BulkSpec, batchId: Long): Unit = {
@@ -95,7 +126,7 @@ object TailQuery {
       .option("path", batchDir)
       .option("index", b.index).option("type", b.esType)
       .mode("append").save()
-    deliverBulkDir(batchDir, b)
+    deliverBulkDir(outcomes.sparkSession, batchDir, b)
   }
 
   /** Start the tail stream. `oplogStream` must be a streaming DataFrame

@@ -29,12 +29,13 @@ import graft.model.{DArr, DInt, DObj, DStr, Json}
   * Transport-level failures (connect refused, 5xx on the whole
   * request) retry the WHOLE request with the same backoff schedule.
   *
-  * Scale shape: this is per-partition work — a cluster deployment calls
-  * [[bulk]] from `foreachPartition` (or [[deliverFile]] per committed
-  * sink part file), so delivery parallelism is the write parallelism
-  * and the driver never sees a document. State is one in-flight body
-  * per task. BulkHttpSpec drives every failure mode against a local
-  * stub endpoint.
+  * Scale shape: this is per-partition work — the engine's delivery path
+  * ([[graft.pipeline.TailQuery.deliverBulkDir]]) calls [[deliverFile]]
+  * from one EXECUTOR task per committed sink part file, so delivery
+  * parallelism is the write parallelism and the driver never sees a
+  * document. State is one in-flight body per task; `tag` carries the
+  * task identity as an `X-Graft-Task` header. BulkHttpSpec drives every
+  * failure mode against a local stub endpoint.
   */
 object BulkHttp {
 
@@ -67,7 +68,12 @@ object BulkHttp {
         d.fields.collectFirst { case ("_id", DStr(s)) => s }.getOrElse("")
       }.getOrElse("")
       if (isDelete) { out += Action(meta, None, id); i += 1 }
-      else { out += Action(meta, Some(lines(i + 1)), id); i += 2 }
+      else {
+        if (i + 1 >= lines.length)
+          throw new IllegalArgumentException(
+            s"malformed bulk body: dangling action metadata at line $i: $meta")
+        out += Action(meta, Some(lines(i + 1)), id); i += 2
+      }
     }
     out.result()
   }
@@ -89,20 +95,26 @@ object BulkHttp {
       }
     }.getOrElse(Vector.empty)
 
-  private def send(client: HttpClient, uri: URI, body: String): HttpResponse[String] =
+  private def send(client: HttpClient, uri: URI, body: String,
+      tag: String): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(uri)
+      .header("Content-Type", "application/x-ndjson")
+    // delivery-attribution header: which Spark task POSTed this body
+    // (set by the executor-side delivery path; lets a downstream — and
+    // the executor-delivery spec — see the delivery parallelism)
+    if (tag.nonEmpty) b.header("X-Graft-Task", tag)
     client.send(
-      HttpRequest.newBuilder(uri)
-        .header("Content-Type", "application/x-ndjson")
-        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-        .build(),
+      b.POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8)).build(),
       HttpResponse.BodyHandlers.ofString())
+  }
 
   /** Deliver one sink body (its lines) to `uri` under `policy`. Returns
     * the delivery report; throws [[BulkFailedException]] when items
     * remain failed after the schedule and the policy is the reference's
     * batch-drop (the caller must then NOT advance its checkpoint). */
   def bulk(lines: IndexedSeq[String], uri: URI, policy: Policy = Policy(),
-      client: HttpClient = HttpClient.newHttpClient()): BulkReport = {
+      client: HttpClient = HttpClient.newHttpClient(),
+      tag: String = ""): BulkReport = {
     var pending = actionsOf(lines)
     var acked = 0
     var requests = 0
@@ -111,7 +123,7 @@ object BulkHttp {
     while (pending.nonEmpty && attempt <= policy.maxRetries) {
       if (attempt > 0) Thread.sleep(policy.backoffMs << (attempt - 1))
       val resp =
-        try send(client, uri, bodyOf(pending))
+        try send(client, uri, bodyOf(pending), tag)
         catch {
           case e: java.io.IOException =>
             requests += 1; attempt += 1
@@ -130,9 +142,23 @@ object BulkHttp {
               s"bulk endpoint ${resp.statusCode()} after $attempt attempts",
               BulkReport(requests, acked, dropped))
         } else {
-          val statuses = itemStatuses(resp.body())
-          require(statuses.size == pending.size,
-            s"bulk response items ${statuses.size} != actions ${pending.size}")
+          // an error body (or proxy HTML) may not parse at all — treat
+          // that the same as a missing 'items' array below
+          val statuses =
+            try itemStatuses(resp.body())
+            catch { case scala.util.control.NonFatal(_) => Vector.empty[Int] }
+          // A non-retryable whole-request status (400/404/…) — or any
+          // response whose body carries no per-item report matching the
+          // request — is a CLASSIFIED whole-request failure, not a raw
+          // parse/require exception: the caller's contract is
+          // BulkFailedException-or-report, and a 400 error body has no
+          // 'items' array to partition on.
+          if (statuses.size != pending.size)
+            throw new BulkFailedException(
+              s"bulk endpoint ${resp.statusCode()}: response carries " +
+                s"${statuses.size} item statuses for ${pending.size} actions " +
+                "(whole-request failure)",
+              BulkReport(requests, acked, dropped))
           val (ok, bad) = pending.zip(statuses).partition(_._2 < 300)
           acked += ok.size
           val (retryable, fatal) = bad.partition(p => policy.retryableStatuses(p._2))
@@ -157,12 +183,13 @@ object BulkHttp {
 
   /** Deliver one committed sink part file (plain or gzip). */
   def deliverFile(path: String, uri: URI, policy: Policy = Policy(),
-      client: HttpClient = HttpClient.newHttpClient()): BulkReport = {
+      client: HttpClient = HttpClient.newHttpClient(),
+      tag: String = ""): BulkReport = {
     val raw: java.io.InputStream = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
     val in = if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toIndexedSeq
       finally in.close()
-    bulk(lines.filter(_.nonEmpty), uri, policy, client)
+    bulk(lines.filter(_.nonEmpty), uri, policy, client, tag)
   }
 }

@@ -112,6 +112,27 @@ class BulkHttpSpec extends AnyFunSuite {
     }
   }
 
+  test("non-retryable whole-request status without an items body is a CLASSIFIED failure") {
+    // a 400 error body has no 'items' array to partition on: the caller
+    // must see BulkFailedException (its contract), not a raw parse or
+    // require exception — and a 400 must not be retried
+    val reqs = withStub((_, _) => Left(400)) { uri =>
+      val e = intercept[BulkHttp.BulkFailedException] {
+        BulkHttp.bulk(body("a", "b"), uri, fast)
+      }
+      assert(e.getMessage.contains("400"))
+      assert(e.report.requests === 1, "a whole-request 400 must NOT be retried")
+    }
+    assert(reqs.size === 1)
+  }
+
+  test("malformed bulk body with dangling action metadata fails descriptively") {
+    val e = intercept[IllegalArgumentException] {
+      BulkHttp.actionsOf(IndexedSeq("""{"index":{"_index":"i","_type":"t","_id":"a"}}"""))
+    }
+    assert(e.getMessage.contains("dangling action metadata"))
+  }
+
   test("transport failure (connection refused) exhausts retries and throws") {
     // a port nothing listens on
     val uri = new URI("http://127.0.0.1:1/_bulk")
