@@ -63,10 +63,10 @@ object CodebookStore {
     indexRoot.resolve(s"codebook_${sane}_k$k.tsv")
   }
 
-  private def save(p: Path, n: Long, cb: Codebook): Unit = {
+  private def save(p: Path, stamp: String, cb: Codebook): Unit = {
     Files.createDirectories(p.getParent)
     val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
-    val lines = s"#corpus_rows=$n" +: cb.map { case (cid, cv, cn) =>
+    val lines = s"#corpus_stamp=$stamp" +: cb.map { case (cid, cv, cn) =>
       s"$cid\t$cn\t${cv.mkString(",")}"
     }
     Files.write(tmp, lines.asJava)
@@ -74,14 +74,15 @@ object CodebookStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Load iff the header's corpus row count matches `n` — a regenerated
-    * corpus that happens to land on the same k must retrain, not
-    * silently reuse centroids from vanished data. */
-  private def load(p: Path, n: Long): Option[Codebook] =
+  /** Load iff the header's corpus stamp (row count + id-set hash,
+    * [[CorpusStamp]]) matches — a regenerated corpus, even one landing
+    * on the same cardinality and k, must retrain, not silently reuse
+    * centroids from vanished data. */
+  private def load(p: Path, stamp: String): Option[Codebook] =
     if (!Files.exists(p)) None
     else {
       val lines = Files.readAllLines(p).asScala.toVector
-      if (lines.headOption.contains(s"#corpus_rows=$n"))
+      if (lines.headOption.contains(s"#corpus_stamp=$stamp"))
         Some(lines.tail.map { line =>
           val Array(cid, cn, vs) = line.split("\t", 3)
           (cid.toLong, vs.split(",").map(_.toDouble).toVector, cn.toDouble)
@@ -92,10 +93,10 @@ object CodebookStore {
   /** Load the persisted codebook for `dir` if one exists; otherwise
     * train (√N-sized), persist, and return it. */
   def loadOrTrain(spark: SparkSession, dir: String): Codebook = {
-    val n = graft.ops.Tables.table(spark, dir, "embeddings").count()
-    val k = kFor(n)
+    val st = CorpusStamp.of(spark, dir, "embeddings", "vec_id")
+    val k = kFor(st.rows)
     val p = fileFor(dir, k)
-    load(p, n).getOrElse {
+    load(p, st.token).getOrElse {
       val (codebook, _) =
         KMeans.train(spark, dir, k = k, rounds = 3, computeObjective = false)
       val cb = codebook.select(col("cid").cast("long"), col("cv"), col("cn"))
@@ -103,7 +104,7 @@ object CodebookStore {
         .collect().toVector
         .map(r => (r.getLong(0), r.getSeq[Double](1).toVector, r.getDouble(2)))
       trainCount += 1
-      save(p, n, cb)
+      save(p, st.token, cb)
       cb
     }
   }
@@ -143,11 +144,11 @@ object PqStore {
   private def codesDir(dir: String, m: Int, k: Int): Path =
     CodebookStore.indexRoot.resolve(s"pq_codes_${sane(dir)}_m${m}k$k.parquet")
 
-  def saveCodebook(dir: String, m: Int, k: Int, n: Long, cb: PqCodebook): Unit = {
+  def saveCodebook(dir: String, m: Int, k: Int, stamp: String, cb: PqCodebook): Unit = {
     val p = codebookFile(dir, m, k)
     Files.createDirectories(p.getParent)
     val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
-    val lines = s"#corpus_rows=$n" +: cb.map { case (j, cid, cv) =>
+    val lines = s"#corpus_stamp=$stamp" +: cb.map { case (j, cid, cv) =>
       s"$j\t$cid\t${cv.mkString(",")}"
     }
     Files.write(tmp, lines.asJava)
@@ -155,12 +156,12 @@ object PqStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def loadCodebook(dir: String, m: Int, k: Int, n: Long): Option[PqCodebook] = {
+  def loadCodebook(dir: String, m: Int, k: Int, stamp: String): Option[PqCodebook] = {
     val p = codebookFile(dir, m, k)
     if (!Files.exists(p)) None
     else {
       val lines = Files.readAllLines(p).asScala.toVector
-      if (lines.headOption.contains(s"#corpus_rows=$n"))
+      if (lines.headOption.contains(s"#corpus_stamp=$stamp"))
         Some(lines.tail.map { line =>
           val Array(j, cid, vs) = line.split("\t", 3)
           (j.toInt, cid.toLong, vs.split(",").map(_.toDouble).toVector)
@@ -177,13 +178,13 @@ object PqStore {
     * a delete window, and two concurrent encoders at worst leave an
     * orphaned unreferenced version. */
   def saveCodes(codes: org.apache.spark.sql.DataFrame,
-      dir: String, m: Int, k: Int, n: Long): Unit = {
+      dir: String, m: Int, k: Int, stamp: String): Unit = {
     val base = codesDir(dir, m, k)
     Files.createDirectories(base.getParent)
     val version = java.util.UUID.randomUUID().toString
     val vdir = base.getParent.resolve(base.getFileName.toString + s".v-$version")
     codes.write.parquet(vdir.toString)
-    Files.writeString(vdir.resolve("_CORPUS_ROWS"), n.toString)
+    Files.writeString(vdir.resolve("_CORPUS_ROWS"), stamp)
     val ptr = pointerFor(base)
     // the version the pointer referenced until this swap: a concurrent
     // session may hold a lazy DataFrame over it, so it survives one
@@ -212,7 +213,7 @@ object PqStore {
     base.getParent.resolve(base.getFileName.toString + ".PTR")
 
   def loadCodes(spark: SparkSession, dir: String, m: Int, k: Int,
-      n: Long): Option[org.apache.spark.sql.DataFrame] = {
+      stamp: String): Option[org.apache.spark.sql.DataFrame] = {
     val base = codesDir(dir, m, k)
     val ptr = pointerFor(base)
     // legacy layout (pre-pointer, the round-10 first cut): the bare dir
@@ -222,7 +223,7 @@ object PqStore {
       else None
     resolved.filter { p =>
       val meta = p.resolve("_CORPUS_ROWS")
-      Files.exists(meta) && Files.readString(meta).trim == n.toString
+      Files.exists(meta) && Files.readString(meta).trim == stamp
     }.map(p => spark.read.parquet(p.toString))
   }
 }

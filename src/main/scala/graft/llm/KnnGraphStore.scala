@@ -93,13 +93,13 @@ object KnnGraphStore {
   /** Persist with the pointer-swap discipline (versioned immutable dir,
     * atomic pointer rename, previous generation kept one swap for any
     * concurrent lazy reader — the PqStore.saveCodes contract). */
-  private def save(edges: DataFrame, dir: String, n: Long): Unit = {
+  private def save(edges: DataFrame, dir: String, stamp: String): Unit = {
     val base = graphBase(dir)
     Files.createDirectories(base.getParent)
     val version = java.util.UUID.randomUUID().toString
     val vdir = base.getParent.resolve(base.getFileName.toString + s".v-$version")
     edges.write.parquet(vdir.toString)
-    Files.writeString(vdir.resolve("_CORPUS_ROWS"), n.toString)
+    Files.writeString(vdir.resolve("_CORPUS_ROWS"), stamp)
     val ptr = pointerFor(base)
     val previous =
       if (Files.exists(ptr)) Some(Files.readString(ptr).trim).filter(_.nonEmpty)
@@ -119,7 +119,7 @@ object KnnGraphStore {
     } finally listing.close()
   }
 
-  private def load(spark: SparkSession, dir: String, n: Long): Option[DataFrame] = {
+  private def load(spark: SparkSession, dir: String, stamp: String): Option[DataFrame] = {
     val base = graphBase(dir)
     val ptr = pointerFor(base)
     val resolved =
@@ -127,19 +127,21 @@ object KnnGraphStore {
       else None
     resolved.filter { p =>
       val meta = p.resolve("_CORPUS_ROWS")
-      Files.exists(meta) && Files.readString(meta).trim == n.toString
+      Files.exists(meta) && Files.readString(meta).trim == stamp
     }.map(p => spark.read.parquet(p.toString))
   }
 
   /** The edge table for `dir`: sidecar if fresh, else build + persist.
-    * The fingerprint is the corpus row count — a regenerated corpus
-    * rebuilds, a restarted session over the same corpus loads. */
+    * The fingerprint is the [[CorpusStamp]] token (row count + id-set
+    * hash, session-cached) — a regenerated corpus rebuilds even at
+    * identical cardinality; a restarted session over the same corpus
+    * loads with zero Spark jobs beyond the one cached stamp. */
   def loadOrBuild(spark: SparkSession, dir: String): DataFrame = {
-    val n = graft.ops.Tables.table(spark, dir, "embeddings").count()
-    load(spark, dir, n).getOrElse {
+    val stamp = CorpusStamp.of(spark, dir, "embeddings", "vec_id").token
+    load(spark, dir, stamp).getOrElse {
       buildCount += 1
-      save(build(spark, dir), dir, n)
-      load(spark, dir, n).getOrElse(
+      save(build(spark, dir), dir, stamp)
+      load(spark, dir, stamp).getOrElse(
         sys.error(s"knn graph sidecar unreadable after save: $dir"))
     }
   }

@@ -50,10 +50,10 @@ object LrModel {
     CodebookStore.indexRoot.resolve(
       s"lr_model_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}.tsv")
 
-  private def save(p: Path, n: Long, w: Vector[Double], losses: Vector[Double]): Unit = {
+  private def save(p: Path, stamp: String, w: Vector[Double], losses: Vector[Double]): Unit = {
     Files.createDirectories(p.getParent)
     val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
-    val lines = s"#corpus_rows=$n" +:
+    val lines = s"#corpus_stamp=$stamp" +:
       s"#losses=${losses.mkString(",")}" +:
       seedWeights.map(_._1).zip(w).map { case (name, v) => s"$name\t$v" }
     Files.write(tmp, lines.asJava)
@@ -61,11 +61,11 @@ object LrModel {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def load(p: Path, n: Long): Option[(Vector[Double], Vector[Double])] =
+  private def load(p: Path, stamp: String): Option[(Vector[Double], Vector[Double])] =
     if (!Files.exists(p)) None
     else {
       val lines = Files.readAllLines(p).asScala.toVector
-      if (!lines.headOption.contains(s"#corpus_rows=$n")) None
+      if (!lines.headOption.contains(s"#corpus_stamp=$stamp")) None
       else {
         val losses = lines(1).stripPrefix("#losses=").split(",")
           .filter(_.nonEmpty).map(_.toDouble).toVector
@@ -122,12 +122,12 @@ object LrModel {
     loadOrTrainWithLosses(spark, dir)._1
 
   def loadOrTrainWithLosses(spark: SparkSession, dir: String): (Vector[Double], Vector[Double]) = {
-    val n = graft.ops.Tables.table(spark, dir, "documents").count()
+    val stamp = CorpusStamp.of(spark, dir, "documents", "doc_id").token
     val p = fileFor(dir)
-    load(p, n).getOrElse {
+    load(p, stamp).getOrElse {
       val (w, losses) = train(spark, dir)
       trainCount += 1
-      save(p, n, w, losses)
+      save(p, stamp, w, losses)
       (w, losses)
     }
   }

@@ -64,7 +64,13 @@ object MinHashIndexStore {
     * it. The returned frame always reads FROM THE SIDECAR PARQUET, so
     * downstream plans scan the index, never the raw corpus. */
   def loadOrBuild(spark: SparkSession, dir: String): DataFrame = {
-    val n = archiveDocs(spark, dir).count()
+    // session-cached count (one stamp job per dir/session; the archive
+    // variant stamps the FILTERED view). Segment accounting stays
+    // count-based: absorb's covered docs are caller-owned and need not
+    // exist in the table, so only the additive row count is summable
+    // against the manifest here.
+    val n = CorpusStamp.of(spark, dir, "documents", "doc_id",
+      variant = "archive", frame = Some(archiveDocs(spark, dir))).rows
     load(spark, dir, n).getOrElse {
       build(spark, dir, n)
       load(spark, dir, n).getOrElse(

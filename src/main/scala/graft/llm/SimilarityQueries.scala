@@ -1077,8 +1077,10 @@ object SimilarityQueries {
     pqTrained.clear(); pqCodes.clear(); lastPqDir = None
   }
 
-  private def pqCorpusRows(spark: SparkSession, dir: String): Long =
-    Tables.table(spark, dir, "embeddings").count()
+  /** Session-cached corpus stamp (count + id-set hash) keying the PQ
+    * sidecars — one stamp job per (dir, session), see [[CorpusStamp]]. */
+  private def pqCorpusStamp(spark: SparkSession, dir: String): String =
+    CorpusStamp.of(spark, dir, "embeddings", "vec_id").token
 
   /** Unit-normalized vectors with their per-subspace slices exploded to
     * (vec_id, j, sub) — the shared shape of training, encoding, and the
@@ -1104,11 +1106,11 @@ object SimilarityQueries {
       // memory cache -> persisted index file -> train-once (the
       // CodebookStore discipline; see PqStore for the restart/scale
       // rationale)
-      val nRows = pqCorpusRows(spark, d)
-      PqStore.loadCodebook(d, PqM, PqK, nRows).getOrElse {
+      val stamp = pqCorpusStamp(spark, d)
+      PqStore.loadCodebook(d, PqM, PqK, stamp).getOrElse {
         val trained = pqTrain(spark, d)
         PqStore.trainCount += 1
-        PqStore.saveCodebook(d, PqM, PqK, nRows, trained)
+        PqStore.saveCodebook(d, PqM, PqK, stamp, trained)
         trained
       }
     })
@@ -1175,8 +1177,8 @@ object SimilarityQueries {
       // memory cache -> persisted parquet code table -> encode-once:
       // the encode is a full corpus pass (N x M x K rounded distances),
       // exactly what a restart must NOT silently repeat at 100 TB
-      val nRows = pqCorpusRows(s, d)
-      PqStore.loadCodes(s, d, PqM, PqK, nRows).getOrElse {
+      val stamp = pqCorpusStamp(s, d)
+      PqStore.loadCodes(s, d, PqM, PqK, stamp).getOrElse {
         import s.implicits._
         val cbDf = broadcast(pqCodebook(s, d).toDF("j", "cid", "cv"))
         val w = Window.partitionBy(col("vec_id"), col("j"))
@@ -1187,8 +1189,8 @@ object SimilarityQueries {
           .filter(col("rn") === 1)
           .select(col("vec_id").as("n_id"), col("j"), col("cid").as("code"))
         PqStore.encodeCount += 1
-        PqStore.saveCodes(encoded, d, PqM, PqK, nRows)
-        PqStore.loadCodes(s, d, PqM, PqK, nRows).getOrElse(
+        PqStore.saveCodes(encoded, d, PqM, PqK, stamp)
+        PqStore.loadCodes(s, d, PqM, PqK, stamp).getOrElse(
           sys.error(s"pq code table write at ${d} did not land"))
       }
     })

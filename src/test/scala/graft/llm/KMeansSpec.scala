@@ -100,7 +100,7 @@ class KMeansSpec extends AnyFunSuite {
         finally s.close()
       }
       val lines = java.nio.file.Files.readAllLines(cbFile)
-      lines.set(0, "#corpus_rows=499")
+      lines.set(0, "#corpus_stamp=499:0")
       java.nio.file.Files.write(cbFile, lines)
       SimilarityQueries.resetCodebookCacheForTest()
       val third = CodebookStore.loadOrTrain(spark, dir)
