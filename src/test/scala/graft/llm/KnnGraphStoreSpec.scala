@@ -65,6 +65,37 @@ class KnnGraphStoreSpec extends AnyFunSuite {
       "fingerprint mismatch must rebuild, not silently reuse stale edges")
   }
 
+  test("absorb ≡ full rebuild: exact edge-set equality over the merged corpus, zero rebuild jobs") {
+    val tmp = java.nio.file.Files.createTempDirectory("knng-abs").toString
+    val e = graft.ops.Tables.table(spark, dir, "embeddings")
+    // the merged table is on disk from the start; the codebook freezes
+    // over it (absorb's lifecycle contract: one codebook per corpus
+    // snapshot — a retrain event is a rebuild event)
+    e.write.parquet(s"$tmp/embeddings.parquet")
+    CodebookStore.loadOrTrain(spark, tmp)
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    KnnGraphStore.buildBaseFor(spark, tmp, old)
+    val b0 = KnnGraphStore.buildCount
+    val a0 = KnnGraphStore.absorbCount
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val absorbed = edgeSet(KnnGraphStore.absorb(spark, tmp, batch))
+    assert(KnnGraphStore.absorbCount === a0 + 1)
+    assert(KnnGraphStore.buildCount === b0, "absorb must NOT full-rebuild")
+    val full = edgeSet(KnnGraphStore.build(spark, tmp))
+    assert(absorbed === full,
+      "the O(batch) absorb must equal a full rebuild on the merged corpus exactly")
+    // the merged table's live stamp equals the absorbed cumulative
+    // stamp (additive), so loadOrBuild resolves WITHOUT rebuilding…
+    assert(edgeSet(KnnGraphStore.loadOrBuild(spark, tmp)) === full)
+    assert(KnnGraphStore.buildCount === b0)
+    // …and the beam query runs green over the absorbed (multi-segment)
+    // sidecar — per-source latest-segment-wins is invisible to readers
+    val topk = graft.SparkEntry.queries("sim_graph_topk")(spark, tmp)
+    assert(topk.count() > 0)
+  }
+
   test("beam refinement is monotone: graph top-3 sims >= seed-only (ivf) top-3 sims") {
     val ivf = graft.SparkEntry.queries("sim_ivf_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
