@@ -41,8 +41,11 @@ object SimilarityQueries {
     NamedQuery("eval_auc_binned", aucBinned, Some(aucBinnedSql)),
     NamedQuery("sim_recall_matryoshka", recallMatryoshka, Some(recallMatryoshkaSql)),
     NamedQuery("sim_graph_topk", graphTopk, Some(graphTopkSql)),
+    NamedQuery("sim_graph_topk2", graphTopk2, Some(graphTopk2Sql)),
     NamedQuery("sim_graph_reach", graphReach, Some(graphReachSql)),
     NamedQuery("sim_recall_graph", recallGraph, Some(recallGraphSql)),
+    NamedQuery("sim_recall_hard", recallHard, Some(recallHardSql)),
+    NamedQuery("sim_recall_hard2", recallHard2, Some(recallHard2Sql)),
     NamedQuery("pipeline_cluster_mix", clusterMix, Some(clusterMixSql)),
   )
 
@@ -1702,7 +1705,26 @@ object SimilarityQueries {
   // candidate budget at equal-or-better recall (BASELINE.md records
   // the recall@3 table from tools.GraphRecall). The graph build itself
   // is the offline pre-paid index pass (see KnnGraphStore).
-  private def graphTopk(spark: SparkSession, dir: String): DataFrame = {
+  private def graphTopk(spark: SparkSession, dir: String): DataFrame =
+    graphBeam(spark, dir, hops = 1)
+
+  // Multi-hop beam search (r14 verdict #6): the HNSW idea pays off over
+  // 2–3 hops — hop h's frontier is the top-beamWidth of everything
+  // ranked so far (seeds ∪ previous expansions), and its stored
+  // neighborhoods join the candidate pool. A hub-and-spoke region one
+  // edge away from the query's cell is unreachable in one hop but two
+  // pointer chases away in the graph. Scale shape: corpus touches stay
+  // CONSTANT per hop — each hop is one broadcast of a ≤beamWidth
+  // frontier against the edge sidecar plus one broadcast ≤degree·
+  // beamWidth id fetch against the corpus — so total cost is
+  // hops·degree·beamWidth exact sims regardless of corpus size, where
+  // multiprobe pays another √N-growing cell per extra probe.
+  private def graphTopk2(spark: SparkSession, dir: String): DataFrame =
+    graphBeam(spark, dir, hops = 2)
+
+  private def graphBeam(spark: SparkSession, dir: String, hops: Int,
+      width: Int = KnnGraphStore.beamWidth, topK: Int = 3,
+      panelIds: Option[DataFrame] = None, seedProbe: Int = 1): DataFrame = {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
@@ -1711,18 +1733,30 @@ object SimilarityQueries {
       .withColumn("cid",
         graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbCol))
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
-    // the 8-row panel materializes once (localCheckpoint): it feeds
-    // the seed join's broadcast side AND the expansion re-rank — left
-    // lazy, each consumer re-scans the corpus just to re-derive it
-    val q = assign.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("cid").as("qcid"),
+    // seed admission: the query's seedProbe nearest cells (1 = the
+    // cheap production probe; 2 = multiprobe's admission, which the
+    // hardened recall gate evaluates — the graph must BEAT multiprobe
+    // at its own seed budget, not just refine the easy case)
+    val probed = ec
+      .withColumn("qcid", explode(graft.expressions.CellFunctions
+        .nearestCells(col("v"), col("nrm"), cbCol, seedProbe)))
+      .select(col("vec_id"), col("qcid"), col("v"), col("nrm"))
+    // the panel materializes once (localCheckpoint): it feeds the seed
+    // join's broadcast side AND every hop's re-rank — left lazy, each
+    // consumer re-scans the corpus just to re-derive it
+    val panelled = panelIds match {
+      case Some(p) => probed.join(broadcast(p), probed("vec_id") === p("q_id"))
+      case None    => probed.filter(col("vec_id") < 8)
+    }
+    val q = panelled
+      .select(probed("vec_id").as("q_id"), col("qcid"),
         col("v").as("qv"), col("nrm").as("qn"))
       .localCheckpoint()
     // seed leg: the query's own cell, exact sims (sim_ivf_topk's
     // shape). Materialized once (panel × cell ≈ 8·N/|C| rows — KBs):
     // the beam window, the candidate union, and the expansion's
     // broadcast seed list all reuse it; lazy, the corpus-sized seed
-    // join would run four times
+    // join would run once per hop per consumer
     val seedPairs = assign
       .select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
       .join(broadcast(q), col("qcid") === col("cid") && col("q_id") =!= col("n_id"))
@@ -1731,43 +1765,75 @@ object SimilarityQueries {
       .select(col("q_id"), col("n_id"), col("sim"))
       .localCheckpoint()
     val wQ = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    val beam = seedPairs.withColumn("rk", row_number().over(wQ))
-      .filter(col("rk") <= KnnGraphStore.beamWidth)
-      .select(col("q_id"), col("n_id").as("seed_id"))
-    // expansion leg: stored neighborhoods of the beam — the graph
-    // sidecar streams, the ≤24-row beam broadcasts
-    val expansion = KnnGraphStore.loadOrBuild(spark, dir)
-      .join(broadcast(beam), col("src_id") === col("seed_id"))
-      .select(col("q_id"), col("dst_id").as("n_id"))
-    // exact re-rank over seed ∪ expansion: fetch the expansion vectors
-    // map-side (broadcast id list), recompute the identical sim
-    val expPairs = e
-      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
-      .join(broadcast(expansion), Seq("n_id"))
-      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim",
-        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
-      .select(col("q_id"), col("n_id"), col("sim"))
-    seedPairs.unionByName(expPairs)
-      .dropDuplicates("q_id", "n_id")
-      .withColumn("rank", row_number().over(wQ))
-      .filter(col("rank") <= 3)
+    val graph = KnnGraphStore.loadOrBuild(spark, dir)
+    // one row per query again (q carries seedProbe rows per query)
+    val qv = q.select(col("q_id"), col("qv"), col("qn")).dropDuplicates("q_id")
+    var cand = seedPairs
+    var h = 0
+    while (h < hops) {
+      // frontier: top-beamWidth of everything ranked so far (a
+      // frontier node seen in an earlier hop just re-derives the same
+      // expansion rows — the candidate dedup makes the loop idempotent,
+      // no visited-set state needed)
+      val frontier = cand.withColumn("rk", row_number().over(wQ))
+        .filter(col("rk") <= width)
+        .select(col("q_id"), col("n_id").as("seed_id"))
+      // stored neighborhoods of the frontier — the graph sidecar
+      // streams, the ≤beamWidth·panel frontier broadcasts
+      val expansion = graph
+        .join(broadcast(frontier), col("src_id") === col("seed_id"))
+        .select(col("q_id"), col("dst_id").as("n_id")).distinct()
+      // exact sims for the expansion: fetch its vectors map-side
+      // (broadcast id list), recompute the identical 4-dp sim
+      val expPairs = e
+        .select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+        .join(broadcast(expansion), Seq("n_id"))
+        .join(broadcast(qv), Seq("q_id"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim",
+          graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+        .select(col("q_id"), col("n_id"), col("sim"))
+      cand = cand.unionByName(expPairs).dropDuplicates("q_id", "n_id")
+      h += 1
+      // pin the pool between hops (≤ panel·(cell + h·degree·beamWidth)
+      // rows — KBs) so hop h+1's frontier window doesn't replay hop h;
+      // the final pool ranks lazily
+      if (h < hops) cand = cand.localCheckpoint()
+    }
+    cand.withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
   }
 
   // The oracle re-derives the graph from the inlined codebook literals
   // (build determinism is the sidecar's contract — 4-dp sims, dst-id
-  // tiebreaks), then replays the same seed/expansion/re-rank legs.
-  // The CTE body is shared with the recall eval's oracle.
+  // tiebreaks), then replays the same seed/expansion/re-rank hops,
+  // unrolled. The CTE body is shared with the recall evals' oracles.
   private def graphTopkSql =
-    s"""WITH $graphBeamCtes
+    s"""WITH ${graphBeamCtes(1)}
       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
-  private def graphBeamCtes =
-    s"""e AS (
+  private def graphTopk2Sql =
+    s"""WITH ${graphBeamCtes(2)}
+      |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** The default oracle panel: the 8 smallest vec_ids. The hardened
+    * recall evals swap in the reciprocity-stratified panel
+    * ([[hardPanelCtes]]) instead. */
+  private val defaultPanelCte =
+    """q AS (
+      |  SELECT vec_id AS q_id, cid AS qcid, v AS qv, nrm AS qn
+      |  FROM assign WHERE vec_id < 8
+      |)""".stripMargin
+
+  private def graphBeamCtes(hops: Int,
+      width: Int = KnnGraphStore.beamWidth,
+      panelCtes: String = defaultPanelCte): String = {
+    val base =
+      s"""e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
@@ -1790,35 +1856,41 @@ object SimilarityQueries {
       |    FROM (SELECT * FROM cells WHERE rn <= 2) p
       |    JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
       |  ) WHERE rank <= ${KnnGraphStore.degree}
-      |), q AS (
-      |  SELECT vec_id AS q_id, cid AS qcid, v AS qv, nrm AS qn
-      |  FROM assign WHERE vec_id < 8
-      |), seedpairs AS (
+      |), $panelCtes, seedpairs AS (
       |  SELECT q.q_id, a.vec_id AS n_id,
       |    CAST(round(CAST(list_dot_product(q.qv, a.v) / (q.qn * a.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
       |  FROM assign a JOIN q ON a.cid = q.qcid AND q.q_id <> a.vec_id
-      |), beam AS (
+      |), cand0 AS (
+      |  SELECT DISTINCT q_id, n_id, sim FROM seedpairs
+      |)""".stripMargin
+    val hopCtes = (1 to hops).map { hh =>
+      s""", beam$hh AS (
       |  SELECT q_id, n_id AS seed_id FROM (
       |    SELECT q_id, n_id,
       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
-      |    FROM seedpairs
-      |  ) WHERE rk <= ${KnnGraphStore.beamWidth}
-      |), exppairs AS (
-      |  SELECT b.q_id, g.dst_id AS n_id,
+      |    FROM cand${hh - 1}
+      |  ) WHERE rk <= $width
+      |), expp$hh AS (
+      |  SELECT DISTINCT b.q_id, g.dst_id AS n_id,
       |    CAST(round(CAST(list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
-      |  FROM beam b JOIN graph g ON g.src_id = b.seed_id
+      |  FROM beam$hh b JOIN graph g ON g.src_id = b.seed_id
       |  JOIN e ON e.vec_id = g.dst_id
       |  JOIN q ON q.q_id = b.q_id
       |  WHERE g.dst_id <> b.q_id
-      |), cand AS (
+      |), cand$hh AS (
       |  SELECT DISTINCT q_id, n_id, sim FROM (
-      |    SELECT * FROM seedpairs UNION ALL SELECT * FROM exppairs
+      |    SELECT * FROM cand${hh - 1} UNION ALL SELECT * FROM expp$hh
       |  )
-      |), ranked AS (
+      |)""".stripMargin
+    }.mkString
+    val ranked =
+      s""", ranked AS (
       |  SELECT q_id, n_id, sim,
       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
-      |  FROM cand
+      |  FROM cand$hops
       |)""".stripMargin
+    base + hopCtes + ranked
+  }
 
   // ---------------------------------------------------------------
   // Graph-beam recall eval — sim_recall_eval's discipline applied to
@@ -1850,7 +1922,7 @@ object SimilarityQueries {
   }
 
   private def recallGraphSql =
-    s"""WITH $graphBeamCtes, gt AS (
+    s"""WITH ${graphBeamCtes(1)}, gt AS (
       |  SELECT q_id, n_id FROM ranked WHERE rank <= 3
       |), exact AS (
       |  SELECT q_id, n_id FROM (
@@ -1866,6 +1938,156 @@ object SimilarityQueries {
       |FROM exact ex LEFT JOIN gt g ON g.q_id = ex.q_id AND g.n_id = ex.n_id
       |GROUP BY ex.q_id
       |ORDER BY ex.q_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // HARDENED recall eval (r14 verdict #2): sim_recall_graph's easy
+  // 8-query panel pinned at 1.0 could not catch a one-edge regression
+  // — and round 15 found WHY it read 1.0: a stale graph sidecar keyed
+  // on the count-only fingerprint was silently serving edges built
+  // under an older codebook (the exact collision CorpusStamp closes);
+  // freshly-derived, even the easy panel reads 22/24. This panel is
+  // stratified by construction: 32 queries STRIDED across the edge-
+  // reciprocity ordering (one per ~N/32 percentile band), so the
+  // hub-and-spoke regions sim_graph_reach identifies — where a hub's
+  // spokes point at it while its own edges point elsewhere — are
+  // represented alongside the typical mass. The eval is recall@10 of
+  // the production beam dataflow.
+  //
+  // Two budget-matched variants:
+  //  - sim_recall_hard:  1 hop, width 8 → ≤ 64 expansion fetches
+  //  - sim_recall_hard2: 2 hops, width 4 → ≤ 2·32 expansion fetches
+  // same candidate budget, so the pair measures what the EXTRA HOP
+  // buys (pointer-chasing reach) rather than what more candidates buy.
+  //
+  // Honest calibration note (BASELINE.md round 15 records the full
+  // recall-vs-budget surface): the fixture embeddings are ISOTROPIC —
+  // measured same-label mean cosine 1.8e-5 vs 1.3e-5 cross-label,
+  // top-3 same-label fraction 9.3% ≈ the 10% chance floor — so exact
+  // nearest neighbors are noise-dominated and NO sublinear index
+  // clears 0.85 recall here (recall tracks the scanned fraction:
+  // 8-of-45 cells ≈ 18% scan bought 0.53). The gate's value is
+  // therefore low-and-sensitive rather than high-with-headroom; what
+  // it pins is that the index's measured recall surface never moves
+  // without a hash change.
+  //
+  // Scale shape: reciprocity is one self-join + agg over the N·degree
+  // EDGE table (never the corpus); the panel is a 32-row strided
+  // sample of that ordering; ground truth is one corpus pass against
+  // the broadcast panel; the beam legs are sim_graph_topk's own
+  // constant-cost dataflow.
+  /** Reciprocity-ascending rank of every graph source — the hardness
+    * ordering (low reciprocity = hub-and-spoke region where beam search
+    * loses recall). The global window runs over ONE tiny (src, recip)
+    * row per corpus vector — at 100 TB this is the N-row eval-panel
+    * derivation, not a data-path operator. */
+  private def recipRanked(spark: SparkSession, dir: String): DataFrame = {
+    val g = KnnGraphStore.loadOrBuild(spark, dir)
+    val fwd = g.select(col("src_id"), col("dst_id"))
+    val rev = g.select(col("src_id").as("r_dst"), col("dst_id").as("r_src"))
+    fwd.join(rev,
+        col("src_id") === col("r_src") && col("dst_id") === col("r_dst"), "left")
+      .groupBy(col("src_id"))
+      .agg((sum(when(col("r_src").isNotNull, 1.0d).otherwise(0.0d))
+        / count(lit(1))).as("recip"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("recip").asc, col("src_id").asc)))
+  }
+
+  /** The production hard panel: 32 queries STRIDED across the full
+    * reciprocity ordering (one per ~N/32 percentile band), so the
+    * hardest hubs (rn=1) and the typical mass are both represented.
+    * The stride self-derives from the corpus size, so the same SQL
+    * twin holds at every SF. */
+  private[graft] def hardPanel(spark: SparkSession, dir: String): DataFrame =
+    recipRanked(spark, dir)
+      .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+      .filter((col("rn") - 1)
+        % greatest(lit(1L), floor(col("total") / lit(32.0)).cast("long")) === 0)
+      .orderBy(col("rn")).limit(32)
+      .select(col("src_id").as("q_id"))
+
+  /** Probe hook: a contiguous slice of the hardness ordering. */
+  private[graft] def hardPanelSlice(spark: SparkSession, dir: String,
+      skip: Int, take: Int, stride: Int = 1): DataFrame =
+    recipRanked(spark, dir)
+      .filter(col("rn") > skip && (col("rn") - lit(skip) - 1) % lit(stride) === 0)
+      .orderBy(col("rn")).limit(take)
+      .select(col("src_id").as("q_id"))
+
+  private[graft] def recallHardOf(spark: SparkSession, dir: String,
+      hops: Int, width: Int, k: Int = 10, seedProbe: Int = 1,
+      panelOverride: Option[DataFrame] = None): DataFrame = {
+    val panel = panelOverride.getOrElse(hardPanel(spark, dir)).localCheckpoint()
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val qv = e.join(broadcast(panel), e("vec_id") === panel("q_id"))
+      .select(col("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val exact = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(qv), col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"))
+    val got = graphBeam(spark, dir, hops, width, topK = k,
+      panelIds = Some(panel), seedProbe = seedProbe)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    exact.join(got, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id")).agg(count(col("hit")).as("n_hit"))
+      .withColumn("recall", graft.ops.Registry.rnd(col("n_hit") / lit(k.toDouble), 4))
+      .select(col("q_id"), col("n_hit"), col("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  private def recallHard(spark: SparkSession, dir: String): DataFrame =
+    recallHardOf(spark, dir, hops = 1, width = 8)
+
+  private def recallHard2(spark: SparkSession, dir: String): DataFrame =
+    recallHardOf(spark, dir, hops = 2, width = 4)
+
+  /** The reciprocity-stratified panel + its `q` CTE (replaces the
+    * default vec_id<8 panel inside [[graphBeamCtes]]). */
+  private val hardPanelCtes =
+    """recipr AS (
+      |  SELECT f.src_id,
+      |    CAST(sum(CASE WHEN r.src_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE)
+      |      / count(*) AS recip
+      |  FROM graph f LEFT JOIN graph r
+      |    ON r.src_id = f.dst_id AND r.dst_id = f.src_id
+      |  GROUP BY f.src_id
+      |), panel AS (
+      |  SELECT src_id AS q_id FROM (
+      |    SELECT src_id, row_number() OVER (ORDER BY recip ASC, src_id ASC) AS rn,
+      |      count(*) OVER () AS total
+      |    FROM recipr
+      |  ) WHERE (rn - 1) % greatest(1, CAST(floor(total / 32.0) AS BIGINT)) = 0
+      |  ORDER BY rn LIMIT 32
+      |), q AS (
+      |  SELECT a.vec_id AS q_id, a.cid AS qcid, a.v AS qv, a.nrm AS qn
+      |  FROM assign a JOIN panel p ON p.q_id = a.vec_id
+      |)""".stripMargin
+
+  private def recallHardSqlOf(hops: Int, width: Int) =
+    s"""WITH ${graphBeamCtes(hops, width, hardPanelCtes)}, gt AS (
+      |  SELECT q_id, n_id FROM ranked WHERE rank <= 10
+      |), exact AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q.q_id, b.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(q.qv, b.v) / (q.qn * b.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        b.vec_id) AS rank
+      |    FROM q JOIN e b ON b.vec_id <> q.q_id
+      |  ) WHERE rank <= 10
+      |)
+      |SELECT ex.q_id, count(g.n_id) AS n_hit,
+      |  CAST(round(CAST(count(g.n_id) / 10.0 AS DECIMAL(18,8)), 4) AS DOUBLE) AS recall
+      |FROM exact ex LEFT JOIN gt g ON g.q_id = ex.q_id AND g.n_id = ex.n_id
+      |GROUP BY ex.q_id
+      |ORDER BY ex.q_id""".stripMargin
+
+  private def recallHardSql = recallHardSqlOf(1, 8)
+  private def recallHard2Sql = recallHardSqlOf(2, 4)
 
   // ---------------------------------------------------------------
   // k-NN graph health audit — the acceptance metrics an ANN index
