@@ -24,6 +24,7 @@ object TextQueries {
     NamedQuery("text_edit_distance_pairs", editPairs(_, _), Some(editPairsSql)),
     NamedQuery("text_edit_distance_pairs_banded", editPairsBanded(_, _), Some(editPairsBandedSql)),
     NamedQuery("text_bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
+    NamedQuery("text_tokens_bpe", tokensBpe, Some(tokensBpeSql)),
     NamedQuery("text_kn_bigram", knBigram, Some(knBigramSql)),
     NamedQuery("text_zipf_fit", zipfFit, Some(zipfFitSql)),
     NamedQuery("text_readability", readability, Some(readabilitySql)),
@@ -397,6 +398,69 @@ object TextQueries {
       |)
       |SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
       |FROM agg ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Trained-tokenizer token counts (r14 verdict #4): tokenize every
+  // document with the merge list [[BpeModel]] converged to, per-doc
+  // BPE token count vs the whitespace baseline. The oracle SQL inlines
+  // the trained merges as an unrolled replace chain over the same
+  // marker encoding (the codebookSql pattern: Verify renders oracle
+  // SQL AFTER the queries ran, so the chain is the exact one the Spark
+  // plan applied — replace() scans left-to-right non-overlapping in
+  // both engines, so tokenization is bit-identical).
+  //
+  // Scale shape: training is the one-time sidecar build (vocabulary-
+  // sized rounds); the QUERY is a single embarrassingly-parallel scan
+  // (explode + a 64-replace projection per word) plus one doc_id
+  // aggregation — linear in the corpus, no joins.
+  private def tokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    val merges = BpeModel.loadOrTrain(spark, dir)
+    trainedBpeCache.put(dir, merges)
+    lastBpeDir = Some(dir)
+    val words = Tables.fanOut(Tables.table(spark, dir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    words
+      .withColumn("s", BpeModel.applyMerges(BpeModel.encode(col("w")), merges))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"),
+        sum(BpeModel.tokenCount(col("s")).cast("long")).as("n_bpe"))
+      .withColumn("ratio", rnd(col("n_bpe").cast("double") / col("n_ws"), 6))
+      .select(col("doc_id"), col("n_ws"), col("n_bpe"), col("ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val trainedBpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[(String, String)]]()
+  @volatile private var lastBpeDir: Option[String] = None
+
+  private def sqlLit(s: String) = s.replace("'", "''")
+
+  /** The trained merge chain, unrolled (empty-merge fallback only when
+    * the query itself never ran, i.e. there is no dump to compare). */
+  private def tokensBpeSql: String = {
+    val merges = lastBpeDir
+      .flatMap(d => Option(trainedBpeCache.get(d)))
+      .getOrElse(Vector.empty)
+    val chain = merges.foldLeft(
+      """regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g')""") {
+      case (acc, (a, b)) =>
+        s"replace($acc, chr(1) || '${sqlLit(a)}' || chr(2) || chr(1) || '${sqlLit(b)}' || chr(2), " +
+          s"chr(1) || '${sqlLit(a + b)}' || chr(2))"
+    }
+    s"""WITH words AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |  ) WHERE w <> ''
+      |), enc AS (
+      |  SELECT doc_id, $chain AS s FROM words
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+      |  CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT) AS n_bpe,
+      |  CAST(round(CAST(CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS DOUBLE)
+      |    / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS ratio
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // Interpolated Kneser–Ney bigram probabilities (fixed discount 0.75)
