@@ -564,7 +564,16 @@ object MonitorQueries {
         sum(when(col("stage") === "retained", 1L).otherwise(0L)).as("n_retained"),
         sum(when(col("stage") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
         count(lit(1)).as("wau"))
-    weekly.join(churn, Seq("week"), "left")
+    // FULL outer: a week where every remaining user churned (zero
+    // activity, churn > 0) is a real report row (wau=0) — and exactly
+    // the row the streaming twin's timers emit, so StreamGrowthSpec
+    // hashes batch ≡ stream on the FULL week set (r14 verdict #8; the
+    // week list is "weeks with any verdict", not "weeks with activity")
+    weekly.join(churn, Seq("week"), "full_outer")
+      .withColumn("wau", coalesce(col("wau"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
+      .withColumn("n_resurrected", coalesce(col("n_resurrected"), lit(0L)))
       .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
       .withColumn("quick_ratio",
         when(col("n_churned") > 0, rnd(
@@ -605,11 +614,14 @@ object MonitorQueries {
       |    CAST(count(*) AS BIGINT) AS wau
       |  FROM labeled GROUP BY week
       |)
-      |SELECT w.week, w.wau, w.n_new, w.n_retained, w.n_resurrected,
+      |SELECT coalesce(w.week, c.week) AS week,
+      |  coalesce(w.wau, 0) AS wau, coalesce(w.n_new, 0) AS n_new,
+      |  coalesce(w.n_retained, 0) AS n_retained,
+      |  coalesce(w.n_resurrected, 0) AS n_resurrected,
       |  coalesce(c.n_churned, 0) AS n_churned,
       |  CASE WHEN coalesce(c.n_churned, 0) > 0 THEN
-      |    CAST(round(CAST(CAST(w.n_new + w.n_resurrected AS DOUBLE) / c.n_churned
+      |    CAST(round(CAST(CAST(coalesce(w.n_new, 0) + coalesce(w.n_resurrected, 0) AS DOUBLE) / c.n_churned
       |      AS DECIMAL(18,8)), 4) AS DOUBLE) END AS quick_ratio
-      |FROM weekly w LEFT JOIN churn c ON c.week = w.week
-      |ORDER BY w.week""".stripMargin
+      |FROM weekly w FULL JOIN churn c ON c.week = w.week
+      |ORDER BY week""".stripMargin
 }

@@ -45,11 +45,12 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * active weeks), independent of event volume; the weekly reduction
   * sees only verdict rows (users-per-week, not events).
   *
-  * One deliberate divergence, documented: a week where EVERY remaining
-  * user churned (zero activity) gets a weekly row here (wau=0,
-  * n_churned>0) but is absent from the batch output — the batch derives
-  * its week list from active weeks only. The spec compares on the batch
-  * week set.
+  * Week-set contract (unified in round 15, r14 verdict #8): a weekly
+  * row exists for every week with ANY verdict — activity OR churn — so
+  * a week where every remaining user went quiet is a real report row
+  * (wau=0, n_churned>0) on BOTH sides; the batch twin's full-outer
+  * weekly⟗churn join emits it too, and the spec hashes the equality on
+  * the full week set.
   */
 object StreamGrowth {
 

@@ -109,17 +109,14 @@ class StreamGrowthSpec extends AnyFunSuite {
           r.getLong(5), if (r.isNullAt(6)) None else Some(r.getDouble(6))))
       }.toMap
 
-    // every batch week is sealed (the sentinel saw to it) and must
-    // match exactly; the stream may additionally surface all-churned
-    // weeks the batch omits (documented divergence) — none may carry
-    // activity
-    assert(batch.keySet.subsetOf(streamed.keySet),
-      s"missing sealed weeks: ${batch.keySet -- streamed.keySet}")
+    // unified week-set contract (round 15): a weekly row exists for
+    // every week with ANY verdict — activity OR churn — on BOTH sides,
+    // so the comparison is strict set equality, no exclusions
+    assert(streamed.keySet === batch.keySet,
+      s"week sets must match: stream-only ${streamed.keySet -- batch.keySet}, " +
+        s"batch-only ${batch.keySet -- streamed.keySet}")
     batch.foreach { case (w, row) =>
       assert(streamed(w) === row, s"week $w: streamed ${streamed(w)} vs batch $row")
-    }
-    (streamed.keySet -- batch.keySet).foreach { w =>
-      assert(streamed(w)._1 === 0L, s"extra week $w must be all-churned")
     }
     // the fixture must exercise every stage class or equality proves little
     assert(batch.values.map(_._2).sum > 0, "no new users")
@@ -130,5 +127,51 @@ class StreamGrowthSpec extends AnyFunSuite {
     val batchDirs = new java.io.File(s"$base/out").listFiles()
       .filter(_.getName.startsWith("batch_"))
     assert(batchDirs.length >= 3, s"expected >=3 micro-batches: ${batchDirs.length}")
+  }
+
+  test("an all-churned week is a real wau=0 row on BOTH sides (unified week set)") {
+    val base = Files.createTempDirectory("sgrowth_churn").toString
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val minSec = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(min(col("ts").cast("long"))).head().getLong(0)
+    val w0 = minSec / WeekSec
+    def synth(uid: Long, week: Long): DataFrame = {
+      val sec = week * WeekSec + 1000L
+      val tsCol = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(sec * 1000000000L)
+        case _ => timestamp_seconds(lit(sec)).cast(raw.schema("ts").dataType)
+      }
+      raw.limit(1).withColumn("user_id", lit(uid)).withColumn("ts", tsCol)
+    }
+    // u1: w0, w0+1 (churns at w0+2 — a week NOBODY is active);
+    // u2: w0 (churns at w0+1); u3: w0 then resurrects at w0+3 (keeps
+    // the horizon open so the all-churned week w0+2 is inside it)
+    val evs = synth(1, w0).unionByName(synth(1, w0 + 1))
+      .unionByName(synth(2, w0))
+      .unionByName(synth(3, w0)).unionByName(synth(3, w0 + 3))
+    evs.coalesce(1).write.parquet(s"$base/events.parquet")
+
+    def rows(df: DataFrame) = df.collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    }.toMap
+    val batch = rows(graft.SparkEntry.queries("events_growth_accounting")(spark, base))
+    assert(batch.contains(w0 + 2), "the all-churned week must be a batch row now")
+    assert(batch(w0 + 2)._1 === 0L && batch(w0 + 2)._5 === 1L,
+      s"w+2 must read wau=0, n_churned=1: ${batch(w0 + 2)}")
+
+    // stream the same events; a sentinel beyond w0+4 seals w0+3
+    graft.ops.Tables.events(spark, base)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .coalesce(1).write.parquet(s"$base/in/p1")
+    TestSpark.touch(s"$base/in/p1", 1000L)
+    import spark.implicits._
+    Seq((-99L, new java.sql.Timestamp((w0 + 5) * WeekSec * 1000L)))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$base/in/p9")
+    TestSpark.touch(s"$base/in/p9", 2000L)
+    runStream(s"$base/in", s"$base/ckpt", s"$base/out")
+    val streamed = rows(spark.read.parquet(s"$base/out/batch_*"))
+    assert(streamed === batch,
+      s"unified twins must agree on the full week set: $streamed vs $batch")
   }
 }
