@@ -55,26 +55,7 @@ object Bench {
     // file — once before the cold pass and at each steady-pass
     // boundary, and record the MB/s series. BASELINE.md's rule: a cold
     // total is only comparable across windows at similar probe rates.
-    def ioProbe(): Double = {
-      val mb = 256
-      val buf = new Array[Byte](1 << 20)
-      java.util.Arrays.fill(buf, 0x5a.toByte)
-      val p = java.nio.file.Files.createTempFile("graft_io_probe", ".bin")
-      try {
-        val t0 = System.nanoTime()
-        val ch = java.nio.channels.FileChannel.open(p,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          var i = 0
-          while (i < mb) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
-          ch.force(false)
-        } finally ch.close()
-        val in = java.nio.file.Files.newInputStream(p)
-        try { while (in.read(buf) != -1) () } finally in.close()
-        val sec = (System.nanoTime() - t0) / 1e9
-        2.0 * mb / sec // MB moved (write + read) per second
-      } finally java.nio.file.Files.deleteIfExists(p)
-    }
+    def ioProbe(): Double = graft.ops.IoProbe.mbps()
     val ioProbes = scala.collection.mutable.ArrayBuffer[Double]()
     ioProbes += ioProbe()
     val warmT0 = System.nanoTime()

@@ -55,20 +55,31 @@ object TailThroughput {
     written.limit(1000).repartition(1).write.parquet(s"$warmBase/in")
     runOnce(spark, warmBase)
 
-    val t0 = System.nanoTime()
-    runOnce(spark, base)
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"tail_events_per_sec","value":${n / sec}%.0f,"events":$n,"wall_sec":$sec%.3f,"mode":"$mode","sf":"$sfDir"}""")
+    // >=1 timed runs, an ambient-IO probe point before each (r14
+    // verdict #5: throughput numbers are only comparable across windows
+    // at similar probe rates — record them alongside, the Bench rule)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_TP_RUNS", "1").toInt.max(1)
+    (1 to runs).foreach { r =>
+      val probe = graft.ops.IoProbe.mbps()
+      // fresh state/checkpoint per run: each run is a full cold tail
+      val runBase = Files.createTempDirectory(s"tail_tp_run$r").toString
+      val t0 = System.nanoTime()
+      runOnce(spark, base, runBase)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"tail_events_per_sec","value":${n / sec}%.0f,"events":$n,"wall_sec":$sec%.3f,"run":$r,"io_probe_mbps":$probe%.1f,"mode":"$mode","sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 
-  private def runOnce(spark: SparkSession, base: String): Unit = {
+  private def runOnce(spark: SparkSession, base: String,
+      stateBase: String = ""): Unit = {
+    val sb = if (stateBase.isEmpty) base else stateBase
     val stream = spark.readStream.schema(graft.source.v2.OplogJsonTable.SCHEMA)
       .option("recursiveFileLookup", "true")
       .parquet(s"$base/in")
     val q = graft.pipeline.TailQuery.start(
       stream, graft.SparkEntry.flagshipTask, ns = "app.users", fromTs = 0L,
-      stateDir = s"$base/state", checkpointDir = s"$base/ckpt",
+      stateDir = s"$sb/state", checkpointDir = s"$sb/ckpt",
       triggerMs = 100L, buckets = buckets)
     q.processAllAvailable()
     q.stop()
