@@ -80,6 +80,9 @@ object KnnGraphStore {
     * that absorbing never bumps [[buildCount]]. */
   @volatile var absorbCount: Long = 0L
 
+  /** Bumped on every segment compaction. */
+  @volatile var compactCount: Long = 0L
+
   private def sane(dir: String) = dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   private def graphBase(dir: String): Path =
@@ -355,5 +358,30 @@ object KnnGraphStore {
     swapManifest(dir, prevSegs.map(_.getFileName.toString) :+ seg)
     load(spark, dir, cumulative).getOrElse(
       sys.error(s"knn graph for $dir failed to resolve after absorb"))
+  }
+
+  private[llm] def segmentCount(dir: String): Int = segments(dir).size
+
+  /** Offline compaction — fold the manifest back to ONE segment: edges
+    * are the current latest-wins view, assignments the (append-only)
+    * union, the cumulative stamp carries over unchanged. Bounds the
+    * multi-segment read amplification (the per-source window) and
+    * restores the single-segment plain-scan fast path; answers are
+    * identical by construction (the spec pins edge-set equality across
+    * the fold). The BucketedStateStore compaction discipline applied to
+    * the graph. */
+  def compact(spark: SparkSession, dir: String): DataFrame = {
+    val segs = segments(dir)
+    require(segs.nonEmpty, s"no knn graph to compact for $dir")
+    val stamp = recordedStamp(segs).getOrElse(
+      sys.error(s"knn graph manifest for $dir lacks a recorded stamp"))
+    if (segs.size > 1) {
+      val seg = writeSegment(dir, readEdges(spark, segs),
+        readAssign(spark, segs), stamp)
+      compactCount += 1
+      swapManifest(dir, Vector(seg))
+    }
+    load(spark, dir, stamp).getOrElse(
+      sys.error(s"knn graph for $dir failed to resolve after compact"))
   }
 }

@@ -45,6 +45,9 @@ object MinHashIndexStore {
     * that absorbing never bumps [[buildCount]]. */
   @volatile var absorbCount: Long = 0L
 
+  /** Bumped on every segment compaction. */
+  @volatile var compactCount: Long = 0L
+
   private def sane(dir: String) = dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   private def baseFor(dir: String): Path =
@@ -160,5 +163,26 @@ object MinHashIndexStore {
     swapManifest(dir, prevSegs.map(_.getFileName.toString) :+ seg)
     load(spark, dir, prevTotal + nNew).getOrElse(
       sys.error(s"minhash index for $dir failed to resolve after absorb"))
+  }
+
+  private[llm] def segmentCount(dir: String): Int = segments(dir).size
+
+  /** Offline compaction — fold the manifest back to ONE segment (the
+    * union of all band rows; they are disjoint per covered doc, so the
+    * fold is a plain concatenation), covering the summed document
+    * count. Bounds the many-small-segments read amplification after a
+    * long absorb run; answers identical by construction. */
+  def compact(spark: SparkSession, dir: String): DataFrame = {
+    val segs = segments(dir)
+    require(segs.nonEmpty, s"no minhash index to compact for $dir")
+    val covered = segs.flatMap(segmentRows).sum
+    if (segs.size > 1) {
+      val seg = writeSegment(dir,
+        spark.read.parquet(segs.map(_.toString): _*), covered)
+      compactCount += 1
+      swapManifest(dir, Vector(seg))
+    }
+    load(spark, dir, covered).getOrElse(
+      sys.error(s"minhash index for $dir failed to resolve after compact"))
   }
 }

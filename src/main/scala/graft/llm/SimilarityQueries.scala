@@ -1824,7 +1824,7 @@ object SimilarityQueries {
     * recall evals swap in the reciprocity-stratified panel
     * ([[hardPanelCtes]]) instead. */
   private val defaultPanelCte =
-    """q AS (
+    """q AS MATERIALIZED (
       |  SELECT vec_id AS q_id, cid AS qcid, v AS qv, nrm AS qn
       |  FROM assign WHERE vec_id < 8
       |)""".stripMargin
@@ -1833,21 +1833,21 @@ object SimilarityQueries {
       width: Int = KnnGraphStore.beamWidth,
       panelCtes: String = defaultPanelCte): String = {
     val base =
-      s"""e AS (
+      s"""e AS MATERIALIZED (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
       |), c AS (
       |  $codebookSql
-      |), cells AS (
+      |), cells AS MATERIALIZED (
       |  SELECT e.vec_id, c.cid, e.v, e.nrm,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
       |      c.cid) AS rn
       |  FROM e CROSS JOIN c
-      |), assign AS (
+      |), assign AS MATERIALIZED (
       |  SELECT vec_id, cid, v, nrm FROM cells WHERE rn = 1
-      |), graph AS (
+      |), graph AS MATERIALIZED (
       |  SELECT src_id, dst_id FROM (
       |    SELECT p.vec_id AS src_id, a.vec_id AS dst_id,
       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
@@ -1856,15 +1856,15 @@ object SimilarityQueries {
       |    FROM (SELECT * FROM cells WHERE rn <= 2) p
       |    JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
       |  ) WHERE rank <= ${KnnGraphStore.degree}
-      |), $panelCtes, seedpairs AS (
+      |), $panelCtes, seedpairs AS MATERIALIZED (
       |  SELECT q.q_id, a.vec_id AS n_id,
       |    CAST(round(CAST(list_dot_product(q.qv, a.v) / (q.qn * a.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
       |  FROM assign a JOIN q ON a.cid = q.qcid AND q.q_id <> a.vec_id
-      |), cand0 AS (
+      |), cand0 AS MATERIALIZED (
       |  SELECT DISTINCT q_id, n_id, sim FROM seedpairs
       |)""".stripMargin
     val hopCtes = (1 to hops).map { hh =>
-      s""", beam$hh AS (
+      s""", beam$hh AS MATERIALIZED (
       |  SELECT q_id, n_id AS seed_id FROM (
       |    SELECT q_id, n_id,
       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
@@ -1877,7 +1877,7 @@ object SimilarityQueries {
       |  JOIN e ON e.vec_id = g.dst_id
       |  JOIN q ON q.q_id = b.q_id
       |  WHERE g.dst_id <> b.q_id
-      |), cand$hh AS (
+      |), cand$hh AS MATERIALIZED (
       |  SELECT DISTINCT q_id, n_id, sim FROM (
       |    SELECT * FROM cand${hh - 1} UNION ALL SELECT * FROM expp$hh
       |  )
@@ -2049,21 +2049,21 @@ object SimilarityQueries {
   /** The reciprocity-stratified panel + its `q` CTE (replaces the
     * default vec_id<8 panel inside [[graphBeamCtes]]). */
   private val hardPanelCtes =
-    """recipr AS (
+    """recipr AS MATERIALIZED (
       |  SELECT f.src_id,
       |    CAST(sum(CASE WHEN r.src_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE)
       |      / count(*) AS recip
       |  FROM graph f LEFT JOIN graph r
       |    ON r.src_id = f.dst_id AND r.dst_id = f.src_id
       |  GROUP BY f.src_id
-      |), panel AS (
+      |), panel AS MATERIALIZED (
       |  SELECT src_id AS q_id FROM (
       |    SELECT src_id, row_number() OVER (ORDER BY recip ASC, src_id ASC) AS rn,
       |      count(*) OVER () AS total
       |    FROM recipr
       |  ) WHERE (rn - 1) % greatest(1, CAST(floor(total / 32.0) AS BIGINT)) = 0
       |  ORDER BY rn LIMIT 32
-      |), q AS (
+      |), q AS MATERIALIZED (
       |  SELECT a.vec_id AS q_id, a.cid AS qcid, a.v AS qv, a.nrm AS qn
       |  FROM assign a JOIN panel p ON p.q_id = a.vec_id
       |)""".stripMargin
@@ -2120,21 +2120,21 @@ object SimilarityQueries {
   }
 
   private def graphReachSql =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
       |), c AS (
       |  $codebookSql
-      |), cells AS (
+      |), cells AS MATERIALIZED (
       |  SELECT e.vec_id, c.cid, e.v, e.nrm,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
       |      c.cid) AS rn
       |  FROM e CROSS JOIN c
-      |), assign AS (
+      |), assign AS MATERIALIZED (
       |  SELECT vec_id, cid, v, nrm FROM cells WHERE rn = 1
-      |), graph AS (
+      |), graph AS MATERIALIZED (
       |  SELECT src_id, rank, dst_id, sim FROM (
       |    SELECT p.vec_id AS src_id, a.vec_id AS dst_id,
       |      CAST(round(CAST(list_dot_product(p.v, a.v) / (p.nrm * a.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim,

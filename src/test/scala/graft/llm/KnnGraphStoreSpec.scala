@@ -94,6 +94,14 @@ class KnnGraphStoreSpec extends AnyFunSuite {
     // sidecar — per-source latest-segment-wins is invisible to readers
     val topk = graft.SparkEntry.queries("sim_graph_topk")(spark, tmp)
     assert(topk.count() > 0)
+    // compaction folds the manifest to one segment, answers unchanged,
+    // and restores the single-segment plain-scan fast path
+    assert(KnnGraphStore.segmentCount(tmp) === 2)
+    val compacted = edgeSet(KnnGraphStore.compact(spark, tmp))
+    assert(KnnGraphStore.segmentCount(tmp) === 1)
+    assert(compacted === full, "compaction must not change the edge set")
+    assert(edgeSet(KnnGraphStore.loadOrBuild(spark, tmp)) === full)
+    assert(KnnGraphStore.buildCount === b0, "compaction must not rebuild")
   }
 
   test("beam refinement is monotone: graph top-3 sims >= seed-only (ivf) top-3 sims") {

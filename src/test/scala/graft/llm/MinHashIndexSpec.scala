@@ -74,9 +74,20 @@ class MinHashIndexSpec extends AnyFunSuite {
     // a second delta stacks (the LSM manifest holds many segments)
     val more = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-    val absorbed2 = MinHashIndexStore.absorb(spark, tmp, more).count()
+    val absorbed2 = MinHashIndexStore.absorb(spark, tmp, more)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(MinHashIndexStore.absorbCount === a0 + 2)
-    assert(absorbed2 > absorbed.size, "second segment's rows must be visible")
+    assert(absorbed2.size > absorbed.size, "second segment's rows must be visible")
+
+    // compaction folds the 3-segment manifest to one; band rows and
+    // covered-count accounting unchanged, no re-signature
+    assert(MinHashIndexStore.segmentCount(tmp) === 3)
+    val compacted = MinHashIndexStore.compact(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(MinHashIndexStore.segmentCount(tmp) === 1)
+    assert(compacted === absorbed2, "compaction must not change the band rows")
+    assert(MinHashIndexStore.buildCount === b0,
+      "compaction is a file fold, never a re-signature")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
