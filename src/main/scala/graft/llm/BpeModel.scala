@@ -68,6 +68,12 @@ object BpeModel {
   def tokenCount(c: Column): Column =
     length(c) - length(call_function("replace", c, lit(U2), lit("")))
 
+  /** The token array of a wrapped string (markers stripped) — split on
+    * the inter-token `␂␁` boundary, strip the outer markers. */
+  def tokensCol(c: Column): Column =
+    transform(split(c, U2 + U1),
+      x => regexp_replace(x, lit(s"[$U1$U2]"), lit("")))
+
   private def save(p: Path, stamp: String,
       merges: Vector[(String, String)], tokens: Vector[Long]): Unit = {
     Files.createDirectories(p.getParent)
@@ -111,9 +117,7 @@ object BpeModel {
     var round = 0
     var done = false
     while (round < budget && !done) {
-      val toks = transform(split(col("s"), U2 + U1),
-        x => regexp_replace(x, lit(s"[$U1$U2]"), lit("")))
-      val top = state.withColumn("toks", toks)
+      val top = state.withColumn("toks", tokensCol(col("s")))
         .filter(size(col("toks")) >= 2)
         .select(col("wf"), explode(expr(
           "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("pair"))

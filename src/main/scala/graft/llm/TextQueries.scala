@@ -25,6 +25,7 @@ object TextQueries {
     NamedQuery("text_edit_distance_pairs_banded", editPairsBanded(_, _), Some(editPairsBandedSql)),
     NamedQuery("text_bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
     NamedQuery("text_tokens_bpe", tokensBpe, Some(tokensBpeSql)),
+    NamedQuery("text_bpe_vocab", bpeVocab, Some(bpeVocabSql)),
     NamedQuery("text_kn_bigram", knBigram, Some(knBigramSql)),
     NamedQuery("text_zipf_fit", zipfFit, Some(zipfFitSql)),
     NamedQuery("text_readability", readability, Some(readabilitySql)),
@@ -436,18 +437,23 @@ object TextQueries {
 
   private def sqlLit(s: String) = s.replace("'", "''")
 
-  /** The trained merge chain, unrolled (empty-merge fallback only when
-    * the query itself never ran, i.e. there is no dump to compare). */
-  private def tokensBpeSql: String = {
+  /** The trained merge chain, unrolled over column `w` (empty-merge
+    * fallback only when the query itself never ran, i.e. there is no
+    * dump to compare). */
+  private def bpeChainSql: String = {
     val merges = lastBpeDir
       .flatMap(d => Option(trainedBpeCache.get(d)))
       .getOrElse(Vector.empty)
-    val chain = merges.foldLeft(
+    merges.foldLeft(
       """regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g')""") {
       case (acc, (a, b)) =>
         s"replace($acc, chr(1) || '${sqlLit(a)}' || chr(2) || chr(1) || '${sqlLit(b)}' || chr(2), " +
           s"chr(1) || '${sqlLit(a + b)}' || chr(2))"
     }
+  }
+
+  private def tokensBpeSql: String = {
+    val chain = bpeChainSql
     s"""WITH words AS (
       |  SELECT doc_id, w FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -460,6 +466,52 @@ object TextQueries {
       |  CAST(round(CAST(CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS DOUBLE)
       |    / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS ratio
       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Tokenizer vocabulary card — the top-50 trained-BPE tokens by
+  // corpus frequency, with token length: what a tokenizer release
+  // ships next to its merge list (are the merges learning real
+  // subwords, or is frequency still concentrated at characters?).
+  // Same single-scan shape as text_tokens_bpe plus one token-keyed
+  // aggregation; top-50 plans as TakeOrderedAndProject.
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val merges = BpeModel.loadOrTrain(spark, dir)
+    trainedBpeCache.put(dir, merges)
+    lastBpeDir = Some(dir)
+    val words = Tables.fanOut(Tables.table(spark, dir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val top = words
+      .select(explode(BpeModel.tokensCol(
+        BpeModel.applyMerges(BpeModel.encode(col("w")), merges))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(50)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      .withColumn("tok_len", length(col("token")).cast("long"))
+      .select(col("rank"), col("token"), col("tok_len"), col("n"))
+      .orderBy(col("rank"))
+  }
+
+  private def bpeVocabSql: String = {
+    val chain = bpeChainSql
+    s"""WITH words AS (
+      |  SELECT w FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |  ) WHERE w <> ''
+      |), enc AS (
+      |  SELECT $chain AS s FROM words
+      |), tok AS (
+      |  SELECT unnest(list_transform(string_split(s, chr(2) || chr(1)),
+      |    x -> replace(replace(x, chr(1), ''), chr(2), ''))) AS token
+      |  FROM enc
+      |), agg AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+      |)
+      |SELECT row_number() OVER (ORDER BY n DESC, token) AS rank, token,
+      |  CAST(length(token) AS BIGINT) AS tok_len, n
+      |FROM agg ORDER BY n DESC, token LIMIT 50""".stripMargin
   }
 
   // ---------------------------------------------------------------
