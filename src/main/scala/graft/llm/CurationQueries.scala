@@ -41,7 +41,83 @@ object CurationQueries {
     NamedQuery("eval_psi_drift", psiDrift, Some(psiDriftSql)),
     NamedQuery("pipeline_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     NamedQuery("pipeline_length_batches", lengthBatches, Some(lengthBatchesSql)),
+    NamedQuery("curate_length_trim", lengthTrim, Some(lengthTrimSql)),
   )
+
+  // ---------------------------------------------------------------
+  // Per-source adaptive length trimming: every source gets its OWN
+  // [P5, P95] n_chars window, and docs outside it are cut — the
+  // outlier gate that a single global length threshold gets wrong
+  // (a fixed cut tuned on web text amputates books and keeps
+  // boilerplate-heavy crawls whole; per-source quantiles adapt to
+  // each distribution automatically). Emits the per-source card a
+  // curation review reads: bounds, kept count/fraction, kept chars.
+  //
+  // Determinism: the bounds are DISCRETE rank statistics — the value
+  // at 1-indexed rank ceil(q·n), computed with INTEGER arithmetic
+  // ((n+19) DIV 20 and (19n+19) DIV 20), never an interpolated
+  // percentile (whose q·(n−1) float position is a cross-engine
+  // divergence trap — Spark parses 0.05 in SQL as DECIMAL, DuckDB
+  // too, but the DataFrame literal is a double; rank arithmetic
+  // sidesteps the whole class). kept_frac divides exact ints and
+  // snaps at DECIMAL(38,12) (the sim_dim_stats tie lesson).
+  //
+  // Scale shape: two corpus passes. Pass 1 ranks n_chars per source —
+  // ONE source-key exchange + per-partition sort (the exact path;
+  // at 100 TB the sketch twin replaces it: approx_percentile bounds
+  // with map-side sketch combine, the agg_percentiles_approx
+  // pattern — same downstream plan, rank error 1e-4·n). Pass 2 is a
+  // broadcast of the O(|sources|) bounds row + one map-side-combined
+  // aggregation. Output O(|sources|).
+  private def lengthTrim(spark: SparkSession, dir: String): DataFrame = {
+    def snap12(c: org.apache.spark.sql.Column, s: Int) =
+      round(c.cast("decimal(38,12)"), s).cast("double")
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val bounds = docs.withColumn("rn", row_number().over(w))
+      .join(counts, "source")
+      .groupBy(col("source"))
+      .agg(
+        max(when(col("rn") === expr("(n + 19) DIV 20"), col("n_chars"))).as("lo"),
+        max(when(col("rn") === expr("(19 * n + 19) DIV 20"), col("n_chars"))).as("hi"),
+        max(col("n")).as("n"))
+    docs.join(broadcast(bounds), "source")
+      .withColumn("keep", col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .withColumn("kept_frac",
+        snap12(col("n_kept").cast("double") / col("n_docs"), 6))
+      .select(col("source"), col("n_docs"), col("lo"), col("hi"),
+        col("n_kept"), col("chars_kept"), col("kept_frac"))
+      .orderBy(col("source"))
+  }
+
+  private val lengthTrimSql =
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n FROM documents GROUP BY source
+      |), ranked AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn
+      |  FROM documents
+      |), bounds AS (
+      |  SELECT r.source,
+      |    max(CASE WHEN rn = (c.n + 19) // 20 THEN n_chars END) AS lo,
+      |    max(CASE WHEN rn = (19 * c.n + 19) // 20 THEN n_chars END) AS hi,
+      |    max(c.n) AS n
+      |  FROM ranked r JOIN counts c ON c.source = r.source
+      |  GROUP BY r.source
+      |)
+      |SELECT d.source, max(b.n) AS n_docs, max(b.lo) AS lo, max(b.hi) AS hi,
+      |  CAST(coalesce(sum(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi THEN 1 END), 0) AS BIGINT) AS n_kept,
+      |  CAST(coalesce(sum(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi THEN d.n_chars END), 0) AS BIGINT) AS chars_kept,
+      |  CAST(round(CAST(CAST(coalesce(sum(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi THEN 1 END), 0) AS DOUBLE) / max(b.n) AS DECIMAL(38,12)), 6) AS DOUBLE) AS kept_frac
+      |FROM documents d JOIN bounds b ON b.source = d.source
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
 
   // ---------------------------------------------------------------
   // Classifier-based quality filtering (the FineWeb-Edu / CCNet shape):

@@ -251,6 +251,16 @@ object KnnGraphStore {
     }
   }
 
+  /** Home-cell assignment `(vec_id, cid)` from the fresh sidecar — the
+    * cluster key graph-level analytics (PageRank centrality, per-cell
+    * representative selection) group by. Freshness is [[loadOrBuild]]'s
+    * (stamp-checked, builds at most once); the read itself is a plain
+    * parquet scan over the segments' append-only assign tables. */
+  def loadAssign(spark: SparkSession, dir: String): DataFrame = {
+    loadOrBuild(spark, dir)
+    readAssign(spark, segments(dir)).select(col("vec_id"), col("cid"))
+  }
+
   /** Bootstrap/test hook: build + persist the edge table over only
     * `subset` (vec_id, embedding) of dir's corpus — recording SUBSET's
     * stamp — under dir's trained codebook. This is the base state an

@@ -47,6 +47,9 @@ object SimilarityQueries {
     NamedQuery("sim_recall_hard", recallHard, Some(recallHardSql)),
     NamedQuery("sim_recall_hard2", recallHard2, Some(recallHard2Sql)),
     NamedQuery("pipeline_cluster_mix", clusterMix, Some(clusterMixSql)),
+    NamedQuery("sim_dim_stats", dimStats, Some(dimStatsSql)),
+    NamedQuery("sim_anisotropy", anisotropy, Some(anisotropySql)),
+    NamedQuery("sim_pagerank_central", pagerankCentral, Some(pagerankCentralSql)),
   )
 
   private val dot =
@@ -1829,11 +1832,12 @@ object SimilarityQueries {
       |  FROM assign WHERE vec_id < 8
       |)""".stripMargin
 
-  private def graphBeamCtes(hops: Int,
-      width: Int = KnnGraphStore.beamWidth,
-      panelCtes: String = defaultPanelCte): String = {
-    val base =
-      s"""e AS MATERIALIZED (
+  /** The sidecar-equivalent graph derivation (corpus → cells → home
+    * assignment → nProbe=2 top-degree edges) as DuckDB CTEs — the
+    * shared front of every graph-query oracle (beam search, PageRank
+    * centrality). Ends at `graph(src_id, dst_id)` + `assign`. */
+  private def graphCoreCtes: String =
+    s"""e AS MATERIALIZED (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
@@ -1856,7 +1860,13 @@ object SimilarityQueries {
       |    FROM (SELECT * FROM cells WHERE rn <= 2) p
       |    JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
       |  ) WHERE rank <= ${KnnGraphStore.degree}
-      |), $panelCtes, seedpairs AS MATERIALIZED (
+      |)""".stripMargin
+
+  private def graphBeamCtes(hops: Int,
+      width: Int = KnnGraphStore.beamWidth,
+      panelCtes: String = defaultPanelCte): String = {
+    val base =
+      s"""$graphCoreCtes, $panelCtes, seedpairs AS MATERIALIZED (
       |  SELECT q.q_id, a.vec_id AS n_id,
       |    CAST(round(CAST(list_dot_product(q.qv, a.v) / (q.qn * a.nrm) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
       |  FROM assign a JOIN q ON a.cid = q.qcid AND q.q_id <> a.vec_id
@@ -2213,4 +2223,254 @@ object SimilarityQueries {
       |FROM per_source
       |GROUP BY cid
       |ORDER BY cid""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Per-dimension embedding health audit: mean / variance / min / max
+  // for each of the 64 dimensions, plus a dead-dimension flag
+  // (variance below 1e-4 — a collapsed or constant dimension, the
+  // classic symptom of a mis-trained or truncated encoder). This is
+  // the first table anyone looks at before trusting an embedding
+  // column at scale.
+  //
+  // Scale shape: posexplode fans N rows to N·d NARROW rows (no
+  // shuffle), then ONE d-key aggregation — map-side partials reduce
+  // every task to at most d=64 rows before the exchange, so the wire
+  // carries O(tasks · d) regardless of corpus size; output is O(d).
+  // Determinism: per-element snap to DECIMAL(18,8) before summing
+  // (exact, order-free), sums rounded to scale 4 before the decimal→
+  // double conversion so both engines convert ≤12-significant-digit
+  // values (exactly representable — no last-ulp divergence), all
+  // derived doubles then computed from identical inputs and rnd-
+  // snapped.
+  private def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.table(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"),
+        col("xf").cast("double").cast("decimal(18,8)").as("d"))
+    val agg = x.groupBy(col("dim")).agg(
+      count(lit(1)).as("n"),
+      round(sum(col("d")), 4).cast("double").as("sx"),
+      // d*d must be a DOUBLE multiply (decimal→double per factor first):
+      // a decimal×decimal exact product snapped to 8 dp can differ from
+      // the oracle's double product by one 8th-dp ulp per element, and
+      // 20k such ulps are enough to move the 4-dp sum across a rounding
+      // boundary (seen at sf1, dim 62).
+      round(sum((col("d").cast("double") * col("d").cast("double"))
+        .cast("decimal(18,8)")), 4)
+        .cast("double").as("sxx"),
+      min(col("d")).cast("double").as("min_x"),
+      max(col("d")).cast("double").as("max_x"))
+    // Derived ratios snap at DECIMAL scale 12, NOT the usual 8: sx4/n
+    // is an exact ≤9-dp rational (4-dp sum over n = 2·10^k rows), so an
+    // 8-dp snap can land EXACTLY on a rounding tie (seen at sf1 dim 62:
+    // sxx/n = 0.015671495), where the two engines' double→decimal casts
+    // resolve the borderline double differently. At scale 12 the exact
+    // rational is representable, the nearest double sits ~1e-17 from it
+    // (never near a midpoint), and both casts agree unconditionally.
+    // Variance uses the PUBLISHED 6-dp mean so its exact value stays
+    // ≤12 dp too (9-dp sxx/n minus a 12-dp mean²).
+    def snap12(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column =
+      round(c.cast("decimal(38,12)"), s).cast("double")
+    agg
+      .withColumn("mean_x", snap12(col("sx") / col("n"), 6))
+      .withColumn("var_raw",
+        col("sxx") / col("n") - col("mean_x") * col("mean_x"))
+      .select(
+        col("dim"), col("n"), col("mean_x"),
+        snap12(col("var_raw"), 6).as("var_x"),
+        col("min_x"), col("max_x"),
+        (snap12(col("var_raw"), 6) < 0.0001).as("is_dead"))
+      .orderBy(col("dim"))
+  }
+
+  private val dimStatsSql =
+    """WITH x AS (
+      |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(unnest(embedding::DOUBLE[]) AS DECIMAL(18,8)) AS d
+      |  FROM embeddings
+      |), agg AS (
+      |  SELECT dim, count(*) AS n,
+      |    CAST(round(sum(d), 4) AS DOUBLE) AS sx,
+      |    CAST(round(sum(CAST(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) AS DECIMAL(18,8))), 4) AS DOUBLE) AS sxx,
+      |    CAST(min(d) AS DOUBLE) AS min_x,
+      |    CAST(max(d) AS DOUBLE) AS max_x
+      |  FROM x GROUP BY dim
+      |)
+      |, m AS (
+      |  SELECT *, CAST(round(CAST(sx / n AS DECIMAL(38,12)), 6) AS DOUBLE) AS mean_x
+      |  FROM agg
+      |)
+      |SELECT dim, n, mean_x,
+      |  CAST(round(CAST(sxx / n - mean_x * mean_x AS DECIMAL(38,12)), 6) AS DOUBLE) AS var_x,
+      |  min_x, max_x,
+      |  CAST(round(CAST(sxx / n - mean_x * mean_x AS DECIMAL(38,12)), 6) AS DOUBLE) < 0.0001 AS is_dead
+      |FROM m ORDER BY dim""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Corpus anisotropy (Ethayarajh 2019): the expected cosine between
+  // two random corpus vectors, computed EXACTLY in one pass via
+  //   E[cos] = (||Σ u||² − N) / (N(N−1)),   u = x/||x||
+  // — the pairwise mean collapses algebraically to the squared norm
+  // of the unit-vector resultant, so the O(N²) pair set is never
+  // formed. Near-0 means the embedding space is isotropic (healthy);
+  // values ≫0 mean vectors crowd a narrow cone and cosine thresholds
+  // lose contrast — the audit that explains a near-dup or ANN recall
+  // regression before anyone re-tunes the index.
+  //
+  // Scale shape: one corpus pass to d per-dim unit sums (same
+  // map-side-partial exchange as [[dimStats]]) plus one 1-row norm
+  // aggregate; everything after is a d-row reduction. Determinism:
+  // u_d snapped to DECIMAL(18,12) per element (exact order-free
+  // sums), the per-dim resultant snapped to scale 6 before the
+  // double conversion, squared terms re-snapped before the final
+  // 64-term sum.
+  private def anisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(graft.expressions.VectorFunctions.dot(col("v"), col("v"))))
+    val sums = e
+      .select(posexplode(expr("transform(v, x -> cast(x / nrm AS decimal(18,12)))"))
+        .as(Seq("dim", "ud")))
+      .groupBy(col("dim"))
+      .agg(round(sum(col("ud")), 6).cast("double").as("sd"))
+      .agg(round(sum((col("sd") * col("sd")).cast("decimal(28,10)")), 6)
+        .cast("double").as("ss"))
+    val norms = e.agg(
+      count(lit(1)).as("n"),
+      round(sum(col("nrm").cast("decimal(18,8)")), 4).cast("double").as("snrm"))
+      .select(col("n"),
+        graft.ops.Registry.rnd(col("snrm") / col("n"), 6).as("mean_norm"))
+    norms.crossJoin(sums)
+      .select(col("n"), col("mean_norm"),
+        graft.ops.Registry.rnd(
+          (col("ss") - col("n")) / (col("n") * (col("n") - lit(1))), 8)
+          .as("anisotropy"))
+  }
+
+  private val anisotropySql =
+    """WITH e AS (
+      |  SELECT embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), u AS (
+      |  SELECT generate_subscripts(v, 1) - 1 AS dim,
+      |    CAST(unnest(v) / nrm AS DECIMAL(18,12)) AS ud
+      |  FROM e
+      |), s AS (
+      |  SELECT dim, CAST(round(sum(ud), 6) AS DOUBLE) AS sd FROM u GROUP BY dim
+      |), ss AS (
+      |  SELECT CAST(round(sum(CAST(sd * sd AS DECIMAL(28,10))), 6) AS DOUBLE) AS ss FROM s
+      |), norms AS (
+      |  SELECT n,
+      |    CAST(round(CAST(snrm / n AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_norm
+      |  FROM (
+      |    SELECT count(*) AS n,
+      |      CAST(round(sum(CAST(nrm AS DECIMAL(18,8))), 4) AS DOUBLE) AS snrm
+      |    FROM e
+      |  )
+      |)
+      |SELECT n, mean_norm,
+      |  CAST(round(CAST((ss - n) / (n * (n - 1.0)) AS DECIMAL(18,8)), 8) AS DOUBLE) AS anisotropy
+      |FROM norms CROSS JOIN ss""".stripMargin
+
+  // ---------------------------------------------------------------
+  // PageRank centrality over the persisted kNN graph — the per-cell
+  // representative selector: the top-3 most central vectors of every
+  // IVF cell (high PageRank in a similarity graph = the vectors most
+  // "pointed at" by their neighborhoods — prototype members, the docs
+  // a cluster-level curator samples first; cf. LexRank, Erkan & Radev
+  // 2004). Runs entirely off the index sidecar: the corpus parquet is
+  // never scanned (PlanSpec pins a FileScan-free final plan).
+  //
+  // Determinism: EVERY quantity is integer micro-units (the StreamCusum
+  // discipline) — scores carry 1e12 scale, per-edge contributions are
+  // integer floor division pr DIV outd, the damping split is
+  // (15·S) DIV (100·N) + (85·(inflow + dang DIV N)) DIV 100. No float
+  // ever forms, so both engines are bit-exact with NO snapping at all
+  // (flooring loses ≤1 micro-unit per division, deterministically).
+  //
+  // Scale shape: the Pregel/GraphX shape — iteration state is the O(N)
+  // (vec_id, pr) frame, pinned per round (localCheckpoint: iterative
+  // algorithms materialize their frontier instead of replaying 8 rounds
+  // of lineage); each round is ONE edges⋈scores shuffle join (both
+  // sides hash-partition on src_id; the edge side is pre-joined with
+  // outdeg once, before the loop) + ONE dst-key aggregation with
+  // map-side partials. 8·2 bounded exchanges total, independent of N;
+  // nothing is ever all-pairs, and a billion-vector corpus runs the
+  // exact same plan with bigger partitions. The oracle unrolls the same
+  // 8 rounds as CTEs over the SQL-re-derived graph ([[graphCoreCtes]]).
+  private val prScale = 1000000000000L // 1e12 micro-units
+  private val prRounds = 8
+
+  private def pagerankCentral(spark: SparkSession, dir: String): DataFrame = {
+    // populate the oracle's literal-codebook cache: graphCoreCtes must
+    // re-derive the graph under the SAME trained codebook the sidecar
+    // was built with (every sidecar-consuming query does this)
+    trainedCodebook(spark, dir)
+    val edges = KnnGraphStore.loadOrBuild(spark, dir)
+      .select(col("src_id"), col("dst_id"))
+    val assign = KnnGraphStore.loadAssign(spark, dir).localCheckpoint()
+    val nodes = assign.select(col("vec_id"))
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val outdeg = edges.groupBy(col("src_id")).agg(count(lit(1)).as("outd"))
+    // edge side of every round's join, built once outside the loop
+    val contrib = edges.join(outdeg, "src_id").localCheckpoint()
+    var r = nodes.crossJoin(nn)
+      .select(col("vec_id"), expr(s"${prScale}L DIV n").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to prRounds) {
+      val inflow = contrib.join(r, contrib("src_id") === r("vec_id"))
+        .select(col("dst_id"), expr("pr DIV outd").as("c"))
+        .groupBy(col("dst_id")).agg(sum(col("c")).as("infl"))
+      val dang = r.join(outdeg, r("vec_id") === outdeg("src_id"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+      r = nodes.join(inflow, nodes("vec_id") === inflow("dst_id"), "left")
+        .crossJoin(dang).crossJoin(nn)
+        .select(nodes("vec_id"),
+          expr(s"(15L * ${prScale}L) DIV (100L * n) + " +
+            "(85L * (coalesce(infl, 0L) + dang DIV n)) DIV 100L").as("pr"))
+        .localCheckpoint()
+    }
+    val w = Window.partitionBy(col("cid")).orderBy(col("pr").desc, col("vec_id"))
+    r.join(assign, "vec_id")
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= 3)
+      .select(col("cid"), col("cell_rank"), col("vec_id"), col("pr").as("pr_micro"))
+      .orderBy(col("cid"), col("cell_rank"))
+  }
+
+  private def pagerankCentralSql: String = {
+    val rounds = (1 to prRounds).map { k =>
+      s""", c$k AS (
+      |  SELECT g.dst_id, CAST(sum(r.pr // o.outd) AS BIGINT) AS infl
+      |  FROM graph g JOIN r${k - 1} r ON r.vec_id = g.src_id
+      |  JOIN outdeg o ON o.src_id = g.src_id
+      |  GROUP BY g.dst_id
+      |), d$k AS (
+      |  SELECT CAST(coalesce(sum(r.pr), 0) AS BIGINT) AS dang
+      |  FROM r${k - 1} r LEFT JOIN outdeg o ON o.src_id = r.vec_id
+      |  WHERE o.src_id IS NULL
+      |), r$k AS MATERIALIZED (
+      |  SELECT a.vec_id,
+      |    (15 * $prScale) // (100 * nn.n)
+      |      + (85 * (coalesce(c.infl, 0) + d.dang // nn.n)) // 100 AS pr
+      |  FROM assign a LEFT JOIN c$k c ON c.dst_id = a.vec_id
+      |  CROSS JOIN d$k d CROSS JOIN nn
+      |)""".stripMargin
+    }.mkString
+    s"""WITH $graphCoreCtes, nn AS (
+      |  SELECT count(*) AS n FROM assign
+      |), outdeg AS MATERIALIZED (
+      |  SELECT src_id, count(*) AS outd FROM graph GROUP BY src_id
+      |), r0 AS MATERIALIZED (
+      |  SELECT vec_id, $prScale // nn.n AS pr FROM assign CROSS JOIN nn
+      |)$rounds, ranked AS (
+      |  SELECT a.cid, r.vec_id, r.pr,
+      |    row_number() OVER (PARTITION BY a.cid ORDER BY r.pr DESC, r.vec_id) AS cell_rank
+      |  FROM r$prRounds r JOIN assign a ON a.vec_id = r.vec_id
+      |)
+      |SELECT cid, cell_rank, vec_id, CAST(pr AS BIGINT) AS pr_micro
+      |FROM ranked WHERE cell_rank <= 3
+      |ORDER BY cid, cell_rank""".stripMargin
+  }
 }

@@ -26,6 +26,7 @@ object TextQueries {
     NamedQuery("text_bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
     NamedQuery("text_tokens_bpe", tokensBpe, Some(tokensBpeSql)),
     NamedQuery("text_bpe_vocab", bpeVocab, Some(bpeVocabSql)),
+    NamedQuery("text_bpe_fertility", bpeFertility, Some(bpeFertilitySql)),
     NamedQuery("text_kn_bigram", knBigram, Some(knBigramSql)),
     NamedQuery("text_zipf_fit", zipfFit, Some(zipfFitSql)),
     NamedQuery("text_readability", readability, Some(readabilitySql)),
@@ -512,6 +513,62 @@ object TextQueries {
       |SELECT row_number() OVER (ORDER BY n DESC, token) AS rank, token,
       |  CAST(length(token) AS BIGINT) AS tok_len, n
       |FROM agg ORDER BY n DESC, token LIMIT 50""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Tokenizer fertility by language — tokens-per-word and chars-per-
+  // token under the trained BPE merges, per lang. Fertility is THE
+  // standard cross-lingual tokenizer-equity metric (a tokenizer
+  // trained on one language's text fragments the others into more,
+  // shorter tokens — inflating their training cost and degrading
+  // model quality); this card is what decides whether the merge
+  // budget must be re-split across languages before a large run.
+  //
+  // Scale shape: identical to text_tokens_bpe — one embarrassingly-
+  // parallel corpus scan (explode + the 64-replace projection), then
+  // ONE |langs|-key aggregation with map-side partials; output is
+  // O(|langs|). The ratios divide exact integer counts, so both
+  // engines compute bit-identical doubles before the 6-dp round.
+  private def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = BpeModel.loadOrTrain(spark, dir)
+    trainedBpeCache.put(dir, merges)
+    lastBpeDir = Some(dir)
+    val words = Tables.fanOut(Tables.table(spark, dir, "documents"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    words
+      .withColumn("s", BpeModel.applyMerges(BpeModel.encode(col("w")), merges))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(BpeModel.tokenCount(col("s")).cast("long")).as("n_tokens"))
+      .withColumn("fertility",
+        rnd(col("n_tokens").cast("double") / col("n_words"), 6))
+      .withColumn("chars_per_token",
+        rnd(col("n_chars").cast("double") / col("n_tokens"), 6))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        col("fertility"), col("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  private def bpeFertilitySql: String = {
+    val chain = bpeChainSql
+    s"""WITH words AS (
+      |  SELECT lang, w FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+      |  ) WHERE w <> ''
+      |), enc AS (
+      |  SELECT lang, w, $chain AS s FROM words
+      |), agg AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(length(w)) AS BIGINT) AS n_chars,
+      |    CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT) AS n_tokens
+      |  FROM enc GROUP BY lang
+      |)
+      |SELECT lang, n_words, n_chars, n_tokens,
+      |  CAST(round(CAST(CAST(n_tokens AS DOUBLE) / n_words AS DECIMAL(18,8)), 6) AS DOUBLE) AS fertility,
+      |  CAST(round(CAST(CAST(n_chars AS DOUBLE) / n_tokens AS DECIMAL(18,8)), 6) AS DOUBLE) AS chars_per_token
+      |FROM agg ORDER BY lang""".stripMargin
   }
 
   // ---------------------------------------------------------------

@@ -104,6 +104,30 @@ class KnnGraphStoreSpec extends AnyFunSuite {
     assert(KnnGraphStore.buildCount === b0, "compaction must not rebuild")
   }
 
+  test("pagerank centrality: per-cell top-3, mass conservation, determinism") {
+    val out = graft.SparkEntry.queries("sim_pagerank_central")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // shape: cell_rank 1..<=3 contiguous per cell, ordered by pr desc
+    out.groupBy(_._1).foreach { case (cid, rows) =>
+      val ranks = rows.map(_._2).sorted.toVector
+      assert(ranks === (1 to rows.size).toVector, s"cell $cid ranks: $ranks")
+      val prs = rows.sortBy(_._2).map(_._4)
+      assert(prs === prs.sortBy(-_), s"cell $cid not pr-descending: $prs")
+    }
+    // every score positive (the (1-d)/N floor guarantees it), and the
+    // per-cell champions carry real mass: max pr >= the uniform start
+    assert(out.forall(_._4 > 0L))
+    val scale = 1000000000000L
+    val n = graft.ops.Tables.table(spark, dir, "embeddings").count()
+    assert(out.map(_._4).max >= scale / n,
+      "the most central vector must hold at least the uniform share")
+    // integer arithmetic end to end: a second run is bit-identical
+    val again = graft.SparkEntry.queries("sim_pagerank_central")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(again.toVector === out.toVector)
+  }
+
   test("beam refinement is monotone: graph top-3 sims >= seed-only (ivf) top-3 sims") {
     val ivf = graft.SparkEntry.queries("sim_ivf_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap

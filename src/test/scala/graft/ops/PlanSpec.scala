@@ -700,4 +700,51 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"),
       "the whole pipeline is projection + one bucket shuffle — no join anywhere: " + p.take(600))
   }
+
+  test("dim stats: map-side partials reduce the posexplode fan before the d-key exchange") {
+    val p = plan("sim_dim_stats")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "per-dimension sums must combine map-side — the wire carries " +
+        "O(tasks x d), not the N x d explode: " + p.take(800))
+    assert(!p.contains("Join"),
+      "one table, one aggregation — no join anywhere: " + p.take(600))
+  }
+
+  test("anisotropy: one corpus pass per leg, tiny-frame cross only") {
+    val p = plan("sim_anisotropy")
+    assert(p.contains("partial_"),
+      "unit-vector sums must combine map-side: " + p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the 1-row x 1-row combine must not shuffle-join: " + p.take(600))
+    assert(!p.contains("windowspecdefinition"),
+      "no window over corpus rows — the pairwise mean collapses algebraically")
+  }
+
+  test("pagerank centrality: sidecar-only dataflow, map-side per-cell top-3") {
+    val p = plan("sim_pagerank_central")
+    assert(!p.contains("FileScan") && !p.contains("Parquet"),
+      "iteration state and edges are pinned sidecar frames — the corpus " +
+        "parquet must never be scanned by the query's own plan: " + p.take(800))
+    assert(p.contains("WindowGroupLimit"),
+      "the per-cell top-3 must group-limit map-side before the cid " +
+        "exchange, not rank the full N-row score frame: " + p.take(800))
+  }
+
+  test("length trim: bounds broadcast back, keep-pass aggregates map-side") {
+    val p = plan("curate_length_trim")
+    assert(p.contains("BroadcastHashJoin"),
+      "the O(|sources|) bounds row must broadcast to the second corpus " +
+        "pass, not shuffle it: " + p.take(800))
+    assert(p.contains("partial_"),
+      "the keep-flag aggregation must combine map-side: " + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("bpe fertility: embarrassingly-parallel scan, |langs|-key agg, no join") {
+    val p = plan("text_bpe_fertility")
+    assert(p.contains("partial_"),
+      "lang aggregation must combine map-side: " + p.take(800))
+    assert(!p.contains("Join"),
+      "the merge chain is a projection, not a join against a merge table: " + p.take(600))
+  }
 }
