@@ -35,6 +35,7 @@ object CdcQueries {
     NamedQuery("join_interval_within", intervalWithin, Some(intervalWithinSql)),
     NamedQuery("cdc_scd2_history", scd2History, Some(scd2HistorySql)),
     NamedQuery("cdc_time_travel", timeTravel, Some(timeTravelSql)),
+    NamedQuery("cdc_incr_agg", incrAgg, Some(incrAggSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -652,4 +653,64 @@ object CdcQueries {
       |FROM hist h JOIN ao a
       |  ON h.valid_from <= a.as_of AND (h.valid_to IS NULL OR h.valid_to > a.as_of)
       |ORDER BY a.as_of, h.user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Incremental aggregate maintenance (materialized-view deltas): the
+  // grouped aggregate over the LWW state — per current event_type, how
+  // many users sit there and their value mass — computed WITHOUT ever
+  // touching the state table. Each per-user state transition
+  // (type_old, v_old) → (type_new, v_new) emits two delta rows,
+  // (type_old, −1, −v_old) and (type_new, +1, +v_new), and the view is
+  // the plain sum of deltas. The oracle computes the same aggregate
+  // DIRECTLY over the final LWW state — the hash equality is the proof
+  // the delta algebra is lossless (groups whose mass fully cancels
+  // fold to n_users = 0 and drop, exactly as the direct form never
+  // emits them).
+  //
+  // This is the 100 TB materialized-view story: a maintained aggregate
+  // updates from each micro-batch's O(batch) transition deltas (the
+  // before-image is the point-looked-up prior state the CDC fold
+  // already fetches — cdc/BatchApplier), never from an O(state)
+  // rescan. CdcPipelineSpec's sibling test pins the batch-boundary
+  // case: folding two halves' deltas — the second seeded by the
+  // first's carry-out state — equals the direct aggregate.
+  //
+  // Scale shape: ONE user_id window exchange (the same one every LWW
+  // derivation pays) for the ordered transitions; deltas are a
+  // projection + unionAll (no shuffle); the final fold is a
+  // |event_types|-key aggregation with map-side partials. Exact
+  // DECIMAL(18,4) value sums — no float forms until the output cast.
+  private def incrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val trans = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), dec(col("value")).as("v"),
+        col("sec"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+    val gains = trans.select(col("event_type").as("g"),
+      lit(1L).as("dn"), col("v").as("dv"))
+    val losses = trans.filter(col("prev_type").isNotNull)
+      .select(col("prev_type").as("g"),
+        lit(-1L).as("dn"), (col("prev_v") * lit(-1)).cast("decimal(18,4)").as("dv"))
+    gains.unionAll(losses)
+      .groupBy(col("g"))
+      .agg(sum(col("dn")).as("n_users"), sum(col("dv")).as("sv"))
+      .filter(col("n_users") > 0)
+      .select(col("g"), col("n_users"), col("sv").cast("double").as("sum_value"))
+      .orderBy(col("g"))
+  }
+
+  private val incrAggSql =
+    """WITH state AS (
+      |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,4)) AS v
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts)//1000000000 DESC, event_id DESC) AS rn
+      |    FROM events
+      |  ) WHERE rn = 1
+      |)
+      |SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(v) AS DOUBLE) AS sum_value
+      |FROM state GROUP BY event_type
+      |ORDER BY g""".stripMargin
 }

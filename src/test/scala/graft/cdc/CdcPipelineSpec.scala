@@ -237,4 +237,61 @@ class CdcPipelineSpec extends AnyFunSuite {
     // ghost: neither -> dropped
     assert(!irs.contains("ghost"))
   }
+
+  test("incremental aggregate maintenance: two-batch delta fold == direct state aggregate") {
+    // The cdc_incr_agg algebra across a micro-batch boundary: fold the
+    // first half's transition deltas, CARRY the per-user state out, seed
+    // the second half's first transitions with it (the point-looked-up
+    // before-image a real batch fetches), and the summed deltas must
+    // equal the aggregate computed directly over the final LWW state.
+    import org.apache.spark.sql.{DataFrame}
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .withColumn("sec", expr("ts_ns div 1000000000"))
+      .select(col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,4)").as("v"), col("sec"), col("event_id"))
+    val cut = ev.agg(expr("percentile_approx(sec, 0.5)")).head().getLong(0)
+    val half1 = ev.filter(col("sec") <= cut)
+    val half2 = ev.filter(col("sec") > cut)
+
+    // deltas of one batch given a seed (user_id, event_type, v) state:
+    // seed rows ride as pseudo-events below all real secs so the lag
+    // window hands them to the batch's first real event as before-image;
+    // they emit NO gain (already counted when they first arrived)
+    def fold(batch: DataFrame, seed: DataFrame): (DataFrame, DataFrame) = {
+      val tagged = batch.withColumn("is_seed", lit(false))
+        .unionByName(seed.withColumn("sec", lit(Long.MinValue))
+          .withColumn("event_id", lit(-1L)).withColumn("is_seed", lit(true)))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      val trans = tagged
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_v", lag(col("v"), 1).over(w))
+        .filter(!col("is_seed"))
+      val gains = trans.select(col("event_type").as("g"), lit(1L).as("dn"), col("v").as("dv"))
+      val losses = trans.filter(col("prev_type").isNotNull)
+        .select(col("prev_type").as("g"), lit(-1L).as("dn"),
+          (col("prev_v") * lit(-1)).cast("decimal(18,4)").as("dv"))
+      val wLast = Window.partitionBy(col("user_id")).orderBy(col("sec").desc, col("event_id").desc)
+      val carry = tagged.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("v"))
+      (gains.unionAll(losses), carry)
+    }
+
+    val (d1, carry1) = fold(half1, ev.filter(lit(false))
+      .select(col("user_id"), col("event_type"), col("v")))
+    val (d2, carry2) = fold(half2, carry1)
+    val maintained = d1.unionAll(d2).groupBy(col("g"))
+      .agg(sum(col("dn")).as("n"), sum(col("dv")).as("sv"))
+      .filter(col("n") > 0)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDecimal(2)))).toMap
+    val direct = carry2.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDecimal(2)))).toMap
+    assert(maintained.keySet === direct.keySet)
+    maintained.foreach { case (g, (n, sv)) =>
+      assert(direct(g)._1 === n, s"group $g count")
+      assert(direct(g)._2.compareTo(sv) === 0, s"group $g sum: ${direct(g)._2} vs $sv")
+    }
+  }
 }
