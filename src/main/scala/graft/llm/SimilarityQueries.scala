@@ -2414,22 +2414,42 @@ object SimilarityQueries {
     val nn = nodes.agg(count(lit(1)).as("n"))
     val outdeg = edges.groupBy(col("src_id")).agg(count(lit(1)).as("outd"))
     // edge side of every round's join, built once outside the loop
+    // (an explicit repartition-to-data-size was A/B'd here and LOST —
+    // the per-round agg exchange plans at the session shuffle width
+    // regardless, so extra repartitions only added cost; AQE's
+    // partition coalescing already right-sizes the small case)
     val contrib = edges.join(outdeg, "src_id").localCheckpoint()
+    // dangling probe, ONCE: a kNN graph gives every vector out-edges
+    // unless its probe cells were empty of peers — when none exist (the
+    // common case) the per-round dangling scan is 8 skipped anti-joins
+    val danglingIds = nodes
+      .join(outdeg, nodes("vec_id") === outdeg("src_id"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = !danglingIds.isEmpty
     var r = nodes.crossJoin(nn)
       .select(col("vec_id"), expr(s"${prScale}L DIV n").as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to prRounds) {
+    for (round <- 1 to prRounds) {
       val inflow = contrib.join(r, contrib("src_id") === r("vec_id"))
         .select(col("dst_id"), expr("pr DIV outd").as("c"))
         .groupBy(col("dst_id")).agg(sum(col("c")).as("infl"))
-      val dang = r.join(outdeg, r("vec_id") === outdeg("src_id"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
-      r = nodes.join(inflow, nodes("vec_id") === inflow("dst_id"), "left")
-        .crossJoin(dang).crossJoin(nn)
-        .select(nodes("vec_id"),
-          expr(s"(15L * ${prScale}L) DIV (100L * n) + " +
-            "(85L * (coalesce(infl, 0L) + dang DIV n)) DIV 100L").as("pr"))
-        .localCheckpoint()
+      val next = if (hasDangling) {
+        val dang = r.join(danglingIds, Seq("vec_id"), "left_semi")
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+        nodes.join(inflow, nodes("vec_id") === inflow("dst_id"), "left")
+          .crossJoin(dang).crossJoin(nn)
+          .select(nodes("vec_id"),
+            expr(s"(15L * ${prScale}L) DIV (100L * n) + " +
+              "(85L * (coalesce(infl, 0L) + dang DIV n)) DIV 100L").as("pr"))
+      } else
+        nodes.join(inflow, nodes("vec_id") === inflow("dst_id"), "left")
+          .crossJoin(nn)
+          .select(nodes("vec_id"),
+            expr(s"(15L * ${prScale}L) DIV (100L * n) + " +
+              "(85L * coalesce(infl, 0L)) DIV 100L").as("pr"))
+      // pin the frontier every OTHER round: two rounds of lineage stay
+      // bounded, half the eager materializations
+      r = if (round % 2 == 0 || round == prRounds) next.localCheckpoint() else next
     }
     val w = Window.partitionBy(col("cid")).orderBy(col("pr").desc, col("vec_id"))
     r.join(assign, "vec_id")
