@@ -49,6 +49,7 @@ object SimilarityQueries {
     NamedQuery("pipeline_cluster_mix", clusterMix, Some(clusterMixSql)),
     NamedQuery("sim_dim_stats", dimStats, Some(dimStatsSql)),
     NamedQuery("sim_anisotropy", anisotropy, Some(anisotropySql)),
+    NamedQuery("sim_center_anisotropy", centerAnisotropy, Some(centerAnisotropySql)),
     NamedQuery("sim_pagerank_central", pagerankCentral, Some(pagerankCentralSql)),
   )
 
@@ -2371,6 +2372,104 @@ object SimilarityQueries {
       |)
       |SELECT n, mean_norm,
       |  CAST(round(CAST((ss - n) / (n * (n - 1.0)) AS DECIMAL(18,8)), 8) AS DOUBLE) AS anisotropy
+      |FROM norms CROSS JOIN ss""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Anisotropy after mean-centering — the REMEDIATION twin of
+  // [[anisotropy]]: subtracting the corpus mean is the standard first
+  // fix for a crowded embedding cone (Mu & Viswanath 2018's "all-but-
+  // the-top" without the PCA step), and this query re-measures
+  // E[cos] over the centered vectors so the audit→remediate→re-audit
+  // loop closes inside the engine. Reading the pair: raw ≫ centered
+  // means the crowding was a common-mean artifact (cheap fix works);
+  // raw ≈ centered means the cone is structural and the index needs
+  // retuning instead.
+  //
+  // Scale shape: one extra corpus pass over [[anisotropy]]'s — the
+  // d-value mean vector (same map-side-partial d-key aggregation as
+  // [[dimStats]]) collects 64 doubles to the driver (the bounded
+  // K-row codebook pattern) and re-enters as an array literal; the
+  // centered resultant pass is then identical to the raw query's.
+  // Determinism: means snap at scale 12 → 8 dp (the exact-rational
+  // window), centering is double arithmetic from identical inputs,
+  // the centered dot runs SEQUENTIALLY in both engines (zip_with +
+  // native dot vs list_transform + list_dot_product — double addition
+  // is not associative, so both sides must fold in array order), unit
+  // components snap at DECIMAL(18,12) before the exact order-free
+  // sums.
+  private def centerAnisotropy(spark: SparkSession, dir: String): DataFrame = {
+    def snap12(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column =
+      round(c.cast("decimal(38,12)"), s).cast("double")
+    val mu = Tables.table(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").cast("decimal(18,8)").as("d"))
+      .groupBy(col("dim"))
+      .agg(round(sum(col("d")), 4).cast("double").as("sx"), count(lit(1)).as("cnt"))
+      .select(col("dim"), snap12(col("sx") / col("cnt"), 8).as("m"))
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("mu", typedLit(mu.toSeq))
+      .withColumn("cv", expr("zip_with(v, mu, (x, m) -> x - m)"))
+      .withColumn("nrm",
+        sqrt(graft.expressions.VectorFunctions.dot(col("cv"), col("cv"))))
+      .filter(col("nrm") > 0)
+    val sums = e
+      .select(posexplode(expr("transform(cv, x -> cast(x / nrm AS decimal(18,12)))"))
+        .as(Seq("dim", "ud")))
+      .groupBy(col("dim"))
+      .agg(round(sum(col("ud")), 6).cast("double").as("sd"))
+      .agg(round(sum((col("sd") * col("sd")).cast("decimal(28,10)")), 6)
+        .cast("double").as("ss"))
+    val norms = e.agg(
+      count(lit(1)).as("n"),
+      round(sum(col("nrm").cast("decimal(18,8)")), 4).cast("double").as("snrm"))
+      .select(col("n"), snap12(col("snrm") / col("n"), 6).as("mean_cnorm"))
+    norms.crossJoin(sums)
+      .select(col("n"), col("mean_cnorm"),
+        graft.ops.Registry.rnd(
+          (col("ss") - col("n")) / (col("n") * (col("n") - lit(1))), 8)
+          .as("anisotropy_centered"))
+  }
+
+  private val centerAnisotropySql =
+    """WITH x AS (
+      |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(unnest(embedding::DOUBLE[]) AS DECIMAL(18,8)) AS d
+      |  FROM embeddings
+      |), mu AS (
+      |  SELECT dim,
+      |    CAST(round(CAST(CAST(round(sum(d), 4) AS DOUBLE) / count(*) AS DECIMAL(38,12)), 8) AS DOUBLE) AS m
+      |  FROM x GROUP BY dim
+      |), muarr AS (
+      |  SELECT list(m ORDER BY dim) AS mu FROM mu
+      |), e AS (
+      |  SELECT embedding::DOUBLE[] AS v FROM embeddings
+      |), c AS (
+      |  SELECT list_transform(range(1, len(v) + 1), i -> v[i] - mu[i]) AS cv
+      |  FROM e CROSS JOIN muarr
+      |), cn AS MATERIALIZED (
+      |  SELECT cv, sqrt(list_dot_product(cv, cv)) AS nrm FROM c
+      |  WHERE sqrt(list_dot_product(cv, cv)) > 0
+      |), u AS (
+      |  SELECT generate_subscripts(cv, 1) - 1 AS dim,
+      |    CAST(unnest(cv) / nrm AS DECIMAL(18,12)) AS ud
+      |  FROM cn
+      |), s AS (
+      |  SELECT dim, CAST(round(sum(ud), 6) AS DOUBLE) AS sd FROM u GROUP BY dim
+      |), ss AS (
+      |  SELECT CAST(round(sum(CAST(sd * sd AS DECIMAL(28,10))), 6) AS DOUBLE) AS ss FROM s
+      |), norms AS (
+      |  SELECT n,
+      |    CAST(round(CAST(snrm / n AS DECIMAL(38,12)), 6) AS DOUBLE) AS mean_cnorm
+      |  FROM (
+      |    SELECT count(*) AS n,
+      |      CAST(round(sum(CAST(nrm AS DECIMAL(18,8))), 4) AS DOUBLE) AS snrm
+      |    FROM cn
+      |  )
+      |)
+      |SELECT n, mean_cnorm,
+      |  CAST(round(CAST((ss - n) / (n * (n - 1.0)) AS DECIMAL(18,8)), 8) AS DOUBLE) AS anisotropy_centered
       |FROM norms CROSS JOIN ss""".stripMargin
 
   // ---------------------------------------------------------------

@@ -740,6 +740,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("centered anisotropy: mean re-enters as a literal, no corpus shuffle join") {
+    val p = plan("sim_center_anisotropy")
+    assert(p.contains("partial_"),
+      "centered unit-vector sums must combine map-side: " + p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the 64-value mean is an array literal — the corpus must never " +
+        "shuffle-join against it: " + p.take(800))
+    assert(!p.contains("windowspecdefinition"),
+      "no window over corpus rows — the pairwise mean collapses algebraically")
+  }
+
   test("bpe fertility: embarrassingly-parallel scan, |langs|-key agg, no join") {
     val p = plan("text_bpe_fertility")
     assert(p.contains("partial_"),
