@@ -609,10 +609,183 @@ object MultimodalPlan {
       |ORDER BY doc_id, frame_idx""".stripMargin
 }
 
+/** Audio-modality plumbing: REAL RIFF/WAVE PCM container build + parse
+  * (44-byte canonical header — fixed little-endian byte fields the JVM
+  * reads without any media library, the PNG-IHDR rationale applied to
+  * audio), and the per-language PCM feature card a speech-data curator
+  * reads: RMS energy, zero-crossing rate (the classic cheap
+  * voiced/unvoiced + noise discriminator), silence fraction, and peak.
+  *
+  * Fixture payloads: the documents' text codepoints stand in as 8-bit
+  * centered PCM samples (s_i = codepoint_i − 128) — deterministic and
+  * DuckDB-reproducible (ord(substr)), exactly the FakeDecoder
+  * convention for images. The CONTAINER leg is not faked: every row
+  * round-trips its bytes through [[WavCodec.build]] → [[WavCodec.parse]]
+  * in the executor task, and the output's byte/duration columns come
+  * from the PARSED header, so a header-layout bug breaks the oracle
+  * hash (WavCodecSpec additionally pins a hand-assembled golden WAV and
+  * malformed-container rejection).
+  *
+  * Determinism: every feature total is exact integer arithmetic
+  * (sums of s², sign flips, |s| < 16 counts, max |s|) aggregated
+  * per-language; the three ratios (rms, zcr, silence) divide exact
+  * integer totals and snap at DECIMAL scale 12 (the sim_dim_stats tie
+  * lesson). No per-doc float ever crosses an aggregation boundary.
+  *
+  * Scale shape: ONE embarrassingly-parallel corpus pass (partition-wise
+  * build/parse/fold — the canonical CPU-heavy decode map stage, zero
+  * shuffle) + ONE |langs|-key aggregation with map-side partials.
+  */
+object MultimodalAudio {
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Canonical PCM sample rate for the fixture payloads (8-bit mono). */
+  val SampleRate = 16000
+
+  object WavCodec {
+    /** 44-byte canonical RIFF/WAVE PCM header + data. */
+    def build(data: Array[Byte], sampleRate: Int = SampleRate,
+        channels: Int = 1, bitsPerSample: Int = 8): Array[Byte] = {
+      val byteRate = sampleRate * channels * (bitsPerSample / 8)
+      val blockAlign = channels * (bitsPerSample / 8)
+      val out = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort) // PCM
+        .putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+        .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(data.length)
+        .put(data)
+      out.array()
+    }
+
+    final case class WavMeta(sampleRate: Int, channels: Int,
+        bitsPerSample: Int, dataLen: Long) {
+      /** Integer milliseconds, floor — both engines' `DIV`. */
+      def durationMs: Long =
+        dataLen * 1000L / (sampleRate.toLong * channels * (bitsPerSample / 8))
+    }
+
+    private def tag(b: Array[Byte], off: Int, s: String): Boolean =
+      b.length >= off + 4 && s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
+    private def u32le(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    /** Parse a canonical-layout PCM WAV; None on anything malformed. */
+    def parse(b: Array[Byte]): Option[WavMeta] =
+      if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE") ||
+          !tag(b, 12, "fmt ") || u32le(b, 16) != 16 || u16le(b, 20) != 1 ||
+          !tag(b, 36, "data")) None
+      else {
+        val channels = u16le(b, 22)
+        val rate = u32le(b, 24).toInt
+        val bits = u16le(b, 34)
+        val dataLen = u32le(b, 40)
+        if (channels < 1 || rate <= 0 || bits % 8 != 0 || bits == 0 ||
+            dataLen != b.length - 44L) None
+        else Some(WavMeta(rate, channels, bits, dataLen))
+      }
+  }
+
+  /** One document folded: parsed container meta + exact integer PCM
+    * feature totals over the codepoint samples. */
+  final case class AudioRow(doc_id: Long, lang: String, data_len: Long,
+      duration_ms: Long, n_samples: Long, sum_sq: Long, flips: Long,
+      silent: Long, peak: Int)
+
+  private[llm] def fold(docId: Long, lang: String, text: String): AudioRow = {
+    val bytes = text.getBytes("UTF-8")
+    val meta = WavCodec.parse(WavCodec.build(bytes)).getOrElse(
+      sys.error(s"wav round-trip failed for doc $docId"))
+    var prev = 0; var first = true
+    var ssq = 0L; var flips = 0L; var silent = 0L; var peak = 0; var n = 0L
+    val it = text.codePoints().iterator()
+    while (it.hasNext) {
+      val s = it.nextInt() - 128
+      ssq += s.toLong * s
+      if (!first && prev * s < 0) flips += 1
+      if (math.abs(s) < 16) silent += 1
+      if (math.abs(s) > peak) peak = math.abs(s)
+      prev = s; first = false; n += 1
+    }
+    AudioRow(docId, lang, meta.dataLen, meta.durationMs, n, ssq, flips, silent, peak)
+  }
+
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    def snap12(c: org.apache.spark.sql.Column, s: Int) =
+      round(c.cast("decimal(38,12)"), s).cast("double")
+    implicit val enc = Encoders.product[AudioRow]
+    val rows = Tables.table(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)](Encoders.product[(Long, String, String)])
+      .mapPartitions(_.map { case (id, lg, tx) => fold(id, lg, tx) })
+      .toDF()
+    rows.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_samples")).as("n_samples"),
+        sum(col("data_len")).as("total_bytes"),
+        sum(col("duration_ms")).as("total_ms"),
+        sum(col("sum_sq")).as("sum_sq"),
+        sum(col("flips")).as("flips"),
+        sum(col("silent")).as("silent"),
+        max(col("peak")).as("peak"))
+      .select(col("lang"), col("n_docs"), col("n_samples"), col("total_bytes"),
+        col("total_ms"), col("sum_sq"), col("flips"), col("silent"), col("peak"),
+        snap12(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6).as("rms"),
+        snap12(col("flips").cast("double") / (col("n_samples") - col("n_docs")), 6)
+          .as("zcr"),
+        snap12(col("silent").cast("double") / col("n_samples"), 6)
+          .as("silence_frac"))
+      .orderBy(col("lang"))
+  }
+
+  val audioFeaturesSql: String =
+    """WITH s AS (
+      |  SELECT lang, octet_length(encode(text)) AS blen, length(text) AS n,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> ord(substr(text, i, 1)) - 128) AS sm
+      |  FROM documents WHERE length(text) > 0
+      |), f AS (
+      |  SELECT lang, blen, n,
+      |    CAST(blen * 1000 // 16000 AS BIGINT) AS dur,
+      |    list_sum(list_transform(sm, x -> CAST(x * x AS BIGINT))) AS ssq,
+      |    coalesce(list_sum(list_transform(range(1, n),
+      |      i -> CASE WHEN sm[i] * sm[i + 1] < 0 THEN 1 ELSE 0 END)), 0) AS flips,
+      |    coalesce(list_sum(list_transform(sm,
+      |      x -> CASE WHEN abs(x) < 16 THEN 1 ELSE 0 END)), 0) AS silent,
+      |    list_max(list_transform(sm, x -> abs(x))) AS peak
+      |  FROM s
+      |), a AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n) AS BIGINT) AS n_samples,
+      |    CAST(sum(blen) AS BIGINT) AS total_bytes,
+      |    CAST(sum(dur) AS BIGINT) AS total_ms,
+      |    CAST(sum(ssq) AS BIGINT) AS sum_sq,
+      |    CAST(sum(flips) AS BIGINT) AS flips,
+      |    CAST(sum(silent) AS BIGINT) AS silent,
+      |    CAST(max(peak) AS INT) AS peak
+      |  FROM f GROUP BY lang
+      |)
+      |SELECT lang, n_docs, n_samples, total_bytes, total_ms, sum_sq, flips,
+      |  silent, peak,
+      |  CAST(round(CAST(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS DECIMAL(38,12)), 6) AS DOUBLE) AS rms,
+      |  CAST(round(CAST(CAST(flips AS DOUBLE) / (n_samples - n_docs) AS DECIMAL(38,12)), 6) AS DOUBLE) AS zcr,
+      |  CAST(round(CAST(CAST(silent AS DOUBLE) / n_samples AS DECIMAL(38,12)), 6) AS DOUBLE) AS silence_frac
+      |FROM a ORDER BY lang""".stripMargin
+}
+
 object MultimodalQueries {
   def queries: Vector[NamedQuery] = Vector(
     NamedQuery("multimodal_decode_meta",
       (s, d) => Multimodal.decodeMeta(s, d), Some(Multimodal.decodeMetaSql)),
+    NamedQuery("multimodal_audio_features",
+      (s, d) => MultimodalAudio.audioFeatures(s, d),
+      Some(MultimodalAudio.audioFeaturesSql)),
     NamedQuery("multimodal_embed_batch",
       (s, d) => Multimodal.embedBatch(s, d), Some(Multimodal.embedBatchSql)),
     NamedQuery("multimodal_resize_plan",

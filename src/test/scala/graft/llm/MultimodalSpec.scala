@@ -368,4 +368,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert((1L << 62) * 4L < 3L * (1L << 61),
       "guard: plain Long must overflow on this fixture, else the test is vacuous")
   }
+
+  test("wav codec: build/parse round trip, golden header bytes, malformed rejection") {
+    import MultimodalAudio.WavCodec
+    val data = Array.tabulate[Byte](320)(i => (i % 251).toByte)
+    val wav = WavCodec.build(data)
+    // golden: the canonical 44-byte header, byte-exact
+    assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 16), "US-ASCII") === "WAVEfmt ")
+    assert(new String(wav.slice(36, 40), "US-ASCII") === "data")
+    assert(wav.length === 44 + data.length)
+    // RIFF size field = 36 + dataLen, little-endian
+    def u32(off: Int) = (0 to 3).map(k => (wav(off + k) & 0xffL) << (8 * k)).sum
+    assert(u32(4) === 36L + data.length)
+    assert(u32(24) === 16000L, "sample rate field")
+    assert(u32(40) === data.length.toLong, "data chunk size")
+    val meta = WavCodec.parse(wav).get
+    assert(meta.sampleRate === 16000 && meta.channels === 1 &&
+      meta.bitsPerSample === 8 && meta.dataLen === data.length.toLong)
+    assert(meta.durationMs === data.length * 1000L / 16000)
+    // malformed: truncated header, bad magic, data-length mismatch
+    assert(WavCodec.parse(wav.take(43)).isEmpty)
+    val badMagic = wav.clone(); badMagic(0) = 'X'.toByte
+    assert(WavCodec.parse(badMagic).isEmpty)
+    assert(WavCodec.parse(wav.dropRight(1)).isEmpty,
+      "declared data length must match the actual payload")
+    // stereo/16-bit variant round-trips its own fields
+    val st = WavCodec.build(Array.fill[Byte](64)(1), sampleRate = 44100,
+      channels = 2, bitsPerSample = 16)
+    val m2 = WavCodec.parse(st).get
+    assert(m2.sampleRate === 44100 && m2.channels === 2 && m2.bitsPerSample === 16)
+    assert(m2.durationMs === 64 * 1000L / (44100L * 2 * 2))
+  }
+
+  test("audio fold: exact integer features match a hand computation") {
+    // text "AZ a" codepoints: 65 90 32 97 -> s = -63 -38 -96 -31
+    val r = MultimodalAudio.fold(7L, "en", "AZ a")
+    assert(r.n_samples === 4L)
+    assert(r.sum_sq === 63L * 63 + 38L * 38 + 96L * 96 + 31L * 31)
+    assert(r.flips === 0L, "all samples negative: no sign flips")
+    assert(r.silent === 0L)
+    assert(r.peak === 96)
+    assert(r.data_len === 4L, "ASCII utf-8 bytes")
+    // a genuine sign flip: 'z' (122-128=-6, silent) then 'Ä' (196-128=68)
+    val r2 = MultimodalAudio.fold(8L, "de", "zÄ")
+    assert(r2.flips === 1L && r2.silent === 1L && r2.peak === 68)
+    assert(r2.data_len === 3L, "two-byte UTF-8 for the umlaut")
+    assert(r2.n_samples === 2L, "codepoints, not bytes")
+  }
 }
