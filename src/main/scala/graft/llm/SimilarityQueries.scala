@@ -50,6 +50,8 @@ object SimilarityQueries {
     NamedQuery("sim_dim_stats", dimStats, Some(dimStatsSql)),
     NamedQuery("sim_anisotropy", anisotropy, Some(anisotropySql)),
     NamedQuery("sim_center_anisotropy", centerAnisotropy, Some(centerAnisotropySql)),
+    NamedQuery("pipeline_decontaminate_semantic", decontaminateSemantic,
+      Some(decontaminateSemanticSql)),
     NamedQuery("sim_pagerank_central", pagerankCentral, Some(pagerankCentralSql)),
   )
 
@@ -2373,6 +2375,92 @@ object SimilarityQueries {
       |SELECT n, mean_norm,
       |  CAST(round(CAST((ss - n) / (n * (n - 1.0)) AS DECIMAL(18,8)), 8) AS DOUBLE) AS anisotropy
       |FROM norms CROSS JOIN ss""".stripMargin
+
+  // ---------------------------------------------------------------
+  // SEMANTIC decontamination — the third leg of the decontamination
+  // family (exact n-gram: pipeline_decontaminate; sketched:
+  // pipeline_decontaminate_bloom): paraphrased eval leakage that no
+  // n-gram overlap catches shows up as high EMBEDDING similarity, so
+  // the gate is "corpus docs whose cosine to any eval item crosses τ".
+  // The report is what a contamination review actually reads: each
+  // eval item's top-3 nearest corpus docs with similarity, source and
+  // language attribution, and the τ = 0.9 flag. The eval panel is the
+  // 8-smallest-vec_id stand-in, EXCLUDED from the corpus side (a real
+  // eval set is external to the training corpus by construction).
+  //
+  // Scale shape: the production IVF discipline — the panel broadcasts
+  // with its nProbe=2 probe cells, the corpus streams map-side through
+  // the zero-exchange NearestCell assignment, candidates are
+  // cell-bounded (never panel × corpus), the per-eval top-3 is a
+  // WindowGroupLimit over candidate rows, and the documents table
+  // joins against the ≤ panel·3 flagged rows BROADCAST — at 100 TB the
+  // attribution join moves 24 rows, not the corpus.
+  private def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val (ec, cbCol) = attachCodebook(spark, e, trainedCodebook(spark, dir))
+    val corpus = ec.filter(col("vec_id") >= 8)
+      .withColumn("cid",
+        graft.expressions.CellFunctions.nearestCell(col("v"), col("nrm"), cbCol))
+      .select(col("vec_id").as("n_id"), col("cid"), col("v").as("nv"), col("nrm").as("nn"))
+    val panel = ec.filter(col("vec_id") < 8)
+      .withColumn("probe", explode(
+        graft.expressions.CellFunctions.nearestCells(col("v"), col("nrm"), cbCol, 2)))
+      .select(col("vec_id").as("q_id"), col("probe"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val top = corpus
+      .join(broadcast(panel), col("probe") === col("cid"))
+      .withColumn("sim",
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+    docs.join(broadcast(top), col("doc_id") === col("n_id"))
+      .select(col("q_id"), col("rank"), col("n_id").as("doc_id"), col("sim"),
+        col("source"), col("lang"), (col("sim") >= 0.9).as("flagged"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def decontaminateSemanticSql =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), c AS (
+      |  $codebookSql
+      |), corpus AS (
+      |  SELECT vec_id AS n_id, cid, v AS nv, nrm AS nn FROM (
+      |    SELECT e.vec_id, c.cid, e.v, e.nrm,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c WHERE e.vec_id >= 8
+      |  ) WHERE rn = 1
+      |), panel AS (
+      |  SELECT vec_id AS q_id, cid AS probe, v AS qv, nrm AS qn FROM (
+      |    SELECT e.vec_id, c.cid, e.v, e.nrm,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c WHERE e.vec_id < 8
+      |  ) WHERE rn <= 2
+      |), ranked AS (
+      |  SELECT q_id, n_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      |  FROM (
+      |    SELECT p.q_id, a.n_id,
+      |      CAST(round(CAST(list_dot_product(p.qv, a.nv) / (p.qn * a.nn) AS DECIMAL(18,8)), 4) AS DOUBLE) AS sim
+      |    FROM corpus a JOIN panel p ON a.cid = p.probe
+      |  )
+      |)
+      |SELECT r.q_id, r.rank, r.n_id AS doc_id, r.sim, d.source, d.lang,
+      |  r.sim >= 0.9 AS flagged
+      |FROM ranked r JOIN documents d ON d.doc_id = r.n_id
+      |WHERE r.rank <= 3
+      |ORDER BY r.q_id, r.rank""".stripMargin
 
   // ---------------------------------------------------------------
   // Anisotropy after mean-centering — the REMEDIATION twin of

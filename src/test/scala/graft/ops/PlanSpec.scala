@@ -740,6 +740,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("semantic decontamination: panel broadcasts, corpus streams, top-3 group-limits map-side") {
+    val p = plan("pipeline_decontaminate_semantic")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval panel (and the 24-row report) must broadcast: " + p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must never shuffle for a panel-bounded probe: " + p.take(800))
+    assert(p.contains("WindowGroupLimit"),
+      "per-eval top-3 must group-limit before the q_id exchange: " + p.take(800))
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "assignment must stay the native NearestCell projection")
+  }
+
   test("centered anisotropy: mean re-enters as a literal, no corpus shuffle join") {
     val p = plan("sim_center_anisotropy")
     assert(p.contains("partial_"),
