@@ -39,6 +39,7 @@ object MonitorQueries {
   def queries: Vector[NamedQuery] = Vector(
     NamedQuery("events_rolling_wau", rollingWau, Some(rollingWauSql)),
     NamedQuery("events_cusum_drift", cusumDrift, Some(cusumDriftSql)),
+    NamedQuery("events_changepoint", changepoint, Some(changepointSql)),
     NamedQuery("events_bot_regularity", botRegularity, Some(botRegularitySql)),
     NamedQuery("eval_spearman_doclen", spearmanDoclen, Some(spearmanDoclenSql)),
     NamedQuery("eval_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)),
@@ -137,7 +138,10 @@ object MonitorQueries {
   // user, nothing global. Determinism: all sums in DECIMAL (order-
   // free); mu/sigma/k/h snap to 6 dp and re-enter as DECIMAL(18,6), so
   // the S > h comparison is exact in both engines.
-  private def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-event CUSUM statistic rows (user_id, sec, event_id, n_events,
+    * mu, sigma, hd, s) — the shared front of [[cusumDrift]] (the alert
+    * aggregate) and [[changepoint]] (the excursion localizer). */
+  private def cusumStats(spark: SparkSession, dir: String): DataFrame = {
     val e = ev(spark, dir)
     val base = e.groupBy(col("user_id")).agg(
         count(lit(1)).as("n_events"),
@@ -152,11 +156,15 @@ object MonitorQueries {
         col("k").cast("decimal(18,6)").as("kd"), col("h").cast("decimal(18,6)").as("hd"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val stats = e.join(base, Seq("user_id"))
+    e.join(base, Seq("user_id"))
       .withColumn("d",
         col("value").cast("decimal(18,6)") - col("mu").cast("decimal(18,6)") - col("kd"))
       .withColumn("p", sum(col("d")).over(w))
       .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0).cast("decimal(18,6)")))
+  }
+
+  private def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val stats = cusumStats(spark, dir)
     stats.groupBy(col("user_id"))
       .agg(
         max(col("n_events")).as("n_events"),
@@ -205,6 +213,97 @@ object MonitorQueries {
       |  CAST(sum(CASE WHEN s > hd THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
       |  coalesce(min(CASE WHEN s > hd THEN sec END), -1) AS first_alert_sec
       |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // CUSUM changepoint LOCALIZATION — the "when did the drift start"
+  // answer the alert alone doesn't give. For each alerting user, the
+  // standard estimator: the excursion containing the first alarm began
+  // right after the LAST instant the statistic touched zero (Page
+  // 1954's restart property — S = 0 means the evidence reset). Emits
+  // the first-alarm instant, the excursion start, the excursion length
+  // in observations (detection delay in samples), and the statistic at
+  // alarm — what an on-call page should carry.
+  //
+  // Scale shape: [[cusumStats]]' one baseline agg + one per-user window
+  // pass, then everything is per-user bounded: the alert/zero-row
+  // reductions are map-side-combinable aggs over the statistic rows and
+  // the two row-fetch joins move O(alerting users) rows. Determinism:
+  // s is exact DECIMAL(18,6) end to end, so "s = 0" and "s > h" are
+  // exact in both engines; everything emitted is an integer or a
+  // snapped copy of an already-pinned value.
+  private def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val rows = cusumStats(spark, dir)
+      .withColumn("rn", row_number().over(wo))
+      .select(col("user_id"), col("rn"), col("sec"), col("n_events"),
+        col("s"), col("hd"))
+    val alert = rows.filter(col("s") > col("hd"))
+      .groupBy(col("user_id")).agg(min(col("rn")).as("arn"))
+    val cp = rows.join(alert, "user_id")
+      .groupBy(col("user_id"))
+      .agg(coalesce(max(when(col("s") === lit(0).cast("decimal(18,6)")
+          && col("rn") <= col("arn"), col("rn"))), lit(0)).as("cprn"))
+    val atAlert = rows.select(col("user_id").as("au"), col("rn").as("aarn"),
+      col("sec").as("first_alert_sec"), col("n_events"),
+      rnd(col("s").cast("double"), 4).as("stat_at_alert"))
+    val atStart = rows.select(col("user_id").as("su"), col("rn").as("srn"),
+      col("sec").as("changepoint_sec"))
+    alert.join(cp, "user_id")
+      .join(atAlert, col("user_id") === col("au") && col("arn") === col("aarn"))
+      .join(atStart, col("user_id") === col("su") && col("srn") === col("cprn") + 1)
+      .select(col("user_id"), col("n_events"), col("changepoint_sec"),
+        col("first_alert_sec"),
+        (col("arn") - col("cprn")).cast("long").as("excursion_rows"),
+        col("stat_at_alert"))
+      .orderBy(col("user_id"))
+  }
+
+  private val changepointSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS sec, value FROM events
+      |), base0 AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+      |  FROM e GROUP BY 1
+      |), base AS (
+      |  SELECT user_id, n_events, mu, sigma,
+      |    CAST(round(CAST(sigma * 0.5 AS DECIMAL(18,8)), 6) AS DECIMAL(18,6)) AS kd,
+      |    CAST(round(CAST(sigma * 4.0 AS DECIMAL(18,8)), 6) AS DECIMAL(18,6)) AS hd
+      |  FROM (
+      |    SELECT user_id, n_events, mu,
+      |      CAST(round(CAST(sqrt(CAST(round(CAST(greatest(sxx / n_events - mu * mu, 0.0)
+      |        AS DECIMAL(18,8)), 6) AS DOUBLE)) AS DECIMAL(18,8)), 6) AS DOUBLE) AS sigma
+      |    FROM (SELECT user_id, n_events, sx, sxx,
+      |      CAST(round(CAST(sx / n_events AS DECIMAL(18,8)), 6) AS DOUBLE) AS mu FROM base0)
+      |  )
+      |), st AS MATERIALIZED (
+      |  SELECT user_id, sec, n_events, hd,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rn,
+      |    p - least(min(p) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), CAST(0 AS DECIMAL(18,6))) AS s
+      |  FROM (
+      |    SELECT user_id, event_id, sec, n_events, hd,
+      |      sum(CAST(value AS DECIMAL(18,6)) - CAST(mu AS DECIMAL(18,6)) - kd) OVER (
+      |        PARTITION BY user_id ORDER BY sec, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |    FROM e JOIN base USING (user_id)
+      |  ) q
+      |), al AS (
+      |  SELECT user_id, min(rn) AS arn FROM st WHERE s > hd GROUP BY user_id
+      |), cp AS (
+      |  SELECT r.user_id,
+      |    coalesce(max(CASE WHEN r.s = 0 AND r.rn <= a.arn THEN r.rn END), 0) AS cprn
+      |  FROM st r JOIN al a USING (user_id) GROUP BY r.user_id
+      |)
+      |SELECT a.user_id, fa.n_events, cs.sec AS changepoint_sec,
+      |  fa.sec AS first_alert_sec,
+      |  CAST(a.arn - c.cprn AS BIGINT) AS excursion_rows,
+      |  CAST(round(CAST(CAST(fa.s AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) AS stat_at_alert
+      |FROM al a JOIN cp c USING (user_id)
+      |JOIN st fa ON fa.user_id = a.user_id AND fa.rn = a.arn
+      |JOIN st cs ON cs.user_id = a.user_id AND cs.rn = c.cprn + 1
+      |ORDER BY a.user_id""".stripMargin
 
   // ---------------------------------------------------------------
   // Bot/automation signature: humans produce bursty inter-event gaps

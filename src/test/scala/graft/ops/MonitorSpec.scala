@@ -209,4 +209,24 @@ class MonitorSpec extends AnyFunSuite {
     val recs = got.map(_.getDouble(7)).toVector
     assert(recs.head == 1.0 && recs.exists(_ < 1.0), "recall must decay across thresholds")
   }
+
+  test("changepoint localizes inside the alerting excursion, consistent with the alert query") {
+    // columns: user_id, n_events, changepoint_sec, first_alert_sec, excursion_rows, stat_at_alert
+    val cps = q("events_changepoint").collect()
+    assert(cps.nonEmpty)
+    val alerts = q("events_cusum_drift").collect()
+      .map(r => r.getLong(0) -> (r.getLong(6), r.getLong(5))).toMap // first_alert_sec, n_alerts
+    cps.foreach { r =>
+      val (uid, cpSec, faSec, exRows) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cpSec <= faSec, s"user $uid: excursion start after its own alarm")
+      assert(exRows >= 1, s"user $uid: alarm row itself is in the excursion")
+      val (fa, nAlerts) = alerts(uid)
+      assert(nAlerts > 0, s"user $uid localized but never alerted")
+      assert(fa === faSec, s"user $uid: first-alarm instant must match the alert query")
+    }
+    // exactly the alerting users are localized
+    assert(cps.map(_.getLong(0)).toSet ===
+      alerts.filter(_._2._2 > 0).keySet)
+  }
 }
