@@ -233,10 +233,15 @@ object MonitorQueries {
   // snapped copy of an already-pinned value.
   private def changepoint(spark: SparkSession, dir: String): DataFrame = {
     val wo = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    // FOUR consumers read the statistic rows (alarm scan, zero scan, two
+    // row fetches) — pin them once instead of recomputing the baseline
+    // agg + window pipeline per consumer (the oracle mirrors with
+    // st AS MATERIALIZED)
     val rows = cusumStats(spark, dir)
       .withColumn("rn", row_number().over(wo))
       .select(col("user_id"), col("rn"), col("sec"), col("n_events"),
         col("s"), col("hd"))
+      .localCheckpoint()
     val alert = rows.filter(col("s") > col("hd"))
       .groupBy(col("user_id")).agg(min(col("rn")).as("arn"))
     val cp = rows.join(alert, "user_id")
