@@ -41,6 +41,7 @@ object DedupQueries {
     NamedQuery("dedup_containment_capped", containmentCapped, Some(containmentCappedSql)),
     NamedQuery("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),
     NamedQuery("dedup_lsh_tuning_sampled", lshTuningSampled, Some(lshTuningSampledSql)),
+    NamedQuery("dedup_graph_triangles", graphTriangles, Some(graphTrianglesSql)),
   )
 
   // ---------------------------------------------------------------
@@ -1291,4 +1292,89 @@ object DedupQueries {
        |  CAST(count(*) AS BIGINT) AS n_windows
        |FROM n GROUP BY doc_id, span
        |ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Dup-graph transitivity audit: triangle count and global
+  // clustering coefficient of the MinHash candidate-pair graph. A
+  // near-dup graph of TRUE copies is cliquish (every pair of a
+  // 3-copy cluster collides → triangles); a graph of drifting
+  // chained edits or hash-collision noise is path-like (wedges that
+  // never close). Transitivity = 3·triangles / wedges is the one
+  // number separating the two regimes — the index-health audit run
+  // before trusting connected components to define dedup clusters
+  // (a low value says "clusters are chains; survivor choice loses
+  // real variants").
+  //
+  // Algorithm: degree-ordered triangle enumeration (the distributed
+  // standard — Suri & Vassilvitskii, WWW 2011: orient every edge from
+  // its lower (degree, id) endpoint, enumerate wedges at the low
+  // vertex, close against the oriented edge set). Orientation bounds
+  // wedge work by Σ d_out² = O(m^1.5) regardless of hubs, and because
+  // wedge legs sort by the SAME (degree, id) key as the orientation,
+  // the closing edge is always oriented v→w — one equi-join, no
+  // direction disjunction.
+  //
+  // Scale shape: the graph is the banding's candidate-pair output —
+  // already bucket-bounded (never all-pairs). Degrees are one
+  // aggregation over 2·m rows; the wedge self-join shuffles on the
+  // low vertex and the close is an equi-join on (v, w). All counts
+  // are exact integers; the coefficient floats once, snapped 6 dp.
+  private def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val deg = pairs.select(col("a_id").as("node"))
+      .union(pairs.select(col("b_id").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val aLess = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a_id") < col("b_id"))
+    val oriented = pairs
+      .join(deg.select(col("node").as("a_id"), col("d").as("da")), "a_id")
+      .join(deg.select(col("node").as("b_id"), col("d").as("db")), "b_id")
+      .select(
+        when(aLess, col("a_id")).otherwise(col("b_id")).as("u"),
+        when(aLess, col("b_id")).otherwise(col("a_id")).as("v"),
+        when(aLess, col("db")).otherwise(col("da")).as("dv"))
+    val wedgeLess = (col("e1.dv") < col("e2.dv")) ||
+      (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") && wedgeLess)
+      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      max(col("d")).as("max_degree"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val edgeStats = pairs.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .withColumn("transitivity", when(col("n_wedges") > 0,
+        graft.ops.Registry.rnd(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)))
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("n_wedges"), col("n_triangles"), col("transitivity"))
+  }
+
+  private lazy val graphTrianglesSql =
+    s"""WITH $minhashCtes,
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT a_id AS node FROM mh_pairs UNION ALL SELECT b_id FROM mh_pairs
+       |  ) GROUP BY 1
+       |), oriented AS (
+       |  SELECT CASE WHEN (da.d, a_id) < (db.d, b_id) THEN a_id ELSE b_id END AS u,
+       |         CASE WHEN (da.d, a_id) < (db.d, b_id) THEN b_id ELSE a_id END AS v,
+       |         CASE WHEN (da.d, a_id) < (db.d, b_id) THEN db.d ELSE da.d END AS dv
+       |  FROM mh_pairs JOIN deg da ON da.node = a_id JOIN deg db ON db.node = b_id
+       |), tri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM oriented e1
+       |  JOIN oriented e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+       |  JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+       |), ns AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    max(d) AS max_degree,
+       |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg
+       |), es AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM mh_pairs)
+       |SELECT n_nodes, n_edges, max_degree, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges > 0 THEN CAST(round(CAST(3.0 * n_triangles / n_wedges
+       |    AS DECIMAL(18,8)), 6) AS DOUBLE) END AS transitivity
+       |FROM ns, es, tri""".stripMargin
 }

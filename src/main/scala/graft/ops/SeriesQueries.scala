@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Registry.{dec, rnd, sumDec2}
@@ -33,6 +33,7 @@ object SeriesQueries {
     NamedQuery("events_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     NamedQuery("events_abandonment_rate", abandonmentRate, Some(abandonmentRateSql)),
     NamedQuery("events_survival_km", survivalKm, Some(survivalKmSql)),
+    NamedQuery("events_autocorr", autocorr, Some(autocorrSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -687,4 +688,105 @@ object SeriesQueries {
       |    ELSE CAST(round(CAST(exp(CAST(lnsum AS DOUBLE)) AS DECIMAL(18,8)), 4) AS DOUBLE) END AS survival
       |FROM acc WHERE d > 0
       |ORDER BY t_sec""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Autocorrelation function of the hourly event-count series, per
+  // event type, at lags {1, 2, 3, 6, 12, 24} — the seasonality /
+  // burstiness screen a metrics pipeline runs before forecasting or
+  // anomaly thresholds: a daily-rhythm series lights up at lag 24, a
+  // bursty-bot series decays immediately, a flat series reads ~0
+  // everywhere. Estimator: Pearson correlation of (x_t, x_{t+k})
+  // over the DENSE grid (missing hours count 0 — silence is real
+  // signal in an arrival series, not missing data).
+  //
+  // Scale shape: ONE corpus pass reduces events to (type, hour)
+  // counts; the dense grid is |types| × span-hours (calendar-bounded
+  // — years of hours is ~10⁴ rows per type no matter the corpus
+  // size), built by exploding each type's own [min, max] hour span.
+  // All six lead columns come from ONE window pass over that tiny
+  // frame, the lag unpivot is a row-local stack, and the moment
+  // reduction is map-side combinable. Nothing after the first
+  // shuffle exceeds |types| · span rows.
+  //
+  // Determinism: counts are integers, so all five moments are exact
+  // DECIMAL(38,0) sums; the closed-form Pearson runs once on doubles
+  // built from those exact integers (the olsDoclen discipline) and
+  // snaps at 6 dp. Zero-variance legs report NULL.
+  private def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val counts = ev(spark, dir)
+      .withColumn("h", expr("sec div 3600"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+    val spans = counts.groupBy(col("event_type"))
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val dense = spans
+      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("h"))
+      .join(counts, Seq("event_type", "h"), "left")
+      .withColumn("x", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val lags = Seq(1, 2, 3, 6, 12, 24)
+    val led = lags.foldLeft(dense) { (df, k) =>
+      df.withColumn(s"y$k", lead(col("x"), k).over(w))
+    }
+    val stackExpr = lags.map(k => s"${k}L, y$k").mkString(", ")
+    def s0(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")
+    led
+      .select(col("event_type"), col("x"),
+        expr(s"stack(${lags.size}, $stackExpr) as (lag, y)"))
+      .where(col("y").isNotNull)
+      .groupBy(col("event_type"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        s0(col("x")).as("sx"),
+        s0(col("y")).as("sy"),
+        s0(col("x") * col("y")).as("sxy"),
+        s0(col("x") * col("x")).as("sxx"),
+        s0(col("y") * col("y")).as("syy"))
+      .withColumn("num", col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("denx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .withColumn("acf", when(col("denx") > 0 && col("deny") > 0,
+        rnd(col("num") / sqrt(col("denx") * col("deny")), 6)))
+      .select(col("event_type"), col("lag"), col("n_pairs"), col("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  private val autocorrSql =
+    """WITH c AS (
+      |  SELECT event_type, epoch_ns(ts)//1000000000//3600 AS h, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), b AS (
+      |  SELECT event_type, min(h) AS mn, max(h) AS mx FROM c GROUP BY 1
+      |), grid AS (
+      |  SELECT event_type, unnest(range(mn, mx + 1)) AS h FROM b
+      |), d AS (
+      |  SELECT g.event_type, g.h, coalesce(c.n, 0) AS x
+      |  FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+      |), l AS (
+      |  SELECT event_type, x,
+      |    lead(x, 1) OVER w AS y1, lead(x, 2) OVER w AS y2,
+      |    lead(x, 3) OVER w AS y3, lead(x, 6) OVER w AS y6,
+      |    lead(x, 12) OVER w AS y12, lead(x, 24) OVER w AS y24
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY h)
+      |), p AS (
+      |  SELECT event_type, CAST(1 AS BIGINT) AS lag, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+      |  UNION ALL SELECT event_type, 2, x, y2 FROM l WHERE y2 IS NOT NULL
+      |  UNION ALL SELECT event_type, 3, x, y3 FROM l WHERE y3 IS NOT NULL
+      |  UNION ALL SELECT event_type, 6, x, y6 FROM l WHERE y6 IS NOT NULL
+      |  UNION ALL SELECT event_type, 12, x, y12 FROM l WHERE y12 IS NOT NULL
+      |  UNION ALL SELECT event_type, 24, x, y24 FROM l WHERE y24 IS NOT NULL
+      |), m AS (
+      |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM p GROUP BY 1, 2
+      |)
+      |SELECT event_type, lag, n_pairs,
+      |  CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+      |    THEN CAST(round(CAST((n_pairs * sxy - sx * sy)
+      |      / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE) END AS acf
+      |FROM m ORDER BY event_type, lag""".stripMargin
 }

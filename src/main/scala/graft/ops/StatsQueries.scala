@@ -41,6 +41,7 @@ object StatsQueries {
     NamedQuery("eval_best_split", bestSplit, Some(bestSplitSql)),
     NamedQuery("agg_trimmed_mean", trimmedMean, Some(trimmedMeanSql)),
     NamedQuery("eval_ols_doclen", olsDoclen, Some(olsDoclenSql)),
+    NamedQuery("eval_wasserstein_drift", wassersteinBySource, Some(wassersteinBySourceSql)),
   )
 
   private val Ln2 = 0.6931471805599453
@@ -503,4 +504,113 @@ object StatsQueries {
       |  CASE WHEN den > 0 THEN CAST(round(CAST((sy - (num / den) * sx) / n_docs AS DECIMAL(18,8)), 6) AS DOUBLE) END AS intercept,
       |  CASE WHEN den > 0 AND deny > 0 THEN CAST(round(CAST(num * num / (den * deny) AS DECIMAL(18,8)), 6) AS DOUBLE) END AS r2
       |FROM f ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // 1-D Wasserstein-1 (earth-mover) distance of the quality-score
+  // distribution, each source vs the rest of the corpus — the
+  // magnitude-aware companion of eval_ks_by_source: KS reports the
+  // single worst CDF gap, W1 integrates |F_s - F_rest| over the score
+  // axis, so a broad small shift (crawl-wide template rot) scores
+  // high even when no single point gap is extreme. The standard
+  // train/serve drift magnitude (same statistic PSI approximates in
+  // bins).
+  //
+  // Scale shape: identical to the KS reduction — one corpus pass to
+  // (source, score) counts (≤ |S|·1001 rows), the dense CDF grid is
+  // a broadcast cross of two tiny reductions, and the integral is a
+  // sum over that grid. Nothing after the first shuffle exceeds
+  // |S|·1001 rows at any corpus size.
+  //
+  // Exactness: |F_s - F_rest| at each step is the integer
+  // cross-multiplication |cum_s·n_rest - cum_rest·n_in|; the step
+  // width is an exact DECIMAL(6,3) difference of adjacent 3-dp grid
+  // points (the score's native grain, cast exactly). Each term is
+  // integer × exact-decimal, summed in DECIMAL — division and the
+  // 6-dp snap happen once, at the very end.
+  private def wassersteinBySource(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .withColumn("v", rnd(
+        lit(0.5) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
+        3))
+    val counts = scored.groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
+    val sources = counts.groupBy(col("source")).agg(sum(col("cnt")).as("n_in"))
+    val grid = counts.select(col("v")).distinct()
+    val perV = counts.groupBy(col("v")).agg(sum(col("cnt")).as("cnt_all"))
+    val wAllByV = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumAll = perV.withColumn("cum_all", sum(col("cnt_all")).over(wAllByV))
+      .select(col("v"), col("cum_all"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(col("source")).orderBy(col("v"))
+    val dense = sources.crossJoin(grid)
+      .join(counts, Seq("source", "v"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cum_s", sum(col("cnt")).over(wSrc))
+      .join(broadcast(cumAll), Seq("v"))
+      .withColumn("n", max(col("cum_all")).over(Window.partitionBy()))
+      .withColumn("n_rest", col("n") - col("n_in"))
+      .withColumn("cum_rest", col("cum_all") - col("cum_s"))
+      .withColumn("num", abs(col("cum_s") * col("n_rest") - col("cum_rest") * col("n_in")))
+      .withColumn("vd", col("v").cast("decimal(6,3)"))
+      .withColumn("gap", coalesce(
+        lead(col("vd"), 1).over(wLead) - col("vd"), lit(0).cast("decimal(7,3)")))
+      .withColumn("term", col("num").cast("decimal(18,0)") * col("gap"))
+    dense.groupBy(col("source"))
+      .agg(
+        max(col("n_in")).as("n_in"),
+        max(col("n_rest")).as("n_rest"),
+        sum(col("term")).as("w1_num"))
+      .withColumn("w1_dist",
+        rnd(col("w1_num").cast("double") / (col("n_in") * col("n_rest")).cast("double"), 6))
+      .select(col("source"), col("n_in"), col("n_rest"), col("w1_dist"))
+      .orderBy(col("source"))
+  }
+
+  private val wassersteinBySourceSql =
+    """WITH scored AS (
+      |  SELECT source,
+      |    CAST(round(CAST(0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+      |      + 0.5 * (1.0 - CAST(round(CAST(CAST(n_stop AS DOUBLE) / n_words AS DECIMAL(18,8)), 3) AS DOUBLE))
+      |      AS DECIMAL(18,8)), 3) AS DOUBLE) AS v
+      |  FROM (
+      |    SELECT source,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |      CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop
+      |    FROM documents
+      |  )
+      |), counts AS (
+      |  SELECT source, v, count(*) AS cnt FROM scored GROUP BY 1, 2
+      |), sources AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_in FROM counts GROUP BY 1),
+      |grid AS (SELECT DISTINCT v FROM counts),
+      |cum_all AS (
+      |  SELECT v, CAST(sum(cnt_all) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+      |  FROM (SELECT v, sum(cnt) AS cnt_all FROM counts GROUP BY 1)
+      |), dense AS (
+      |  SELECT s.source, g.v, s.n_in,
+      |    CAST(sum(coalesce(c.cnt, 0)) OVER (PARTITION BY s.source ORDER BY g.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s,
+      |    a.cum_all
+      |  FROM sources s CROSS JOIN grid g
+      |  LEFT JOIN counts c ON c.source = s.source AND c.v = g.v
+      |  JOIN cum_all a ON a.v = g.v
+      |), terms AS (
+      |  SELECT source, n_in,
+      |    (SELECT max(cum_all) FROM cum_all) - n_in AS n_rest,
+      |    CAST(abs(cum_s * ((SELECT max(cum_all) FROM cum_all) - n_in)
+      |      - (cum_all - cum_s) * n_in) AS DECIMAL(18,0))
+      |    * coalesce(lead(CAST(v AS DECIMAL(6,3))) OVER (PARTITION BY source ORDER BY v)
+      |        - CAST(v AS DECIMAL(6,3)), CAST(0 AS DECIMAL(7,3))) AS term
+      |  FROM dense
+      |)
+      |SELECT source, n_in, any_value(n_rest) AS n_rest,
+      |  CAST(round(CAST(CAST(sum(term) AS DOUBLE)
+      |    / CAST(n_in * any_value(n_rest) AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS w1_dist
+      |FROM terms GROUP BY source, n_in ORDER BY source""".stripMargin
 }

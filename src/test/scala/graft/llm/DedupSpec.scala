@@ -67,6 +67,34 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("keep") === true)
   }
 
+  test("triangle audit: oriented enumeration equals brute force over the pair graph; wedge algebra holds") {
+    val edges = run("dedup_minhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    // brute force: count unordered triples with all three edges present
+    val bruteTri = edges.toSeq.map { case (a, b) =>
+      adj(a).count(c => c > b && edges.contains((b, c)) && edges.contains((a, c)))
+    }.sum.toLong
+    val wedges = adj.values.map(ns => ns.size.toLong * (ns.size - 1) / 2).sum
+    val row = run("dedup_graph_triangles").collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getLong(0) == adj.size.toLong, "n_nodes")
+    assert(r.getLong(1) == edges.size.toLong, "n_edges")
+    assert(r.getLong(2) == adj.values.map(_.size).max.toLong, "max_degree")
+    assert(r.getLong(3) == wedges, "n_wedges")
+    assert(r.getLong(4) == bruteTri, s"n_triangles ${r.getLong(4)} vs brute $bruteTri")
+    assert(3 * bruteTri <= wedges, "triangle-wedge inequality")
+    if (wedges > 0) {
+      val t = BigDecimal(3.0 * bruteTri / wedges)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - t) < 1e-9, "transitivity")
+    } else assert(r.isNullAt(5), "degenerate transitivity")
+    assert(bruteTri > 0, "fixture dup graph has at least one closed cluster")
+  }
+
   test("cluster resolution: component = min member id, exactly one canonical per component") {
     val rows = run("dedup_cluster_canonical").collect()
     assert(rows.nonEmpty)

@@ -61,6 +61,43 @@ class SeriesForensicsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("autocorr: Pearson-at-lag over the dense hourly grid matches a direct model") {
+    val lags = Seq(1, 2, 3, 6, 12, 24)
+    val got = q("events_autocorr").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    val byType = events.groupBy(_._3)
+    assert(got.keySet == byType.keySet.flatMap(t => lags.map(k => (t, k.toLong))))
+    byType.foreach { case (tpe, es) =>
+      val perHour = es.groupBy(_._4 / 3600).view.mapValues(_.length.toLong).toMap
+      val (mn, mx) = (perHour.keys.min, perHour.keys.max)
+      val series = (mn to mx).map(h => perHour.getOrElse(h, 0L))
+      lags.foreach { k =>
+        val pairs = series.dropRight(k).zip(series.drop(k))
+        val n = pairs.length.toLong
+        val sx = pairs.map(_._1).sum.toDouble
+        val sy = pairs.map(_._2).sum.toDouble
+        val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+        val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+        val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+        val denx = n * sxx - sx * sx
+        val deny = n * syy - sy * sy
+        val expected =
+          if (denx > 0 && deny > 0) Some(snap((n * sxy - sx * sy) / math.sqrt(denx * deny), 6))
+          else None
+        val (gn, gacf) = got((tpe, k.toLong))
+        assert(gn == n, s"$tpe lag $k n_pairs")
+        (gacf, expected) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"$tpe lag $k acf $a vs $b")
+          case (a, b)             => assert(a == b, s"$tpe lag $k degenerate")
+        }
+        gacf.foreach(a => assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"$tpe lag $k range"))
+      }
+    }
+  }
+
+  // -------------------------------------------------------------
   test("markov entropy: per-state H matches direct transition counts; state weights sum to 1") {
     val rows = q("events_markov_entropy").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))

@@ -107,6 +107,43 @@ class StatsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("Wasserstein per source: grid integral equals the direct CDF-area model") {
+    val scored = docs.map(d => (d._3, quality(d._1)))
+    val gridV = scored.map(_._2).distinct.sorted
+    val n = scored.length.toLong
+    val got = q("eval_wasserstein_drift").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == scored.map(_._1).toSet)
+    scored.groupBy(_._1).foreach { case (src, inRows) =>
+      val nIn = inRows.length.toLong
+      val nRest = n - nIn
+      val inVals = inRows.map(_._2)
+      val restVals = scored.filter(_._1 != src).map(_._2)
+      // direct model: integrate |F_in - F_rest| over the step grid in
+      // exact BigDecimal (counts are integers, gaps are 3-dp decimals)
+      val area = gridV.indices.map { i =>
+        val v = gridV(i)
+        val gap =
+          if (i + 1 < gridV.length)
+            BigDecimal(gridV(i + 1)).setScale(3, BigDecimal.RoundingMode.HALF_UP) -
+              BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+          else BigDecimal(0)
+        val num = BigDecimal(
+          math.abs(inVals.count(_ <= v).toLong * nRest - restVals.count(_ <= v).toLong * nIn))
+        num * gap
+      }.sum
+      val w1 = snap((area / BigDecimal(nIn * nRest)).toDouble, 6)
+      val (gn, gr, gw) = got(src)
+      assert(gn == nIn && gr == nRest, s"$src sizes")
+      assert(math.abs(gw - w1) < 1e-6, s"$src w1 $gw vs $w1")
+      assert(gw >= 0.0 && gw <= 1.0, s"$src w1 in the score range")
+    }
+    // non-degenerate fixture: at least one source visibly drifts
+    assert(got.values.exists(_._3 > 0.0), "some drift exists")
+  }
+
+  // -------------------------------------------------------------
   test("decision stump: information gain per threshold and the best flag match a direct model") {
     val scored = docs.map { case (text, lang, _) =>
       val ws = words(text)
