@@ -31,6 +31,7 @@ object TextQueries {
     NamedQuery("text_zipf_fit", zipfFit, Some(zipfFitSql)),
     NamedQuery("text_readability", readability, Some(readabilitySql)),
     NamedQuery("text_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
+    NamedQuery("text_nb_langid", nbLangid, Some(nbLangidSql)),
   )
 
   // ---------------------------------------------------------------
@@ -824,4 +825,129 @@ object TextQueries {
       |  min(ratio) AS min_ratio,
       |  CAST(sum(CASE WHEN ratio < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Trained Naive Bayes language classifier — the SUPERVISED twin of
+  // the text_langid marker heuristic: add-one-smoothed multinomial NB
+  // over unigrams, trained on the curated seed sources (src0-src4,
+  // the LrModel/perplexity seed convention) and evaluated as a
+  // confusion matrix on the held-out sources. The decomposition
+  // score(d, l) = ln prior_l - n_words(d)·ln(N_l + V)
+  //             + Σ_{w∈d} ln(c_wl + 1)
+  // means only NONZERO model entries ever join (absent (w, l) pairs
+  // contribute ln 1 = 0), so the model stays vocabulary-bounded.
+  //
+  // Scale shape: the model is Heaps-bounded and broadcasts; the |L|
+  // per-language constants collect to the driver (the bounded
+  // codebook pattern) and return as literals, so scoring is ONE
+  // exploded-corpus pass into a doc_id-keyed aggregation with |L|
+  // conditional sums, the per-doc argmax is a row-local array_max
+  // over |L| struct literals (no per-doc window, no (doc × lang)
+  // shuffle), and the confusion reduction is |L|² cells. Two corpus
+  // exchanges total at any corpus size.
+  //
+  // Determinism: every ln snaps at 6 dp through the decimal cast
+  // chain and sums in DECIMAL, so scores are exact decimals in both
+  // engines; the argmax orders by (score, lang-index) with the index
+  // assigned in lang order, so ties break to the alphabetically
+  // first language — the oracle's ORDER BY score DESC, l ASC.
+  private val nbSeedSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  private def nbLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val isSeed = col("source").isin(nbSeedSources: _*)
+    val trainWords = docs.where(isSeed)
+      .select(col("lang").as("l"), explode(split(col("text"), " ")).as("w"))
+    val model = trainWords.groupBy(col("l"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("lnp", round(log(col("c") + 1).cast("decimal(18,8)"), 6))
+      .select(col("l"), col("w"), col("lnp"))
+    val vocab = trainWords.agg(countDistinct(col("w")).as("v"))
+    val langTotals = trainWords.groupBy(col("l")).agg(count(lit(1)).as("n_l"))
+    val priors = docs.where(isSeed)
+      .groupBy(col("lang").as("l")).agg(count(lit(1)).as("nd"))
+    val ndTot = docs.where(isSeed).agg(count(lit(1)).as("nd_tot"))
+    // |L| rows — the bounded-collect codebook pattern (K-row frames
+    // may cross the driver; corpora may not)
+    val consts = priors.join(langTotals, "l")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(ndTot))
+      .select(col("l"),
+        round(log(col("nd").cast("double") / col("nd_tot")).cast("decimal(18,8)"), 6)
+          .as("lnprior"),
+        round(log((col("n_l") + col("v")).cast("double")).cast("decimal(18,8)"), 6)
+          .as("lnz"))
+      .orderBy(col("l"))
+      .collect()
+    val eval = docs.where(!isSeed)
+    val stats = eval.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("nw"))
+    val hitAggs = consts.zipWithIndex.map { case (r, i) =>
+      sum(when(col("l") === r.getString(0), col("lnp"))).as(s"hs_$i")
+    }
+    val hits = eval.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(model), "w")
+      .groupBy(col("doc_id"))
+      .agg(hitAggs.head, hitAggs.tail.toSeq: _*)
+    val zero = lit(new java.math.BigDecimal(0)).cast("decimal(18,6)")
+    val scoreCols = consts.zipWithIndex.map { case (r, i) =>
+      struct(
+        (lit(r.getDecimal(1)) - col("nw") * lit(r.getDecimal(2)) +
+          coalesce(col(s"hs_$i"), zero)).as("score"),
+        lit(-(i + 1)).as("nidx"),
+        lit(r.getString(0)).as("l"))
+    }
+    val wLang = Window.partitionBy(col("lang"))
+    stats.join(hits, Seq("doc_id"), "left")
+      .withColumn("m", array_max(array(scoreCols.toSeq: _*)))
+      .select(col("lang"), col("m.l").as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      .withColumn("frac_of_lang",
+        rnd(col("n").cast("double") / sum(col("n")).over(wLang), 4))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  private lazy val nbLangidSql = {
+    val seeds = nbSeedSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH seeds AS (
+       |  SELECT * FROM documents WHERE source IN ($seeds)
+       |), tw AS (
+       |  SELECT lang AS l, unnest(string_split(text, ' ')) AS w FROM seeds
+       |), model AS (
+       |  SELECT l, w, round(CAST(ln(count(*) + 1) AS DECIMAL(18,8)), 6) AS lnp
+       |  FROM tw GROUP BY 1, 2
+       |), vocab AS (SELECT count(DISTINCT w) AS v FROM tw),
+       |lt AS (SELECT l, CAST(count(*) AS BIGINT) AS n_l FROM tw GROUP BY 1),
+       |pr AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS nd FROM seeds GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd_tot FROM seeds),
+       |lc AS (
+       |  SELECT pr.l,
+       |    round(CAST(ln(CAST(nd AS DOUBLE) / nd_tot) AS DECIMAL(18,8)), 6) AS lnprior,
+       |    round(CAST(ln(CAST(n_l + v AS DOUBLE)) AS DECIMAL(18,8)), 6) AS lnz
+       |  FROM pr JOIN lt ON lt.l = pr.l, vocab, tot
+       |), ev AS (
+       |  SELECT doc_id, lang, text FROM documents WHERE source NOT IN ($seeds)
+       |), st AS (
+       |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw FROM ev
+       |), ew AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM ev
+       |), hits AS (
+       |  SELECT e.doc_id, m.l, sum(m.lnp) AS hs
+       |  FROM ew e JOIN model m ON m.w = e.w GROUP BY 1, 2
+       |), dense AS (
+       |  SELECT st.doc_id, st.lang, lc.l,
+       |    lc.lnprior - st.nw * lc.lnz + coalesce(h.hs, CAST(0 AS DECIMAL(18,6))) AS score
+       |  FROM st CROSS JOIN lc
+       |  LEFT JOIN hits h ON h.doc_id = st.doc_id AND h.l = lc.l
+       |), p AS (
+       |  SELECT doc_id, lang, l AS lang_pred,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l ASC) AS rn
+       |  FROM dense
+       |), cells AS (
+       |  SELECT lang, lang_pred, count(*) AS n FROM p WHERE rn = 1 GROUP BY 1, 2
+       |)
+       |SELECT lang, lang_pred, n,
+       |  CAST(round(CAST(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang)
+       |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS frac_of_lang
+       |FROM cells ORDER BY lang, lang_pred""".stripMargin
+  }
 }

@@ -42,6 +42,7 @@ object StatsQueries {
     NamedQuery("agg_trimmed_mean", trimmedMean, Some(trimmedMeanSql)),
     NamedQuery("eval_ols_doclen", olsDoclen, Some(olsDoclenSql)),
     NamedQuery("eval_wasserstein_drift", wassersteinBySource, Some(wassersteinBySourceSql)),
+    NamedQuery("eval_conformal_threshold", conformalThreshold, Some(conformalThresholdSql)),
   )
 
   private val Ln2 = 0.6931471805599453
@@ -613,4 +614,101 @@ object StatsQueries {
       |  CAST(round(CAST(CAST(sum(term) AS DOUBLE)
       |    / CAST(n_in * any_value(n_rest) AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS w1_dist
       |FROM terms GROUP BY source, n_in ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Split-conformal calibration of the quality score, per language —
+  // the distribution-free prediction-interval machinery (Vovk et al.;
+  // Angelopoulos & Bates 2021 tutorial form): on the VAL slice of the
+  // pipeline_split_assign hash split, the threshold q̂ is the
+  // k-th smallest calibration score with k = ⌈(1-α)(n_cal+1)⌉
+  // (α = 0.2); the finite-sample guarantee says a fresh doc's score
+  // is ≤ q̂ with probability ≥ 1-α — audited here as empirical
+  // coverage on the disjoint TEST slice. The conformal form of "what
+  // score cutoff can this gate promise, with what confidence" — run
+  // before shipping any score threshold downstream. k > n_cal (too
+  // little calibration data for the guarantee) reports NULL, not a
+  // made-up cutoff.
+  //
+  // Scale shape: scores live on the 3-dp grid, so the k-th order
+  // statistic needs NO per-language sort of raw rows — one corpus
+  // pass reduces the val slice to the (lang, score) level table
+  // (≤ |L|·1001 rows), the cumulative window runs there, and q̂ is
+  // the min level with cum ≥ k (the pipeline_budget_select trick).
+  // The test-slice audit is one more partial-agg pass against the
+  // broadcast |L|-row threshold frame.
+  //
+  // Determinism: k is pure integer arithmetic, the order statistic
+  // is a DISCRETE rank on exact counts (never an interpolated
+  // percentile), and v ≤ q̂ compares two identically-snapped 3-dp
+  // doubles — exact in both engines.
+  private def conformalThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.table(spark, dir, "documents")
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .withColumn("v", rnd(
+        lit(0.5) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
+        3))
+      .select(col("lang"), col("bucket"), col("v"))
+    val cal = scored.where(col("bucket") >= 90 && col("bucket") < 95)
+    val tst = scored.where(col("bucket") >= 95)
+    val nc = cal.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr("(8 * n_cal + 16) div 10"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lvl = cal.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+    val qh = lvl.join(broadcast(nc), "lang")
+      .where(col("cum") >= col("k"))
+      .groupBy(col("lang")).agg(min(col("v")).as("qhat"))
+    val ts = tst.join(broadcast(qh), Seq("lang"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("qhat").isNotNull && col("v") <= col("qhat"), 1L).otherwise(0L))
+          .as("n_cov"))
+    nc.join(qh, Seq("lang"), "left")
+      .join(ts, Seq("lang"), "left")
+      .select(col("lang"), col("n_cal"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"), col("k"), col("qhat"),
+        when(col("qhat").isNotNull && col("n_test") > 0,
+          rnd(col("n_cov").cast("double") / col("n_test"), 6)).as("coverage"))
+      .orderBy(col("lang"))
+  }
+
+  private val conformalThresholdSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+      |    CAST(round(CAST(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |      + 0.5 * (1.0 - CAST(round(CAST(CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','and','of','to','in'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) AS DECIMAL(18,8)), 3) AS DOUBLE))
+      |      AS DECIMAL(18,8)), 3) AS DOUBLE) AS v
+      |  FROM documents
+      |), cal AS (SELECT lang, v FROM t WHERE bucket >= 90 AND bucket < 95),
+      |tst AS (SELECT lang, v FROM t WHERE bucket >= 95),
+      |nc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cal,
+      |  (8 * count(*) + 16) // 10 AS k FROM cal GROUP BY 1),
+      |lvl AS (
+      |  SELECT lang, v, CAST(sum(count(*)) OVER (PARTITION BY lang ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM cal GROUP BY lang, v
+      |), qh AS (
+      |  SELECT l.lang, min(l.v) AS qhat FROM lvl l JOIN nc ON nc.lang = l.lang
+      |  WHERE l.cum >= nc.k GROUP BY 1
+      |), ts AS (
+      |  SELECT t2.lang, CAST(count(*) AS BIGINT) AS n_test,
+      |    CAST(sum(CASE WHEN qh.qhat IS NOT NULL AND t2.v <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+      |  FROM tst t2 LEFT JOIN qh ON qh.lang = t2.lang GROUP BY 1
+      |)
+      |SELECT nc.lang, nc.n_cal, coalesce(ts.n_test, 0) AS n_test, nc.k, qh.qhat,
+      |  CASE WHEN qh.qhat IS NOT NULL AND ts.n_test > 0
+      |    THEN CAST(round(CAST(CAST(ts.n_cov AS DOUBLE) / ts.n_test AS DECIMAL(18,8)), 6) AS DOUBLE) END AS coverage
+      |FROM nc LEFT JOIN qh ON qh.lang = nc.lang LEFT JOIN ts ON ts.lang = nc.lang
+      |ORDER BY nc.lang""".stripMargin
 }

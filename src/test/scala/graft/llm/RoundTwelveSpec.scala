@@ -173,6 +173,45 @@ class RoundTwelveSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("NB langid: confusion cells match a direct add-one NB model on the held-out slice") {
+    def snap6(v: Double): Double =
+      BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seeds = Set("src0", "src1", "src2", "src3", "src4")
+    val docs = graft.ops.Tables.table(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("source"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val train = docs.filter(d => seeds(d._4))
+    val eval = docs.filter(d => !seeds(d._4))
+    assert(train.nonEmpty && eval.nonEmpty, "both slices populated")
+    val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    train.foreach { d => d._2.split(" ", -1).foreach(w => counts((d._3, w)) += 1) }
+    val vocab = counts.keys.map(_._2).toSet.size.toLong
+    val langs = train.map(_._3).distinct.sorted
+    val nL = langs.map(l => l -> counts.collect { case ((ll, _), c) if ll == l => c }.sum).toMap
+    val nd = train.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val lnPrior = langs.map(l => l -> BigDecimal(snap6(math.log(nd(l).toDouble / train.length)))).toMap
+    val lnZ = langs.map(l => l -> BigDecimal(snap6(math.log((nL(l) + vocab).toDouble)))).toMap
+    val expected = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    eval.foreach { d =>
+      val ws = d._2.split(" ", -1)
+      val scores = langs.map { l =>
+        val hit = ws.map(w => BigDecimal(snap6(math.log(counts((l, w)).toDouble + 1)))).sum
+        l -> (lnPrior(l) - BigDecimal(ws.length) * lnZ(l) + hit)
+      }
+      val best = scores.maxBy { case (l, s) => (s, langs.indexOf(l) * -1L) }._1
+      expected((d._3, best)) += 1
+    }
+    val got = q("text_nb_langid").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected.toMap, s"confusion cells\n got=$got\n exp=${expected.toMap}")
+  }
+
+  // -------------------------------------------------------------
   test("calibration bins: partition the corpus, fractions in range, gap consistent") {
     val rows = q("eval_calibration_bins").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))

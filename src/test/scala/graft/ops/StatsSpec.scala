@@ -144,6 +144,46 @@ class StatsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("conformal: k-th order statistic on val, coverage on test match a direct model") {
+    val withId: Array[(Long, String, String)] =
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val scored = withId.map { case (id, text, lang) => (lang, bucket(id), quality(text)) }
+    val cal = scored.filter(d => d._2 >= 90 && d._2 < 95)
+    val tst = scored.filter(_._2 >= 95)
+    val got = q("eval_conformal_threshold").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == cal.map(_._1).toSet)
+    cal.groupBy(_._1).foreach { case (lang, rows) =>
+      val n = rows.length
+      val k = math.ceil(0.8 * (n + 1)).toLong
+      val r = got(lang)
+      assert(r.getLong(1) == n, s"$lang n_cal")
+      assert(r.getLong(3) == k, s"$lang k: ${r.getLong(3)} vs direct ceil $k")
+      val nTest = tst.count(_._1 == lang).toLong
+      assert(r.getLong(2) == nTest, s"$lang n_test")
+      if (k <= n) {
+        val qhat = rows.map(_._3).sorted.apply((k - 1).toInt)
+        assert(math.abs(r.getDouble(4) - qhat) < 1e-12, s"$lang qhat")
+        if (nTest > 0) {
+          val cov = tst.count(d => d._1 == lang && d._3 <= qhat).toDouble / nTest
+          assert(math.abs(r.getDouble(5) - snap(cov, 6)) < 1e-9, s"$lang coverage")
+        } else assert(r.isNullAt(5), s"$lang empty-test coverage")
+      } else {
+        assert(r.isNullAt(4) && r.isNullAt(5), s"$lang under-calibrated NULLs")
+      }
+    }
+  }
+
+  // -------------------------------------------------------------
   test("decision stump: information gain per threshold and the best flag match a direct model") {
     val scored = docs.map { case (text, lang, _) =>
       val ws = words(text)
