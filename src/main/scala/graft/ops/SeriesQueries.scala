@@ -34,6 +34,8 @@ object SeriesQueries {
     NamedQuery("events_abandonment_rate", abandonmentRate, Some(abandonmentRateSql)),
     NamedQuery("events_survival_km", survivalKm, Some(survivalKmSql)),
     NamedQuery("events_autocorr", autocorr, Some(autocorrSql)),
+    NamedQuery("events_forecast_backtest", forecastBacktest, Some(forecastBacktestSql)),
+    NamedQuery("events_seasonality_strength", seasonalityStrength, Some(seasonalityStrengthSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -712,16 +714,27 @@ object SeriesQueries {
   // DECIMAL(38,0) sums; the closed-form Pearson runs once on doubles
   // built from those exact integers (the olsDoclen discipline) and
   // snaps at 6 dp. Zero-variance legs report NULL.
-  private def autocorr(spark: SparkSession, dir: String): DataFrame = {
+  /** Dense per-type hourly count series: one corpus pass to (type,
+    * hour) counts, each type's own [min, max] span exploded and
+    * zero-filled (silence is signal in an arrival series). The frame
+    * is calendar-bounded — |types| · span-hours rows at any corpus
+    * size — and carries `mn` so consumers can trim warm-up rows.
+    * Shared by [[autocorr]], [[forecastBacktest]] and
+    * [[seasonalityStrength]]. */
+  private def denseHourly(spark: SparkSession, dir: String): DataFrame = {
     val counts = ev(spark, dir)
       .withColumn("h", expr("sec div 3600"))
       .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
     val spans = counts.groupBy(col("event_type"))
       .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
-    val dense = spans
-      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("h"))
+    spans
+      .select(col("event_type"), col("mn"), explode(expr("sequence(mn, mx)")).as("h"))
       .join(counts, Seq("event_type", "h"), "left")
       .withColumn("x", coalesce(col("n"), lit(0L)))
+  }
+
+  private def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val dense = denseHourly(spark, dir)
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
     val lags = Seq(1, 2, 3, 6, 12, 24)
     val led = lags.foldLeft(dense) { (df, k) =>
@@ -789,4 +802,196 @@ object SeriesQueries {
       |      / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))
       |      AS DECIMAL(18,8)), 6) AS DOUBLE) END AS acf
       |FROM m ORDER BY event_type, lag""".stripMargin
+
+  // ---------------------------------------------------------------
+  // One-step-ahead forecast backtest on the hourly arrival series,
+  // per event type — the model-selection screen run before wiring any
+  // forecast into capacity planning or anomaly thresholds. Three
+  // standard baselines are scored on the SAME evaluation points
+  // (every hour ≥ 24 hours past the series start):
+  //   wma:      exponentially-weighted MA over the trailing 8 hours,
+  //             weights 2^-k — forecast = Σ 2^(8-k)·x_{t-k} / 255,
+  //             so 255·forecast is an exact INTEGER
+  //   naive:    x̂_t = x_{t-1}   (the no-skill floor)
+  //   seasonal: x̂_t = x_{t-24}  (the daily-rhythm baseline)
+  // Skill = 1 − MAE_wma/MAE_baseline: positive means the smoother
+  // beats that baseline on this series.
+  //
+  // Scale shape: the dense grid is calendar-bounded (see
+  // denseHourly); all nine lags come from ONE per-type window pass
+  // and the MAE reduction is map-side combinable — nothing beyond
+  // |types| · span rows ever shuffles.
+  //
+  // Determinism: counts are integers, so 255·x_t − wma_num and both
+  // baseline errors are exact integers summed as BIGINT; each MAE
+  // and skill divides two exact integers once, then snaps at 6.
+  // A flat-zero baseline (ΣAE = 0) reports NULL skill.
+  private def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val withLags = (1 to 8).foldLeft(denseHourly(spark, dir)) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("x"), k).over(w))
+    }.withColumn("l24", lag(col("x"), 24).over(w))
+      .where(col("h") >= col("mn") + 24)
+    val wnum = (1 to 8).map(k => col(s"l$k") * lit(1L << (8 - k)))
+      .reduce(_ + _)
+    val agg = withLags
+      .withColumn("err_w", abs(col("x") * 255 - wnum))
+      .withColumn("err_n", abs(col("x") - col("l1")))
+      .withColumn("err_s", abs(col("x") - col("l24")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_evals"),
+        sum(col("err_w")).as("sw"),
+        sum(col("err_n")).as("sn"),
+        sum(col("err_s")).as("ss"))
+    agg
+      .select(col("event_type"), col("n_evals"),
+        rnd(col("sw").cast("double") / (col("n_evals") * 255).cast("double"), 6).as("mae_wma"),
+        rnd(col("sn").cast("double") / col("n_evals").cast("double"), 6).as("mae_naive"),
+        rnd(col("ss").cast("double") / col("n_evals").cast("double"), 6).as("mae_seasonal"),
+        when(col("sn") > 0,
+          rnd(lit(1.0) - col("sw").cast("double") / (col("sn") * 255).cast("double"), 6))
+          .as("skill_vs_naive"),
+        when(col("ss") > 0,
+          rnd(lit(1.0) - col("sw").cast("double") / (col("ss") * 255).cast("double"), 6))
+          .as("skill_vs_seasonal"))
+      .orderBy(col("event_type"))
+  }
+
+  private val forecastBacktestSql =
+    """WITH c AS (
+      |  SELECT event_type, epoch_ns(ts)//1000000000//3600 AS h, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), b AS (
+      |  SELECT event_type, min(h) AS mn, max(h) AS mx FROM c GROUP BY 1
+      |), grid AS (
+      |  SELECT event_type, mn, unnest(range(mn, mx + 1)) AS h FROM b
+      |), d AS (
+      |  SELECT g.event_type, g.mn, g.h, coalesce(c.n, 0) AS x
+      |  FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+      |), l AS (
+      |  SELECT event_type, mn, h, x,
+      |    lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2, lag(x, 3) OVER w AS l3,
+      |    lag(x, 4) OVER w AS l4, lag(x, 5) OVER w AS l5, lag(x, 6) OVER w AS l6,
+      |    lag(x, 7) OVER w AS l7, lag(x, 8) OVER w AS l8, lag(x, 24) OVER w AS l24
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY h)
+      |), e AS (
+      |  SELECT event_type,
+      |    abs(x * 255 - (l1*128 + l2*64 + l3*32 + l4*16 + l5*8 + l6*4 + l7*2 + l8)) AS err_w,
+      |    abs(x - l1) AS err_n,
+      |    abs(x - l24) AS err_s
+      |  FROM l WHERE h >= mn + 24
+      |), m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_evals,
+      |    CAST(sum(err_w) AS BIGINT) AS sw,
+      |    CAST(sum(err_n) AS BIGINT) AS sn,
+      |    CAST(sum(err_s) AS BIGINT) AS ss
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT event_type, n_evals,
+      |  CAST(round(CAST(CAST(sw AS DOUBLE) / CAST(n_evals * 255 AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mae_wma,
+      |  CAST(round(CAST(CAST(sn AS DOUBLE) / CAST(n_evals AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mae_naive,
+      |  CAST(round(CAST(CAST(ss AS DOUBLE) / CAST(n_evals AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mae_seasonal,
+      |  CASE WHEN sn > 0 THEN CAST(round(CAST(1.0 - CAST(sw AS DOUBLE) / CAST(sn * 255 AS DOUBLE)
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) END AS skill_vs_naive,
+      |  CASE WHEN ss > 0 THEN CAST(round(CAST(1.0 - CAST(sw AS DOUBLE) / CAST(ss * 255 AS DOUBLE)
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) END AS skill_vs_seasonal
+      |FROM m ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Seasonality strength: how much of the hourly arrival variance is
+  // explained by hour-of-day — the one-way ANOVA R² between the 24
+  // hour-of-day groups over the dense grid, plus the peak/trough
+  // profile (which hours carry the load). THE screen for "does this
+  // series deserve a seasonal model / seasonal anomaly baseline"
+  // (the quantitative form of STL's seasonal-strength statistic).
+  //
+  // Scale shape: the dense grid reduces to |types| × 24 group
+  // moments in one map-side-combinable pass; R² and the peak/trough
+  // ranks are arithmetic and a 24-row window. Nothing beyond
+  // |types| · span rows shuffles, ever.
+  //
+  // Determinism: group sums and counts are exact integers; SS ratios
+  // divide exact-integer-derived doubles once and snap at 6 (the
+  // olsDoclen discipline). Peak/trough pick by (mean, hod) with the
+  // mean built from the same exact integers in both engines — ties
+  // break to the earliest hour.
+  private def seasonalityStrength(spark: SparkSession, dir: String): DataFrame = {
+    val byHod = denseHourly(spark, dir)
+      .withColumn("hod", expr("h % 24"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_h"), sum(col("x")).as("s_h"),
+        sum(col("x") * col("x")).as("q_h"))
+      .withColumn("mean_h", col("s_h").cast("double") / col("n_h"))
+    val wType = Window.partitionBy(col("event_type"))
+    val wPeak = Window.partitionBy(col("event_type"))
+      .orderBy(col("mean_h").desc, col("hod"))
+    val wTrough = Window.partitionBy(col("event_type"))
+      .orderBy(col("mean_h").asc, col("hod"))
+    byHod
+      .withColumn("n", sum(col("n_h")).over(wType))
+      .withColumn("s", sum(col("s_h")).over(wType))
+      .withColumn("q", sum(col("q_h")).over(wType))
+      .withColumn("between_part",
+        round((col("s_h").cast("double") * col("s_h") / col("n_h"))
+          .cast("decimal(28,8)"), 6))
+      .withColumn("ss_between",
+        sum(col("between_part")).over(wType).cast("double")
+          - col("s").cast("double") * col("s") / col("n"))
+      .withColumn("ss_total",
+        col("q").cast("double") - col("s").cast("double") * col("s") / col("n"))
+      .withColumn("rk_peak", row_number().over(wPeak))
+      .withColumn("rk_trough", row_number().over(wTrough))
+      .where(col("rk_peak") === 1 || col("rk_trough") === 1)
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_hours"),
+        rnd(max(col("s")).cast("double") / max(col("n")), 6).as("grand_mean"),
+        max(when(col("ss_total") > 0,
+          rnd(col("ss_between") / col("ss_total"), 6))).as("r2_hour_of_day"),
+        max(when(col("rk_peak") === 1, col("hod"))).as("peak_hod"),
+        rnd(max(when(col("rk_peak") === 1, col("mean_h"))), 6).as("peak_mean"),
+        max(when(col("rk_trough") === 1, col("hod"))).as("trough_hod"),
+        rnd(max(when(col("rk_trough") === 1, col("mean_h"))), 6).as("trough_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  private val seasonalityStrengthSql =
+    """WITH c AS (
+      |  SELECT event_type, epoch_ns(ts)//1000000000//3600 AS h, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), b AS (
+      |  SELECT event_type, min(h) AS mn, max(h) AS mx FROM c GROUP BY 1
+      |), grid AS (
+      |  SELECT event_type, unnest(range(mn, mx + 1)) AS h FROM b
+      |), d AS (
+      |  SELECT g.event_type, g.h, coalesce(c.n, 0) AS x
+      |  FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+      |), byhod AS (
+      |  SELECT event_type, h % 24 AS hod, CAST(count(*) AS BIGINT) AS n_h,
+      |    CAST(sum(x) AS BIGINT) AS s_h, CAST(sum(x * x) AS BIGINT) AS q_h
+      |  FROM d GROUP BY 1, 2
+      |), t AS (
+      |  SELECT event_type, hod, n_h, s_h,
+      |    CAST(s_h AS DOUBLE) / n_h AS mean_h,
+      |    CAST(sum(n_h) OVER w AS BIGINT) AS n,
+      |    CAST(sum(s_h) OVER w AS BIGINT) AS s,
+      |    CAST(sum(q_h) OVER w AS BIGINT) AS q,
+      |    CAST(sum(round(CAST(CAST(s_h AS DOUBLE) * s_h / n_h AS DECIMAL(28,8)), 6)) OVER w AS DOUBLE) AS bp,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(s_h AS DOUBLE) / n_h DESC, hod) AS rk_peak,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(s_h AS DOUBLE) / n_h ASC, hod) AS rk_trough
+      |  FROM byhod WINDOW w AS (PARTITION BY event_type)
+      |)
+      |SELECT event_type,
+      |  max(n) AS n_hours,
+      |  CAST(round(CAST(CAST(max(s) AS DOUBLE) / max(n) AS DECIMAL(18,8)), 6) AS DOUBLE) AS grand_mean,
+      |  max(CASE WHEN CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n > 0
+      |    THEN CAST(round(CAST((bp - CAST(s AS DOUBLE) * s / n)
+      |      / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) AS DECIMAL(18,8)), 6) AS DOUBLE) END) AS r2_hour_of_day,
+      |  max(CASE WHEN rk_peak = 1 THEN hod END) AS peak_hod,
+      |  CAST(round(CAST(max(CASE WHEN rk_peak = 1 THEN mean_h END) AS DECIMAL(18,8)), 6) AS DOUBLE) AS peak_mean,
+      |  max(CASE WHEN rk_trough = 1 THEN hod END) AS trough_hod,
+      |  CAST(round(CAST(max(CASE WHEN rk_trough = 1 THEN mean_h END) AS DECIMAL(18,8)), 6) AS DOUBLE) AS trough_mean
+      |FROM t WHERE rk_peak = 1 OR rk_trough = 1
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -98,6 +98,74 @@ class SeriesForensicsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("forecast backtest: integer-exact WMA/naive/seasonal MAEs match a direct model") {
+    val got = q("events_forecast_backtest").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byType = events.groupBy(_._3)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (tpe, es) =>
+      val perHour = es.groupBy(_._4 / 3600).view.mapValues(_.length.toLong).toMap
+      val (mn, mx) = (perHour.keys.min, perHour.keys.max)
+      val x = (mn to mx).map(h => perHour.getOrElse(h, 0L)).toArray
+      val evals = (24 until x.length).map { t =>
+        val wnum = (1 to 8).map(k => x(t - k) * (1L << (8 - k))).sum
+        (math.abs(x(t) * 255 - wnum), math.abs(x(t) - x(t - 1)), math.abs(x(t) - x(t - 24)))
+      }
+      val n = evals.length.toLong
+      val (sw, sn, ss) = (evals.map(_._1).sum, evals.map(_._2).sum, evals.map(_._3).sum)
+      val r = got(tpe)
+      assert(r.getLong(1) == n, s"$tpe n_evals")
+      assert(math.abs(r.getDouble(2) - snap(sw.toDouble / (n * 255), 6)) < 1e-9, s"$tpe mae_wma")
+      assert(math.abs(r.getDouble(3) - snap(sn.toDouble / n, 6)) < 1e-9, s"$tpe mae_naive")
+      assert(math.abs(r.getDouble(4) - snap(ss.toDouble / n, 6)) < 1e-9, s"$tpe mae_seasonal")
+      if (sn > 0)
+        assert(math.abs(r.getDouble(5) - snap(1.0 - sw.toDouble / (sn * 255), 6)) < 1e-9, s"$tpe skill_n")
+      else assert(r.isNullAt(5))
+      if (ss > 0)
+        assert(math.abs(r.getDouble(6) - snap(1.0 - sw.toDouble / (ss * 255), 6)) < 1e-9, s"$tpe skill_s")
+      else assert(r.isNullAt(6))
+    }
+  }
+
+  // -------------------------------------------------------------
+  test("seasonality strength: ANOVA R-squared and peak/trough profile match a direct model") {
+    val got = q("events_seasonality_strength").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byType = events.groupBy(_._3)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (tpe, es) =>
+      val perHour = es.groupBy(_._4 / 3600).view.mapValues(_.length.toLong).toMap
+      val (mn, mx) = (perHour.keys.min, perHour.keys.max)
+      val cells = (mn to mx).map(h => (h % 24, perHour.getOrElse(h, 0L)))
+      val n = cells.length.toLong
+      val s = cells.map(_._2).sum
+      val qq = cells.map(c => c._2 * c._2).sum
+      val groups = cells.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val bp = groups.toSeq.map { case (_, xs) =>
+        BigDecimal(xs.sum.toDouble * xs.sum / xs.length)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      val ssTotal = qq.toDouble - s.toDouble * s / n
+      val ssBetween = bp - s.toDouble * s / n
+      val means = groups.toSeq.map { case (hod, xs) => (hod, xs.sum.toDouble / xs.length) }
+      val peak = means.minBy { case (hod, m) => (-m, hod) }
+      val trough = means.minBy { case (hod, m) => (m, hod) }
+      val r = got(tpe)
+      assert(r.getLong(1) == n, s"$tpe n_hours")
+      assert(math.abs(r.getDouble(2) - snap(s.toDouble / n, 6)) < 1e-9, s"$tpe grand_mean")
+      if (ssTotal > 0) {
+        assert(math.abs(r.getDouble(3) - snap(ssBetween / ssTotal, 6)) < 1e-6, s"$tpe r2")
+        assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) <= 1.0 + 1e-9, s"$tpe r2 range")
+      } else assert(r.isNullAt(3))
+      assert(r.getLong(4) == peak._1, s"$tpe peak_hod")
+      assert(math.abs(r.getDouble(5) - snap(peak._2, 6)) < 1e-9, s"$tpe peak_mean")
+      assert(r.getLong(6) == trough._1, s"$tpe trough_hod")
+      assert(math.abs(r.getDouble(7) - snap(trough._2, 6)) < 1e-9, s"$tpe trough_mean")
+    }
+  }
+
+  // -------------------------------------------------------------
   test("markov entropy: per-state H matches direct transition counts; state weights sum to 1") {
     val rows = q("events_markov_entropy").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
