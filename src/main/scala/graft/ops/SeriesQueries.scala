@@ -36,6 +36,7 @@ object SeriesQueries {
     NamedQuery("events_autocorr", autocorr, Some(autocorrSql)),
     NamedQuery("events_forecast_backtest", forecastBacktest, Some(forecastBacktestSql)),
     NamedQuery("events_seasonality_strength", seasonalityStrength, Some(seasonalityStrengthSql)),
+    NamedQuery("events_concurrency", concurrency, Some(concurrencySql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -994,4 +995,121 @@ object SeriesQueries {
       |  CAST(round(CAST(max(CASE WHEN rk_trough = 1 THEN mean_h END) AS DECIMAL(18,8)), 6) AS DOUBLE) AS trough_mean
       |FROM t WHERE rk_peak = 1 OR rk_trough = 1
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Concurrent-session profile: for every hour, how many of the
+  // 30-min-gap user sessions (the events_sessionize islands) were
+  // simultaneously open — peak and end-of-hour concurrency plus the
+  // boundary traffic. THE capacity-planning curve (licenses,
+  // connection pools, executor sizing), and the classic operator
+  // people reach for a self-join to build (session × session overlap
+  // is O(n²); the sweep line is O(n)).
+  //
+  // Scale shape: the DISTRIBUTED PREFIX SUM. A naive sweep is one
+  // global ordered window — a single-partition sort at 100 TB. Here:
+  // sessions reduce to ±1 deltas, deltas aggregate per instant, the
+  // within-hour running sum is a window PARTITIONED by hour (each
+  // partition ≤ 3600 instants), per-hour totals form a
+  // calendar-bounded frame (≤ 10⁴ rows for years), and the cross-hour
+  // offset is a cumulative sum over THAT tiny frame — the two-level
+  // scan/carry construction, same as hardware adders. Only the
+  // session windowing touches corpus-sized data (one user_id
+  // exchange); nothing global ever sorts.
+  //
+  // Determinism: everything is 64-bit integer arithmetic — no floats
+  // anywhere in the query. A session [start, end] counts as open for
+  // every t in [start, end], so its −1 lands at end+1.
+  private def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = ev(spark, dir)
+      .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+    val deltas = sessions.select(col("start_sec").as("t"), lit(1L).as("delta"))
+      .union(sessions.select((col("end_sec") + 1).as("t"), lit(-1L).as("delta")))
+    val perT = deltas.groupBy(col("t"))
+      .agg(sum(col("delta")).as("net"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("ns"),
+        sum(when(col("delta") < 0, 1L).otherwise(0L)).as("ne"))
+      .withColumn("hour", expr("t div 3600"))
+    val wInHour = Window.partitionBy(col("hour")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perHour = perT
+      .withColumn("run", sum(col("net")).over(wInHour))
+      .groupBy(col("hour"))
+      .agg(sum(col("net")).as("total"), max(col("run")).as("max_run"),
+        sum(col("ns")).as("n_starts"), sum(col("ne")).as("n_expiries"))
+    val span = perHour.agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+    val wCarry = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    span.select(explode(expr("sequence(mn, mx)")).as("hour"))
+      .join(perHour, Seq("hour"), "left")
+      .withColumn("total", coalesce(col("total"), lit(0L)))
+      .withColumn("carry_in", coalesce(sum(col("total")).over(wCarry), lit(0L)))
+      .select(col("hour"),
+        coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+        coalesce(col("n_expiries"), lit(0L)).as("n_expiries"),
+        greatest(col("carry_in"), col("carry_in") + coalesce(col("max_run"), lit(0L)))
+          .as("max_conc"),
+        (col("carry_in") + col("total")).as("end_conc"))
+      .orderBy(col("hour"))
+  }
+
+  private val concurrencySql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS sec FROM events
+      |), s AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+      |), sid AS (
+      |  SELECT user_id, sec,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM s
+      |), sess AS (
+      |  SELECT user_id, session_id, min(sec) AS start_sec, max(sec) AS end_sec
+      |  FROM sid GROUP BY 1, 2
+      |), deltas AS (
+      |  SELECT start_sec AS t, CAST(1 AS BIGINT) AS delta FROM sess
+      |  UNION ALL SELECT end_sec + 1, -1 FROM sess
+      |), pert AS (
+      |  SELECT t, CAST(sum(delta) AS BIGINT) AS net,
+      |    CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+      |    CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+      |    t // 3600 AS hour
+      |  FROM deltas GROUP BY t
+      |), perhour AS (
+      |  SELECT hour, CAST(sum(net) AS BIGINT) AS total,
+      |    CAST(max(run) AS BIGINT) AS max_run,
+      |    CAST(sum(ns) AS BIGINT) AS n_starts, CAST(sum(ne) AS BIGINT) AS n_expiries
+      |  FROM (
+      |    SELECT hour, net, ns, ne,
+      |      sum(net) OVER (PARTITION BY hour ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |    FROM pert
+      |  ) GROUP BY hour
+      |), spine AS (
+      |  SELECT unnest(range((SELECT min(hour) FROM perhour),
+      |    (SELECT max(hour) FROM perhour) + 1)) AS hour
+      |), x AS (
+      |  SELECT sp.hour,
+      |    coalesce(p.total, 0) AS total, p.max_run,
+      |    coalesce(p.n_starts, 0) AS n_starts, coalesce(p.n_expiries, 0) AS n_expiries
+      |  FROM spine sp LEFT JOIN perhour p ON p.hour = sp.hour
+      |), c AS (
+      |  SELECT hour, n_starts, n_expiries, total, max_run,
+      |    CAST(coalesce(sum(total) OVER (ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS carry_in
+      |  FROM x
+      |)
+      |SELECT hour, n_starts, n_expiries,
+      |  greatest(carry_in, carry_in + coalesce(max_run, 0)) AS max_conc,
+      |  carry_in + total AS end_conc
+      |FROM c ORDER BY hour""".stripMargin
 }

@@ -43,6 +43,8 @@ object StatsQueries {
     NamedQuery("eval_ols_doclen", olsDoclen, Some(olsDoclenSql)),
     NamedQuery("eval_wasserstein_drift", wassersteinBySource, Some(wassersteinBySourceSql)),
     NamedQuery("eval_conformal_threshold", conformalThreshold, Some(conformalThresholdSql)),
+    NamedQuery("events_ab_cuped", abCuped, Some(abCupedSql)),
+    NamedQuery("agg_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
   )
 
   private val Ln2 = 0.6931471805599453
@@ -711,4 +713,331 @@ object StatsQueries {
       |    THEN CAST(round(CAST(CAST(ts.n_cov AS DOUBLE) / ts.n_test AS DECIMAL(18,8)), 6) AS DOUBLE) END AS coverage
       |FROM nc LEFT JOIN qh ON qh.lang = nc.lang LEFT JOIN ts ON ts.lang = nc.lang
       |ORDER BY nc.lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // CUPED A/B readout (Deng et al., WSDM 2013): the experiment
+  // analysis every growth platform runs. Users hash-split into two
+  // arms (md5 parity — deterministic, no RNG); the metric Y is each
+  // user's POST-period value sum, the covariate X the PRE-period sum
+  // (boundary = series midpoint). CUPED subtracts θ·(X - X̄) with
+  // θ = cov(X,Y)/var(X) pooled, shrinking metric variance by ρ² —
+  // the same experiment decides significance with far fewer users.
+  // Output: both arms' sizes and means, the raw and CUPED-adjusted
+  // lifts with their z-scores, θ, and the realized variance
+  // reduction ρ².
+  //
+  // Scale shape: ONE user_id exchange builds per-user (X, Y); ONE
+  // |arms|-key partial aggregation reduces them to 6 sufficient
+  // statistics per arm (all map-side combinable DECIMAL sums of
+  // exact decimal products); every statistic after is arithmetic on
+  // a 2-row frame. Nothing beyond per-user rows ever shuffles.
+  //
+  // Determinism: X and Y are DECIMAL(18,4) sums; squares and cross
+  // products are exact decimals, so the sufficient statistics are
+  // bit-identical in both engines; θ snaps at 6 BEFORE it enters the
+  // adjusted lift and variances (the lr-step quantized-coefficient
+  // discipline), and each reported double snaps once at the end.
+  private def abCuped(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).withColumn("sec", col("ts").cast("long"))
+    val bound = e.agg(((min(col("sec")) + max(col("sec"))) / 2).cast("long").as("mid"))
+    val perUser = e.crossJoin(broadcast(bound))
+      .withColumn("arm",
+        expr("cast(conv(substring(md5(cast(user_id AS string)), 1, 8), 16, 10) AS bigint) % 2"))
+      .groupBy(col("user_id"), col("arm"))
+      .agg(
+        // per-user sums re-narrow to (18,4) so the squares/cross
+        // products stay inside exact 38-digit decimals in both engines
+        sum(when(col("sec") < col("mid"), dec(col("value")))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("decimal(18,4)").as("x"),
+        sum(when(col("sec") >= col("mid"), dec(col("value")))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("decimal(18,4)").as("y"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    def arm(c: String, a: Int): Column = max(when(col("arm") === a, col(c)))
+    val wide = arms.agg(
+      arm("n", 0).as("n_a"), arm("n", 1).as("n_b"),
+      arm("sx", 0).cast("double").as("sxa"), arm("sx", 1).cast("double").as("sxb"),
+      arm("sy", 0).cast("double").as("sya"), arm("sy", 1).cast("double").as("syb"),
+      arm("sxx", 0).cast("double").as("sxxa"), arm("sxx", 1).cast("double").as("sxxb"),
+      arm("syy", 0).cast("double").as("syya"), arm("syy", 1).cast("double").as("syyb"),
+      arm("sxy", 0).cast("double").as("sxya"), arm("sxy", 1).cast("double").as("sxyb"))
+    wide
+      .withColumn("nn", (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("sxp", col("sxa") + col("sxb"))
+      .withColumn("syp", col("sya") + col("syb"))
+      .withColumn("covp",
+        ((col("sxya") + col("sxyb")) - col("sxp") * col("syp") / col("nn")) / col("nn"))
+      .withColumn("varxp",
+        ((col("sxxa") + col("sxxb")) - col("sxp") * col("sxp") / col("nn")) / col("nn"))
+      .withColumn("varyp",
+        ((col("syya") + col("syyb")) - col("syp") * col("syp") / col("nn")) / col("nn"))
+      .withColumn("theta", when(col("varxp") > 0, rnd(col("covp") / col("varxp"), 6)))
+      .withColumn("mya", col("sya") / col("n_a"))
+      .withColumn("myb", col("syb") / col("n_b"))
+      .withColumn("vya", col("syya") / col("n_a") - col("mya") * col("mya"))
+      .withColumn("vyb", col("syyb") / col("n_b") - col("myb") * col("myb"))
+      .withColumn("cva",
+        col("sxya") / col("n_a") - (col("sxa") / col("n_a")) * col("mya"))
+      .withColumn("cvb",
+        col("sxyb") / col("n_b") - (col("sxb") / col("n_b")) * col("myb"))
+      .withColumn("vxa",
+        col("sxxa") / col("n_a") - (col("sxa") / col("n_a")) * (col("sxa") / col("n_a")))
+      .withColumn("vxb",
+        col("sxxb") / col("n_b") - (col("sxb") / col("n_b")) * (col("sxb") / col("n_b")))
+      .withColumn("vca",
+        col("vya") - lit(2.0) * col("theta") * col("cva") + col("theta") * col("theta") * col("vxa"))
+      .withColumn("vcb",
+        col("vyb") - lit(2.0) * col("theta") * col("cvb") + col("theta") * col("theta") * col("vxb"))
+      .withColumn("diff_raw", col("myb") - col("mya"))
+      .withColumn("diff_cuped",
+        col("diff_raw") - col("theta") * (col("sxb") / col("n_b") - col("sxa") / col("n_a")))
+      .withColumn("se_raw", sqrt(col("vya") / col("n_a") + col("vyb") / col("n_b")))
+      .withColumn("se_cuped", sqrt(col("vca") / col("n_a") + col("vcb") / col("n_b")))
+      .select(
+        col("n_a"), col("n_b"),
+        rnd(col("mya"), 6).as("mean_y_a"),
+        rnd(col("myb"), 6).as("mean_y_b"),
+        rnd(col("diff_raw"), 6).as("diff_raw"),
+        col("theta"),
+        when(col("varxp") > 0 && col("varyp") > 0,
+          rnd(col("covp") * col("covp") / (col("varxp") * col("varyp")), 6))
+          .as("var_reduction"),
+        when(col("se_raw") > 0, rnd(col("diff_raw") / col("se_raw"), 4)).as("z_raw"),
+        when(col("se_cuped") > 0, rnd(col("diff_cuped") / col("se_cuped"), 4)).as("z_cuped"))
+  }
+
+  private val abCupedSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts)//1000000000 AS sec, value FROM events
+      |), bound AS (
+      |  SELECT (min(sec) + max(sec)) // 2 AS mid FROM e
+      |), pu AS (
+      |  SELECT user_id,
+      |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+      |    CAST(sum(CASE WHEN sec < mid THEN CAST(value AS DECIMAL(18,4))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS x,
+      |    CAST(sum(CASE WHEN sec >= mid THEN CAST(value AS DECIMAL(18,4))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y
+      |  FROM e, bound GROUP BY 1, 2
+      |), arms AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      |  FROM pu GROUP BY 1
+      |), w AS (
+      |  SELECT
+      |    max(CASE WHEN arm = 0 THEN n END) AS n_a, max(CASE WHEN arm = 1 THEN n END) AS n_b,
+      |    CAST(max(CASE WHEN arm = 0 THEN sx END) AS DOUBLE) AS sxa, CAST(max(CASE WHEN arm = 1 THEN sx END) AS DOUBLE) AS sxb,
+      |    CAST(max(CASE WHEN arm = 0 THEN sy END) AS DOUBLE) AS sya, CAST(max(CASE WHEN arm = 1 THEN sy END) AS DOUBLE) AS syb,
+      |    CAST(max(CASE WHEN arm = 0 THEN sxx END) AS DOUBLE) AS sxxa, CAST(max(CASE WHEN arm = 1 THEN sxx END) AS DOUBLE) AS sxxb,
+      |    CAST(max(CASE WHEN arm = 0 THEN syy END) AS DOUBLE) AS syya, CAST(max(CASE WHEN arm = 1 THEN syy END) AS DOUBLE) AS syyb,
+      |    CAST(max(CASE WHEN arm = 0 THEN sxy END) AS DOUBLE) AS sxya, CAST(max(CASE WHEN arm = 1 THEN sxy END) AS DOUBLE) AS sxyb
+      |  FROM arms
+      |), d AS (
+      |  SELECT *,
+      |    CAST(n_a + n_b AS DOUBLE) AS nn,
+      |    sxa + sxb AS sxp, sya + syb AS syp
+      |  FROM w
+      |), d2 AS (
+      |  SELECT *,
+      |    ((sxya + sxyb) - sxp * syp / nn) / nn AS covp,
+      |    ((sxxa + sxxb) - sxp * sxp / nn) / nn AS varxp,
+      |    ((syya + syyb) - syp * syp / nn) / nn AS varyp,
+      |    sya / n_a AS mya, syb / n_b AS myb
+      |  FROM d
+      |), d3 AS (
+      |  SELECT *,
+      |    CASE WHEN varxp > 0 THEN CAST(round(CAST(covp / varxp AS DECIMAL(18,8)), 6) AS DOUBLE) END AS theta,
+      |    syya / n_a - mya * mya AS vya,
+      |    syyb / n_b - myb * myb AS vyb,
+      |    sxya / n_a - (sxa / n_a) * mya AS cva,
+      |    sxyb / n_b - (sxb / n_b) * myb AS cvb,
+      |    sxxa / n_a - (sxa / n_a) * (sxa / n_a) AS vxa,
+      |    sxxb / n_b - (sxb / n_b) * (sxb / n_b) AS vxb,
+      |    myb - mya AS diff_raw
+      |  FROM d2
+      |), d4 AS (
+      |  SELECT *,
+      |    vya - 2.0 * theta * cva + theta * theta * vxa AS vca,
+      |    vyb - 2.0 * theta * cvb + theta * theta * vxb AS vcb,
+      |    diff_raw - theta * (sxb / n_b - sxa / n_a) AS diff_cuped
+      |  FROM d3
+      |), d5 AS (
+      |  SELECT *,
+      |    sqrt(vya / n_a + vyb / n_b) AS se_raw,
+      |    sqrt(vca / n_a + vcb / n_b) AS se_cuped
+      |  FROM d4
+      |)
+      |SELECT n_a, n_b,
+      |  CAST(round(CAST(mya AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_y_a,
+      |  CAST(round(CAST(myb AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_y_b,
+      |  CAST(round(CAST(diff_raw AS DECIMAL(18,8)), 6) AS DOUBLE) AS diff_raw,
+      |  theta,
+      |  CASE WHEN varxp > 0 AND varyp > 0
+      |    THEN CAST(round(CAST(covp * covp / (varxp * varyp) AS DECIMAL(18,8)), 6) AS DOUBLE) END AS var_reduction,
+      |  CASE WHEN se_raw > 0
+      |    THEN CAST(round(CAST(diff_raw / se_raw AS DECIMAL(18,8)), 4) AS DOUBLE) END AS z_raw,
+      |  CASE WHEN se_cuped > 0
+      |    THEN CAST(round(CAST(diff_cuped / se_cuped AS DECIMAL(18,8)), 4) AS DOUBLE) END AS z_cuped
+      |FROM d5""".stripMargin
+
+  // ---------------------------------------------------------------
+  // KMV (k-minimum-values) distinct sketches with SET OPERATIONS —
+  // the sketch family approx_count_distinct (HLL) can't do: two KMV
+  // sketches merge by keeping the k smallest of the union, and the
+  // merged sketch answers |A ∪ B| via (k-1)/u_k and |A ∩ B| via the
+  // Beyer et al. (SIGMOD 2007) ρ·û estimator, where ρ is the
+  // fraction of the merged sketch present in both inputs. Run per
+  // event-type pair over distinct users, every estimate printed NEXT
+  // TO its exact value — the sketch-accuracy audit, and exact below
+  // capacity by construction (a half-full sketch IS the set).
+  //
+  // Scale shape: one distinct reduction of (type, user), a hash per
+  // user, and the per-type k-smallest via a rank window that
+  // rewrites to WindowGroupLimit (the source_cap pattern) — at most
+  // k rows per type survive, so the pair construction is
+  // |types|²·k rows of driver-free arithmetic. The exact twin
+  // reduces per-user type sets (≤ |types| each) to i<j pair counts.
+  // Nothing after the two corpus reductions exceeds |types|²·k rows.
+  //
+  // Determinism: hashes are exact 60-bit integers (md5 prefix), rank
+  // and membership are integer, u_k floats once per pair and each
+  // estimate snaps at its reporting scale.
+  private val kmvK = 64
+
+  private def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val two60 = 1152921504606846976L // 2^60
+    // element = daily-active (user, day) identity — types share users
+    // wholesale in the fixture, but not user-DAYS, so the pairwise
+    // set structure is non-trivial at every SF
+    val tu = Tables.events(spark, dir)
+      .withColumn("sec", col("ts").cast("long"))
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("sec div 86400").cast("string")).as("elem"))
+      .distinct()
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(elem), 1, 15), 16, 10) AS bigint)"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sk = tu.select(col("event_type"), col("h")).distinct()
+      .withColumn("rk", row_number().over(wT)).where(col("rk") <= kmvK)
+    def estOf(cnt: Column, hk: Column): Column =
+      when(cnt < kmvK, cnt.cast("double"))
+        .otherwise(lit((kmvK - 1).toDouble) / (hk.cast("double") / two60))
+    val perType = sk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"))
+      .select(col("event_type"), rnd(estOf(col("cnt"), col("hk")), 2).as("n_est"))
+    val exact = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    val typeSets = tu.groupBy(col("elem"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+    val exactPairs = typeSets
+      .select(col("ts"), posexplode(col("ts")).as(Seq("i", "ta")))
+      .select(col("ta"), explode(expr("slice(ts, i + 2, size(ts))")).as("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("inter_exact"))
+    val types = sk.select(col("event_type")).distinct()
+    val tpairs = types.as("x").join(types.as("y"),
+        col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+    val merged = broadcast(tpairs)
+      .join(sk, col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("h"))
+      .agg(max(when(col("event_type") === col("ta"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("event_type") === col("tb"), 1L).otherwise(0L)).as("in_b"))
+    val wP = Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))
+    val est = merged.withColumn("rk", row_number().over(wP)).where(col("rk") <= kmvK)
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("m"), max(col("h")).as("hk"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("both"))
+      .withColumn("union_est_raw", estOf(col("m"), col("hk")))
+      .withColumn("rho", col("both").cast("double") / col("m"))
+    est
+      .join(broadcast(exact.select(col("event_type").as("ta"), col("n_exact").as("n_exact_a"))), "ta")
+      .join(broadcast(exact.select(col("event_type").as("tb"), col("n_exact").as("n_exact_b"))), "tb")
+      .join(broadcast(exactPairs), Seq("ta", "tb"), "left")
+      .join(broadcast(perType.select(col("event_type").as("ta"), col("n_est").as("n_est_a"))), "ta")
+      .join(broadcast(perType.select(col("event_type").as("tb"), col("n_est").as("n_est_b"))), "tb")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .withColumn("union_exact", col("n_exact_a") + col("n_exact_b") - col("inter_exact"))
+      .select(col("ta"), col("tb"),
+        col("n_exact_a"), col("n_est_a"), col("n_exact_b"), col("n_est_b"),
+        col("union_exact"), rnd(col("union_est_raw"), 2).as("union_est"),
+        col("inter_exact"), rnd(col("rho") * col("union_est_raw"), 2).as("inter_est"),
+        rnd(col("inter_exact").cast("double") / col("union_exact"), 4).as("jaccard_exact"),
+        rnd(col("rho"), 4).as("jaccard_est"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  private lazy val kmvDistinctSql = {
+    val k = kmvK
+    s"""WITH tu AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST(user_id AS VARCHAR) || ':' || CAST(epoch_ns(ts)//1000000000//86400 AS VARCHAR) AS elem
+       |  FROM events
+       |), h AS (
+       |  SELECT event_type,
+       |    ('0x' || substring(md5(elem), 1, 15))::BIGINT AS h
+       |  FROM tu
+       |), sk AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT DISTINCT event_type, h FROM h
+       |  ) t QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= $k
+       |), pertype AS (
+       |  SELECT event_type,
+       |    CAST(round(CAST(CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |      ELSE ${(k - 1).toDouble} / (CAST(max(h) AS DOUBLE) / 1152921504606846976)
+       |      END AS DECIMAL(18,8)), 2) AS DOUBLE) AS n_est
+       |  FROM sk GROUP BY 1
+       |), exact AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM tu GROUP BY 1
+       |), epairs AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb, CAST(count(*) AS BIGINT) AS inter_exact
+       |  FROM tu a JOIN tu b ON a.elem = b.elem AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |), tp AS (
+       |  SELECT x.event_type AS ta, y.event_type AS tb
+       |  FROM (SELECT DISTINCT event_type FROM sk) x
+       |  JOIN (SELECT DISTINCT event_type FROM sk) y ON x.event_type < y.event_type
+       |), merged AS (
+       |  SELECT tp.ta, tp.tb, s.h,
+       |    max(CASE WHEN s.event_type = tp.ta THEN 1 ELSE 0 END) AS in_a,
+       |    max(CASE WHEN s.event_type = tp.tb THEN 1 ELSE 0 END) AS in_b
+       |  FROM tp JOIN sk s ON s.event_type = tp.ta OR s.event_type = tp.tb
+       |  GROUP BY 1, 2, 3
+       |), mk AS (
+       |  SELECT * FROM merged
+       |  QUALIFY row_number() OVER (PARTITION BY ta, tb ORDER BY h) <= $k
+       |), est AS (
+       |  SELECT ta, tb, CAST(count(*) AS BIGINT) AS m, max(h) AS hk,
+       |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+       |  FROM mk GROUP BY 1, 2
+       |), e2 AS (
+       |  SELECT ta, tb, m, n_both,
+       |    CASE WHEN m < $k THEN CAST(m AS DOUBLE)
+       |      ELSE ${(k - 1).toDouble} / (CAST(hk AS DOUBLE) / 1152921504606846976) END AS union_est_raw,
+       |    CAST(n_both AS DOUBLE) / m AS rho
+       |  FROM est
+       |)
+       |SELECT e2.ta, e2.tb,
+       |  ea.n_exact AS n_exact_a, pa.n_est AS n_est_a,
+       |  eb.n_exact AS n_exact_b, pb.n_est AS n_est_b,
+       |  ea.n_exact + eb.n_exact - coalesce(ep.inter_exact, 0) AS union_exact,
+       |  CAST(round(CAST(union_est_raw AS DECIMAL(18,8)), 2) AS DOUBLE) AS union_est,
+       |  coalesce(ep.inter_exact, 0) AS inter_exact,
+       |  CAST(round(CAST(rho * union_est_raw AS DECIMAL(18,8)), 2) AS DOUBLE) AS inter_est,
+       |  CAST(round(CAST(CAST(coalesce(ep.inter_exact, 0) AS DOUBLE)
+       |    / (ea.n_exact + eb.n_exact - coalesce(ep.inter_exact, 0)) AS DECIMAL(18,8)), 4) AS DOUBLE) AS jaccard_exact,
+       |  CAST(round(CAST(rho AS DECIMAL(18,8)), 4) AS DOUBLE) AS jaccard_est
+       |FROM e2
+       |JOIN exact ea ON ea.event_type = e2.ta
+       |JOIN exact eb ON eb.event_type = e2.tb
+       |LEFT JOIN epairs ep ON ep.ta = e2.ta AND ep.tb = e2.tb
+       |JOIN pertype pa ON pa.event_type = e2.ta
+       |JOIN pertype pb ON pb.event_type = e2.tb
+       |ORDER BY e2.ta, e2.tb""".stripMargin
+  }
 }

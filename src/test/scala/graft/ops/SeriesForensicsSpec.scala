@@ -166,6 +166,52 @@ class SeriesForensicsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("concurrency: two-level prefix sum equals a direct global sweep over session intervals") {
+    // direct model: 30-min-gap sessions per user, then one ordered sweep
+    val sessions = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val secs = es.map(_._4).sorted
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var start = secs.head; var prev = secs.head
+      secs.tail.foreach { s =>
+        if (s - prev > 1800) { out += ((start, prev)); start = s }
+        prev = s
+      }
+      out += ((start, prev))
+      out.toSeq
+    }
+    val deltas = sessions.flatMap { case (s, e) => Seq((s, 1L), (e + 1, -1L)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val hours = deltas.map(_._1 / 3600)
+    val (mnH, mxH) = (hours.min, hours.max)
+    var cur = 0L
+    val maxIn = scala.collection.mutable.Map[Long, Long]()
+    val endAt = scala.collection.mutable.Map[Long, Long]()
+    var di = 0
+    (mnH to mxH).foreach { h =>
+      var mx = cur
+      while (di < deltas.length && deltas(di)._1 < (h + 1) * 3600) {
+        cur += deltas(di)._2; mx = math.max(mx, cur); di += 1
+      }
+      maxIn(h) = mx; endAt(h) = cur
+    }
+    val got = q("events_concurrency").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == (mnH to mxH).toSet, "complete hour spine")
+    val startsByHour = sessions.groupBy(_._1 / 3600).view.mapValues(_.size.toLong).toMap
+    (mnH to mxH).foreach { h =>
+      val (ns, _, mc, ec) = got(h)
+      assert(ns == startsByHour.getOrElse(h, 0L), s"hour $h n_starts")
+      assert(mc == maxIn(h), s"hour $h max_conc $mc vs ${maxIn(h)}")
+      assert(ec == endAt(h), s"hour $h end_conc")
+    }
+    assert(got.values.map(_._3).max > 1, "fixture has overlapping sessions")
+    // conservation: total starts == total expiries over the full span
+    assert(got.values.map(_._1).sum == got.values.map(_._2).sum, "starts == expiries")
+    assert(got(mxH)._4 == 0L || deltas.last._1 / 3600 > mxH, "drains to carry at span end")
+  }
+
+  // -------------------------------------------------------------
   test("markov entropy: per-state H matches direct transition counts; state weights sum to 1") {
     val rows = q("events_markov_entropy").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))

@@ -184,6 +184,111 @@ class StatsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("CUPED: sufficient-statistic readout matches a direct per-user model") {
+    val evRows = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mid = (evRows.map(_._2).min + evRows.map(_._2).max) / 2
+    def md5arm(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    def d4(v: Double): BigDecimal = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val perUser = evRows.groupBy(_._1).map { case (uid, es) =>
+      val x = es.filter(_._2 < mid).map(e => d4(e._3)).sum
+      val y = es.filter(_._2 >= mid).map(e => d4(e._3)).sum
+      (md5arm(uid), x, y)
+    }.toSeq
+    def stats(a: Long) = {
+      val rows = perUser.filter(_._1 == a)
+      (rows.length.toLong, rows.map(_._2).sum.toDouble, rows.map(_._3).sum.toDouble,
+        rows.map(r => r._2 * r._2).sum.toDouble, rows.map(r => r._3 * r._3).sum.toDouble,
+        rows.map(r => r._2 * r._3).sum.toDouble)
+    }
+    val (na, sxa, sya, sxxa, syya, sxya) = stats(0)
+    val (nb, sxb, syb, sxxb, syyb, sxyb) = stats(1)
+    val nn = (na + nb).toDouble
+    val (sxp, syp) = (sxa + sxb, sya + syb)
+    val covp = ((sxya + sxyb) - sxp * syp / nn) / nn
+    val varxp = ((sxxa + sxxb) - sxp * sxp / nn) / nn
+    val varyp = ((syya + syyb) - syp * syp / nn) / nn
+    val theta = snap(covp / varxp, 6)
+    val (mya, myb) = (sya / na, syb / nb)
+    val vya = syya / na - mya * mya
+    val vyb = syyb / nb - myb * myb
+    val cva = sxya / na - (sxa / na) * mya
+    val cvb = sxyb / nb - (sxb / nb) * myb
+    val vxa = sxxa / na - (sxa / na) * (sxa / na)
+    val vxb = sxxb / nb - (sxb / nb) * (sxb / nb)
+    val vca = vya - 2.0 * theta * cva + theta * theta * vxa
+    val vcb = vyb - 2.0 * theta * cvb + theta * theta * vxb
+    val diffRaw = myb - mya
+    val diffCuped = diffRaw - theta * (sxb / nb - sxa / na)
+    val r = q("events_ab_cuped").collect().head
+    assert(r.getLong(0) == na && r.getLong(1) == nb, "arm sizes")
+    assert(math.abs(r.getDouble(2) - snap(mya, 6)) < 1e-6, "mean_y_a")
+    assert(math.abs(r.getDouble(3) - snap(myb, 6)) < 1e-6, "mean_y_b")
+    assert(math.abs(r.getDouble(4) - snap(diffRaw, 6)) < 1e-6, "diff_raw")
+    assert(math.abs(r.getDouble(5) - theta) < 1e-6, "theta")
+    assert(math.abs(r.getDouble(6) - snap(covp * covp / (varxp * varyp), 6)) < 1e-6, "rho2")
+    assert(math.abs(r.getDouble(7) - snap(diffRaw / math.sqrt(vya / na + vyb / nb), 4)) < 1e-3, "z_raw")
+    assert(math.abs(r.getDouble(8) - snap(diffCuped / math.sqrt(vca / na + vcb / nb), 4)) < 1e-3, "z_cuped")
+    // pooled CUPED variance never exceeds the raw pooled variance
+    // (per-arm variance CAN tick up when the arm's covariance opposes
+    // the pooled theta — only the pooled reduction is guaranteed)
+    val vcp = varyp - 2.0 * theta * covp + theta * theta * varxp
+    assert(vcp <= varyp + 1e-9, "pooled variance reduction one-sided")
+  }
+
+  // -------------------------------------------------------------
+  test("KMV: sketch estimates match a direct k-minimum-values model; exact below capacity") {
+    val k = 64
+    val two60 = 1152921504606846976L
+    def h(elem: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(elem.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val tu = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("ts").cast("long").as("sec"))
+      .collect()
+      .map(r => (r.getString(0), s"${r.getLong(1)}:${r.getLong(2) / 86400}"))
+      .distinct
+    val byType = tu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def sketch(s: Set[String]): Vector[Long] = s.map(h).toVector.sorted.take(k)
+    def est(sk: Vector[Long]): Double =
+      if (sk.length < k) sk.length.toDouble else (k - 1).toDouble / (sk.last.toDouble / two60)
+    val got = q("agg_kmv_distinct").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val types = byType.keys.toSeq.sorted
+    val pairs = for (i <- types.indices; j <- i + 1 until types.length) yield (types(i), types(j))
+    assert(got.keySet == pairs.toSet, "complete pair grid")
+    pairs.foreach { case (a, b) =>
+      val (sa, sb) = (byType(a), byType(b))
+      val (ska, skb) = (sketch(sa), sketch(sb))
+      val mk = (ska ++ skb).distinct.sorted.take(k)
+      val uEst = est(mk)
+      val both = mk.count(x => ska.contains(x) && skb.contains(x))
+      val rho = both.toDouble / mk.length
+      val r = got((a, b))
+      assert(r.getLong(2) == sa.size && r.getLong(4) == sb.size, s"$a-$b exact sizes")
+      assert(math.abs(r.getDouble(3) - snap(est(ska), 2)) < 1e-6, s"$a n_est")
+      assert(r.getLong(6) == (sa union sb).size, s"$a-$b union_exact")
+      assert(math.abs(r.getDouble(7) - snap(uEst, 2)) < 1e-6, s"$a-$b union_est")
+      assert(r.getLong(8) == (sa intersect sb).size, s"$a-$b inter_exact")
+      assert(math.abs(r.getDouble(9) - snap(rho * uEst, 2)) < 1e-6, s"$a-$b inter_est")
+      assert(math.abs(r.getDouble(11) - snap(rho, 4)) < 1e-6, s"$a-$b jaccard_est")
+      // the audit property: below capacity the sketch IS the set
+      if ((sa union sb).size < k) {
+        assert(r.getDouble(7) == (sa union sb).size.toDouble, s"$a-$b exact-below-capacity")
+        assert(r.getDouble(9) == (sa intersect sb).size.toDouble, s"$a-$b inter exact")
+      }
+    }
+  }
+
+  // -------------------------------------------------------------
   test("decision stump: information gain per threshold and the best flag match a direct model") {
     val scored = docs.map { case (text, lang, _) =>
       val ws = words(text)
