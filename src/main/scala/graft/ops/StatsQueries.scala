@@ -45,6 +45,8 @@ object StatsQueries {
     NamedQuery("eval_conformal_threshold", conformalThreshold, Some(conformalThresholdSql)),
     NamedQuery("events_ab_cuped", abCuped, Some(abCupedSql)),
     NamedQuery("agg_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
+    NamedQuery("audit_benford", auditBenford, Some(auditBenfordSql)),
+    NamedQuery("audit_profile_events", auditProfile, Some(auditProfileSql)),
   )
 
   private val Ln2 = 0.6931471805599453
@@ -1040,4 +1042,163 @@ object StatsQueries {
        |JOIN pertype pb ON pb.event_type = e2.tb
        |ORDER BY e2.ta, e2.tb""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Benford's-law audit of order totals — the forensic data-quality
+  // screen (Nigrini's fraud/fabrication test): naturally-occurring
+  // multi-scale amounts follow P(d) = log₁₀(1 + 1/d) for the leading
+  // digit; synthetic, capped, or hand-entered values don't. Reports
+  // the per-digit observed vs expected distribution with the χ² and
+  // MAD conformity statistics (the two Nigrini thresholds).
+  //
+  // Scale shape: one corpus pass reduces to 9 digit counts
+  // (map-side combinable); everything after is 9-row arithmetic.
+  //
+  // Determinism: the leading digit comes from the INTEGER cents
+  // (price cast to DECIMAL(18,2) — exact — then scaled), never from
+  // double formatting or log₁₀ of a float; expected probabilities
+  // snap at 6, each χ² term at 6, terms DECIMAL-sum.
+  private def auditBenford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.table(spark, dir, "orders")
+      .withColumn("cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("d", substring(col("cents").cast("string"), 1, 1).cast("int"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_d"))
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("d"))
+    val wAll = Window.partitionBy()
+    spine.join(digits, Seq("d"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+      .withColumn("n", sum(col("n_d")).over(wAll))
+      .withColumn("frac", rnd(col("n_d").cast("double") / col("n"), 6))
+      .withColumn("expected", rnd(log(10.0, lit(1.0) + lit(1.0) / col("d")), 6))
+      .withColumn("chi_term", round(
+        (pow(col("n_d").cast("double") - col("expected") * col("n"), 2.0)
+          / (col("expected") * col("n"))).cast("decimal(18,8)"), 6))
+      .withColumn("mad_term", round(
+        abs(col("frac") - col("expected")).cast("decimal(18,8)"), 6))
+      .withColumn("chi2", rnd(sum(col("chi_term")).over(wAll).cast("double"), 4))
+      .withColumn("mad", rnd(sum(col("mad_term")).over(wAll).cast("double") / 9.0, 6))
+      .select(col("d"), col("n_d"), col("frac"), col("expected"),
+        col("chi2"), col("mad"))
+      .orderBy(col("d"))
+  }
+
+  private val auditBenfordSql =
+    """WITH digits AS (
+      |  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS INTEGER) AS d,
+      |    count(*) AS n_d
+      |  FROM orders GROUP BY 1
+      |), spine AS (SELECT unnest(range(1, 10)) AS d),
+      |t AS (
+      |  SELECT sp.d, coalesce(g.n_d, 0) AS n_d,
+      |    sum(coalesce(g.n_d, 0)) OVER () AS n,
+      |    CAST(round(CAST(ln(1.0 + 1.0 / sp.d) / ln(10.0) AS DECIMAL(18,8)), 6) AS DOUBLE) AS expected
+      |  FROM spine sp LEFT JOIN digits g ON g.d = sp.d
+      |), u AS (
+      |  SELECT d, n_d, n, expected,
+      |    CAST(round(CAST(CAST(n_d AS DOUBLE) / n AS DECIMAL(18,8)), 6) AS DOUBLE) AS frac,
+      |    round(CAST(pow(CAST(n_d AS DOUBLE) - expected * n, 2.0) / (expected * n)
+      |      AS DECIMAL(18,8)), 6) AS chi_term
+      |  FROM t
+      |), v AS (
+      |  SELECT d, n_d, frac, expected,
+      |    round(CAST(abs(frac - expected) AS DECIMAL(18,8)), 6) AS mad_term,
+      |    chi_term
+      |  FROM u
+      |)
+      |SELECT d, n_d, frac, expected,
+      |  CAST(round(CAST(CAST(sum(chi_term) OVER () AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) AS chi2,
+      |  CAST(round(CAST(CAST(sum(mad_term) OVER () AS DOUBLE) / 9.0 AS DECIMAL(18,8)), 6) AS DOUBLE) AS mad
+      |FROM v ORDER BY d""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Column-profile audit of the events table — the Deequ/profiling
+  // primitive every ingestion gate runs before trusting a feed:
+  // per-column row count, null count, and EXACT distinct
+  // cardinality, computed in ONE pass via Spark's multi-distinct
+  // Expand plan (no per-column rescans), then unpivoted row-locally
+  // into the per-column report.
+  //
+  // Scale shape: the Expand multiplies rows by the distinct-column
+  // count before the shuffle — the price of exactness; at 100 TB the
+  // swap is approx_count_distinct (one HLL per column, no Expand —
+  // the agg_approx_sketches machinery). Numeric ranges ride the same
+  // pass as plain min/max partials.
+  //
+  // Determinism: counts and integer ranges are exact; the value
+  // range reports the DECIMAL(18,4)-snapped bounds (the dec
+  // discipline) so no raw double crosses the report.
+  private def auditProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).withColumn("sec", col("ts").cast("long"))
+    val a = e.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("event_id")).as("d_event_id"),
+      countDistinct(col("user_id")).as("d_user_id"),
+      countDistinct(col("event_type")).as("d_event_type"),
+      countDistinct(col("value")).as("d_value"),
+      countDistinct(col("props")).as("d_props"),
+      countDistinct(col("sec")).as("d_sec"),
+      sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("x_event_id"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("x_user_id"),
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("x_event_type"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("x_value"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("x_props"),
+      sum(when(col("sec").isNull, 1L).otherwise(0L)).as("x_sec"),
+      min(col("event_id")).cast("double").as("mn_event_id"),
+      max(col("event_id")).cast("double").as("mx_event_id"),
+      min(col("user_id")).cast("double").as("mn_user_id"),
+      max(col("user_id")).cast("double").as("mx_user_id"),
+      min(dec(col("value"))).cast("double").as("mn_value"),
+      max(dec(col("value"))).cast("double").as("mx_value"),
+      min(col("sec")).cast("double").as("mn_sec"),
+      max(col("sec")).cast("double").as("mx_sec"))
+    def row(name: String): Column = struct(
+      lit(name).as("column_name"),
+      col(s"d_$name").as("n_distinct"),
+      col(s"x_$name").as("n_null"),
+      (if (Set("event_id", "user_id", "value", "sec")(name)) col(s"mn_$name")
+       else lit(null).cast("double")).as("min_num"),
+      (if (Set("event_id", "user_id", "value", "sec")(name)) col(s"mx_$name")
+       else lit(null).cast("double")).as("max_num"))
+    a.select(col("n"), explode(array(
+        row("event_id"), row("user_id"), row("event_type"),
+        row("value"), row("props"), row("sec"))).as("r"))
+      .select(col("r.column_name"), col("n"), col("r.n_distinct"),
+        col("r.n_null"), col("r.min_num"), col("r.max_num"))
+      .orderBy(col("column_name"))
+  }
+
+  private val auditProfileSql =
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |    count(DISTINCT event_id) AS d_event_id,
+      |    count(DISTINCT user_id) AS d_user_id,
+      |    count(DISTINCT event_type) AS d_event_type,
+      |    count(DISTINCT value) AS d_value,
+      |    count(DISTINCT props) AS d_props,
+      |    count(DISTINCT epoch_ns(ts)//1000000000) AS d_sec,
+      |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x_event_id,
+      |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x_user_id,
+      |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x_event_type,
+      |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x_value,
+      |    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x_props,
+      |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x_sec,
+      |    CAST(min(event_id) AS DOUBLE) AS mn_event_id, CAST(max(event_id) AS DOUBLE) AS mx_event_id,
+      |    CAST(min(user_id) AS DOUBLE) AS mn_user_id, CAST(max(user_id) AS DOUBLE) AS mx_user_id,
+      |    CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS mn_value,
+      |    CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS mx_value,
+      |    CAST(min(epoch_ns(ts)//1000000000) AS DOUBLE) AS mn_sec,
+      |    CAST(max(epoch_ns(ts)//1000000000) AS DOUBLE) AS mx_sec
+      |  FROM events
+      |)
+      |SELECT column_name, n, n_distinct, n_null, min_num, max_num FROM (
+      |  SELECT 'event_id' AS column_name, n, CAST(d_event_id AS BIGINT) AS n_distinct,
+      |    CAST(x_event_id AS BIGINT) AS n_null, mn_event_id AS min_num, mx_event_id AS max_num FROM a
+      |  UNION ALL SELECT 'user_id', n, d_user_id, x_user_id, mn_user_id, mx_user_id FROM a
+      |  UNION ALL SELECT 'event_type', n, d_event_type, x_event_type, NULL, NULL FROM a
+      |  UNION ALL SELECT 'value', n, d_value, x_value, mn_value, mx_value FROM a
+      |  UNION ALL SELECT 'props', n, d_props, x_props, NULL, NULL FROM a
+      |  UNION ALL SELECT 'sec', n, d_sec, x_sec, mn_sec, mx_sec FROM a
+      |) ORDER BY column_name""".stripMargin
 }

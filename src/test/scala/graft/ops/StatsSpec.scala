@@ -289,6 +289,64 @@ class StatsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("Benford audit: digit distribution, chi-square and MAD match a direct model") {
+    val prices = Tables.table(spark, dir, "orders")
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+    val digitOf = prices.map { p =>
+      val cents = BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+      cents.toBigInt.toString.charAt(0).asDigit
+    }
+    val counts = (1 to 9).map(d => d -> digitOf.count(_ == d).toLong).toMap
+    val n = prices.length.toLong
+    val expected = (1 to 9).map(d => d -> snap(math.log10(1.0 + 1.0 / d), 6)).toMap
+    def d6(v: Double) = BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val chi2 = snap((1 to 9).map { d =>
+      val e = expected(d) * n
+      d6(math.pow(counts(d) - e, 2.0) / e)
+    }.sum.toDouble, 4)
+    val mad = snap((1 to 9).map { d =>
+      d6(math.abs(snap(counts(d).toDouble / n, 6) - expected(d)))
+    }.sum.toDouble / 9.0, 6)
+    val got = q("audit_benford").collect()
+    assert(got.length == 9)
+    assert(got.map(_.getLong(1)).sum == n, "digits partition the table")
+    got.foreach { r =>
+      val d = r.getInt(0)
+      assert(r.getLong(1) == counts(d), s"digit $d count")
+      assert(math.abs(r.getDouble(3) - expected(d)) < 1e-9, s"digit $d expected")
+      assert(math.abs(r.getDouble(4) - chi2) < 1e-6, "chi2")
+      assert(math.abs(r.getDouble(5) - mad) < 1e-9, "mad")
+    }
+  }
+
+  // -------------------------------------------------------------
+  test("profile audit: per-column nulls/distincts/ranges match a direct model") {
+    val rows = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"), col("ts").cast("long").as("sec"))
+      .collect()
+    val got = q("audit_profile_events").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("event_id", "user_id", "event_type", "value", "props", "sec"))
+    got.values.foreach(r => assert(r.getLong(1) == rows.length.toLong, "n"))
+    def check(name: String, vals: Seq[Any]): Unit = {
+      val r = got(name)
+      assert(r.getLong(2) == vals.filter(_ != null).distinct.size.toLong, s"$name distinct")
+      assert(r.getLong(3) == vals.count(_ == null).toLong, s"$name nulls")
+    }
+    check("event_id", rows.map(_.get(0)).toSeq)
+    check("user_id", rows.map(_.get(1)).toSeq)
+    check("event_type", rows.map(_.get(2)).toSeq)
+    check("value", rows.map(_.get(3)).toSeq)
+    check("props", rows.map(_.get(4)).toSeq)
+    check("sec", rows.map(_.get(5)).toSeq)
+    assert(got("event_id").getDouble(4) == rows.map(_.getLong(0)).min.toDouble, "id min")
+    assert(got("sec").getDouble(5) == rows.map(_.getLong(5)).max.toDouble, "sec max")
+    assert(got("event_type").isNullAt(4) && got("props").isNullAt(5), "non-numeric ranges NULL")
+  }
+
+  // -------------------------------------------------------------
   test("decision stump: information gain per threshold and the best flag match a direct model") {
     val scored = docs.map { case (text, lang, _) =>
       val ws = words(text)
