@@ -32,6 +32,7 @@ object TextQueries {
     NamedQuery("text_readability", readability, Some(readabilitySql)),
     NamedQuery("text_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
     NamedQuery("text_nb_langid", nbLangid, Some(nbLangidSql)),
+    NamedQuery("text_keyphrase_rake", keyphraseRake, Some(keyphraseRakeSql)),
   )
 
   // ---------------------------------------------------------------
@@ -950,4 +951,104 @@ object TextQueries {
        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS frac_of_lang
        |FROM cells ORDER BY lang, lang_pred""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+  // are the maximal stopword-free runs; each word scores
+  // deg(w)/freq(w) (degree = Σ lengths of the phrases it appears in
+  // — favors words that travel in long collocations), a phrase
+  // scores the sum of its words' ratios, and the corpus keyphrase
+  // table is the top-20 phrases by score. The unsupervised
+  // collocation miner a curation pipeline runs to see WHAT a crawl
+  // source is actually about (topic drift, boilerplate templates).
+  //
+  // Scale shape: one doc-keyed window pass assigns stopword-run
+  // islands (positions explode row-locally first), one (doc, island)
+  // reduction materializes phrase occurrences, the word-stat table
+  // is vocabulary-bounded and BROADCASTS back over the exploded
+  // phrase words, phrase scores reduce per distinct phrase, and the
+  // final top-20 is TakeOrderedAndProject — never a global sort.
+  //
+  // Determinism: deg/freq are exact integers; each ratio snaps at
+  // 4 dp and phrase scores sum the snapped ratios in DECIMAL; the
+  // top-20 breaks ties by phrase text. Phrase word order is pinned
+  // by sorting (pos, word) structs — never collect_list order.
+  private def keyphraseRake(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    val toks = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isin(stop: _*))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phrases = toks
+      .withColumn("island", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+      .where(!col("is_stop"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("pw"))
+      .select(
+        concat_ws(" ", expr("transform(pw, x -> x.w)")).as("phrase"),
+        size(col("pw")).cast("long").as("n_words"),
+        expr("transform(pw, x -> x.w)").as("words"))
+    val wordStats = phrases
+      .select(col("n_words"), explode(col("words")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .select(col("w"),
+        rnd(col("deg").cast("double") / col("freq"), 4).cast("decimal(18,4)").as("ratio"))
+    val distinctPhrases = phrases.select(col("phrase"), col("n_words"), col("words")).distinct()
+    val scores = distinctPhrases
+      .select(col("phrase"), col("n_words"), explode(col("words")).as("w"))
+      .join(broadcast(wordStats), "w")
+      .groupBy(col("phrase"), col("n_words"))
+      .agg(sum(col("ratio")).as("score_dec"))
+    val occ = phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
+    scores.join(occ, "phrase")
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        col("score_dec").cast("double").as("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(20)
+  }
+
+  private val keyphraseRakeSql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, pos, w,
+      |    w IN ('the','a','and','of','to','in') AS is_stop
+      |  FROM raw
+      |), isl AS (
+      |  SELECT doc_id, pos, w,
+      |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+      |    is_stop
+      |  FROM toks
+      |), phr AS (
+      |  SELECT string_agg(w, ' ' ORDER BY pos) AS phrase,
+      |    CAST(count(*) AS BIGINT) AS n_words,
+      |    list(w ORDER BY pos) AS words
+      |  FROM isl WHERE NOT is_stop
+      |  GROUP BY doc_id, island
+      |), ws AS (
+      |  SELECT w,
+      |    CAST(CAST(round(CAST(CAST(sum(n_words) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)
+      |      AS DOUBLE) AS DECIMAL(18,4)) AS ratio
+      |  FROM (SELECT n_words, unnest(words) AS w FROM phr)
+      |  GROUP BY w
+      |), dp AS (
+      |  SELECT DISTINCT phrase, n_words, words FROM phr
+      |), sc AS (
+      |  SELECT d.phrase, any_value(d.n_words) AS n_words, sum(ws.ratio) AS score_dec
+      |  FROM (SELECT phrase, n_words, unnest(words) AS w FROM dp) d
+      |  JOIN ws ON ws.w = d.w
+      |  GROUP BY d.phrase
+      |), occ AS (
+      |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences FROM phr GROUP BY 1
+      |)
+      |SELECT sc.phrase, sc.n_words, occ.n_occurrences,
+      |  CAST(sc.score_dec AS DOUBLE) AS score
+      |FROM sc JOIN occ ON occ.phrase = sc.phrase
+      |ORDER BY score DESC, sc.phrase LIMIT 20""".stripMargin
 }

@@ -47,6 +47,8 @@ object StatsQueries {
     NamedQuery("agg_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     NamedQuery("audit_benford", auditBenford, Some(auditBenfordSql)),
     NamedQuery("audit_profile_events", auditProfile, Some(auditProfileSql)),
+    NamedQuery("eval_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
+    NamedQuery("eval_rank_fusion", rankFusion, Some(rankFusionSql)),
   )
 
   private val Ln2 = 0.6931471805599453
@@ -1201,4 +1203,185 @@ object StatsQueries {
       |  UNION ALL SELECT 'props', n, d_props, x_props, NULL, NULL FROM a
       |  UNION ALL SELECT 'sec', n, d_sec, x_sec, mn_sec, mx_sec FROM a
       |) ORDER BY column_name""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Poisson-bootstrap confidence interval for the mean quality score
+  // — THE at-scale bootstrap (Chamandy et al., Google 2012 "Estimating
+  // uncertainty for massive data streams"; Kleiner's BLB is the other
+  // branch): classical resampling needs n draws per replicate
+  // coordinated across the cluster, but multinomial(n, 1/n) counts
+  // converge to iid Poisson(1) weights — so each row independently
+  // computes its own 32 replicate weights in ONE pass, no resampling
+  // shuffle, no coordination. Here the weights are DERANDOMIZED:
+  // w_b(doc) = Poisson(1) inverse CDF at u = md5(doc_id:b)/2³², with
+  // the CDF as nine precomputed INTEGER cutoffs at 2³² scale — the
+  // weight comes from an integer comparison, deterministic and
+  // identical in both engines (no RNG, stable under reruns).
+  //
+  // Scale shape: one corpus pass computes each doc's 32-weight array
+  // row-locally; the replicate explode reduces map-side into 32
+  // (Σwv, Σw) partials, and everything after is 32-row arithmetic.
+  //
+  // Determinism: weights are integers, scores 3-dp — Σwv sums in
+  // DECIMAL; each replicate mean snaps at 6 dp and then QUANTIZES to
+  // an exact integer (×10⁶), so the replicate variance is pure
+  // integer arithmetic (B·ΣM² − (ΣM)²) with no double→decimal snap
+  // anywhere near a halfway point. CI is the normal-approximation
+  // mean ± 1.96·se_boot (the practical form; percentile CIs need
+  // B ≥ a few hundred to mean anything).
+  private val bootB = 32
+  private val poisCuts = Seq(1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L, 4294962463L)
+
+  private def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val cutsArr = poisCuts.mkString("array(", "L, ", "L)")
+    val scored = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .withColumn("v", rnd(
+        lit(0.5) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
+        3).cast("decimal(6,3)"))
+      .withColumn("wts", expr(
+        s"""transform(sequence(0, ${bootB - 1}), b -> size(filter($cutsArr,
+           |  c -> cast(conv(substring(md5(concat(cast(doc_id AS string), ':',
+           |    cast(b AS string))), 1, 8), 16, 10) AS bigint) >= c)))""".stripMargin))
+    // replicate means quantize to exact 6-dp integers (M = m_b·10⁶) so
+    // the variance runs in PURE INTEGER arithmetic — B·ΣM² − (ΣM)² —
+    // with no double→decimal snap anywhere near a halfway point
+    val reps = scored
+      .select(col("v"), posexplode(col("wts")).as(Seq("b", "w")))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("v")).as("swv"), sum(col("w")).as("sw"))
+      .withColumn("mq", (rnd(col("swv").cast("double") / col("sw"), 6)
+        .cast("decimal(18,6)") * 1000000).cast("long"))
+    val full = scored.agg(count(lit(1)).as("n"),
+      rnd(sum(col("v")).cast("double") / count(lit(1)), 6).as("mean_full"))
+    reps
+      .agg(sum(col("mq")).as("sm"), sum(col("mq") * col("mq")).as("smm"))
+      .withColumn("ss_scaled",
+        lit(bootB.toLong) * col("smm") - col("sm") * col("sm"))
+      .withColumn("se_boot", rnd(
+        sqrt(col("ss_scaled").cast("double") / (bootB.toLong * (bootB - 1))) / 1000000.0, 6))
+      .crossJoin(broadcast(full))
+      .select(col("n"), lit(bootB).as("b_replicates"), col("mean_full"),
+        col("se_boot"),
+        rnd(col("mean_full") - lit(1.96) * col("se_boot"), 6).as("ci_lo"),
+        rnd(col("mean_full") + lit(1.96) * col("se_boot"), 6).as("ci_hi"))
+  }
+
+  private lazy val bootstrapCiSql = {
+    val cuts = poisCuts.mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(round(CAST(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+       |      + 0.5 * (1.0 - CAST(round(CAST(CAST(len(list_filter(string_split(text, ' '),
+       |        w -> w IN ('the','a','and','of','to','in'))) AS DOUBLE)
+       |        / len(string_split(text, ' ')) AS DECIMAL(18,8)), 3) AS DOUBLE))
+       |      AS DECIMAL(18,8)), 3) AS DOUBLE) AS DECIMAL(6,3)) AS v
+       |  FROM documents
+       |), reps AS (
+       |  SELECT b,
+       |    sum(w * v) AS swv, CAST(sum(w) AS BIGINT) AS sw
+       |  FROM (
+       |    SELECT s.v, b.b,
+       |      len(list_filter($cuts,
+       |        c -> ('0x' || substring(md5(CAST(s.doc_id AS VARCHAR) || ':' ||
+       |          CAST(b.b AS VARCHAR)), 1, 8))::BIGINT >= c)) AS w
+       |    FROM scored s CROSS JOIN (SELECT unnest(range(0, $bootB)) AS b) b
+       |  ) GROUP BY b
+       |), m AS (
+       |  SELECT b, CAST(CAST(round(CAST(CAST(swv AS DOUBLE) / sw AS DECIMAL(18,8)), 6)
+       |    AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mq
+       |  FROM reps
+       |), ss AS (
+       |  SELECT CAST($bootB * sum(mq * mq) - sum(mq) * sum(mq) AS BIGINT) AS ss_scaled
+       |  FROM m
+       |), fl AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(round(CAST(CAST(sum(v) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_full
+       |  FROM scored
+       |)
+       |SELECT n, $bootB AS b_replicates, mean_full,
+       |  CAST(round(CAST(sqrt(CAST(ss_scaled AS DOUBLE) / ${bootB.toLong * (bootB - 1)}) / 1000000.0
+       |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS se_boot,
+       |  CAST(round(CAST(mean_full - 1.96 * CAST(round(CAST(sqrt(CAST(ss_scaled AS DOUBLE)
+       |    / ${bootB.toLong * (bootB - 1)}) / 1000000.0
+       |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS ci_lo,
+       |  CAST(round(CAST(mean_full + 1.96 * CAST(round(CAST(sqrt(CAST(ss_scaled AS DOUBLE)
+       |    / ${bootB.toLong * (bootB - 1)}) / 1000000.0
+       |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS ci_hi
+       |FROM ss, fl""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Reciprocal rank fusion (Cormack et al., SIGIR 2009) of two
+  // document rankings — quality score and document length — into the
+  // standard RRF ensemble: fused(d) = Σ_r 1/(60 + rank_r(d)). THE
+  // rank-ensembling primitive (multi-signal curation, hybrid
+  // retrieval); rank-based fusion is immune to the signals'
+  // incomparable scales.
+  //
+  // Scale shape: NO global sort anywhere — both signals live on
+  // bounded grids (3-dp score ≤ 1001 levels, word counts similarly
+  // discrete), so each doc's competition rank is `1 + Σ counts of
+  // strictly-better levels`, a cumulative window over the tiny level
+  // table broadcast back over the corpus (the budget_select /
+  // conformal level-table discipline). The top-20 report is
+  // TakeOrderedAndProject.
+  //
+  // Determinism: ranks are exact integers; each reciprocal is the
+  // same double in both engines (integer inputs, one division) and
+  // the 2-term sum is order-fixed; fused snaps at 8.
+  private def rankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .withColumn("v", rnd(
+        lit(0.5) * least(col("nw").cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("nw"), 3)),
+        3))
+      .select(col("doc_id"), col("v"), col("nw"))
+    def ranks(valCol: String): DataFrame = {
+      val w = Window.orderBy(col(valCol).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      scored.groupBy(col(valCol)).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", coalesce(sum(col("cnt")).over(w), lit(0L)) + 1)
+        .select(col(valCol), col("rk"))
+    }
+    scored
+      .join(broadcast(ranks("v").withColumnRenamed("rk", "rank_quality")), "v")
+      .join(broadcast(ranks("nw").withColumnRenamed("rk", "rank_length")), "nw")
+      .withColumn("rrf_score", rnd(
+        lit(1.0) / (lit(60) + col("rank_quality")) + lit(1.0) / (lit(60) + col("rank_length")), 8))
+      .select(col("doc_id"), col("rank_quality"), col("rank_length"), col("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+  }
+
+  private val rankFusionSql =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(CAST(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |      + 0.5 * (1.0 - CAST(round(CAST(CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','and','of','to','in'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) AS DECIMAL(18,8)), 3) AS DOUBLE))
+      |      AS DECIMAL(18,8)), 3) AS DOUBLE) AS v,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id,
+      |    rank() OVER (ORDER BY v DESC) AS rank_quality,
+      |    rank() OVER (ORDER BY nw DESC) AS rank_length
+      |  FROM scored
+      |)
+      |SELECT doc_id, CAST(rank_quality AS BIGINT) AS rank_quality,
+      |  CAST(rank_length AS BIGINT) AS rank_length,
+      |  CAST(round(CAST(1.0 / (60 + rank_quality) + 1.0 / (60 + rank_length)
+      |    AS DECIMAL(18,8)), 8) AS DOUBLE) AS rrf_score
+      |FROM r
+      |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
 }

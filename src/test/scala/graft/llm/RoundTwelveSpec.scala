@@ -212,6 +212,43 @@ class RoundTwelveSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("RAKE: phrase scores equal the direct deg/freq model; top-20 ordering holds") {
+    val stop = Set("the", "a", "and", "of", "to", "in")
+    val docs = graft.ops.Tables.table(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("text")).collect().map(_.getString(0))
+    // direct model: stopword-free runs per doc
+    val phrases = docs.flatMap { text =>
+      val runs = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+      var cur = Vector.empty[String]
+      text.split(" ", -1).foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) { runs += cur; cur = Vector.empty } }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) runs += cur
+      runs.toSeq
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val deg = phrases.flatMap(p => p.map(w => w -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def snap4(v: Double) = BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val score = phrases.distinct.map { p =>
+      (p.mkString(" "), p.length.toLong, p.map(w => snap4(deg(w).toDouble / freq(w))).sum.toDouble)
+    }
+    val occ = phrases.groupBy(_.mkString(" ")).view.mapValues(_.length.toLong).toMap
+    val expected = score.sortBy { case (ph, _, s) => (-s, ph) }.take(20)
+    val got = q("text_keyphrase_rake").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(2)))
+    assert(got.length == math.min(20, score.length))
+    got.zip(expected).foreach { case ((gp, gn, gs, go), (ep, en, es)) =>
+      assert(gp == ep, s"phrase order: $gp vs $ep")
+      assert(gn == en, s"$gp n_words")
+      assert(math.abs(gs - es) < 1e-9, s"$gp score $gs vs $es")
+      assert(go == occ(gp), s"$gp occurrences")
+    }
+  }
+
+  // -------------------------------------------------------------
   test("calibration bins: partition the corpus, fractions in range, gap consistent") {
     val rows = q("eval_calibration_bins").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))

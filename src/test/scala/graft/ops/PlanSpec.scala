@@ -770,4 +770,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"),
       "the merge chain is a projection, not a join against a merge table: " + p.take(600))
   }
+
+  test("concurrency: within-hour windows partition by hour; only the tiny carry is single-partition") {
+    val p = plan("events_concurrency")
+    assert(p.contains("hashpartitioning(hour"),
+      "the within-hour running sum must partition by hour, not sort globally: " + p.take(800))
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles <= 2,
+      s"only the calendar-bounded carry/spine may be single-partition (got $singles): " + p.take(800))
+  }
+
+  test("NB langid: model broadcasts, one doc-keyed join, argmax is row-local") {
+    val p = plan("text_nb_langid")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabulary-bounded model must broadcast: " + p.take(800))
+    // the designed shape: hits reduce per doc_id, then ONE doc-keyed
+    // equi-join against the stats projection — never a (doc, lang)
+    // dense join (5x the rows) and never a per-doc window argmax
+    val smjCount = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(smjCount <= 1, s"only the doc-keyed stats join may shuffle (got $smjCount): " + p.take(800))
+    assert("(SortMergeJoin|ShuffledHashJoin) \\[doc_id#\\d+L?, ".r.findFirstIn(p).isEmpty,
+      "no (doc, lang)-keyed dense join — the shuffle join keys on doc_id alone")
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      "per-doc argmax must be the row-local array_max, not a per-doc window")
+  }
+
+  test("KMV: per-type k-smallest rewrites to WindowGroupLimit") {
+    val p = plan("agg_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must group-limit so at most k rows per type survive: " + p.take(800))
+  }
+
+  test("CUPED: per-arm sufficient statistics combine map-side") {
+    val p = plan("events_ab_cuped")
+    assert(p.contains("partial_"),
+      "the 6-statistic reduction must have map-side partials: " + p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row boundary frame must broadcast, never cartesian: " + p.take(600))
+  }
+
+  test("hourly-series family: one (type, hour) reduction with partials, no cartesian") {
+    Seq("events_autocorr", "events_forecast_backtest", "events_seasonality_strength")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("partial_"), s"$q: counts must combine map-side: " + p.take(600))
+        assert(!p.contains("CartesianProduct"), s"$q: no cartesian: " + p.take(600))
+      }
+  }
 }

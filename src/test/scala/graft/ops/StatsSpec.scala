@@ -347,6 +347,76 @@ class StatsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("Poisson bootstrap: derandomized weights and the integer variance match a direct model") {
+    val cuts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L, 4294962463L)
+    def md5u32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docsWithId = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val scored = docsWithId.map { case (id, text) => (id, quality(text)) }
+    val b = 32
+    val mq = (0 until b).map { rep =>
+      var swv = BigDecimal(0); var sw = 0L
+      scored.foreach { case (id, v) =>
+        val w = cuts.count(c => md5u32(s"$id:$rep") >= c)
+        swv += BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) * w
+        sw += w
+      }
+      (BigDecimal(snap(swv.toDouble / sw, 6)) * 1000000).toLongExact
+    }
+    val sm = mq.sum; val smm = mq.map(m => m * m).sum
+    val ssScaled = b * smm - sm * sm
+    val se = snap(math.sqrt(ssScaled.toDouble / (b.toLong * (b - 1))) / 1e6, 6)
+    val meanFull = snap(scored.map(s =>
+      BigDecimal(s._2).setScale(3, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / scored.length, 6)
+    val r = q("eval_bootstrap_ci").collect().head
+    assert(r.getLong(0) == scored.length.toLong, "n")
+    assert(r.getInt(1) == b, "b_replicates")
+    assert(math.abs(r.getDouble(2) - meanFull) < 1e-9, "mean_full")
+    assert(math.abs(r.getDouble(3) - se) < 1e-9, s"se_boot ${r.getDouble(3)} vs $se")
+    assert(math.abs(r.getDouble(4) - snap(meanFull - 1.96 * se, 6)) < 1e-9, "ci_lo")
+    assert(math.abs(r.getDouble(5) - snap(meanFull + 1.96 * se, 6)) < 1e-9, "ci_hi")
+    // the bootstrap sanity: the CI contains the point estimate, se > 0
+    assert(se > 0 && r.getDouble(4) < meanFull && meanFull < r.getDouble(5))
+    // weights behave like Poisson(1): total resample mass within 25% of n per replicate
+    val masses = (0 until b).map(rep => scored.map(s => cuts.count(c => md5u32(s"${s._1}:$rep") >= c)).sum)
+    masses.foreach(m => assert(math.abs(m - scored.length) < scored.length * 0.25, s"mass $m"))
+  }
+
+  // -------------------------------------------------------------
+  test("rank fusion: level-table competition ranks equal direct ranks; RRF top-20 ordering holds") {
+    val rows = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val scored = rows.map { case (id, text) =>
+      (id, quality(text), words(text).length.toLong)
+    }
+    def rankOf[T](vals: Seq[T], v: T)(implicit o: Ordering[T]): Long =
+      vals.count(x => o.gt(x, v)).toLong + 1
+    val qs = scored.map(_._2).toSeq
+    val ls = scored.map(_._3).toSeq
+    val fused = scored.map { case (id, v, nw) =>
+      val rq = rankOf(qs, v)
+      val rl = rankOf(ls, nw)
+      (id, rq, rl, snap(1.0 / (60 + rq) + 1.0 / (60 + rl), 8))
+    }
+    val expected = fused.sortBy { case (id, _, _, s) => (-s, id) }.take(20)
+    val got = q("eval_rank_fusion").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1, s"order: ${g._1} vs ${e._1}")
+      assert(g._2 == e._2 && g._3 == e._3, s"doc ${g._1} ranks")
+      assert(math.abs(g._4 - e._4) < 1e-12, s"doc ${g._1} rrf")
+    }
+  }
+
+  // -------------------------------------------------------------
   test("decision stump: information gain per threshold and the best flag match a direct model") {
     val scored = docs.map { case (text, lang, _) =>
       val ws = words(text)
