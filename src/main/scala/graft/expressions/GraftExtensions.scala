@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(children.length == 3, "nearest_cell expects exactly 3 arguments")
       NearestCell(children(0), children(1), children(2))
     }
+    val jw: FunctionBuilder = { (children: Seq[Expression]) =>
+      require(children.length == 2, "jaro_winkler expects exactly 2 arguments")
+      JaroWinkler(children(0), children(1))
+    }
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - sequential dot product of two array<double> columns"),
       dot))
@@ -77,5 +81,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nearest_cell"),
       info("nearest_cell", "nearest_cell(v, nrm, cells) - centroid id with the highest 4-dp-rounded cosine against the array<struct<cid, cv, cn>> codebook"),
       nearest))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - textbook Jaro-Winkler string similarity (0.7 boost threshold, prefix <= 4, either-empty -> 0.0; DuckDB-compatible)"),
+      jw))
   }
 }

@@ -61,6 +61,7 @@ object MoreRelational {
     NamedQuery("audit_referential", auditReferential, Some(auditReferentialSql)),
     NamedQuery("graph_pagerank_step", pagerankStep, Some(pagerankStepSql)),
     NamedQuery("agg_decay_halflife", decayHalflife, Some(decayHalflifeSql)),
+    NamedQuery("join_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)),
   )
 
   // ---------------------------------------------------------------
@@ -1361,4 +1362,49 @@ object MoreRelational {
       |SELECT event_type, n, decayed_weight, decayed_sum,
       |  CAST(round(CAST(decayed_sum / decayed_weight AS DECIMAL(18,8)), 6) AS DOUBLE) AS decayed_avg
       |FROM agg ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Fuzzy entity resolution over part names — the record-linkage idiom
+  // on the native [[graft.expressions.JaroWinkler]] Catalyst expression
+  // (Spark ships levenshtein/soundex but no Jaro-Winkler; a Scala UDF
+  // here would box every pair and break whole-stage codegen — the
+  // expression inlines as one static call). Scale shape: the corpus
+  // first reduces to its NAME VOCABULARY with frequencies (one
+  // map-side-combinable pass — 100 TB of rows, |V| distinct names), and
+  // the quadratic runs only over the bounded vocabulary via a broadcast
+  // self-join (|V|² pairs, SF-independent here: the name generator is a
+  // fixed 8×8 grid). An unbounded vocabulary gets the dedup family's
+  // remediation: block on a cheap key (first token / soundex) and cap
+  // block occupancy — the dedup_jaccard_capped discipline.
+  //
+  // Determinism: jw is a rational of small integers computed identically
+  // in both engines (textbook Winkler, 0.7 boost threshold — pinned
+  // against DuckDB 1.0 in JaroWinklerSpec), snapped at 6 dp before the
+  // filter so the cut cannot drift cross-engine.
+  private def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = table(spark, dir, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+    val a = vocab.select(col("p_name").as("name_a"), col("n").as("n_a"))
+    val b = vocab.select(col("p_name").as("name_b"), col("n").as("n_b"))
+    a.join(broadcast(b), col("name_a") < col("name_b"))
+      .withColumn("jw",
+        rnd(graft.expressions.StringSimFunctions.jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= 0.84)
+      .select(col("name_a"), col("name_b"), col("jw"), col("n_a"), col("n_b"))
+      .orderBy(col("jw").desc, col("name_a"), col("name_b"))
+  }
+
+  private val fuzzyMatchSql =
+    """WITH vocab AS (
+      |  SELECT p_name, count(*) AS n FROM part GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |    CAST(round(CAST(jaro_winkler_similarity(a.p_name, b.p_name)
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS jw,
+      |    a.n AS n_a, b.n AS n_b
+      |  FROM vocab a JOIN vocab b ON a.p_name < b.p_name
+      |)
+      |SELECT name_a, name_b, jw, n_a, n_b
+      |FROM pairs WHERE jw >= 0.84
+      |ORDER BY jw DESC, name_a, name_b""".stripMargin
 }
