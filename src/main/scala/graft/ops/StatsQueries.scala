@@ -49,6 +49,8 @@ object StatsQueries {
     NamedQuery("audit_profile_events", auditProfile, Some(auditProfileSql)),
     NamedQuery("eval_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     NamedQuery("eval_rank_fusion", rankFusion, Some(rankFusionSql)),
+    NamedQuery("eval_theilsen_trend", theilsenTrend, Some(theilsenTrendSql)),
+    NamedQuery("agg_countmin_audit", countMinAudit, Some(countMinAuditSql)),
   )
 
   private val Ln2 = 0.6931471805599453
@@ -1384,4 +1386,170 @@ object StatsQueries {
       |    AS DECIMAL(18,8)), 8) AS DOUBLE) AS rrf_score
       |FROM r
       |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Theil-Sen robust trend + Mann-Kendall test of the daily event
+  // volume per type — the outlier-resistant alternative to the OLS
+  // trend (eval_ols_doclen): the Sen slope is the MEDIAN of all
+  // pairwise day-to-day slopes (a single corrupted day moves OLS
+  // arbitrarily, moves the median not at all), and the Mann-Kendall S
+  // statistic is the integer sum of pairwise signs, with its normal
+  // approximation z = (S - sgn(S)) / sqrt(n(n-1)(2n+5)/18).
+  //
+  // Scale shape: ONE map-side-combinable pass reduces the corpus to
+  // |types| × |days| rows (the time SPAN is fixed by the data's
+  // calendar, not its volume — 100 TB of events over the same month
+  // still reduces to 30 rows per type); the pairwise self-join runs
+  // only over that bounded frame. An unbounded span gets windowed
+  // Theil-Sen (pairs within a bounded day lag) — the standard
+  // remediation, noted not needed at any tested SF.
+  //
+  // Determinism: daily counts and MK signs are exact integers; each
+  // slope is one double division snapped at 6 dp BEFORE the median
+  // (both engines interpolate even-count medians as the mean of the
+  // two middle values — identical on 6-dp-snapped operands).
+  private def theilsenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .withColumn("day", floor(col("ts").cast("long") / 86400L).cast("long"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val nd = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+    val b = daily.select(col("event_type").as("et2"), col("day").as("d2"), col("n").as("n2"))
+    val pairs = daily
+      .join(b, col("event_type") === col("et2") && col("day") < col("d2"))
+      .withColumn("slope",
+        rnd((col("n2") - col("n")).cast("double") / (col("d2") - col("day")), 6))
+      .withColumn("sgn",
+        when(col("n2") > col("n"), 1L).when(col("n2") < col("n"), -1L).otherwise(0L))
+    val st = pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("mk_s"),
+        rnd(median(col("slope")), 6).as("sen_slope"))
+    nd.join(st, Seq("event_type"))
+      .withColumn("mk_z", rnd(
+        (col("mk_s") - signum(col("mk_s"))).cast("double")
+          / sqrt((col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5))
+            .cast("double") / 18.0d), 6))
+      .select(col("event_type"), col("n_days"), col("n_events"), col("n_pairs"),
+        col("mk_s"), col("sen_slope"), col("mk_z"))
+      .orderBy(col("event_type"))
+  }
+
+  private val theilsenTrendSql =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts)//1000000000//86400 AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT event_type, count(*) AS n_days, sum(n) AS n_events FROM daily GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.event_type,
+      |    CAST(round(CAST(CAST(b.n - a.n AS DOUBLE) / (b.day - a.day)
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS slope,
+      |    CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+      |), st AS (
+      |  SELECT event_type, count(*) AS n_pairs, sum(sgn) AS mk_s,
+      |    CAST(round(CAST(median(slope) AS DECIMAL(18,8)), 6) AS DOUBLE) AS sen_slope
+      |  FROM pairs GROUP BY 1
+      |)
+      |SELECT nd.event_type, nd.n_days, CAST(nd.n_events AS BIGINT) AS n_events,
+      |  st.n_pairs, CAST(st.mk_s AS BIGINT) AS mk_s, st.sen_slope,
+      |  CAST(round(CAST(CAST(st.mk_s
+      |      - (CASE WHEN st.mk_s > 0 THEN 1 WHEN st.mk_s < 0 THEN -1 ELSE 0 END) AS DOUBLE)
+      |    / sqrt(CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) AS DOUBLE) / 18.0)
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mk_z
+      |FROM nd JOIN st USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Count-Min sketch accuracy audit over per-user event counts — the
+  // heavy-hitter sketch (Cormode & Muthukrishnan) next to KMV
+  // (distinct counting) and SpaceSaving (streaming top-k): depth 4 ×
+  // width 64 counters under pairwise-independent hashes
+  // h_d(u) = ((a_d·u + b_d) mod P) mod W with P = 2^31 - 1, estimate =
+  // min over depths, which can only OVER-estimate. The audit reports
+  // the top-20 exact heavy hitters with their sketch estimates and
+  // overestimates (exact integers), plus the guarantee line: eps·N =
+  // (e/W)·N, the additive error bound held with prob 1 - e^-depth.
+  //
+  // Scale shape: the sketch is the POINT at 100 TB — counters build in
+  // one map-side-combinable pass (the per-(d, idx) reduction is the
+  // sketch-merge monoid; 256 cells total regardless of user
+  // cardinality) and broadcast back over the top-k probe (itself a
+  // TakeOrdered). The per-user exact side exists only because this IS
+  // the accuracy audit; production reads the sketch alone.
+  //
+  // Determinism: everything through the min() is 64-bit integer
+  // arithmetic (a_d·u fits: a < 2^21, u < 2^42); only the final
+  // relative-overestimate ratio divides, snapped at 6 dp.
+  private val CmW = 64
+  private val CmA = Seq(1048573L, 2097143L, 524287L, 131071L)
+  private val CmB = Seq(12289L, 786433L, 40961L, 5L)
+  private val CmP = 2147483647L
+
+  private def countMinAudit(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    def idx(d: Int, u: Column): Column =
+      ((u * CmA(d) + CmB(d)) % CmP) % CmW
+    // counters: one exploded pass over the per-user reduction — the
+    // same 256 cells a direct stream sketch would hold (sum of counts
+    // per cell ≡ sketching the raw stream, counter by counter)
+    val depths = (0 until CmA.size).map { d =>
+      perUser.select(lit(d).as("d"), idx(d, col("user_id")).as("cell"),
+        col("n_exact").as("n"))
+    }.reduce(_.unionAll(_))
+    val counters = depths.groupBy(col("d"), col("cell")).agg(sum(col("n")).as("cnt"))
+    val total = perUser.agg(sum(col("n_exact")).as("n_total"))
+    val top = perUser
+      .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+    val probes = (0 until CmA.size).map { d =>
+      top.select(col("user_id"), col("n_exact"),
+        lit(d).as("d"), idx(d, col("user_id")).as("cell"))
+    }.reduce(_.unionAll(_))
+    probes.join(broadcast(counters), Seq("d", "cell"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .crossJoin(broadcast(total))
+      .withColumn("overest", col("n_est") - col("n_exact"))
+      .withColumn("rel_overest", rnd(
+        (col("n_est") - col("n_exact")).cast("double") / col("n_exact"), 6))
+      .withColumn("eps_n", rnd(lit(math.E) / CmW * col("n_total"), 2))
+      .withColumn("within_bound", col("n_est") - col("n_exact") <= lit(math.E) / CmW * col("n_total"))
+      .select(col("user_id"), col("n_exact"), col("n_est"), col("overest"),
+        col("rel_overest"), col("eps_n"), col("within_bound"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  private val countMinAuditSql = {
+    val cells = (0 until CmA.size).map { d =>
+      s"SELECT user_id, n_exact, $d AS d, ((user_id * ${CmA(d)} + ${CmB(d)}) % $CmP) % $CmW AS cell FROM per_user"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH per_user AS (
+      |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
+      |), hashes AS (
+      |  $cells
+      |), counters AS (
+      |  SELECT d, cell, sum(n_exact) AS cnt FROM hashes GROUP BY 1, 2
+      |), total AS (
+      |  SELECT sum(n_exact) AS n_total FROM per_user
+      |), top AS (
+      |  SELECT user_id, n_exact FROM per_user
+      |  ORDER BY n_exact DESC, user_id LIMIT 20
+      |), est AS (
+      |  SELECT h.user_id, h.n_exact, min(c.cnt) AS n_est
+      |  FROM hashes h
+      |  JOIN top t ON t.user_id = h.user_id
+      |  JOIN counters c ON c.d = h.d AND c.cell = h.cell
+      |  GROUP BY 1, 2
+      |)
+      |SELECT user_id, n_exact, CAST(n_est AS BIGINT) AS n_est,
+      |  CAST(n_est - n_exact AS BIGINT) AS overest,
+      |  CAST(round(CAST(CAST(n_est - n_exact AS DOUBLE) / n_exact
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS rel_overest,
+      |  CAST(round(CAST(2.718281828459045 / $CmW * t.n_total
+      |    AS DECIMAL(18,8)), 2) AS DOUBLE) AS eps_n,
+      |  (n_est - n_exact) <= 2.718281828459045 / $CmW * t.n_total AS within_bound
+      |FROM est, total t
+      |ORDER BY n_exact DESC, user_id""".stripMargin
+  }
 }

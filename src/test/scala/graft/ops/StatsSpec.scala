@@ -495,6 +495,60 @@ class StatsSpec extends AnyFunSuite {
       "purchase-touch pairing must key on user_id with the hour range as residual: " + p.take(600))
   }
 
+  test("Theil-Sen / Mann-Kendall: slope median and S statistic match a direct model") {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("ts").cast("long") / 86400L).cast("long").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = q("eval_theilsen_trend").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4), r.getDouble(5))).toMap
+    got.foreach { case (et, (nDays, mkS, senSlope)) =>
+      val days = daily.collect { case ((t, d), n) if t == et => (d, n) }.toSeq.sortBy(_._1)
+      assert(nDays === days.length.toLong, s"$et n_days")
+      val pairs = for {
+        i <- days.indices; j <- (i + 1) until days.length
+      } yield (days(i), days(j))
+      val s = pairs.map { case ((_, n1), (_, n2)) => java.lang.Long.signum(n2 - n1).toLong }.sum
+      assert(mkS === s, s"$et mk_s")
+      val slopes = pairs.map { case ((d1, n1), (d2, n2)) =>
+        snap((n2 - n1).toDouble / (d2 - d1), 6)
+      }.sorted
+      val m = slopes.length
+      val med =
+        if (m % 2 == 1) slopes(m / 2) else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+      assert(math.abs(senSlope - snap(med, 6)) < 1e-9, s"$et sen_slope")
+      // robustness: corrupting ONE day by 10x moves the mean slope but
+      // not the median-of-pairs beyond the pair fraction it touches
+      val corrupted = days.updated(0, (days.head._1, days.head._2 * 10))
+      val cSlopes = (for {
+        i <- corrupted.indices; j <- (i + 1) until corrupted.length
+      } yield snap((corrupted(j)._2 - corrupted(i)._2).toDouble /
+        (corrupted(j)._1 - corrupted(i)._1), 6)).sorted
+      val cMed = if (m % 2 == 1) cSlopes(m / 2) else (cSlopes(m / 2 - 1) + cSlopes(m / 2)) / 2.0
+      val spread = slopes.last - slopes.head
+      assert(math.abs(cMed - med) <= spread,
+        s"$et median blew up under single-day corruption: $med -> $cMed")
+    }
+  }
+
+  test("Count-Min: estimates never underestimate, bound column is exact, top-20 is the exact top") {
+    val rows = q("agg_countmin_audit").collect()
+    assert(rows.length === math.min(20,
+      Tables.events(spark, dir).select(col("user_id")).distinct().count()).toInt)
+    val exact = Tables.events(spark, dir).groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nTotal = exact.values.sum
+    val top = exact.toSeq.sortBy { case (u, n) => (-n, u) }.take(20).toMap
+    rows.foreach { r =>
+      val (u, nEx, nEst, over) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(top(u) === nEx, s"user $u exact count")
+      assert(nEst >= nEx, s"user $u CM underestimated: $nEst < $nEx")
+      assert(over === nEst - nEx)
+      assert(r.getDouble(5) === snap(math.E / 64.0 * nTotal, 2), "eps_n")
+      assert(r.getBoolean(6) === (over <= math.E / 64.0 * nTotal), "within_bound")
+    }
+  }
+
   test("stats plans: corpus reduces before the tiny-frame math") {
     // MI: the only exchange over corpus-sized data is the contingency
     // reduction — the window math runs on the |S|x|L| frame
