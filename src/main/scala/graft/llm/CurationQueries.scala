@@ -42,6 +42,7 @@ object CurationQueries {
     NamedQuery("pipeline_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     NamedQuery("pipeline_length_batches", lengthBatches, Some(lengthBatchesSql)),
     NamedQuery("curate_length_trim", lengthTrim, Some(lengthTrimSql)),
+    NamedQuery("curate_quantile_norm", quantileNorm, Some(quantileNormSql)),
   )
 
   // ---------------------------------------------------------------
@@ -1276,4 +1277,79 @@ object CurationQueries {
       |FROM terms GROUP BY source, n_docs
       |ORDER BY source""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Quantile normalization of the per-source length distribution onto
+  // the pooled corpus distribution — the cross-source score
+  // harmonization step (microarray-style quantile normalization): a
+  // doc at within-source rank fraction r is remapped to the pooled
+  // value at the same fraction, so every source's normalized
+  // distribution becomes the SAME pooled distribution and downstream
+  // thresholds (length trims, quality cuts) stop meaning different
+  // things per source. The rank mapping is pure integer arithmetic:
+  // pos = 1 + round((r-1)(N-1)/(n_s-1)) computed as a floor of
+  // cross-multiplied BIGINTs — no float rank ever exists, so the
+  // mapping cannot drift cross-engine.
+  //
+  // Scale shape: two rank passes (one per source — the natural
+  // partition; one pooled) and an equi-join on the integer position.
+  // The pooled rank is the one global sort; at 100 TB it swaps for an
+  // approx-quantile grid (map each r to the KLL sketch's quantile at
+  // that fraction — the agg_percentiles_approx discipline) or a
+  // range-partitioned two-pass rank; the per-source passes and the
+  // position join are shape-unchanged.
+  private def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val nTot = d.agg(count(lit(1)).as("n_pool"))
+    val pool = d.select(col("n_chars").as("v"),
+      row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))).as("pos"))
+    val ranked = d
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .crossJoin(broadcast(nTot))
+      .withColumn("pos", expr(
+        """CASE WHEN n_s = 1 THEN (n_pool + 1) div 2
+          |     ELSE 1 + (2 * (r - 1) * (n_pool - 1) + (n_s - 1)) div (2 * (n_s - 1))
+          |END""".stripMargin))
+    ranked.join(pool, Seq("pos"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rnd(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("mean_raw"),
+        rnd(sum(col("v")).cast("double") / count(lit(1)), 2).as("mean_norm"),
+        min(col("v")).as("min_norm"),
+        max(col("v")).as("max_norm"))
+      .select(col("source"), col("n_docs"), col("mean_raw"), col("mean_norm"),
+        col("min_norm"), col("max_norm"))
+      .orderBy(col("source"))
+  }
+
+  private val quantileNormSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), np AS (
+      |  SELECT count(*) AS n_pool FROM d
+      |), pool AS (
+      |  SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars, doc_id) AS pos FROM d
+      |), ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY source) AS n_s
+      |  FROM d
+      |), mapped AS (
+      |  SELECT rk.source, rk.n_chars,
+      |    CASE WHEN rk.n_s = 1 THEN (np.n_pool + 1) // 2
+      |         ELSE 1 + (2 * (rk.r - 1) * (np.n_pool - 1) + (rk.n_s - 1)) // (2 * (rk.n_s - 1))
+      |    END AS pos
+      |  FROM ranked rk, np
+      |)
+      |SELECT m.source, count(*) AS n_docs,
+      |  CAST(round(CAST(CAST(sum(m.n_chars) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 2) AS DOUBLE) AS mean_raw,
+      |  CAST(round(CAST(CAST(sum(p.v) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 2) AS DOUBLE) AS mean_norm,
+      |  min(p.v) AS min_norm, max(p.v) AS max_norm
+      |FROM mapped m JOIN pool p ON p.pos = m.pos
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }

@@ -53,6 +53,7 @@ object SimilarityQueries {
     NamedQuery("pipeline_decontaminate_semantic", decontaminateSemantic,
       Some(decontaminateSemanticSql)),
     NamedQuery("sim_pagerank_central", pagerankCentral, Some(pagerankCentralSql)),
+    NamedQuery("sim_graph_assort", graphAssort, Some(graphAssortSql)),
   )
 
   private val dot =
@@ -2680,4 +2681,91 @@ object SimilarityQueries {
       |FROM ranked WHERE cell_rank <= 3
       |ORDER BY cid, cell_rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Degree assortativity of the persisted kNN graph — the third index
+  // health audit next to sim_graph_reach (edge quality/reciprocity)
+  // and sim_pagerank_central (centrality): the Pearson correlation of
+  // IN-degree across edge endpoints (out-degree is constant = the
+  // graph's degree knob, so in-degree carries all the structure).
+  // Strongly NEGATIVE assortativity marks hub-and-spoke topology —
+  // many low-degree vectors all pointing at a few hubs — exactly the
+  // regions where beam search loses recall (the reciprocity finding
+  // made quantitative as one number); ~0 marks the benign homogeneous
+  // topology. Also reports n_orphans (vectors no neighborhood cites —
+  // unreachable by graph expansion from anywhere, an index defect
+  // counter).
+  //
+  // Scale shape: runs entirely off the O(N·degree) edge sidecar — one
+  // in-degree aggregation, two equi-joins to decorate edge endpoints,
+  // then a single-row reduction of six integer sufficient statistics.
+  // The corpus parquet is never scanned; all sums are exact BIGINTs
+  // (degree ≤ N keeps every product far inside 2^63), and the one
+  // division happens once on the final row, snapped at 6 dp. The
+  // denominator keeps the sqrt(a)·sqrt(b) factored form in BOTH
+  // engines (sqrt(a·b) rounds differently).
+  private def graphAssort(spark: SparkSession, dir: String): DataFrame = {
+    trainedCodebook(spark, dir)
+    val edges = KnnGraphStore.loadOrBuild(spark, dir)
+      .select(col("src_id"), col("dst_id"))
+    val nodes = KnnGraphStore.loadAssign(spark, dir).select(col("vec_id"))
+    val indeg = edges.groupBy(col("dst_id")).agg(count(lit(1)).as("ind0"))
+    val nodeDeg = nodes
+      .join(indeg, nodes("vec_id") === indeg("dst_id"), "left")
+      .select(col("vec_id"), coalesce(col("ind0"), lit(0L)).as("ind"))
+    val x = nodeDeg.select(col("vec_id").as("src_id"), col("ind").as("dx"))
+    val y = nodeDeg.select(col("vec_id").as("dst_id"), col("ind").as("dy"))
+    val st = edges.join(x, "src_id").join(y, "dst_id")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+    val ns = nodeDeg.agg(
+      count(lit(1)).as("n_nodes"),
+      max(col("ind")).as("max_indeg"),
+      sum(when(col("ind") === 0L, 1L).otherwise(0L)).as("n_orphans"))
+    val vx = col("n_edges") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n_edges") * col("syy") - col("sy") * col("sy")
+    st.crossJoin(ns)
+      .withColumn("assortativity",
+        when(vx > 0L && vy > 0L,
+          graft.ops.Registry.rnd((col("n_edges") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+          .otherwise(lit(null).cast("double")))
+      .select(col("n_nodes"), col("n_edges"), col("max_indeg"), col("n_orphans"),
+        col("assortativity"))
+  }
+
+  private def graphAssortSql: String =
+    s"""WITH $graphCoreCtes, ind0 AS (
+      |  SELECT dst_id, count(*) AS ind FROM graph GROUP BY dst_id
+      |), indeg AS MATERIALIZED (
+      |  SELECT a.vec_id, CAST(coalesce(i.ind, 0) AS BIGINT) AS ind
+      |  FROM assign a LEFT JOIN ind0 i ON i.dst_id = a.vec_id
+      |), st AS (
+      |  SELECT count(*) AS n_edges,
+      |    sum(x.ind) AS sx, sum(y.ind) AS sy,
+      |    sum(x.ind * x.ind) AS sxx, sum(y.ind * y.ind) AS syy,
+      |    sum(x.ind * y.ind) AS sxy
+      |  FROM graph g
+      |  JOIN indeg x ON x.vec_id = g.src_id
+      |  JOIN indeg y ON y.vec_id = g.dst_id
+      |), ns AS (
+      |  SELECT count(*) AS n_nodes, max(ind) AS max_indeg,
+      |    sum(CASE WHEN ind = 0 THEN 1 ELSE 0 END) AS n_orphans
+      |  FROM indeg
+      |)
+      |SELECT ns.n_nodes, CAST(st.n_edges AS BIGINT) AS n_edges, ns.max_indeg,
+      |  CAST(ns.n_orphans AS BIGINT) AS n_orphans,
+      |  CASE WHEN st.n_edges * st.sxx - st.sx * st.sx > 0
+      |        AND st.n_edges * st.syy - st.sy * st.sy > 0
+      |    THEN CAST(round(CAST(
+      |      CAST(st.n_edges * st.sxy - st.sx * st.sy AS DOUBLE)
+      |        / (sqrt(CAST(st.n_edges * st.sxx - st.sx * st.sx AS DOUBLE))
+      |           * sqrt(CAST(st.n_edges * st.syy - st.sy * st.sy AS DOUBLE)))
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |    ELSE NULL END AS assortativity
+      |FROM st, ns""".stripMargin
 }

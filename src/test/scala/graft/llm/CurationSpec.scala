@@ -124,6 +124,29 @@ class CurationSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not full-sort")
   }
 
+  test("quantile norm: every source's normalized distribution IS the pooled shape") {
+    val rows = run("curate_quantile_norm").collect()
+    assert(rows.nonEmpty)
+    // sources of equal size map onto identical pooled positions -> the
+    // normalized mean/min/max must agree EXACTLY wherever n_docs agree
+    val bySize = rows.groupBy(_.getAs[Long]("n_docs"))
+    bySize.foreach { case (_, g) =>
+      assert(g.map(_.getAs[Double]("mean_norm")).distinct.length === 1,
+        "equal-size sources must normalize to the same mean")
+      assert(g.map(_.getAs[Long]("min_norm")).distinct.length === 1)
+      assert(g.map(_.getAs[Long]("max_norm")).distinct.length === 1)
+    }
+    // the mapping preserves order: pooled extremes bound every source
+    val pooled = graft.ops.Tables.table(spark, dir, "documents")
+      .agg(org.apache.spark.sql.functions.min("n_chars"),
+        org.apache.spark.sql.functions.max("n_chars"))
+      .collect().head
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_norm") >= pooled.getLong(0))
+      assert(r.getAs[Long]("max_norm") <= pooled.getLong(1))
+    }
+  }
+
   test("domain mix: the smallest source gets rate 1.0, all rates in (0,1]") {
     val rows = run("pipeline_domain_mix").collect()
     assert(rows.nonEmpty)

@@ -128,6 +128,31 @@ class KnnGraphStoreSpec extends AnyFunSuite {
     assert(again.toVector === out.toVector)
   }
 
+  test("assortativity: sufficient statistics match a direct model over the sidecar edges") {
+    val row = graft.SparkEntry.queries("sim_graph_assort")(spark, dir).collect().head
+    val edges = graft.llm.KnnGraphStore.loadOrBuild(spark, dir)
+      .select(org.apache.spark.sql.functions.col("src_id"),
+        org.apache.spark.sql.functions.col("dst_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = graft.llm.KnnGraphStore.loadAssign(spark, dir)
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .collect().map(_.getLong(0))
+    val ind = nodes.map(v => v -> edges.count(_._2 == v).toLong).toMap
+    assert(row.getLong(0) === nodes.length.toLong, "n_nodes")
+    assert(row.getLong(1) === edges.length.toLong, "n_edges")
+    assert(row.getLong(2) === ind.values.max, "max_indeg")
+    assert(row.getLong(3) === ind.values.count(_ == 0L).toLong, "n_orphans")
+    val xs = edges.map(e => ind(e._1).toDouble)
+    val ys = edges.map(e => ind(e._2).toDouble)
+    val n = edges.length.toDouble
+    val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+    val den = math.sqrt(n * xs.map(v => v * v).sum - xs.sum * xs.sum) *
+      math.sqrt(n * ys.map(v => v * v).sum - ys.sum * ys.sum)
+    assert(math.abs(row.getDouble(4) - num / den) < 1e-5, "assortativity")
+    // bounded like any correlation
+    assert(row.getDouble(4) >= -1.0 && row.getDouble(4) <= 1.0)
+  }
+
   test("beam refinement is monotone: graph top-3 sims >= seed-only (ivf) top-3 sims") {
     val ivf = graft.SparkEntry.queries("sim_ivf_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
