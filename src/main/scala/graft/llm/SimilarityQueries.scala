@@ -54,6 +54,7 @@ object SimilarityQueries {
       Some(decontaminateSemanticSql)),
     NamedQuery("sim_pagerank_central", pagerankCentral, Some(pagerankCentralSql)),
     NamedQuery("sim_graph_assort", graphAssort, Some(graphAssortSql)),
+    NamedQuery("sim_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
   )
 
   private val dot =
@@ -2768,4 +2769,151 @@ object SimilarityQueries {
       |      AS DECIMAL(18,8)), 6) AS DOUBLE)
       |    ELSE NULL END AS assortativity
       |FROM st, ns""".stripMargin
+
+  // ---------------------------------------------------------------
+  // MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+  // diversified re-ranking — the retrieval-side dedup: from each panel
+  // query's top-10 exact-cosine candidates, greedily pick 3 results
+  // maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked
+  // (λ = 0.7). A plain top-k over a near-dup-heavy corpus returns 3
+  // copies of the same document; MMR returns one copy plus the best
+  // NON-redundant alternatives — the diversity knob every RAG /
+  // training-data retrieval stack ships.
+  //
+  // Scale shape: candidate generation is the ONLY corpus touch (here
+  // the exact broadcast-panel scan for determinism; production swaps
+  // in the IVF/graph path — same contract, a (q_id, n_id, rel) frame);
+  // the greedy loop runs on the C=10 candidate frame per query —
+  // candidate pairwise sims are C² per query, selection is k bounded
+  // window argmaxes, all independent of corpus size. The greedy
+  // recursion unrolls to exactly k−1 self-joins because the selected
+  // set is tiny and explicit — no iterative driver loop.
+  //
+  // Determinism: rel and pairwise sims snap at 4 dp (the family
+  // grain), every MMR score at 6 dp BEFORE its argmax, ties broken by
+  // n_id — the pick sequence cannot drift cross-engine.
+  private def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .filter(col("q_id") < 8)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))
+    val cands = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("rel",
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("n_id"), col("rel"), col("nv"), col("nn"))
+      .localCheckpoint() // tiny (80 rows); 4 consumers below
+    val pair = cands.select(col("q_id"), col("n_id").as("c_id"),
+        col("nv").as("cv"), col("nn").as("cn"))
+      .join(cands.select(col("q_id").as("q2"), col("n_id").as("s_id"),
+        col("nv").as("sv"), col("nn").as("sn")),
+        col("q_id") === col("q2") && col("c_id") =!= col("s_id"))
+      .withColumn("psim",
+        graft.ops.Registry.rnd(ndot(col("cv"), col("sv")) / (col("cn") * col("sn")), 4))
+      .select(col("q_id"), col("c_id"), col("s_id"), col("psim"))
+    val wS = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    val s1 = cands
+      .withColumn("score", graft.ops.Registry.rnd(lit(0.7) * col("rel"), 6))
+      .withColumn("rn", row_number().over(wS)).filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id"), col("rel"), col("score"))
+    val pairA = pair.select(col("q_id").as("qa"), col("c_id").as("ca"),
+      col("s_id").as("sa"), col("psim"))
+    val s2 = cands
+      .join(s1.select(col("q_id"), col("n_id").as("p1")), "q_id")
+      .filter(col("n_id") =!= col("p1"))
+      .join(pairA, col("q_id") === col("qa") && col("n_id") === col("ca")
+        && col("p1") === col("sa"))
+      .withColumn("score",
+        graft.ops.Registry.rnd(lit(0.7) * col("rel") - lit(0.3) * col("psim"), 6))
+      .withColumn("rn", row_number().over(wS)).filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id"), col("rel"), col("score"))
+    val s3base = cands
+      .join(s1.select(col("q_id"), col("n_id").as("p1")), "q_id")
+      .join(s2.select(col("q_id"), col("n_id").as("p2")), "q_id")
+      .filter(col("n_id") =!= col("p1") && col("n_id") =!= col("p2"))
+    val p1sim = pair.select(col("q_id").as("qc"), col("c_id").as("cc"),
+      col("s_id").as("sc"), col("psim").as("sim1"))
+    val p2sim = pair.select(col("q_id").as("qb"), col("c_id").as("cb"),
+      col("s_id").as("sb"), col("psim").as("sim2"))
+    val s3 = s3base
+      .join(p1sim, col("q_id") === col("qc") && col("n_id") === col("cc")
+        && col("p1") === col("sc"))
+      .join(p2sim, col("q_id") === col("qb") && col("n_id") === col("cb")
+        && col("p2") === col("sb"))
+      .withColumn("score", graft.ops.Registry.rnd(
+        lit(0.7) * col("rel") - lit(0.3) * greatest(col("sim1"), col("sim2")), 6))
+      .withColumn("rn", row_number().over(wS)).filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id"), col("rel"), col("score"))
+    s1.withColumn("pick", lit(1))
+      .unionAll(s2.withColumn("pick", lit(2)))
+      .unionAll(s3.withColumn("pick", lit(3)))
+      .select(col("q_id"), col("pick"), col("n_id"), col("rel"),
+        col("score").as("mmr_score"))
+      .orderBy(col("q_id"), col("pick"))
+  }
+
+  private val mmrRerankSql =
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), ranked AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |    CAST(round(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+      |      AS DECIMAL(18,8)), 4) AS DOUBLE) AS rel,
+      |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |      CAST(round(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+      |        AS DECIMAL(18,8)), 4) AS DOUBLE) DESC, b.vec_id) AS rank
+      |  FROM e a JOIN e b ON a.vec_id < 8 AND b.vec_id <> a.vec_id
+      |), cands AS MATERIALIZED (
+      |  SELECT q_id, n_id, rel FROM ranked WHERE rank <= 10
+      |), pair AS MATERIALIZED (
+      |  SELECT c1.q_id, c1.n_id AS c_id, c2.n_id AS s_id,
+      |    CAST(round(CAST(list_dot_product(e1.v, e2.v) / (e1.nrm * e2.nrm)
+      |      AS DECIMAL(18,8)), 4) AS DOUBLE) AS psim
+      |  FROM cands c1 JOIN cands c2 ON c1.q_id = c2.q_id AND c1.n_id <> c2.n_id
+      |  JOIN e e1 ON e1.vec_id = c1.n_id
+      |  JOIN e e2 ON e2.vec_id = c2.n_id
+      |), s1 AS MATERIALIZED (
+      |  SELECT q_id, n_id, rel, score FROM (
+      |    SELECT q_id, n_id, rel,
+      |      CAST(round(CAST(0.7 * rel AS DECIMAL(18,8)), 6) AS DOUBLE) AS score,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY
+      |        CAST(round(CAST(0.7 * rel AS DECIMAL(18,8)), 6) AS DOUBLE) DESC, n_id) AS rn
+      |    FROM cands
+      |  ) WHERE rn = 1
+      |), s2 AS MATERIALIZED (
+      |  SELECT q_id, n_id, rel, score FROM (
+      |    SELECT c.q_id, c.n_id, c.rel,
+      |      CAST(round(CAST(0.7 * c.rel - 0.3 * p.psim AS DECIMAL(18,8)), 6) AS DOUBLE) AS score,
+      |      row_number() OVER (PARTITION BY c.q_id ORDER BY
+      |        CAST(round(CAST(0.7 * c.rel - 0.3 * p.psim AS DECIMAL(18,8)), 6) AS DOUBLE) DESC,
+      |        c.n_id) AS rn
+      |    FROM cands c
+      |    JOIN s1 ON s1.q_id = c.q_id AND c.n_id <> s1.n_id
+      |    JOIN pair p ON p.q_id = c.q_id AND p.c_id = c.n_id AND p.s_id = s1.n_id
+      |  ) WHERE rn = 1
+      |), s3 AS (
+      |  SELECT q_id, n_id, rel, score FROM (
+      |    SELECT c.q_id, c.n_id, c.rel,
+      |      CAST(round(CAST(0.7 * c.rel - 0.3 * greatest(p1.psim, p2.psim)
+      |        AS DECIMAL(18,8)), 6) AS DOUBLE) AS score,
+      |      row_number() OVER (PARTITION BY c.q_id ORDER BY
+      |        CAST(round(CAST(0.7 * c.rel - 0.3 * greatest(p1.psim, p2.psim)
+      |          AS DECIMAL(18,8)), 6) AS DOUBLE) DESC, c.n_id) AS rn
+      |    FROM cands c
+      |    JOIN s1 ON s1.q_id = c.q_id AND c.n_id <> s1.n_id
+      |    JOIN s2 ON s2.q_id = c.q_id AND c.n_id <> s2.n_id
+      |    JOIN pair p1 ON p1.q_id = c.q_id AND p1.c_id = c.n_id AND p1.s_id = s1.n_id
+      |    JOIN pair p2 ON p2.q_id = c.q_id AND p2.c_id = c.n_id AND p2.s_id = s2.n_id
+      |  ) WHERE rn = 1
+      |)
+      |SELECT q_id, 1 AS pick, n_id, rel, score AS mmr_score FROM s1
+      |UNION ALL SELECT q_id, 2 AS pick, n_id, rel, score AS mmr_score FROM s2
+      |UNION ALL SELECT q_id, 3 AS pick, n_id, rel, score AS mmr_score FROM s3
+      |ORDER BY q_id, pick""".stripMargin
 }

@@ -443,4 +443,52 @@ class RoundTwelveSpec extends AnyFunSuite {
       assert(drift == expect, s"$s label")
     }
   }
+
+  test("MMR rerank: greedy invariants hold (top-1 first, distinct, diversity can reorder)") {
+    val rows = q("sim_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet === (0L until 8L).toSet)
+    val top1 = q("sim_cosine_topk").collect()
+      .collect { case r if r.getInt(1) == 1 => r.getLong(0) -> r.getLong(2) }.toMap
+    byQ.foreach { case (qid, picks) =>
+      assert(picks.length === 3, s"q=$qid must pick 3")
+      assert(picks.map(_._3).distinct.length === 3, s"q=$qid picks must be distinct")
+      // pick 1 is pure relevance: must equal the exact top-1
+      val p1 = picks.find(_._2 == 1).get
+      assert(p1._3 === top1(qid), s"q=$qid first pick is the exact top-1")
+    }
+    // direct greedy model: replicate candidate generation + MMR with
+    // the same snapping and tie-breaks, compare the full pick sequence
+    def snap(v: Double, s: Int): Double =
+      BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = graft.ops.Tables.table(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.expr("transform(embedding, x -> cast(x AS double))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d / (math.sqrt(a.zip(a).map(p => p._1 * p._2).sum) *
+        math.sqrt(b.zip(b).map(p => p._1 * p._2).sum))
+    }
+    (0L until 8L).foreach { qid =>
+      val rel = vecs.keys.filter(_ != qid).map(n => n -> snap(cos(vecs(qid), vecs(n)), 4))
+        .toSeq.sortBy { case (n, s) => (-s, n) }.take(10)
+      val relMap = rel.toMap
+      var selected = Vector.empty[Long]
+      (1 to 3).foreach { _ =>
+        val best = rel.filterNot(c => selected.contains(c._1)).map { case (n, r) =>
+          val pen = if (selected.isEmpty) 0.0
+            else selected.map(s => snap(cos(vecs(n), vecs(s)), 4)).max
+          (n, snap(0.7 * r - 0.3 * pen, 6))
+        }.minBy { case (n, s) => (-s, n) }
+        selected :+= best._1
+      }
+      val got = byQ(qid).sortBy(_._2).map(_._3).toVector
+      assert(got === selected, s"q=$qid pick sequence: got $got expected $selected")
+      byQ(qid).foreach { p => assert(relMap(p._3) === p._4, s"q=$qid rel of ${p._3}") }
+    }
+  }
 }
