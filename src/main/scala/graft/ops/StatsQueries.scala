@@ -1481,16 +1481,15 @@ object StatsQueries {
   // Determinism: everything through the min() is 64-bit integer
   // arithmetic (a_d·u fits: a < 2^21, u < 2^42); only the final
   // relative-overestimate ratio divides, snapped at 6 dp.
-  private val CmW = 64
-  private val CmA = Seq(1048573L, 2097143L, 524287L, 131071L)
-  private val CmB = Seq(12289L, 786433L, 40961L, 5L)
-  private val CmP = 2147483647L
+  private val CmW = CountMin.W
+  private val CmA = CountMin.A
+  private val CmB = CountMin.B
+  private val CmP = CountMin.P
 
   private def countMinAudit(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
-    def idx(d: Int, u: Column): Column =
-      ((u * CmA(d) + CmB(d)) % CmP) % CmW
+    def idx(d: Int, u: Column): Column = CountMin.idxCol(d, u)
     // counters: one exploded pass over the per-user reduction — the
     // same 256 cells a direct stream sketch would hold (sum of counts
     // per cell ≡ sketching the raw stream, counter by counter)
