@@ -55,6 +55,7 @@ object SimilarityQueries {
     NamedQuery("sim_pagerank_central", pagerankCentral, Some(pagerankCentralSql)),
     NamedQuery("sim_graph_assort", graphAssort, Some(graphAssortSql)),
     NamedQuery("sim_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
+    NamedQuery("sim_ivf_balance", ivfBalance, Some(ivfBalanceSql)),
   )
 
   private val dot =
@@ -2916,4 +2917,79 @@ object SimilarityQueries {
       |UNION ALL SELECT q_id, 2 AS pick, n_id, rel, score AS mmr_score FROM s2
       |UNION ALL SELECT q_id, 3 AS pick, n_id, rel, score AS mmr_score FROM s3
       |ORDER BY q_id, pick""".stripMargin
+
+  // ---------------------------------------------------------------
+  // IVF cell-balance audit — the partition-health metric every
+  // inverted-file index ships: probing cost is proportional to the
+  // PROBED cells' sizes, so a skewed assignment makes nProbe-bounded
+  // search pay unbounded work on hot cells. Reports the imbalance
+  // factor λ = k·Σn²/N² (1.0 = perfectly balanced; λ× is the expected
+  // probe-cost blowup vs uniform under random queries) and the Gini
+  // coefficient of cell sizes — both from EXACT integer sufficient
+  // statistics (λ's numerator/denominator are BIGINT products; Gini's
+  // numerator Σ(2i−k−1)nᵢ runs over the ≤k-row sorted cell frame).
+  //
+  // Scale shape: one zero-exchange NearestCell projection + one
+  // map-side-combinable count per cell reduces the corpus to k ≤ 64
+  // rows; everything after is window math on that frame. The audit
+  // pairs with sim_graph_assort (edge health) and sim_graph_reach
+  // (neighborhood quality) as the index acceptance trio.
+  private def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfAssignment(spark, dir).select(col("vec_id"), col("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val wAsc = Window.orderBy(col("n"), col("cid"))
+    val ranked = cells
+      .withColumn("i", row_number().over(wAsc))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+    ranked.agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n")).as("n_vecs"),
+        min(col("n")).as("min_cell"),
+        max(col("n")).as("max_cell"),
+        sum(col("n") * col("n")).as("ss"),
+        sum((lit(2) * col("i") - col("k") - 1) * col("n")).as("gini_num"))
+      .withColumn("imbalance", graft.ops.Registry.rnd(
+        (col("n_cells") * col("ss")).cast("double")
+          / (col("n_vecs") * col("n_vecs")).cast("double"), 6))
+      .withColumn("gini", graft.ops.Registry.rnd(
+        col("gini_num").cast("double")
+          / (col("n_cells") * col("n_vecs")).cast("double"), 6))
+      .select(col("n_cells"), col("n_vecs"), col("min_cell"), col("max_cell"),
+        col("imbalance"), col("gini"))
+  }
+
+  private def ivfBalanceSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), c AS (
+      |  $codebookSql
+      |), assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS DECIMAL(18,8)), 4) AS DOUBLE) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c
+      |  ) WHERE rn = 1
+      |), cells AS (
+      |  SELECT cid, count(*) AS n FROM assign GROUP BY cid
+      |), ranked AS (
+      |  SELECT n, row_number() OVER (ORDER BY n, cid) AS i,
+      |    count(*) OVER () AS k
+      |  FROM cells
+      |), st AS (
+      |  SELECT count(*) AS n_cells, sum(n) AS n_vecs, min(n) AS min_cell,
+      |    max(n) AS max_cell, sum(n * n) AS ss,
+      |    sum((2 * i - k - 1) * n) AS gini_num
+      |  FROM ranked
+      |)
+      |SELECT CAST(n_cells AS BIGINT) AS n_cells, CAST(n_vecs AS BIGINT) AS n_vecs,
+      |  min_cell, max_cell,
+      |  CAST(round(CAST(CAST(n_cells * ss AS DOUBLE)
+      |    / CAST(n_vecs * n_vecs AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS imbalance,
+      |  CAST(round(CAST(CAST(gini_num AS DOUBLE)
+      |    / CAST(n_cells * n_vecs AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS gini
+      |FROM st""".stripMargin
 }

@@ -51,6 +51,7 @@ object StatsQueries {
     NamedQuery("eval_rank_fusion", rankFusion, Some(rankFusionSql)),
     NamedQuery("eval_theilsen_trend", theilsenTrend, Some(theilsenTrendSql)),
     NamedQuery("agg_countmin_audit", countMinAudit, Some(countMinAuditSql)),
+    NamedQuery("events_power_analysis", powerAnalysis, Some(powerAnalysisSql)),
   )
 
   private val Ln2 = 0.6931471805599453
@@ -1551,4 +1552,66 @@ object StatsQueries {
       |FROM est, total t
       |ORDER BY n_exact DESC, user_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // A/B experiment power analysis from observed moments — the design
+  // step BEFORE events_ab_cuped reads an experiment out: per event
+  // type, the sample size each arm needs to detect a 5% relative lift
+  // of the metric at α = 0.05 (two-sided) and 80% power,
+  // n = 2σ²(z_{α/2} + z_β)² / δ². σ² and the mean come from three
+  // sufficient statistics (n, Σv, Σv² — the CUPED discipline: each
+  // term snaps to DECIMAL(18,4) before the order-free sum), and the
+  // readiness flag says whether the fixture's own traffic already
+  // covers the requirement (both arms drawn from this type's volume).
+  //
+  // Scale shape: ONE map-side-combinable pass to |types| rows of
+  // integer-exact DECIMAL moments; everything after is per-row scalar
+  // math. The z constants are literals squared identically in both
+  // engines; σ², δ and n_per_arm each snap before the next step so the
+  // ceil() boundary cannot drift cross-engine.
+  private def powerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val zSum = "(1.959963985 + 0.8416212336)" // z_{0.025} + z_{0.2}
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(dec(col("value"))).as("s1"),
+        sum(dec(col("value") * col("value"))).as("s2"))
+      .withColumn("mean_v", rnd(col("s1").cast("double") / col("n_obs"), 6))
+      .withColumn("var_v", rnd(
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double")
+          / col("n_obs")) / (col("n_obs") - 1), 6))
+      .withColumn("mde_abs", rnd(lit(0.05) * col("mean_v"), 6))
+      .withColumn("n_per_arm", ceil(
+        lit(2.0) * col("var_v") * expr(s"pow($zSum, 2.0)")
+          / (col("mde_abs") * col("mde_abs"))).cast("long"))
+      .withColumn("powered", col("n_obs") >= lit(2) * col("n_per_arm"))
+      .select(col("event_type"), col("n_obs"), col("mean_v"), col("var_v"),
+        col("mde_abs"), col("n_per_arm"), col("powered"))
+      .orderBy(col("event_type"))
+  }
+
+  private val powerAnalysisSql =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n_obs,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS s1,
+      |    sum(CAST(value * value AS DECIMAL(18,4))) AS s2
+      |  FROM events GROUP BY 1
+      |), d AS (
+      |  SELECT event_type, n_obs,
+      |    CAST(round(CAST(CAST(s1 AS DOUBLE) / n_obs AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_v,
+      |    CAST(round(CAST((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_obs)
+      |      / (n_obs - 1) AS DECIMAL(18,8)), 6) AS DOUBLE) AS var_v
+      |  FROM m
+      |), e AS (
+      |  SELECT *, CAST(round(CAST(0.05 * mean_v AS DECIMAL(18,8)), 6) AS DOUBLE) AS mde_abs
+      |  FROM d
+      |)
+      |SELECT event_type, n_obs, mean_v, var_v, mde_abs,
+      |  CAST(ceil(2.0 * var_v * pow(1.959963985 + 0.8416212336, 2.0)
+      |    / (mde_abs * mde_abs)) AS BIGINT) AS n_per_arm,
+      |  n_obs >= 2 * CAST(ceil(2.0 * var_v * pow(1.959963985 + 0.8416212336, 2.0)
+      |    / (mde_abs * mde_abs)) AS BIGINT) AS powered
+      |FROM e
+      |ORDER BY event_type""".stripMargin
 }
