@@ -818,4 +818,66 @@ class PlanSpec extends AnyFunSuite {
         assert(!p.contains("CartesianProduct"), s"$q: no cartesian: " + p.take(600))
       }
   }
+
+  test("fuzzy match: corpus reduces to the vocabulary map-side; the pairwise broadcasts") {
+    val p = plan("join_fuzzy_match")
+    assert(p.contains("partial_"),
+      "vocabulary frequencies must partial-aggregate before any pairwise: " + p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the bounded-vocab self-join must broadcast, never shuffle the corpus: " + p.take(600))
+    // the native expression must survive into the physical plan (a UDF
+    // would show as ScalaUDF and break codegen)
+    assert(p.contains("jaro_winkler") && !p.contains("ScalaUDF"), p.take(800))
+  }
+
+  test("theilsen: corpus reduces to the daily frame before the pairwise self-join") {
+    val p = plan("eval_theilsen_trend")
+    assert(p.contains("partial_"),
+      "daily counts must combine map-side: " + p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      "the day-pair join keys on event_type: " + p.take(600))
+  }
+
+  test("count-min: counters combine map-side (the sketch-merge monoid)") {
+    val p = plan("agg_countmin_audit")
+    assert(p.contains("partial_"),
+      "per-(d,cell) counter sums must partial-aggregate: " + p.take(600))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the 256-row counter table must broadcast back over the top-k probe: " + p.take(600))
+  }
+
+  test("quantile norm: per-source ranks partition by source; position join is an equi-join") {
+    val p = plan("curate_quantile_norm")
+    assert(!p.contains("CartesianProduct"),
+      "pooled positions must equi-join on pos: " + p.take(600))
+    assert(p.contains("windowspecdefinition(source"),
+      "the per-source rank must partition by source, not run global: " + p.take(800))
+  }
+
+  test("graph assortativity: sidecar-only dataflow — the corpus parquet is never scanned") {
+    val pl = graft.SparkEntry.queries("sim_graph_assort")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!pl.contains("embeddings.parquet"),
+      "assortativity must read only the edge sidecar: " + pl.take(800))
+  }
+
+  test("mmr: greedy rounds run off the pinned candidate frame, never rescanning the corpus") {
+    val p = plan("sim_mmr_rerank")
+    // candidate generation materializes once (localCheckpoint); every
+    // greedy round reads the pinned 80-row frame, so the final plan has
+    // NO corpus file scan and no cartesian anywhere
+    assert(p.contains("ExistingRDD"),
+      "the candidate frame must be pinned (4 consumers): " + p.take(600))
+    assert(!p.contains("embeddings.parquet"),
+      "greedy rounds must not rescan the corpus: " + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("power analysis: one map-side-combinable moment pass, scalar math after") {
+    val p = plan("events_power_analysis")
+    assert(p.contains("partial_"), "moments must combine map-side: " + p.take(600))
+    assert(!p.contains("Exchange hashpartitioning(event_type") ||
+      p.split("Exchange").length <= 3,
+      "a single reduction, not repeated shuffles: " + p.take(600))
+  }
 }
