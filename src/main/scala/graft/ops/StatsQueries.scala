@@ -52,6 +52,8 @@ object StatsQueries {
     NamedQuery("eval_theilsen_trend", theilsenTrend, Some(theilsenTrendSql)),
     NamedQuery("agg_countmin_audit", countMinAudit, Some(countMinAuditSql)),
     NamedQuery("events_power_analysis", powerAnalysis, Some(powerAnalysisSql)),
+    NamedQuery("eval_permutation_test", permutationTest, Some(permutationTestSql)),
+    NamedQuery("events_did_readout", didReadout, Some(didReadoutSql)),
   )
 
   private val Ln2 = 0.6931471805599453
@@ -1614,4 +1616,212 @@ object StatsQueries {
       |    / (mde_abs * mde_abs)) AS BIGINT) AS powered
       |FROM e
       |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Derandomized permutation (randomization) test — does document
+  // length differ between the two largest sources, with the null
+  // distribution built by RE-LABELING instead of a parametric
+  // assumption? The classic objection to permutation tests at scale is
+  // the RNG: B independent shuffles of 100 TB don't replay. Here each
+  // of the B = 200 pseudo-permutations assigns doc d under relabeling
+  // b via the eval_bootstrap_ci hash discipline (md5 of d·1009 + b) —
+  // fully deterministic, embarrassingly parallel, restart-free. The
+  // statistic (mean length difference) uses INTEGER sums per (b,
+  // label); only the final means divide, snapped at 6 dp before the
+  // |stat_b| >= |obs| comparison so the extreme-count cannot drift
+  // cross-engine. p = (1 + #extreme)/(B + 1), the add-one-smoothed
+  // Monte-Carlo form.
+  //
+  // Scale shape: the two-source slice explodes ×B (a projection — no
+  // shuffle), reduces to 2B rows with map-side partials, and the
+  // verdict is window math on that frame. B and the slice are knobs;
+  // nothing quadratic, nothing ordered.
+  private val PermB = 200
+
+  private def permutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // the two largest sources, deterministically (count desc, name)
+    val top2 = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("source")).limit(2)
+      .withColumn("which", row_number().over(
+        Window.orderBy(col("n").desc, col("source"))))
+    val slice = docs.join(broadcast(top2), "source")
+    val obs = slice.groupBy(col("which"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .agg(
+        max(when(col("which") === 1, col("n"))).as("n_a"),
+        max(when(col("which") === 2, col("n"))).as("n_b"),
+        max(when(col("which") === 1, col("s"))).as("s_a"),
+        max(when(col("which") === 2, col("s"))).as("s_b"))
+      .withColumn("obs_diff", rnd(
+        col("s_a").cast("double") / col("n_a")
+          - col("s_b").cast("double") / col("n_b"), 6))
+    val perms = slice
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1), lit(PermB))).as("b"))
+      .withColumn("lbl", expr(
+        "cast(conv(substring(md5(cast(doc_id * 1009 + b AS string)), 1, 8), 16, 10) AS bigint) % 2"))
+      .groupBy(col("b"), col("lbl"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .groupBy(col("b"))
+      .agg(
+        max(when(col("lbl") === 0, col("n"))).as("n0"),
+        max(when(col("lbl") === 1, col("n"))).as("n1"),
+        max(when(col("lbl") === 0, col("s"))).as("s0"),
+        max(when(col("lbl") === 1, col("s"))).as("s1"))
+      .withColumn("stat", rnd(
+        col("s0").cast("double") / col("n0") - col("s1").cast("double") / col("n1"), 6))
+    perms.crossJoin(broadcast(obs))
+      .agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("obs_diff")).as("obs_diff"),
+        sum(when(abs(col("stat")) >= abs(col("obs_diff")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .withColumn("b_perms", lit(PermB))
+      .withColumn("p_value", rnd(
+        (col("n_extreme") + 1).cast("double") / (PermB + 1), 6))
+      .select(col("n_a"), col("n_b"), col("obs_diff"), col("b_perms"),
+        col("n_extreme"), col("p_value"))
+  }
+
+  private val permutationTestSql =
+    s"""WITH docs AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), top2 AS (
+      |  SELECT source, row_number() OVER (ORDER BY n DESC, source) AS which
+      |  FROM (SELECT source, count(*) AS n FROM docs GROUP BY 1)
+      |  ORDER BY which LIMIT 2
+      |), slice AS (
+      |  SELECT d.doc_id, d.n_chars, t.which FROM docs d JOIN top2 t USING (source)
+      |), obs AS (
+      |  SELECT max(CASE WHEN which = 1 THEN n END) AS n_a,
+      |    max(CASE WHEN which = 2 THEN n END) AS n_b,
+      |    CAST(round(CAST(
+      |      CAST(max(CASE WHEN which = 1 THEN s END) AS DOUBLE) / max(CASE WHEN which = 1 THEN n END)
+      |      - CAST(max(CASE WHEN which = 2 THEN s END) AS DOUBLE) / max(CASE WHEN which = 2 THEN n END)
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS obs_diff
+      |  FROM (SELECT which, count(*) AS n, sum(n_chars) AS s FROM slice GROUP BY 1)
+      |), perms AS (
+      |  SELECT b,
+      |    CAST(round(CAST(
+      |      CAST(max(CASE WHEN lbl = 0 THEN s END) AS DOUBLE) / max(CASE WHEN lbl = 0 THEN n END)
+      |      - CAST(max(CASE WHEN lbl = 1 THEN s END) AS DOUBLE) / max(CASE WHEN lbl = 1 THEN n END)
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS stat
+      |  FROM (
+      |    SELECT g.b, ('0x' || substring(md5(CAST(s.doc_id * 1009 + g.b AS VARCHAR)), 1, 8))::BIGINT % 2 AS lbl,
+      |      count(*) AS n, sum(s.n_chars) AS s
+      |    FROM slice s CROSS JOIN (SELECT unnest(generate_series(1, $PermB)) AS b) g
+      |    GROUP BY 1, 2
+      |  ) GROUP BY b
+      |)
+      |SELECT o.n_a, o.n_b, o.obs_diff, $PermB AS b_perms,
+      |  CAST(sum(CASE WHEN abs(p.stat) >= abs(o.obs_diff) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+      |  CAST(round(CAST(CAST(sum(CASE WHEN abs(p.stat) >= abs(o.obs_diff) THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+      |    / ($PermB + 1) AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_value
+      |FROM perms p, obs o
+      |GROUP BY o.n_a, o.n_b, o.obs_diff""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Difference-in-differences readout — the quasi-experimental
+  // companion to events_ab_cuped: arms assigned by the same md5 user
+  // hash, periods split at the time midpoint, and the DiD estimate
+  // (m̂₁₁ − m̂₁₀) − (m̂₀₁ − m̂₀₀) removes both the arm-level and the
+  // period-level additive biases a naive post-period comparison keeps.
+  // SE is the four-cell pooled form sqrt(Σ s²ᵢ/nᵢ).
+  //
+  // Scale shape: ONE pass reduces the corpus to FOUR cells of
+  // DECIMAL-snapped moments (n, Σv, Σv² per arm × period, map-side
+  // combinable); the readout is scalar math on one row. Determinism:
+  // the CUPED discipline — integer/DECIMAL sums, each derived double
+  // snapped before the next step.
+  private def didReadout(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).withColumn("sec", col("ts").cast("long"))
+    val bound = e.agg(((min(col("sec")) + max(col("sec"))) / 2).cast("long").as("mid"))
+    val cells = e.crossJoin(broadcast(bound))
+      .withColumn("arm",
+        expr("cast(conv(substring(md5(cast(user_id AS string)), 1, 8), 16, 10) AS bigint) % 2"))
+      .withColumn("post", when(col("sec") >= col("mid"), 1L).otherwise(0L))
+      .groupBy(col("arm"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("s1"),
+        sum(dec(col("value") * col("value"))).as("s2"))
+    def cell(c: String, a: Int, p: Int): Column =
+      max(when(col("arm") === a && col("post") === p, col(c)))
+    val wide = cells.agg(
+      cell("n", 0, 0).as("n00"), cell("n", 0, 1).as("n01"),
+      cell("n", 1, 0).as("n10"), cell("n", 1, 1).as("n11"),
+      cell("s1", 0, 0).cast("double").as("a00"), cell("s1", 0, 1).cast("double").as("a01"),
+      cell("s1", 1, 0).cast("double").as("a10"), cell("s1", 1, 1).cast("double").as("a11"),
+      cell("s2", 0, 0).cast("double").as("q00"), cell("s2", 0, 1).cast("double").as("q01"),
+      cell("s2", 1, 0).cast("double").as("q10"), cell("s2", 1, 1).cast("double").as("q11"))
+    def mean(s: String, n: String): Column = rnd(col(s) / col(n), 6)
+    def varTerm(q: String, s: String, n: String): Column =
+      (col(q) - col(s) * col(s) / col(n)) / (col(n) - 1) / col(n)
+    wide
+      .withColumn("m00", mean("a00", "n00")).withColumn("m01", mean("a01", "n01"))
+      .withColumn("m10", mean("a10", "n10")).withColumn("m11", mean("a11", "n11"))
+      .withColumn("did", rnd(
+        col("m11") - col("m10") - (col("m01") - col("m00")), 6))
+      .withColumn("se", rnd(sqrt(
+        varTerm("q00", "a00", "n00") + varTerm("q01", "a01", "n01")
+          + varTerm("q10", "a10", "n10") + varTerm("q11", "a11", "n11")), 6))
+      .withColumn("t_stat", rnd(col("did") / col("se"), 4))
+      .select(col("n00"), col("n01"), col("n10"), col("n11"),
+        col("m00"), col("m01"), col("m10"), col("m11"),
+        col("did"), col("se"), col("t_stat"))
+  }
+
+  private val didReadoutSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts)//1000000000 AS sec, value FROM events
+      |), bound AS (
+      |  SELECT (min(sec) + max(sec)) // 2 AS mid FROM e
+      |), cells AS (
+      |  SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+      |    CASE WHEN sec >= b.mid THEN 1 ELSE 0 END AS post,
+      |    count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS s1,
+      |    sum(CAST(value * value AS DECIMAL(18,4))) AS s2
+      |  FROM e, bound b GROUP BY 1, 2
+      |), wide AS (
+      |  SELECT
+      |    max(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n00,
+      |    max(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n01,
+      |    max(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n10,
+      |    max(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n11,
+      |    CAST(max(CASE WHEN arm = 0 AND post = 0 THEN s1 END) AS DOUBLE) AS a00,
+      |    CAST(max(CASE WHEN arm = 0 AND post = 1 THEN s1 END) AS DOUBLE) AS a01,
+      |    CAST(max(CASE WHEN arm = 1 AND post = 0 THEN s1 END) AS DOUBLE) AS a10,
+      |    CAST(max(CASE WHEN arm = 1 AND post = 1 THEN s1 END) AS DOUBLE) AS a11,
+      |    CAST(max(CASE WHEN arm = 0 AND post = 0 THEN s2 END) AS DOUBLE) AS q00,
+      |    CAST(max(CASE WHEN arm = 0 AND post = 1 THEN s2 END) AS DOUBLE) AS q01,
+      |    CAST(max(CASE WHEN arm = 1 AND post = 0 THEN s2 END) AS DOUBLE) AS q10,
+      |    CAST(max(CASE WHEN arm = 1 AND post = 1 THEN s2 END) AS DOUBLE) AS q11
+      |  FROM cells
+      |), m AS (
+      |  SELECT *,
+      |    CAST(round(CAST(a00 / n00 AS DECIMAL(18,8)), 6) AS DOUBLE) AS m00,
+      |    CAST(round(CAST(a01 / n01 AS DECIMAL(18,8)), 6) AS DOUBLE) AS m01,
+      |    CAST(round(CAST(a10 / n10 AS DECIMAL(18,8)), 6) AS DOUBLE) AS m10,
+      |    CAST(round(CAST(a11 / n11 AS DECIMAL(18,8)), 6) AS DOUBLE) AS m11
+      |  FROM wide
+      |)
+      |SELECT n00, n01, n10, n11, m00, m01, m10, m11,
+      |  CAST(round(CAST(m11 - m10 - (m01 - m00) AS DECIMAL(18,8)), 6) AS DOUBLE) AS did,
+      |  CAST(round(CAST(sqrt(
+      |      (q00 - a00 * a00 / n00) / (n00 - 1) / n00
+      |    + (q01 - a01 * a01 / n01) / (n01 - 1) / n01
+      |    + (q10 - a10 * a10 / n10) / (n10 - 1) / n10
+      |    + (q11 - a11 * a11 / n11) / (n11 - 1) / n11
+      |  ) AS DECIMAL(18,8)), 6) AS DOUBLE) AS se,
+      |  CAST(round(CAST(
+      |    CAST(round(CAST(m11 - m10 - (m01 - m00) AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |    / CAST(round(CAST(sqrt(
+      |        (q00 - a00 * a00 / n00) / (n00 - 1) / n00
+      |      + (q01 - a01 * a01 / n01) / (n01 - 1) / n01
+      |      + (q10 - a10 * a10 / n10) / (n10 - 1) / n10
+      |      + (q11 - a11 * a11 / n11) / (n11 - 1) / n11
+      |    ) AS DECIMAL(18,8)), 6) AS DOUBLE)
+      |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS t_stat
+      |FROM m""".stripMargin
 }

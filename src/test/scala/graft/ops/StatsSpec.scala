@@ -549,6 +549,66 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  private def md5hex8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("permutation test: hash relabelings and the extreme count match a direct model") {
+    val row = q("eval_permutation_test").collect().head
+    val (nA, nB, obsDiff, b, nExtreme, p) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getInt(3),
+        row.getLong(4), row.getDouble(5))
+    val byDoc = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val top2 = byDoc.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (s, n) => (-n, s) }.take(2).map(_._1)
+    val slice = byDoc.filter(d => top2.contains(d._2))
+    val a = slice.filter(_._2 == top2.head)
+    val bb = slice.filter(_._2 == top2(1))
+    assert(nA === a.length.toLong && nB === bb.length.toLong)
+    val obs = snap(a.map(_._3).sum.toDouble / a.length
+      - bb.map(_._3).sum.toDouble / bb.length, 6)
+    assert(obsDiff === obs, "observed difference")
+    val extreme = (1 to b).count { perm =>
+      val (g0, g1) = slice.partition(d => md5hex8((d._1 * 1009 + perm).toString) % 2 == 0)
+      val stat = snap(g0.map(_._3).sum.toDouble / g0.length
+        - g1.map(_._3).sum.toDouble / g1.length, 6)
+      math.abs(stat) >= math.abs(obs)
+    }
+    assert(nExtreme === extreme.toLong, "extreme count under hash relabelings")
+    assert(p === snap((extreme + 1).toDouble / (b + 1), 6))
+    // a valid p-value in the add-one Monte-Carlo range
+    assert(p >= 1.0 / (b + 1) && p <= 1.0)
+  }
+
+  test("DiD readout: four-cell decomposition matches a direct model; A/A reads null") {
+    val row = q("events_did_readout").collect().head
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mid = (evs.map(_._2).min + evs.map(_._2).max) / 2
+    def cellOf(u: Long, sec: Long): (Int, Int) =
+      ((md5hex8(u.toString) % 2).toInt, if (sec >= mid) 1 else 0)
+    val cells = evs.groupBy(e => cellOf(e._1, e._2))
+    def m(a: Int, p: Int): Double = {
+      val vs = cells((a, p)).map(e =>
+        BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      snap(vs.sum.toDouble / vs.length, 6)
+    }
+    assert(row.getLong(0) === cells((0, 0)).length.toLong, "n00")
+    assert(row.getLong(3) === cells((1, 1)).length.toLong, "n11")
+    assert(row.getDouble(4) === m(0, 0), "m00")
+    assert(row.getDouble(7) === m(1, 1), "m11")
+    val did = snap(m(1, 1) - m(1, 0) - (m(0, 1) - m(0, 0)), 6)
+    assert(row.getDouble(8) === did, "did")
+    // hash-split A/A: the true effect is zero, so |t| must be modest
+    assert(math.abs(row.getDouble(10)) < 4.0,
+      s"A/A split should not read a strong effect: t=${row.getDouble(10)}")
+  }
+
   test("stats plans: corpus reduces before the tiny-frame math") {
     // MI: the only exchange over corpus-sized data is the contingency
     // reduction — the window math runs on the |S|x|L| frame
