@@ -62,6 +62,7 @@ object MoreRelational {
     NamedQuery("graph_pagerank_step", pagerankStep, Some(pagerankStepSql)),
     NamedQuery("agg_decay_halflife", decayHalflife, Some(decayHalflifeSql)),
     NamedQuery("join_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)),
+    NamedQuery("scalar_url_funcs", scalarUrl, Some(scalarUrlSql)),
   )
 
   // ---------------------------------------------------------------
@@ -1407,4 +1408,54 @@ object MoreRelational {
       |SELECT name_a, name_b, jw, n_a, n_b
       |FROM pairs WHERE jw >= 0.84
       |ORDER BY jw DESC, name_a, name_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // URL scalar family — parse_url over crawl-style URLs synthesized
+  // from the documents table (the web-crawl curation stack's most-used
+  // scalar: host for per-domain caps, path depth for boilerplate
+  // heuristics, query params for tracker stripping). Spark's
+  // `parse_url` is java.net.URI-backed; DuckDB has no URL parser, so
+  // the oracle twin extracts the same components with anchored
+  // regexes — equivalent on well-formed URLs (these are; a crawl
+  // pipeline puts a validity filter in front, the P6 discipline).
+  // Pure projection: zero shuffle except the per-host rollup, which
+  // partial-aggregates map-side.
+  private def scalarUrl(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("lang"), lit("/"), col("doc_id"),
+        lit("?lang="), col("lang"), lit("&ref=crawl")))
+      .select(
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"),
+        (size(split(expr("parse_url(url, 'PATH')"), "/")) - 1).as("path_depth"))
+      .groupBy(col("host"), col("q_lang"), col("path_depth"))
+      .agg(count(lit(1)).as("n_urls"),
+        min(col("path")).as("first_path"),
+        max(col("query")).as("last_query"))
+      .orderBy(col("host"), col("q_lang"), col("path_depth"))
+
+  private val scalarUrlSql =
+    """WITH u AS (
+      |  SELECT 'https://' || source || '.example.com/docs/' || lang || '/' || doc_id
+      |      || '?lang=' || lang || '&ref=crawl' AS url
+      |  FROM documents
+      |), parts AS (
+      |  SELECT
+      |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |    regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS query,
+      |    regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang
+      |  FROM u
+      |)
+      |SELECT host, q_lang,
+      |  len(string_split(path, '/')) - 1 AS path_depth,
+      |  count(*) AS n_urls,
+      |  min(path) AS first_path,
+      |  max(query) AS last_query
+      |FROM parts
+      |GROUP BY 1, 2, 3
+      |ORDER BY host, q_lang, path_depth""".stripMargin
 }
