@@ -744,6 +744,99 @@ object MultimodalAudio {
       .orderBy(col("lang"))
   }
 
+  // ---------------------------------------------------------------
+  // Acoustic fingerprint dedup — the audio twin of multimodal_phash
+  // _pairs, on the chromaprint core idea reduced to its integer
+  // essence: frame the PCM into 16-sample frames, bit f of the 32-bit
+  // fingerprint = [energy(f+1) > energy(f)] (energy DELTAS survive
+  // gain changes and re-encoding; absolute energies don't). Candidate
+  // generation is prefix-bucketed exactly like phash/simhash (the one
+  // LSH knob sizes the prefix), pairs confirm on Hamming <= 6 — never
+  // all-pairs.
+  //
+  // Determinism: energies are exact integer sums of squared centered
+  // codepoint samples (the audioFeatures convention — DuckDB
+  // re-derives them with ord(substr), character-indexed on BOTH
+  // sides); the fingerprint is 32 strict integer comparisons; Hamming
+  // is bit_count(xor). No float exists anywhere.
+  //
+  // Scale shape: one embarrassingly-parallel fold to (doc, fp), one
+  // bucket exchange over the prefix, pairwise only inside buckets
+  // (posting-list slice — each pair materializes once), knob-bounded
+  // occupancy. 100 TB of audio shards the same way.
+  final case class AudioFp(doc_id: Long, fp: Long)
+  private val FpFrames = 33
+  private val FpFrameLen = 16
+
+  private[llm] def audioFp(text: String): Long = {
+    val e = new Array[Long](FpFrames)
+    var i = 0
+    val it = text.codePoints().iterator()
+    while (it.hasNext) {
+      val s = it.nextInt() - 128
+      val f = i / FpFrameLen
+      if (f < FpFrames) e(f) += s.toLong * s
+      i += 1
+    }
+    var fp = 0L
+    var f = 0
+    while (f < FpFrames - 1) {
+      if (e(f + 1) > e(f)) fp |= 1L << (31 - f)
+      f += 1
+    }
+    fp
+  }
+
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val bits = graft.ops.Lsh.prefixBits(12, 32)
+    implicit val enc = Encoders.product[AudioFp]
+    val sigs = Tables.fanOut(Tables.table(spark, dir, "documents"))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)](Encoders.product[(Long, String)])
+      .mapPartitions(_.map { case (id, tx) => AudioFp(id, audioFp(tx)) })
+      .toDF()
+      .withColumn("bucket", shiftright(col("fp"), 32 - bits))
+    sigs.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(col("xs"), posexplode(col("xs")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(xs, i + 2, size(xs))")).as("b"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def audioFingerprintSql: String = {
+    val bits = graft.ops.Lsh.prefixBits(12, 32)
+    s"""WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+      |), ener AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, $FpFrames), f ->
+      |      coalesce(list_sum(list_transform(
+      |        range(1 + f * $FpFrameLen, least(n, (f + 1) * $FpFrameLen) + 1),
+      |        i -> CAST((ord(substr(text, CAST(i AS INT), 1)) - 128)
+      |             * (ord(substr(text, CAST(i AS INT), 1)) - 128) AS BIGINT))), 0)) AS e
+      |  FROM d
+      |), sig AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(list_sum(list_transform(range(0, ${FpFrames - 1}), f ->
+      |      CASE WHEN e[CAST(f AS INT) + 2] > e[CAST(f AS INT) + 1]
+      |        THEN (CAST(1 AS BIGINT) << CAST(31 - f AS INT)) ELSE 0 END)), 0) AS BIGINT) AS fp
+      |  FROM ener
+      |), bucketed AS (
+      |  SELECT doc_id, fp, fp >> ${32 - bits} AS bucket FROM sig
+      |)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      |FROM bucketed a JOIN bucketed b
+      |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val audioFeaturesSql: String =
     """WITH s AS (
       |  SELECT lang, octet_length(encode(text)) AS blen, length(text) AS n,
@@ -786,6 +879,9 @@ object MultimodalQueries {
     NamedQuery("multimodal_audio_features",
       (s, d) => MultimodalAudio.audioFeatures(s, d),
       Some(MultimodalAudio.audioFeaturesSql)),
+    NamedQuery("multimodal_audio_fingerprint",
+      (s, d) => MultimodalAudio.audioFingerprint(s, d),
+      Some(MultimodalAudio.audioFingerprintSql)),
     NamedQuery("multimodal_embed_batch",
       (s, d) => Multimodal.embedBatch(s, d), Some(Multimodal.embedBatchSql)),
     NamedQuery("multimodal_resize_plan",

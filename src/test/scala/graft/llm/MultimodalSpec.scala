@@ -416,4 +416,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r2.data_len === 3L, "two-byte UTF-8 for the umlaut")
     assert(r2.n_samples === 2L, "codepoints, not bytes")
   }
+
+  test("audio fingerprint: energy-delta bits match a direct model; dups collide at 0") {
+    // direct model over a synthetic ramp: frame energies strictly rise,
+    // so every delta bit inside the covered frames must be set
+    // samples s = 2f+1 (codepoint 129+2f): |s| strictly rises by frame
+    val rising = (0 until 33).flatMap(f => Seq.fill(16)((129 + 2 * f).toChar)).mkString
+    val fpRising = MultimodalAudio.audioFp(rising)
+    (0 until 32).foreach { f =>
+      assert((fpRising >> (31 - f) & 1L) === 1L, s"rising energies: bit $f")
+    }
+    // constant samples: no strict increase anywhere -> fingerprint 0
+    assert(MultimodalAudio.audioFp("b" * 600) === 0L)
+    // identical text -> identical fingerprint (exact dups collide at 0)
+    val t = "the quick brown fox jumps over the lazy dog " * 8
+    assert(MultimodalAudio.audioFp(t) === MultimodalAudio.audioFp(t))
+    // multiplicative gain preserves the fingerprint (the chromaprint
+    // rationale): doubling |s| scales every frame energy by the same
+    // factor, so all strict comparisons survive
+    def fpOf(samples: Seq[Int]): Long = {
+      val e = new Array[Long](33)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        if (i / 16 < 33) e(i / 16) += s.toLong * s
+      }
+      (0 until 32).foldLeft(0L)((acc, f) =>
+        if (e(f + 1) > e(f)) acc | (1L << (31 - f)) else acc)
+    }
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(400)(rnd.nextInt(61) - 30)
+    assert(fpOf(base) === fpOf(base.map(_ * 2)), "gain invariance")
+    // and the query's pairs all sit inside the hamming gate
+    val rows = graft.SparkEntry.queries("multimodal_audio_fingerprint")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.forall(_.getLong(2) <= 6L))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "ordered pairs, no self-pairs")
+  }
 }
