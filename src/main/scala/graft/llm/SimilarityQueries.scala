@@ -56,6 +56,7 @@ object SimilarityQueries {
     NamedQuery("sim_graph_assort", graphAssort, Some(graphAssortSql)),
     NamedQuery("sim_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     NamedQuery("sim_ivf_balance", ivfBalance, Some(ivfBalanceSql)),
+    NamedQuery("sim_knn_classify", knnClassify, Some(knnClassifySql)),
   )
 
   private val dot =
@@ -2992,4 +2993,80 @@ object SimilarityQueries {
       |  CAST(round(CAST(CAST(gini_num AS DOUBLE)
       |    / CAST(n_cells * n_vecs AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS gini
       |FROM st""".stripMargin
+
+  // ---------------------------------------------------------------
+  // kNN label classification eval — does the embedding space encode
+  // the label structure? For a deterministic eval slice (every 25th
+  // vector), predict the label by majority vote of the 5 nearest
+  // exact-cosine neighbors (ties broken by count desc, label asc) and
+  // report per-class accuracy. On THESE fixtures the honest reading is
+  // near-chance (the r15 isotropy finding: labels are not geometrically
+  // separable) — which is exactly what an embedding-quality gate is
+  // for: a real encoder moves this number, and the hash then moves too.
+  //
+  // Scale shape: the eval slice broadcasts over the corpus (one scan,
+  // panel-bounded); voting and accuracy are window math on the
+  // |slice|×5 frame. Production swaps the exact scan for the IVF/graph
+  // candidate path — the recall-eval contract.
+  private def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val top5 = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("true_label"), col("n_label"))
+    val wV = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    val pred = top5.groupBy(col("q_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wV))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("n_label").as("predicted"))
+    pred.groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("predicted") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        graft.ops.Registry.rnd(col("n_correct").cast("double") / col("n_eval"), 4))
+      .select(col("true_label"), col("n_eval"), col("n_correct"), col("accuracy"))
+      .orderBy(col("true_label"))
+  }
+
+  private val knnClassifySql =
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), top5 AS (
+      |  SELECT q_id, true_label, n_label FROM (
+      |    SELECT a.vec_id AS q_id, a.label AS true_label, b.label AS n_label,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        CAST(round(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+      |          AS DECIMAL(18,8)), 4) AS DOUBLE) DESC, b.vec_id) AS rank
+      |    FROM e a JOIN e b ON a.vec_id % 25 = 0 AND b.vec_id <> a.vec_id
+      |  ) WHERE rank <= 5
+      |), pred AS (
+      |  SELECT q_id, true_label, n_label AS predicted FROM (
+      |    SELECT q_id, true_label, n_label, count(*) AS votes,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY count(*) DESC, n_label) AS vr
+      |    FROM top5 GROUP BY 1, 2, 3
+      |  ) WHERE vr = 1
+      |)
+      |SELECT true_label, count(*) AS n_eval,
+      |  CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(round(CAST(CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS DECIMAL(18,8)), 4) AS DOUBLE) AS accuracy
+      |FROM pred
+      |GROUP BY 1
+      |ORDER BY true_label""".stripMargin
 }

@@ -37,6 +37,7 @@ object SeriesQueries {
     NamedQuery("events_forecast_backtest", forecastBacktest, Some(forecastBacktestSql)),
     NamedQuery("events_seasonality_strength", seasonalityStrength, Some(seasonalityStrengthSql)),
     NamedQuery("events_concurrency", concurrency, Some(concurrencySql)),
+    NamedQuery("events_rolling_median", rollingMedian, Some(rollingMedianSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -1112,4 +1113,44 @@ object SeriesQueries {
       |  greatest(carry_in, carry_in + coalesce(max_run, 0)) AS max_conc,
       |  carry_in + total AS end_conc
       |FROM c ORDER BY hour""".stripMargin
+
+  // ---------------------------------------------------------------
+  // 7-day rolling MEDIAN of daily volume per type — the robust
+  // smoother a monitoring dashboard plots instead of the rolling mean
+  // (one spike day drags a mean window for a week; it passes through a
+  // median window untouched — the Theil-Sen rationale applied to
+  // smoothing). The window median is the built-in percentile aggregate
+  // over a ROWS frame — Catalyst plans it as one WindowExec over the
+  // calendar-bounded daily frame, no self-join.
+  //
+  // Scale shape: corpus → |types|×|days| map-side reduction first (the
+  // eval_theilsen_trend pass); the window sorts within (type), a
+  // bounded partition. Determinism: daily counts are integers; a
+  // ≤7-element interpolated median is exact on integer halves either
+  // way, snapped at 4 dp.
+  private def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir)
+      .withColumn("day", floor(col("sec") / 86400L).cast("long"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("med7", rnd(expr("percentile(n, 0.5)").over(w), 4))
+      .withColumn("dev", col("n") - col("med7"))
+      .select(col("event_type"), col("day"), col("n"), col("med7"), col("dev"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val rollingMedianSql =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts)//1000000000//86400 AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, day, n,
+      |  CAST(round(CAST(median(n) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,8)), 4) AS DOUBLE) AS med7,
+      |  n - CAST(round(CAST(median(n) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,8)), 4) AS DOUBLE) AS dev
+      |FROM daily
+      |ORDER BY event_type, day""".stripMargin
 }

@@ -542,4 +542,40 @@ class SeriesForensicsSpec extends AnyFunSuite {
       .coalesce(1).write.parquet(s"$tmp/events.parquet")
     assertEmptyGrid(tmp)
   }
+
+  test("rolling median: 7-day window medians match a direct model; spikes pass through") {
+    val rows = q("events_rolling_median").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, series) =>
+      val s = series.sortBy(_._2)
+      s.indices.foreach { i =>
+        val window = s.slice(math.max(0, i - 6), i + 1).map(_._3.toDouble).sorted
+        val m = window.length
+        val med = if (m % 2 == 1) window(m / 2) else (window(m / 2 - 1) + window(m / 2)) / 2.0
+        assert(s(i)._4 === med, s"$et day ${s(i)._2}: med7")
+      }
+      // robustness: the median of any window is bounded by the window's
+      // own values — a single outlier day cannot drag it outside
+      s.indices.foreach { i =>
+        val w = s.slice(math.max(0, i - 6), i + 1).map(_._3)
+        assert(s(i)._4 >= w.min && s(i)._4 <= w.max)
+      }
+    }
+  }
+
+  test("kNN classify: per-class counts sum to the eval slice; accuracy = correct/n") {
+    val rows = graft.SparkEntry.queries("sim_knn_classify")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val slice = graft.ops.Tables.table(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.expr("vec_id % 25 = 0")).count()
+    assert(rows.map(_._2).sum === slice, "every eval vector classified exactly once")
+    rows.foreach { case (lbl, n, correct, acc) =>
+      assert(correct <= n, s"label $lbl")
+      val expect = BigDecimal(correct.toDouble / n)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(acc === expect, s"label $lbl accuracy")
+    }
+  }
 }
