@@ -43,6 +43,8 @@ object CurationQueries {
     NamedQuery("pipeline_length_batches", lengthBatches, Some(lengthBatchesSql)),
     NamedQuery("curate_length_trim", lengthTrim, Some(lengthTrimSql)),
     NamedQuery("curate_quantile_norm", quantileNorm, Some(quantileNormSql)),
+    NamedQuery("curate_quantile_norm_approx", quantileNormApprox,
+      Some(quantileNormApproxSql)),
   )
 
   // ---------------------------------------------------------------
@@ -1349,6 +1351,84 @@ object CurationQueries {
       |  CAST(round(CAST(CAST(sum(m.n_chars) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 2) AS DOUBLE) AS mean_raw,
       |  CAST(round(CAST(CAST(sum(p.v) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 2) AS DOUBLE) AS mean_norm,
       |  min(p.v) AS min_norm, max(p.v) AS max_norm
+      |FROM mapped m JOIN pool p ON p.pos = m.pos
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // The 100 TB twin of [[quantileNorm]] — the documented swap,
+  // IMPLEMENTED: instead of the pooled global sort, the pooled
+  // distribution is a 101-point KLL quantile grid
+  // (approx_percentile, accuracy 10⁴ ⇒ rank error ≤ 1e-4·N — the
+  // agg_percentiles_approx discipline), built map-side-combinable and
+  // broadcast; each doc maps its integer rank fraction to the nearest
+  // grid point. Output contract (the sketch-oracle pattern): the
+  // EXACT-mapping aggregates are hash-checked against DuckDB, and the
+  // sketch side ships as an in-tolerance boolean the rank-error bound
+  // guarantees (grid value at fraction r sits within 1e-4·N ranks of
+  // the exact pooled value, so per-source normalized means agree
+  // within 2% with huge margin) — a sketch regression flips the
+  // boolean and fails the hash.
+  private def quantileNormApprox(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val nTot = d.agg(count(lit(1)).as("n_pool"))
+    val pool = d.select(col("n_chars").as("v"),
+      row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))).as("pos"))
+    val fractions = (0 to 100).map(_ / 100.0)
+    val grid = d.agg(expr(
+      s"approx_percentile(n_chars, array(${fractions.mkString(", ")}), 10000)")
+      .as("grid"))
+    val ranked = d
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(grid))
+      .withColumn("pos", expr(
+        """CASE WHEN n_s = 1 THEN (n_pool + 1) div 2
+          |     ELSE 1 + (2 * (r - 1) * (n_pool - 1) + (n_s - 1)) div (2 * (n_s - 1))
+          |END""".stripMargin))
+      .withColumn("gidx", expr(
+        "CASE WHEN n_s = 1 THEN 50 ELSE cast((2 * (r - 1) * 100 + (n_s - 1)) div (2 * (n_s - 1)) AS int) END"))
+      .withColumn("v_approx", expr("element_at(grid, gidx + 1)"))
+    ranked.join(pool, Seq("pos"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rnd(sum(col("v")).cast("double") / count(lit(1)), 2).as("mean_norm_exact"),
+        (abs(sum(col("v_approx")).cast("double") / count(lit(1))
+          - sum(col("v")).cast("double") / count(lit(1)))
+          <= lit(0.02) * (sum(col("v")).cast("double") / count(lit(1))))
+          .as("approx_within_2pct"))
+      .withColumn("grid_points", lit(101))
+      .select(col("source"), col("n_docs"), col("mean_norm_exact"),
+        col("approx_within_2pct"), col("grid_points"))
+      .orderBy(col("source"))
+  }
+
+  private val quantileNormApproxSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), np AS (
+      |  SELECT count(*) AS n_pool FROM d
+      |), pool AS (
+      |  SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars, doc_id) AS pos FROM d
+      |), ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY source) AS n_s
+      |  FROM d
+      |), mapped AS (
+      |  SELECT rk.source,
+      |    CASE WHEN rk.n_s = 1 THEN (np.n_pool + 1) // 2
+      |         ELSE 1 + (2 * (rk.r - 1) * (np.n_pool - 1) + (rk.n_s - 1)) // (2 * (rk.n_s - 1))
+      |    END AS pos
+      |  FROM ranked rk, np
+      |)
+      |SELECT m.source, count(*) AS n_docs,
+      |  CAST(round(CAST(CAST(sum(p.v) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 2) AS DOUBLE) AS mean_norm_exact,
+      |  TRUE AS approx_within_2pct,
+      |  101 AS grid_points
       |FROM mapped m JOIN pool p ON p.pos = m.pos
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
