@@ -38,6 +38,7 @@ object SeriesQueries {
     NamedQuery("events_seasonality_strength", seasonalityStrength, Some(seasonalityStrengthSql)),
     NamedQuery("events_concurrency", concurrency, Some(concurrencySql)),
     NamedQuery("events_rolling_median", rollingMedian, Some(rollingMedianSql)),
+    NamedQuery("events_markov_steady", markovSteady, Some(markovSteadySql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -1153,4 +1154,83 @@ object SeriesQueries {
       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,8)), 4) AS DOUBLE) AS dev
       |FROM daily
       |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Markov steady state — where does a user session SETTLE? The
+  // stationary distribution π of the event-type transition chain
+  // (π = πP) via 8 rounds of power iteration in INTEGER MICRO-UNITS —
+  // the sim_pagerank_central discipline applied to the
+  // events_transitions / events_markov_entropy matrix: P's rows
+  // normalize as integer (n_ij·1e6) DIV n_i, each round is
+  // π'_j = (Σ_i π_i·p_ij) DIV 1e6, so no float ever forms and both
+  // engines are bit-exact with zero snapping (flooring loses ≤1
+  // micro-unit per division, deterministically).
+  //
+  // Scale shape: ONE corpus pass (the per-user lag) reduces to the
+  // |types|² transition matrix; the iteration is window math on that
+  // ≤25-row frame — 8 bounded self-joins regardless of corpus size.
+  private val MkScale = 1000000L
+  private val MkRounds = 8
+
+  private def markovSteady(spark: SparkSession, dir: String): DataFrame = {
+    val trans = ev(spark, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val p = trans
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"),
+        expr(s"(n * ${MkScale}L) div n_from").as("p_micro"))
+      .localCheckpoint() // tiny frame, 8 iteration consumers
+    val types = p.select(col("from_type").as("t")).distinct()
+    val k = types.agg(count(lit(1)).as("k"))
+    var pi = types.crossJoin(broadcast(k))
+      .select(col("t"), expr(s"${MkScale}L div k").as("pi_micro"))
+      .localCheckpoint()
+    for (round <- 1 to MkRounds) {
+      val next = p.join(pi, col("from_type") === col("t"))
+        .select(col("to_type"), expr("pi_micro * p_micro").as("m"))
+        .groupBy(col("to_type"))
+        .agg(expr(s"sum(m) div ${MkScale}L").as("pi_micro"))
+        .select(col("to_type").as("t"), col("pi_micro"))
+      pi = if (round % 2 == 0 || round == MkRounds) next.localCheckpoint() else next
+    }
+    val nObs = trans.agg(sum(col("n")).as("n_transitions"))
+    pi.crossJoin(broadcast(nObs))
+      .select(col("t").as("event_type"), col("pi_micro"), col("n_transitions"))
+      .orderBy(col("event_type"))
+  }
+
+  private val markovSteadySql = {
+    val rounds = (1 to MkRounds).map { r =>
+      s""", r$r AS (
+      |  SELECT p.to_type AS t, sum(pi.pi_micro * p.p_micro) // $MkScale AS pi_micro
+      |  FROM p JOIN r${r - 1} pi ON pi.t = p.from_type
+      |  GROUP BY p.to_type
+      |)""".stripMargin
+    }.mkString
+    s"""WITH trans AS (
+      |  SELECT from_type, event_type AS to_type, count(*) AS n FROM (
+      |    SELECT event_type,
+      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |    FROM events) t
+      |  WHERE from_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |), p AS (
+      |  SELECT from_type, to_type,
+      |    (n * $MkScale) // sum(n) OVER (PARTITION BY from_type) AS p_micro
+      |  FROM trans
+      |), types AS (
+      |  SELECT DISTINCT from_type AS t FROM trans
+      |), r0 AS (
+      |  SELECT t, $MkScale // (SELECT count(*) FROM types) AS pi_micro FROM types
+      |)$rounds, tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS n_transitions FROM trans
+      |)
+      |SELECT r.t AS event_type, CAST(r.pi_micro AS BIGINT) AS pi_micro, tot.n_transitions
+      |FROM r$MkRounds r, tot
+      |ORDER BY event_type""".stripMargin
+  }
 }
