@@ -39,6 +39,7 @@ object SeriesQueries {
     NamedQuery("events_concurrency", concurrency, Some(concurrencySql)),
     NamedQuery("events_rolling_median", rollingMedian, Some(rollingMedianSql)),
     NamedQuery("events_markov_steady", markovSteady, Some(markovSteadySql)),
+    NamedQuery("events_ewma_daily", ewmaDaily, Some(ewmaDailySql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -1233,4 +1234,54 @@ object SeriesQueries {
       |FROM r$MkRounds r, tot
       |ORDER BY event_type""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Exponentially-weighted moving average of daily volume (α = 1/2) —
+  // the recursive smoother e_t = (x_t + e_{t-1})/2 made DISTRIBUTABLE
+  // by its closed form: e_t = Σ_{i≤t} x_i·2^i / (2^{t+1} − 1), a ratio
+  // of exact BIGINTs (numerator = one running window sum of x·2^i;
+  // no recursion survives into the plan, so the window parallelizes
+  // like any prefix sum). Emitted in integer MILLI-units via floor
+  // division — bit-exact cross-engine with zero snapping.
+  //
+  // Bounds: day index ≤ 30 here, so x·2^i·10³ tops out near 4·10¹⁶ —
+  // three orders inside int64. The closed form overflows only past
+  // ~8M events/day·2³⁰; longer spans truncate the window (weights
+  // below 2⁻⁴⁰ are sub-milli anyway) — the standard remediation,
+  // noted not needed at any tested SF.
+  private def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir)
+      .withColumn("day", floor(col("sec") / 86400L).cast("long"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("i", row_number().over(wOrd) - 1)
+      .withColumn("wterm", expr("n * shiftleft(1L, cast(i AS int))"))
+      .withColumn("num", sum(col("wterm")).over(wCum))
+      .withColumn("ewma_milli",
+        expr("(num * 1000L) div (shiftleft(1L, cast(i AS int) + 1) - 1L)"))
+      .select(col("event_type"), col("day"), col("n"), col("ewma_milli"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val ewmaDailySql =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts)//1000000000//86400 AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), idx AS (
+      |  SELECT event_type, day, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+      |  FROM daily
+      |), cum AS (
+      |  SELECT event_type, day, n, i,
+      |    sum(n * (CAST(1 AS BIGINT) << CAST(i AS INT)))
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num
+      |  FROM idx
+      |)
+      |SELECT event_type, day, n,
+      |  CAST((num * 1000) // ((CAST(1 AS BIGINT) << CAST(i + 1 AS INT)) - 1) AS BIGINT) AS ewma_milli
+      |FROM cum
+      |ORDER BY event_type, day""".stripMargin
 }
