@@ -40,6 +40,7 @@ object SeriesQueries {
     NamedQuery("events_rolling_median", rollingMedian, Some(rollingMedianSql)),
     NamedQuery("events_markov_steady", markovSteady, Some(markovSteadySql)),
     NamedQuery("events_ewma_daily", ewmaDaily, Some(ewmaDailySql)),
+    NamedQuery("events_interarrival_fit", interarrivalFit, Some(interarrivalFitSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -1284,4 +1285,83 @@ object SeriesQueries {
       |  CAST((num * 1000) // ((CAST(1 AS BIGINT) << CAST(i + 1 AS INT)) - 1) AS BIGINT) AS ewma_milli
       |FROM cum
       |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Interarrival exponential fit — is each type's arrival process
+  // Poisson? Per type, the gap sequence (consecutive arrival
+  // differences in whole seconds) is summarized by its mean, its
+  // coefficient of variation (an exponential has cv = 1: cv >> 1
+  // marks bursts, cv << 1 marks throttled/bot regularity — the
+  // events_bot_regularity signal at the process level), and the
+  // empirical-vs-model quantile ratios at p = 0.1/0.5/0.9 where the
+  // model quantile is −mean·ln(1−p). A Poisson fixture reads ratios
+  // ≈ 1 across the grid; a heavy tail bends ratio_q90 up.
+  //
+  // Scale shape: one per-type lag pass (the arrival order is the
+  // type's own partition), then a bounded per-type reduction — moments
+  // as exact integer/DECIMAL sums (gaps are integer seconds; squares
+  // sum in DECIMAL(38)), quantiles via the interpolated percentile
+  // both engines share. ln(1−p) enters as shared literals.
+  private def interarrivalFit(spark: SparkSession, dir: String): DataFrame = {
+    val Ln09 = -0.10536051565782628 // ln(1 - 0.1)
+    val Ln05 = -0.6931471805599453 // ln(1 - 0.5)
+    val Ln01 = -2.302585092994046 // ln(1 - 0.9)
+    val gaps = ev(spark, dir)
+      .withColumn("prev", lag(col("sec"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("sec"), col("event_id"))))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("sec") - col("prev")).as("gap"))
+    def ratio(q: org.apache.spark.sql.Column, lnc: Double) =
+      rnd(q / (col("mean_gap") * lit(-lnc)), 4)
+    gaps.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("s1"),
+        sum(col("gap").cast("decimal(19,0)") * col("gap").cast("decimal(19,0)"))
+          .as("s2"),
+        expr("percentile(gap, 0.1)").as("q10"),
+        expr("percentile(gap, 0.5)").as("q50"),
+        expr("percentile(gap, 0.9)").as("q90"))
+      .withColumn("mean_gap", rnd(col("s1").cast("double") / col("n_gaps"), 6))
+      .withColumn("cv", rnd(
+        sqrt((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("n_gaps"))
+          / (col("n_gaps") - 1)) / col("mean_gap"), 4))
+      .withColumn("ratio_q10", ratio(col("q10"), Ln09))
+      .withColumn("ratio_q50", ratio(col("q50"), Ln05))
+      .withColumn("ratio_q90", ratio(col("q90"), Ln01))
+      .select(col("event_type"), col("n_gaps"), col("mean_gap"), col("cv"),
+        col("ratio_q10"), col("ratio_q50"), col("ratio_q90"))
+      .orderBy(col("event_type"))
+  }
+
+  private val interarrivalFitSql =
+    """WITH gaps AS (
+      |  SELECT event_type, sec - prev AS gap FROM (
+      |    SELECT event_type, epoch_ns(ts)//1000000000 AS sec, event_id,
+      |      lag(epoch_ns(ts)//1000000000) OVER (PARTITION BY event_type
+      |        ORDER BY epoch_ns(ts)//1000000000, event_id) AS prev
+      |    FROM events) t
+      |  WHERE prev IS NOT NULL
+      |), agg AS (
+      |  SELECT event_type, count(*) AS n_gaps,
+      |    sum(gap) AS s1,
+      |    sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS s2,
+      |    quantile_cont(gap, 0.1) AS q10,
+      |    quantile_cont(gap, 0.5) AS q50,
+      |    quantile_cont(gap, 0.9) AS q90
+      |  FROM gaps GROUP BY 1
+      |), m AS (
+      |  SELECT *,
+      |    CAST(round(CAST(CAST(s1 AS DOUBLE) / n_gaps AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_gap
+      |  FROM agg
+      |)
+      |SELECT event_type, n_gaps, mean_gap,
+      |  CAST(round(CAST(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_gaps)
+      |    / (n_gaps - 1)) / mean_gap AS DECIMAL(18,8)), 4) AS DOUBLE) AS cv,
+      |  CAST(round(CAST(q10 / (mean_gap * 0.10536051565782628) AS DECIMAL(18,8)), 4) AS DOUBLE) AS ratio_q10,
+      |  CAST(round(CAST(q50 / (mean_gap * 0.6931471805599453) AS DECIMAL(18,8)), 4) AS DOUBLE) AS ratio_q50,
+      |  CAST(round(CAST(q90 / (mean_gap * 2.302585092994046) AS DECIMAL(18,8)), 4) AS DOUBLE) AS ratio_q90
+      |FROM m
+      |ORDER BY event_type""".stripMargin
 }
