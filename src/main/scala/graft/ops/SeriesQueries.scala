@@ -41,6 +41,7 @@ object SeriesQueries {
     NamedQuery("events_markov_steady", markovSteady, Some(markovSteadySql)),
     NamedQuery("events_ewma_daily", ewmaDaily, Some(ewmaDailySql)),
     NamedQuery("events_interarrival_fit", interarrivalFit, Some(interarrivalFitSql)),
+    NamedQuery("events_order_audit", orderAudit, Some(orderAuditSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -1364,4 +1365,55 @@ object SeriesQueries {
       |  CAST(round(CAST(q90 / (mean_gap * 2.302585092994046) AS DECIMAL(18,8)), 4) AS DOUBLE) AS ratio_q90
       |FROM m
       |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Sequence-order audit — the CDC ordering-health check: does event
+  // time agree with ingestion order (event_id)? Per user, walking the
+  // stream in id order, count ADJACENT inversions (ts strictly below
+  // its predecessor's) and the worst backward jump. Adjacent
+  // inversions are the O(n) proxy for the quadratic inversion count —
+  // zero means the source delivered in timestamp order and replay
+  // logic (LWW guards, watermarks) is exercising its safety margin,
+  // not correcting live damage; a nonzero fraction sizes the
+  // out-of-orderness a watermark delay must cover.
+  //
+  // Scale shape: one per-user lag pass (the stream's natural
+  // partition) + one |users|→1 reduction with map-side partials; all
+  // integer arithmetic.
+  private def orderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val steps = ev(spark, dir)
+      .withColumn("prev_sec", lag(col("sec"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("event_id"))))
+      .filter(col("prev_sec").isNotNull)
+      .select(col("user_id"),
+        (col("sec") < col("prev_sec")).as("inv"),
+        greatest(col("prev_sec") - col("sec"), lit(0L)).as("back_jump"))
+    steps.agg(
+        count(lit(1)).as("n_steps"),
+        sum(when(col("inv"), 1L).otherwise(0L)).as("n_inversions"),
+        max(col("back_jump")).as("max_back_jump_sec"),
+        countDistinct(when(col("inv"), col("user_id"))).as("n_users_affected"))
+      .withColumn("inversion_frac", rnd(
+        col("n_inversions").cast("double") / col("n_steps"), 6))
+      .select(col("n_steps"), col("n_inversions"), col("inversion_frac"),
+        col("max_back_jump_sec"), col("n_users_affected"))
+  }
+
+  private val orderAuditSql =
+    """WITH steps AS (
+      |  SELECT user_id, sec < prev_sec AS inv,
+      |    greatest(prev_sec - sec, 0) AS back_jump
+      |  FROM (
+      |    SELECT user_id, epoch_ns(ts)//1000000000 AS sec,
+      |      lag(epoch_ns(ts)//1000000000) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_sec
+      |    FROM events) t
+      |  WHERE prev_sec IS NOT NULL
+      |)
+      |SELECT count(*) AS n_steps,
+      |  CAST(sum(CASE WHEN inv THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+      |  CAST(round(CAST(CAST(sum(CASE WHEN inv THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS inversion_frac,
+      |  CAST(max(back_jump) AS BIGINT) AS max_back_jump_sec,
+      |  CAST(count(DISTINCT CASE WHEN inv THEN user_id END) AS BIGINT) AS n_users_affected
+      |FROM steps""".stripMargin
 }
