@@ -1176,33 +1176,34 @@ object SeriesQueries {
   private val MkRounds = 8
 
   private def markovSteady(spark: SparkSession, dir: String): DataFrame = {
+    // ONE corpus pass reduces to the |types|² matrix; the matrix is
+    // BOUNDED (≤25 rows), so the iteration runs on the driver over the
+    // collected frame — the bounded-collect codebook pattern (K-row
+    // frames may cross the driver; corpora may not). Unlike
+    // sim_pagerank_central (O(N) frontiers that must iterate
+    // distributed), distributing 8 rounds of 5-row joins only buys 16
+    // fixed-cost tiny shuffle stages (measured: 1.3 s of pure
+    // scheduling); the driver fold is arithmetic on 25 longs.
     val trans = ev(spark, dir)
       .withColumn("from_type", lag(col("event_type"), 1).over(
         Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val p = trans
-      .withColumn("n_from", sum(col("n")).over(Window.partitionBy(col("from_type"))))
-      .select(col("from_type"), col("to_type"),
-        expr(s"(n * ${MkScale}L) div n_from").as("p_micro"))
-      .localCheckpoint() // tiny frame, 8 iteration consumers
-    val types = p.select(col("from_type").as("t")).distinct()
-    val k = types.agg(count(lit(1)).as("k"))
-    var pi = types.crossJoin(broadcast(k))
-      .select(col("t"), expr(s"${MkScale}L div k").as("pi_micro"))
-      .localCheckpoint()
-    for (round <- 1 to MkRounds) {
-      val next = p.join(pi, col("from_type") === col("t"))
-        .select(col("to_type"), expr("pi_micro * p_micro").as("m"))
-        .groupBy(col("to_type"))
-        .agg(expr(s"sum(m) div ${MkScale}L").as("pi_micro"))
-        .select(col("to_type").as("t"), col("pi_micro"))
-      pi = if (round % 2 == 0 || round == MkRounds) next.localCheckpoint() else next
-    }
-    val nObs = trans.agg(sum(col("n")).as("n_transitions"))
-    pi.crossJoin(broadcast(nObs))
-      .select(col("t").as("event_type"), col("pi_micro"), col("n_transitions"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nFrom = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pMicro = trans.map { case (f, t, n) => (f, t) -> n * MkScale / nFrom(f) }.toMap
+    val types = trans.map(_._1).distinct.sorted
+    val k = types.length
+    var pi: Map[String, Long] = types.map(t => t -> MkScale / k).toMap
+    for (_ <- 1 to MkRounds)
+      pi = types.map { t =>
+        t -> types.map(f => pi(f) * pMicro.getOrElse((f, t), 0L)).sum / MkScale
+      }.toMap
+    val nTransitions = trans.map(_._3).sum
+    import spark.implicits._
+    types.toSeq.map(t => (t, pi(t), nTransitions))
+      .toDF("event_type", "pi_micro", "n_transitions")
       .orderBy(col("event_type"))
   }
 
