@@ -64,6 +64,7 @@ object MoreRelational {
     NamedQuery("join_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)),
     NamedQuery("scalar_url_funcs", scalarUrl, Some(scalarUrlSql)),
     NamedQuery("dedup_fuzzy_clusters", fuzzyClusters, Some(fuzzyClustersSql)),
+    NamedQuery("agg_weighted_median", weightedMedian, Some(weightedMedianSql)),
   )
 
   // ---------------------------------------------------------------
@@ -1564,4 +1565,72 @@ object MoreRelational {
       |GROUP BY cluster
       |HAVING count(*) >= 2
       |ORDER BY cluster""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Weighted median — the aggregate Spark doesn't ship (percentile
+  // takes no weight): per brand, the retail price at which half the
+  // SIZE-weighted mass sits below (the inventory-weighted price
+  // centre; an unweighted median treats a size-1 and a size-50 part
+  // the same). Expressed as the classic cumulative-weight rewrite:
+  // order values within the group, running-sum the integer weights,
+  // take the first value whose doubled cumulative weight reaches the
+  // total — lower weighted median, exact by construction (integer
+  // weight comparisons; no interpolation, so nothing to snap).
+  //
+  // Scale shape: one partition-bounded window sort per group + one
+  // group-limit pick — the same WindowGroupLimit shape as any per-group
+  // argmin; no self-join, no global sort. The unweighted median rides
+  // along for contrast.
+  private def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val parts = table(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("long").as("w"))
+    val wOrd = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    val cum = parts
+      .withColumn("cumw", sum(col("w")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("totw", sum(col("w")).over(Window.partitionBy(col("p_brand"))))
+    val wPick = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    val picked = cum.filter(col("cumw") * 2 >= col("totw"))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("p_brand"), col("p_retailprice").as("w_median_price"),
+        col("totw").as("total_weight"))
+    val plain = parts.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        rnd(expr("percentile(p_retailprice, 0.5)"), 2).as("median_price"))
+    plain.join(picked, "p_brand")
+      .select(col("p_brand"), col("n_parts"), col("total_weight"),
+        col("median_price"), col("w_median_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val weightedMedianSql =
+    """WITH parts AS (
+      |  SELECT p_brand, p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS w
+      |  FROM part
+      |), cum AS (
+      |  SELECT p_brand, p_retailprice,
+      |    sum(w) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    sum(w) OVER (PARTITION BY p_brand) AS totw,
+      |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS ord
+      |  FROM parts
+      |), picked AS (
+      |  SELECT p_brand, p_retailprice AS w_median_price, totw AS total_weight
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY ord) AS rk
+      |    FROM cum WHERE cumw * 2 >= totw
+      |  ) WHERE rk = 1
+      |), plain AS (
+      |  SELECT p_brand, count(*) AS n_parts,
+      |    CAST(round(CAST(quantile_cont(p_retailprice, 0.5) AS DECIMAL(18,8)), 2) AS DOUBLE) AS median_price
+      |  FROM parts GROUP BY 1
+      |)
+      |SELECT pl.p_brand, pl.n_parts, CAST(pk.total_weight AS BIGINT) AS total_weight,
+      |  pl.median_price, pk.w_median_price
+      |FROM plain pl JOIN picked pk USING (p_brand)
+      |ORDER BY p_brand""".stripMargin
 }
