@@ -42,6 +42,7 @@ object SeriesQueries {
     NamedQuery("events_ewma_daily", ewmaDaily, Some(ewmaDailySql)),
     NamedQuery("events_interarrival_fit", interarrivalFit, Some(interarrivalFitSql)),
     NamedQuery("events_order_audit", orderAudit, Some(orderAuditSql)),
+    NamedQuery("events_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
   )
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -1417,4 +1418,70 @@ object SeriesQueries {
       |  CAST(max(back_jump) AS BIGINT) AS max_back_jump_sec,
       |  CAST(count(DISTINCT CASE WHEN inv THEN user_id END) AS BIGINT) AS n_users_affected
       |FROM steps""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Cohort LTV triangle — cumulative value per signup cohort by age:
+  // users cohort on their FIRST event week; each (cohort_week, age)
+  // cell reports the active users, that week's value, and the running
+  // cumulative value PER COHORT USER — the curve a growth team reads
+  // to compare cohort quality at equal age (the payback-period input;
+  // completes the retention-cohorts / growth-accounting family with
+  // the value dimension).
+  //
+  // Scale shape: one user-keyed reduction for cohorts (min week), one
+  // (user, week) reduction for activity, one broadcast-scale join on
+  // user (the cohort frame is |users| rows — at 100 TB both sides
+  // pre-shuffle once on user_id), then window math on the bounded
+  // |weeks|² triangle. Determinism: value sums through DECIMAL(18,4)
+  // (order-free), cohort sizes and ages are exact integers, the
+  // cumulative divides once per cell and snaps at 4 dp.
+  private def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = ev(spark, dir)
+      .withColumn("week", expr("sec div 604800"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(count(lit(1)).as("n_ev"), sum(dec(col("value"))).as("v"))
+    val cohorts = weekly.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = weekly.join(cohorts, "user_id")
+      .withColumn("age", col("week") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("age"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(col("v")).cast("decimal(18,4)").as("week_value"))
+    val wCum = Window.partitionBy(col("cohort_week")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sizes), "cohort_week")
+      .withColumn("cum_value", sum(col("week_value")).over(wCum).cast("decimal(18,4)"))
+      .withColumn("ltv_per_user",
+        rnd(col("cum_value").cast("double") / col("cohort_users"), 4))
+      .select(col("cohort_week"), col("age"), col("cohort_users"),
+        col("active_users"), rnd(col("week_value").cast("double"), 2).as("week_value"),
+        col("ltv_per_user"))
+      .orderBy(col("cohort_week"), col("age"))
+  }
+
+  private val cohortLtvSql =
+    """WITH weekly AS (
+      |  SELECT user_id, (epoch_ns(ts)//1000000000)//604800 AS week,
+      |    count(*) AS n_ev, sum(CAST(value AS DECIMAL(18,4))) AS v
+      |  FROM events GROUP BY 1, 2
+      |), cohorts AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort_week, count(*) AS cohort_users FROM cohorts GROUP BY 1
+      |), cells AS (
+      |  SELECT c.cohort_week, w.week - c.cohort_week AS age,
+      |    count(*) AS active_users,
+      |    CAST(sum(w.v) AS DECIMAL(18,4)) AS week_value
+      |  FROM weekly w JOIN cohorts c USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ce.cohort_week, ce.age, s.cohort_users, ce.active_users,
+      |  CAST(round(CAST(CAST(ce.week_value AS DOUBLE) AS DECIMAL(18,8)), 2) AS DOUBLE) AS week_value,
+      |  CAST(round(CAST(CAST(CAST(sum(ce.week_value) OVER (PARTITION BY ce.cohort_week
+      |      ORDER BY ce.age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DECIMAL(18,4)) AS DOUBLE) / s.cohort_users AS DECIMAL(18,8)), 4) AS DOUBLE) AS ltv_per_user
+      |FROM cells ce JOIN sizes s USING (cohort_week)
+      |ORDER BY cohort_week, age""".stripMargin
 }
