@@ -1368,7 +1368,12 @@ object CurationQueries {
   // guarantees (grid value at fraction r sits within 1e-4·N ranks of
   // the exact pooled value, so per-source normalized means agree
   // within 2% with huge margin) — a sketch regression flips the
-  // boolean and fails the hash.
+  // boolean and fails the hash. The DuckDB twin computes ITS OWN
+  // 101-point grid (exact quantile_cont — the error-free instance of
+  // the same grid mapping) and the same tolerance boolean (r15
+  // advice), so a too-loose tolerance or a broken grid-index formula
+  // fails the oracle from the DuckDB side too, instead of the twin
+  // rubber-stamping TRUE.
   private def quantileNormApprox(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
@@ -1407,12 +1412,14 @@ object CurationQueries {
   }
 
   private val quantileNormApproxSql =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, source, n_chars FROM documents
       |), np AS (
       |  SELECT count(*) AS n_pool FROM d
       |), pool AS (
       |  SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars, doc_id) AS pos FROM d
+      |), grid AS (
+      |  SELECT quantile_cont(n_chars, [${(0 to 100).map(_ / 100.0).mkString(", ")}]) AS g FROM d
       |), ranked AS (
       |  SELECT doc_id, source, n_chars,
       |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
@@ -1422,14 +1429,18 @@ object CurationQueries {
       |  SELECT rk.source,
       |    CASE WHEN rk.n_s = 1 THEN (np.n_pool + 1) // 2
       |         ELSE 1 + (2 * (rk.r - 1) * (np.n_pool - 1) + (rk.n_s - 1)) // (2 * (rk.n_s - 1))
-      |    END AS pos
+      |    END AS pos,
+      |    CASE WHEN rk.n_s = 1 THEN 50
+      |         ELSE (2 * (rk.r - 1) * 100 + (rk.n_s - 1)) // (2 * (rk.n_s - 1))
+      |    END AS gidx
       |  FROM ranked rk, np
       |)
       |SELECT m.source, count(*) AS n_docs,
       |  CAST(round(CAST(CAST(sum(p.v) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 2) AS DOUBLE) AS mean_norm_exact,
-      |  TRUE AS approx_within_2pct,
+      |  abs(sum(gr.g[m.gidx + 1]) / count(*) - CAST(sum(p.v) AS DOUBLE) / count(*))
+      |    <= 0.02 * (CAST(sum(p.v) AS DOUBLE) / count(*)) AS approx_within_2pct,
       |  101 AS grid_points
-      |FROM mapped m JOIN pool p ON p.pos = m.pos
+      |FROM mapped m JOIN pool p ON p.pos = m.pos, grid gr
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 }

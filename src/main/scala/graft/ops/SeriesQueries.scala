@@ -1194,7 +1194,12 @@ object SeriesQueries {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val nFrom = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val pMicro = trans.map { case (f, t, n) => (f, t) -> n * MkScale / nFrom(f) }.toMap
-    val types = trans.map(_._1).distinct.sorted
+    // the state universe is the UNION of from- and to-types: a
+    // source-only state (never entered) keeps a pi-0 row, and a
+    // sink-only state (never left — absorbing) keeps the mass that
+    // flows into it. From-only universes silently dropped absorbing
+    // states on one engine and kept them on the other (r15 advice).
+    val types = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
     val k = types.length
     var pi: Map[String, Long] = types.map(t => t -> MkScale / k).toMap
     for (_ <- 1 to MkRounds)
@@ -1209,11 +1214,16 @@ object SeriesQueries {
   }
 
   private val markovSteadySql = {
+    // each round emits the FULL state universe (LEFT JOIN from types):
+    // a state with no inflow this round keeps a pi-0 row, so the row
+    // set is stable across rounds and matches the Spark fold exactly
     val rounds = (1 to MkRounds).map { r =>
       s""", r$r AS (
-      |  SELECT p.to_type AS t, sum(pi.pi_micro * p.p_micro) // $MkScale AS pi_micro
-      |  FROM p JOIN r${r - 1} pi ON pi.t = p.from_type
-      |  GROUP BY p.to_type
+      |  SELECT ty.t, coalesce(sum(pi.pi_micro * p.p_micro), 0) // $MkScale AS pi_micro
+      |  FROM types ty
+      |  LEFT JOIN p ON p.to_type = ty.t
+      |  LEFT JOIN r${r - 1} pi ON pi.t = p.from_type
+      |  GROUP BY ty.t
       |)""".stripMargin
     }.mkString
     s"""WITH trans AS (
@@ -1228,7 +1238,7 @@ object SeriesQueries {
       |    (n * $MkScale) // sum(n) OVER (PARTITION BY from_type) AS p_micro
       |  FROM trans
       |), types AS (
-      |  SELECT DISTINCT from_type AS t FROM trans
+      |  SELECT from_type AS t FROM trans UNION SELECT to_type FROM trans
       |), r0 AS (
       |  SELECT t, $MkScale // (SELECT count(*) FROM types) AS pi_micro FROM types
       |)$rounds, tot AS (
@@ -1248,15 +1258,22 @@ object SeriesQueries {
   // like any prefix sum). Emitted in integer MILLI-units via floor
   // division — bit-exact cross-engine with zero snapping.
   //
-  // Bounds: day index ≤ 30 here, so x·2^i·10³ tops out near 4·10¹⁶ —
-  // three orders inside int64. The closed form overflows only past
-  // ~8M events/day·2³⁰; longer spans truncate the window (weights
-  // below 2⁻⁴⁰ are sub-milli anyway) — the standard remediation,
-  // noted not needed at any tested SF.
+  // Bounds: the series is TRUNCATED to each type's last 40 calendar
+  // days before indexing, so i ≤ 39 and x·2^i·10³ tops out near 5·10¹⁷
+  // — safely inside int64 up to ~8M events/day. Without the guard,
+  // Spark's shiftleft silently wraps at i ≥ 64 (Java shift is mod 64)
+  // while DuckDB raises — an engine-divergent failure on any span past
+  // ~62 days (r15 advice). Weights below 2⁻⁴⁰ are sub-milli anyway, so
+  // the truncation is the closed form's own precision floor; at every
+  // tested SF the span is ≤ 31 days and the filter is a no-op.
+  private val EwmaWindowDays = 40
   private def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val wType = Window.partitionBy(col("event_type"))
     val daily = ev(spark, dir)
       .withColumn("day", floor(col("sec") / 86400L).cast("long"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("max_day", max(col("day")).over(wType))
+      .filter(col("day") > col("max_day") - EwmaWindowDays)
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
@@ -1270,9 +1287,13 @@ object SeriesQueries {
   }
 
   private val ewmaDailySql =
-    """WITH daily AS (
+    s"""WITH daily0 AS (
       |  SELECT event_type, epoch_ns(ts)//1000000000//86400 AS day, count(*) AS n
       |  FROM events GROUP BY 1, 2
+      |), daily AS (
+      |  SELECT event_type, day, n FROM (
+      |    SELECT *, max(day) OVER (PARTITION BY event_type) AS max_day FROM daily0) t
+      |  WHERE day > max_day - $EwmaWindowDays
       |), idx AS (
       |  SELECT event_type, day, n,
       |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
@@ -1314,8 +1335,13 @@ object SeriesQueries {
         Window.partitionBy(col("event_type")).orderBy(col("sec"), col("event_id"))))
       .filter(col("prev").isNotNull)
       .select(col("event_type"), (col("sec") - col("prev")).as("gap"))
+    // degenerate-source guard (r15 advice): a type whose gaps are all
+    // zero has mean_gap = 0 — Spark folds the Infinity through the
+    // decimal snap to NULL while DuckDB raises on the cast, so guard
+    // the division explicitly (NULL cv/ratios) in BOTH twins, the
+    // olsDoclen degenerate-source convention
     def ratio(q: org.apache.spark.sql.Column, lnc: Double) =
-      rnd(q / (col("mean_gap") * lit(-lnc)), 4)
+      when(col("mean_gap") > 0, rnd(q / (col("mean_gap") * lit(-lnc)), 4))
     gaps.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_gaps"),
@@ -1326,10 +1352,10 @@ object SeriesQueries {
         expr("percentile(gap, 0.5)").as("q50"),
         expr("percentile(gap, 0.9)").as("q90"))
       .withColumn("mean_gap", rnd(col("s1").cast("double") / col("n_gaps"), 6))
-      .withColumn("cv", rnd(
+      .withColumn("cv", when(col("mean_gap") > 0, rnd(
         sqrt((col("s2").cast("double")
           - col("s1").cast("double") * col("s1").cast("double") / col("n_gaps"))
-          / (col("n_gaps") - 1)) / col("mean_gap"), 4))
+          / (col("n_gaps") - 1)) / col("mean_gap"), 4)))
       .withColumn("ratio_q10", ratio(col("q10"), Ln09))
       .withColumn("ratio_q50", ratio(col("q50"), Ln05))
       .withColumn("ratio_q90", ratio(col("q90"), Ln01))
@@ -1360,11 +1386,15 @@ object SeriesQueries {
       |  FROM agg
       |)
       |SELECT event_type, n_gaps, mean_gap,
-      |  CAST(round(CAST(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_gaps)
-      |    / (n_gaps - 1)) / mean_gap AS DECIMAL(18,8)), 4) AS DOUBLE) AS cv,
-      |  CAST(round(CAST(q10 / (mean_gap * 0.10536051565782628) AS DECIMAL(18,8)), 4) AS DOUBLE) AS ratio_q10,
-      |  CAST(round(CAST(q50 / (mean_gap * 0.6931471805599453) AS DECIMAL(18,8)), 4) AS DOUBLE) AS ratio_q50,
-      |  CAST(round(CAST(q90 / (mean_gap * 2.302585092994046) AS DECIMAL(18,8)), 4) AS DOUBLE) AS ratio_q90
+      |  CASE WHEN mean_gap > 0 THEN
+      |    CAST(round(CAST(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_gaps)
+      |      / (n_gaps - 1)) / mean_gap AS DECIMAL(18,8)), 4) AS DOUBLE) END AS cv,
+      |  CASE WHEN mean_gap > 0 THEN
+      |    CAST(round(CAST(q10 / (mean_gap * 0.10536051565782628) AS DECIMAL(18,8)), 4) AS DOUBLE) END AS ratio_q10,
+      |  CASE WHEN mean_gap > 0 THEN
+      |    CAST(round(CAST(q50 / (mean_gap * 0.6931471805599453) AS DECIMAL(18,8)), 4) AS DOUBLE) END AS ratio_q50,
+      |  CASE WHEN mean_gap > 0 THEN
+      |    CAST(round(CAST(q90 / (mean_gap * 2.302585092994046) AS DECIMAL(18,8)), 4) AS DOUBLE) END AS ratio_q90
       |FROM m
       |ORDER BY event_type""".stripMargin
 

@@ -1397,7 +1397,11 @@ object StatsQueries {
   // pairwise day-to-day slopes (a single corrupted day moves OLS
   // arbitrarily, moves the median not at all), and the Mann-Kendall S
   // statistic is the integer sum of pairwise signs, with its normal
-  // approximation z = (S - sgn(S)) / sqrt(n(n-1)(2n+5)/18).
+  // approximation z = (S - sgn(S)) / sqrt(Var S) under the TIE-CORRECTED
+  // variance Var S = [n(n-1)(2n+5) - Σ_g t_g(t_g-1)(2t_g+5)] / 18
+  // (t_g = size of each tied-value group): small integer daily counts
+  // tie often, and the no-ties form overstates z exactly then (r15
+  // advice). All-tied series (Var S = 0, S = 0) emit NULL z.
   //
   // Scale shape: ONE map-side-combinable pass reduces the corpus to
   // |types| × |days| rows (the time SPAN is fixed by the data's
@@ -1427,11 +1431,18 @@ object StatsQueries {
     val st = pairs.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("mk_s"),
         rnd(median(col("slope")), 6).as("sen_slope"))
-    nd.join(st, Seq("event_type"))
-      .withColumn("mk_z", rnd(
-        (col("mk_s") - signum(col("mk_s"))).cast("double")
-          / sqrt((col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5))
-            .cast("double") / 18.0d), 6))
+    // tie-group sizes among the daily counts: every type gets a row
+    // (an all-distinct series contributes t = 1 groups, term 0)
+    val ties = daily.groupBy(col("event_type"), col("n"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
+    nd.join(st, Seq("event_type")).join(ties, Seq("event_type"))
+      .withColumn("var_s",
+        (col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+          - col("tie_term")).cast("double") / 18.0d)
+      .withColumn("mk_z", when(col("var_s") > 0, rnd(
+        (col("mk_s") - signum(col("mk_s"))).cast("double") / sqrt(col("var_s")), 6)))
       .select(col("event_type"), col("n_days"), col("n_events"), col("n_pairs"),
         col("mk_s"), col("sen_slope"), col("mk_z"))
       .orderBy(col("event_type"))
@@ -1453,14 +1464,23 @@ object StatsQueries {
       |  SELECT event_type, count(*) AS n_pairs, sum(sgn) AS mk_s,
       |    CAST(round(CAST(median(slope) AS DECIMAL(18,8)), 6) AS DOUBLE) AS sen_slope
       |  FROM pairs GROUP BY 1
+      |), ties AS (
+      |  SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) AS tie_term FROM (
+      |    SELECT event_type, n, count(*) AS t FROM daily GROUP BY 1, 2) g
+      |  GROUP BY 1
+      |), v AS (
+      |  SELECT nd.event_type, nd.n_days, nd.n_events, st.n_pairs, st.mk_s, st.sen_slope,
+      |    CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+      |      - ties.tie_term AS DOUBLE) / 18.0 AS var_s
+      |  FROM nd JOIN st USING (event_type) JOIN ties USING (event_type)
       |)
-      |SELECT nd.event_type, nd.n_days, CAST(nd.n_events AS BIGINT) AS n_events,
-      |  st.n_pairs, CAST(st.mk_s AS BIGINT) AS mk_s, st.sen_slope,
-      |  CAST(round(CAST(CAST(st.mk_s
-      |      - (CASE WHEN st.mk_s > 0 THEN 1 WHEN st.mk_s < 0 THEN -1 ELSE 0 END) AS DOUBLE)
-      |    / sqrt(CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) AS DOUBLE) / 18.0)
-      |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mk_z
-      |FROM nd JOIN st USING (event_type)
+      |SELECT event_type, n_days, CAST(n_events AS BIGINT) AS n_events,
+      |  n_pairs, CAST(mk_s AS BIGINT) AS mk_s, sen_slope,
+      |  CASE WHEN var_s > 0 THEN
+      |    CAST(round(CAST(CAST(mk_s
+      |        - (CASE WHEN mk_s > 0 THEN 1 WHEN mk_s < 0 THEN -1 ELSE 0 END) AS DOUBLE)
+      |      / sqrt(var_s) AS DECIMAL(18,8)), 6) AS DOUBLE) END AS mk_z
+      |FROM v
       |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1584,10 +1604,16 @@ object StatsQueries {
         (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double")
           / col("n_obs")) / (col("n_obs") - 1), 6))
       .withColumn("mde_abs", rnd(lit(0.05) * col("mean_v"), 6))
-      .withColumn("n_per_arm", ceil(
+      // degenerate-source guard (r15 advice): a zero-mean metric has
+      // mde_abs = 0 — Spark (non-ANSI) folds the Infinity through
+      // ceil/cast to a garbage BIGINT while DuckDB raises on the cast.
+      // Emit NULL n_per_arm/powered in BOTH twins instead (the
+      // olsDoclen degenerate-source convention).
+      .withColumn("n_per_arm", when(col("mde_abs") > 0, ceil(
         lit(2.0) * col("var_v") * expr(s"pow($zSum, 2.0)")
-          / (col("mde_abs") * col("mde_abs"))).cast("long"))
-      .withColumn("powered", col("n_obs") >= lit(2) * col("n_per_arm"))
+          / (col("mde_abs") * col("mde_abs"))).cast("long")))
+      .withColumn("powered",
+        when(col("mde_abs") > 0, col("n_obs") >= lit(2) * col("n_per_arm")))
       .select(col("event_type"), col("n_obs"), col("mean_v"), col("var_v"),
         col("mde_abs"), col("n_per_arm"), col("powered"))
       .orderBy(col("event_type"))
@@ -1610,10 +1636,12 @@ object StatsQueries {
       |  FROM d
       |)
       |SELECT event_type, n_obs, mean_v, var_v, mde_abs,
-      |  CAST(ceil(2.0 * var_v * pow(1.959963985 + 0.8416212336, 2.0)
-      |    / (mde_abs * mde_abs)) AS BIGINT) AS n_per_arm,
-      |  n_obs >= 2 * CAST(ceil(2.0 * var_v * pow(1.959963985 + 0.8416212336, 2.0)
-      |    / (mde_abs * mde_abs)) AS BIGINT) AS powered
+      |  CASE WHEN mde_abs > 0 THEN
+      |    CAST(ceil(2.0 * var_v * pow(1.959963985 + 0.8416212336, 2.0)
+      |      / (mde_abs * mde_abs)) AS BIGINT) END AS n_per_arm,
+      |  CASE WHEN mde_abs > 0 THEN
+      |    n_obs >= 2 * CAST(ceil(2.0 * var_v * pow(1.959963985 + 0.8416212336, 2.0)
+      |      / (mde_abs * mde_abs)) AS BIGINT) END AS powered
       |FROM e
       |ORDER BY event_type""".stripMargin
 
