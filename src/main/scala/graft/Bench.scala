@@ -115,12 +115,27 @@ object Bench {
     // CONFIGURED pass count, so extra SPARK_GRAFT_PASSES spread the
     // start offsets instead of repeating pass 0-3's alignments.
     val steadyPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt.max(1)
+    // Intra-pass ambient probes (r15 verdict #1a): boundary-only probes
+    // could not localize an IO cliff INSIDE the 315 s r15 cold pass
+    // (the cliff hit the alphabetical tail and the cold total breached
+    // the 2x gate with zero probe points to attribute it). Probe every
+    // `probeEvery` queries inside each pass — the probe runs BETWEEN
+    // query timings, so it costs wall-clock but pollutes no query's
+    // number — and record (query-index, mbps) so a degraded stretch is
+    // attributable to the exact queries that ran through it. The
+    // per-pass probe MIN feeds the absolute pass filter below.
+    val probeEvery = sys.env.getOrElse("SPARK_GRAFT_PROBE_EVERY", "25").toInt.max(1)
+    // each pass's intra-pass series: (global pass number, query index
+    // within the rotated order, MB/s)
+    val intraProbes = scala.collection.mutable.ArrayBuffer[(Int, Int, Double)]()
     def timeAll(pass: Int): Map[String, Double] = {
       val shift =
         if (ordered.isEmpty) 0
         else (pass * ordered.size / steadyPasses) % ordered.size
       val rotated = ordered.drop(shift) ++ ordered.take(shift)
-      rotated.map { case (name, fn) =>
+      rotated.zipWithIndex.map { case ((name, fn), i) =>
+        if (i > 0 && i % probeEvery == 0 && ordered.size > probeEvery)
+          intraProbes += ((pass, i, ioProbe()))
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
@@ -156,23 +171,29 @@ object Bench {
       if (xs.size <= 1) median(xs) else median(xs.sorted.dropRight(1))
     val results = stat(trimmedMedian)
     val mins = stat(_.min)
-    // Probe-filtered steady (r13 verdict #8): the probe column proved
-    // cross-window drift is usually the BOX, so make the instrument
-    // act, not just record. A steady pass whose preceding probe point
-    // is more than 2x below the window's probe median ran on a
-    // transiently degraded box — drop that whole pass from the
-    // filtered medians. Both the raw (`value`, unchanged methodology,
-    // comparable to every prior round) and the filtered
-    // (`steady_filtered`) totals are reported; BASELINE.md states the
-    // rule. If every pass fails the gate the filter is a no-op (a
-    // uniformly slow box is the raw number's problem to attribute).
-    // gate on the STEADY-boundary probes only (indices 1..steadyPasses):
-    // probe[0] ran before the cold pass on a cold page cache, and with
-    // few steady passes one anomalous cold-window point would shift the
-    // 2x gate enough to drop a healthy pass
-    val probeMedian = median(ioProbes.toSeq.drop(1))
+    // Probe-filtered steady (r13 verdict #8, filter rule REPLACED per
+    // r15 verdict #1a): the original median-relative gate (drop a pass
+    // whose probe is >2x below the run's probe median) degrades exactly
+    // when half the window is degraded — r15's driver run kept 4/4
+    // passes on a probe series of [525.8, 83.8, 77.2, 502.2, 186.2]
+    // MB/s because the median itself had collapsed. The gate is now
+    // ABSOLUTE: the declared healthy band is >=400 MB/s and a steady
+    // pass runs on a degraded box when ANY probe evidence for it (its
+    // boundary probe or an intra-pass probe inside it) reads below the
+    // floor — half the healthy band, 200 MB/s by default
+    // (SPARK_GRAFT_PROBE_FLOOR overrides). Both the raw (`value`,
+    // unchanged methodology, comparable to every prior round) and the
+    // filtered (`steady_filtered`) totals are reported; BASELINE.md
+    // states the rule. If every pass fails the gate the filter is a
+    // no-op (a uniformly slow box is the raw number's problem to
+    // attribute).
+    val probeFloor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FLOOR", "200.0").toDouble
+    // evidence for steady pass i: boundary probe ioProbes(i) (taken
+    // just before it) plus every intra-pass probe recorded inside it
+    def passEvidence(i: Int): Seq[Double] =
+      ioProbes(i) +: intraProbes.toSeq.collect { case (p, _, v) if p == i => v }
     val keptPasses = (1 to steadyPasses)
-      .filter(i => ioProbes(i) * 2.0 >= probeMedian)
+      .filter(i => passEvidence(i).min >= probeFloor)
     val keptSteady =
       if (keptPasses.isEmpty) steady else keptPasses.map(i => steady(i - 1))
     val resultsFiltered =
@@ -191,7 +212,17 @@ object Bench {
     // probe[0] ran before the cold pass, probe[i>=1] before steady pass i
     val ioJson = ioProbes.map(v => "%.1f".formatLocal(java.util.Locale.ROOT, v))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"steady_filtered":$totalFiltered,"steady_passes_kept":$nKeptPasses,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
+    // full intra-pass series [[pass, query-index, mbps], ...] (detail
+    // file only — it outgrows the harness's tail window), plus the
+    // compact per-pass evidence MIN (boundary + intra) for the summary:
+    // pass_probe_min[0] covers the cold pass, [i>=1] steady pass i
+    val intraJson = intraProbes
+      .map { case (p, i, v) => s"[$p,$i,${"%.1f".formatLocal(java.util.Locale.ROOT, v)}]" }
+      .mkString("[", ",", "]")
+    val passMinJson = (0 to steadyPasses)
+      .map(i => "%.1f".formatLocal(java.util.Locale.ROOT, passEvidence(i).min))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"steady_filtered":$totalFiltered,"steady_passes_kept":$nKeptPasses,"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
     // The harness records only the LAST ~2000 chars of output; at 130+
     // queries the full detail line above outgrows that window and its
     // leading headline scalars get truncated away (BENCH_r05 recorded
@@ -204,7 +235,7 @@ object Bench {
     def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def js3(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"fixture_warm_sec":${ms(fixtureWarmSec)},"ambient_io_probe":$ioJson,"steady_passes":$steadyPasses,"steady_filtered":${ms(totalFiltered)},"steady_passes_kept":$nKeptPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"fixture_warm_sec":${ms(fixtureWarmSec)},"ambient_io_probe":$ioJson,"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"steady_passes":$steadyPasses,"steady_filtered":${ms(totalFiltered)},"steady_passes_kept":$nKeptPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}"""
     println(summary)
     // Belt-and-braces for the driver's parser: persist the summary (and
     // the full per-query detail) to files too, so a logger prefix or an
@@ -220,7 +251,7 @@ object Bench {
     if (only.isEmpty) try {
       writeFile("BENCH_SUMMARY.json", summary)
       writeFile("BENCH_DETAIL.json",
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"cold_delta_queries":${js(coldDelta)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"steady_filtered":$totalFiltered,"steady_passes_kept":$nKeptPasses,"queries_filtered":${js(resultsFiltered)},"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"cold_delta_queries":${js(coldDelta)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"steady_filtered":$totalFiltered,"steady_passes_kept":$nKeptPasses,"queries_filtered":${js(resultsFiltered)},"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"intra_probe":$intraJson,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not persist summary files: $e") }
     spark.stop()
