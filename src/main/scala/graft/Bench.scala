@@ -100,6 +100,11 @@ object Bench {
     // deployment setup, not per-query cost
     if (only.forall(_.contains("text_tokens_bpe")))
       graft.llm.BpeModel.loadOrTrain(spark, sfDir)
+    // trained language-ID sidecar: same discipline (r15 verdict #2 —
+    // the per-invocation retrain was the cold pass's biggest single
+    // contributor before the model persisted)
+    if (only.forall(_.contains("text_nb_langid")))
+      graft.llm.NbModel.loadOrTrain(spark, sfDir)
     if (only.forall(_.contains("layout_partition_pruning")))
       graft.ops.Layout.warmPartitionedFixture(spark, sfDir)
     val fixtureWarmSec = (System.nanoTime() - warmT0) / 1e9

@@ -847,55 +847,41 @@ object TextQueries {
   // shuffle), and the confusion reduction is |L|² cells. Two corpus
   // exchanges total at any corpus size.
   //
+  // The model itself comes from the [[NbModel]] SIDECAR (trained once
+  // per corpus stamp, persisted, restart = zero training jobs — r15
+  // verdict #2): scoring's only inputs are a vocabulary-bounded
+  // parquet read plus |L| literal constants. The DuckDB twin still
+  // derives the model in-query — training is a deterministic function
+  // of the corpus, so a stale sidecar fails the hash.
+  //
   // Determinism: every ln snaps at 6 dp through the decimal cast
   // chain and sums in DECIMAL, so scores are exact decimals in both
   // engines; the argmax orders by (score, lang-index) with the index
   // assigned in lang order, so ties break to the alphabetically
   // first language — the oracle's ORDER BY score DESC, l ASC.
-  private val nbSeedSources = Seq("src0", "src1", "src2", "src3", "src4")
+  private def nbSeedSources = NbModel.seedSources
 
   private def nbLangid(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val isSeed = col("source").isin(nbSeedSources: _*)
-    val trainWords = docs.where(isSeed)
-      .select(col("lang").as("l"), explode(split(col("text"), " ")).as("w"))
-    val model = trainWords.groupBy(col("l"), col("w"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("lnp", round(log(col("c") + 1).cast("decimal(18,8)"), 6))
-      .select(col("l"), col("w"), col("lnp"))
-    val vocab = trainWords.agg(countDistinct(col("w")).as("v"))
-    val langTotals = trainWords.groupBy(col("l")).agg(count(lit(1)).as("n_l"))
-    val priors = docs.where(isSeed)
-      .groupBy(col("lang").as("l")).agg(count(lit(1)).as("nd"))
-    val ndTot = docs.where(isSeed).agg(count(lit(1)).as("nd_tot"))
-    // |L| rows — the bounded-collect codebook pattern (K-row frames
-    // may cross the driver; corpora may not)
-    val consts = priors.join(langTotals, "l")
-      .crossJoin(broadcast(vocab)).crossJoin(broadcast(ndTot))
-      .select(col("l"),
-        round(log(col("nd").cast("double") / col("nd_tot")).cast("decimal(18,8)"), 6)
-          .as("lnprior"),
-        round(log((col("n_l") + col("v")).cast("double")).cast("decimal(18,8)"), 6)
-          .as("lnz"))
-      .orderBy(col("l"))
-      .collect()
+    val (model, consts) = NbModel.loadOrTrain(spark, dir)
     val eval = docs.where(!isSeed)
     val stats = eval.select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("nw"))
-    val hitAggs = consts.zipWithIndex.map { case (r, i) =>
-      sum(when(col("l") === r.getString(0), col("lnp"))).as(s"hs_$i")
+    val hitAggs = consts.zipWithIndex.map { case (c, i) =>
+      sum(when(col("l") === c.l, col("lnp"))).as(s"hs_$i")
     }
     val hits = eval.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .join(broadcast(model), "w")
       .groupBy(col("doc_id"))
       .agg(hitAggs.head, hitAggs.tail.toSeq: _*)
     val zero = lit(new java.math.BigDecimal(0)).cast("decimal(18,6)")
-    val scoreCols = consts.zipWithIndex.map { case (r, i) =>
+    val scoreCols = consts.zipWithIndex.map { case (c, i) =>
       struct(
-        (lit(r.getDecimal(1)) - col("nw") * lit(r.getDecimal(2)) +
+        (lit(c.lnprior) - col("nw") * lit(c.lnz) +
           coalesce(col(s"hs_$i"), zero)).as("score"),
         lit(-(i + 1)).as("nidx"),
-        lit(r.getString(0)).as("l"))
+        lit(c.l).as("l"))
     }
     val wLang = Window.partitionBy(col("lang"))
     stats.join(hits, Seq("doc_id"), "left")
@@ -973,6 +959,13 @@ object TextQueries {
   // 4 dp and phrase scores sum the snapped ratios in DECIMAL; the
   // top-20 breaks ties by phrase text. Phrase word order is pinned
   // by sorting (pos, word) structs — never collect_list order.
+  //
+  // The phrase frame is consumed by THREE downstream branches
+  // (wordStats, distinctPhrases, occ), so it is localCheckpointed
+  // once — the repo's pin-what-is-consumed-more-than-once discipline
+  // (the events_changepoint 4-consumer fix): without the pin the
+  // posexplode + island-window pipeline, the query's most expensive
+  // stage, re-runs three times per invocation (r15 verdict #3).
   private def keyphraseRake(spark: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "and", "of", "to", "in")
     val toks = Tables.table(spark, dir, "documents")
@@ -989,6 +982,7 @@ object TextQueries {
         concat_ws(" ", expr("transform(pw, x -> x.w)")).as("phrase"),
         size(col("pw")).cast("long").as("n_words"),
         expr("transform(pw, x -> x.w)").as("words"))
+      .localCheckpoint()
     val wordStats = phrases
       .select(col("n_words"), explode(col("words")).as("w"))
       .groupBy(col("w"))
