@@ -1217,11 +1217,19 @@ object StatsQueries {
   // coordinated across the cluster, but multinomial(n, 1/n) counts
   // converge to iid Poisson(1) weights — so each row independently
   // computes its own 32 replicate weights in ONE pass, no resampling
-  // shuffle, no coordination. Here the weights are DERANDOMIZED:
-  // w_b(doc) = Poisson(1) inverse CDF at u = md5(doc_id:b)/2³², with
-  // the CDF as nine precomputed INTEGER cutoffs at 2³² scale — the
-  // weight comes from an integer comparison, deterministic and
-  // identical in both engines (no RNG, stable under reruns).
+  // shuffle, no coordination. Here the weights are DERANDOMIZED and
+  // the doc hashes ONCE (r15 verdict #4 — the per-(doc, b) md5 made
+  // this query the suite's steady ceiling at B× the necessary
+  // hashing): h = md5(doc_id) reduced mod P = 2³¹−1, then replicate
+  // b draws u_b = (h·a_b + b) mod P with its OWN multiplier
+  // a_b = (1099087573·(b+1)) mod P — the (a·x + b) mod P
+  // pairwise-independent family the Count-Min sketch already uses,
+  // one multiplier per replicate, so replicates decorrelate the way
+  // per-depth sketch hashes do. w_b = Poisson(1) inverse CDF at u_b
+  // via nine precomputed INTEGER cutoffs at P scale — the weight
+  // comes from integer comparisons, deterministic and identical in
+  // both engines (no RNG, stable under reruns; every product is
+  // bounded by 2⁶² so neither engine can overflow int64).
   //
   // Scale shape: one corpus pass computes each doc's 32-weight array
   // row-locally; the replicate explode reduces map-side into 32
@@ -1235,12 +1243,27 @@ object StatsQueries {
   // mean ± 1.96·se_boot (the practical form; percentile CIs need
   // B ≥ a few hundred to mean anything).
   private val bootB = 32
-  private val poisCuts = Seq(1580030168L, 3160060337L, 3950075421L,
-    4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L, 4294962463L)
+  // Poisson(1) CDF cutoffs at P = 2³¹−1 scale: round(F(k)·P), k = 0..8
+  private val poisCuts = Seq(790015084L, 1580030168L, 1975037710L,
+    2106706891L, 2139624186L, 2146207645L, 2147304888L, 2147461637L, 2147481231L)
+  private val BootP = 2147483647L // 2^31 - 1, Mersenne prime
+  private val BootMult = 1099087573L
 
   private def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     val cutsArr = poisCuts.mkString("array(", "L, ", "L)")
-    val scored = Tables.table(spark, dir, "documents")
+    // The scoring projection materializes through the interpreted
+    // row-writer (higher-order lambdas disable whole-stage codegen for
+    // the pinned frame below), so spread it across the executor pool
+    // when the scan arrives in fewer splits than cores — the harness's
+    // single parquet file otherwise serializes the whole corpus pass
+    // onto one task (measured 1.35 s → 0.55 s at sf0.1). At scale the
+    // scan already has >= cores splits and NO shuffle is added.
+    val base = Tables.table(spark, dir, "documents")
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (base.queryExecution.toRdd.getNumPartitions >= par) base
+      else base.repartition(par)
+    val scored = spread
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("n_stop", expr(
@@ -1249,28 +1272,44 @@ object StatsQueries {
         lit(0.5) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
           lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
         3).cast("decimal(6,3)"))
+      .withColumn("hp", expr(
+        s"cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % $BootP"))
       .withColumn("wts", expr(
         s"""transform(sequence(0, ${bootB - 1}), b -> size(filter($cutsArr,
-           |  c -> cast(conv(substring(md5(concat(cast(doc_id AS string), ':',
-           |    cast(b AS string))), 1, 8), 16, 10) AS bigint) >= c)))""".stripMargin))
+           |  c -> (hp * ((${BootMult}L * (b + 1)) % ${BootP}L) + b) % ${BootP}L >= c)))""".stripMargin))
+      // pin the 33-values-per-doc scored frame BEFORE the replicate
+      // explode: the optimizer otherwise collapses the text-split
+      // scoring + interpreted higher-order weight lambdas into the
+      // Generate's projection and re-evaluates them per EXPLODED row
+      // (measured 2.4 s vs 0.19 s at sf0.1 — BootProfile). The pin is
+      // a partition-local spillable materialization, linear in the
+      // corpus with no shuffle — the same cost class as the explode
+      // itself, so the shape survives scale.
+      .select(col("v"), col("wts"))
+      .localCheckpoint()
     // replicate means quantize to exact 6-dp integers (M = m_b·10⁶) so
     // the variance runs in PURE INTEGER arithmetic — B·ΣM² − (ΣM)² —
-    // with no double→decimal snap anywhere near a halfway point
+    // with no double→decimal snap anywhere near a halfway point.
+    // The full-corpus mean rides the SAME exploded aggregation: every
+    // doc appears exactly once per replicate group, so any group's
+    // (Σv, count) IS the full corpus's — the corpus is scored ONCE
+    // per invocation, not twice (the second standalone scoring pass
+    // was half this query's steady cost).
     val reps = scored
       .select(col("v"), posexplode(col("wts")).as(Seq("b", "w")))
       .groupBy(col("b"))
-      .agg(sum(col("w") * col("v")).as("swv"), sum(col("w")).as("sw"))
+      .agg(sum(col("w") * col("v")).as("swv"), sum(col("w")).as("sw"),
+        sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
       .withColumn("mq", (rnd(col("swv").cast("double") / col("sw"), 6)
         .cast("decimal(18,6)") * 1000000).cast("long"))
-    val full = scored.agg(count(lit(1)).as("n"),
-      rnd(sum(col("v")).cast("double") / count(lit(1)), 6).as("mean_full"))
     reps
-      .agg(sum(col("mq")).as("sm"), sum(col("mq") * col("mq")).as("smm"))
+      .agg(sum(col("mq")).as("sm"), sum(col("mq") * col("mq")).as("smm"),
+        max(col("sv")).as("sv"), max(col("cnt")).as("n"))
+      .withColumn("mean_full", rnd(col("sv").cast("double") / col("n"), 6))
       .withColumn("ss_scaled",
         lit(bootB.toLong) * col("smm") - col("sm") * col("sm"))
       .withColumn("se_boot", rnd(
         sqrt(col("ss_scaled").cast("double") / (bootB.toLong * (bootB - 1))) / 1000000.0, 6))
-      .crossJoin(broadcast(full))
       .select(col("n"), lit(bootB).as("b_replicates"), col("mean_full"),
         col("se_boot"),
         rnd(col("mean_full") - lit(1.96) * col("se_boot"), 6).as("ci_lo"),
@@ -1285,7 +1324,8 @@ object StatsQueries {
        |      + 0.5 * (1.0 - CAST(round(CAST(CAST(len(list_filter(string_split(text, ' '),
        |        w -> w IN ('the','a','and','of','to','in'))) AS DOUBLE)
        |        / len(string_split(text, ' ')) AS DECIMAL(18,8)), 3) AS DOUBLE))
-       |      AS DECIMAL(18,8)), 3) AS DOUBLE) AS DECIMAL(6,3)) AS v
+       |      AS DECIMAL(18,8)), 3) AS DOUBLE) AS DECIMAL(6,3)) AS v,
+       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $BootP AS hp
        |  FROM documents
        |), reps AS (
        |  SELECT b,
@@ -1293,8 +1333,7 @@ object StatsQueries {
        |  FROM (
        |    SELECT s.v, b.b,
        |      len(list_filter($cuts,
-       |        c -> ('0x' || substring(md5(CAST(s.doc_id AS VARCHAR) || ':' ||
-       |          CAST(b.b AS VARCHAR)), 1, 8))::BIGINT >= c)) AS w
+       |        c -> (s.hp * (($BootMult * (b.b + 1)) % $BootP) + b.b) % $BootP >= c)) AS w
        |    FROM scored s CROSS JOIN (SELECT unnest(range(0, $bootB)) AS b) b
        |  ) GROUP BY b
        |), m AS (

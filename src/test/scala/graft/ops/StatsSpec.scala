@@ -348,12 +348,20 @@ class StatsSpec extends AnyFunSuite {
 
   // -------------------------------------------------------------
   test("Poisson bootstrap: derandomized weights and the integer variance match a direct model") {
-    val cuts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
-      4279248373L, 4292415291L, 4294609777L, 4294923276L, 4294962463L)
+    // P-scale Poisson(1) cutoffs + the hash-once-per-doc replicate mix
+    // (one md5 per doc; replicate b draws its own (a·x + b) mod P hash)
+    val cuts = Seq(790015084L, 1580030168L, 1975037710L, 2106706891L,
+      2139624186L, 2146207645L, 2147304888L, 2147461637L, 2147481231L)
+    val P = 2147483647L
     def md5u32(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8)
       java.lang.Long.parseLong(hex, 16)
+    }
+    def weight(id: Long, rep: Int): Int = {
+      val hp = md5u32(id.toString) % P
+      val u = (hp * ((1099087573L * (rep + 1)) % P) + rep) % P
+      cuts.count(c => u >= c)
     }
     val docsWithId = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
@@ -363,7 +371,7 @@ class StatsSpec extends AnyFunSuite {
     val mq = (0 until b).map { rep =>
       var swv = BigDecimal(0); var sw = 0L
       scored.foreach { case (id, v) =>
-        val w = cuts.count(c => md5u32(s"$id:$rep") >= c)
+        val w = weight(id, rep)
         swv += BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) * w
         sw += w
       }
@@ -384,7 +392,7 @@ class StatsSpec extends AnyFunSuite {
     // the bootstrap sanity: the CI contains the point estimate, se > 0
     assert(se > 0 && r.getDouble(4) < meanFull && meanFull < r.getDouble(5))
     // weights behave like Poisson(1): total resample mass within 25% of n per replicate
-    val masses = (0 until b).map(rep => scored.map(s => cuts.count(c => md5u32(s"${s._1}:$rep") >= c)).sum)
+    val masses = (0 until b).map(rep => scored.map(s => weight(s._1, rep)).sum)
     masses.foreach(m => assert(math.abs(m - scored.length) < scored.length * 0.25, s"mass $m"))
   }
 
