@@ -136,6 +136,10 @@ object PqStore {
   @volatile var trainCount: Long = 0L
   @volatile var encodeCount: Long = 0L
 
+  /** Bumped on every O(batch) delta encode ([[absorbCodes]]); the
+    * absorb spec pins that absorbing never bumps [[encodeCount]]. */
+  @volatile var absorbCount: Long = 0L
+
   private def sane(dir: String) = dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   private def codebookFile(dir: String, m: Int, k: Int): Path =
@@ -170,36 +174,39 @@ object PqStore {
     }
   }
 
-  /** Persist the encoded corpus `(n_id, j, code)` with the pointer-
-    * swap discipline (versioned directory + atomically-renamed pointer
-    * file, the StateStore pattern): a reader resolves the pointer and
-    * reads an IMMUTABLE complete directory, so replacing a stale index
-    * for a regenerated corpus never races a concurrent reader through
-    * a delete window, and two concurrent encoders at worst leave an
-    * orphaned unreferenced version. */
-  def saveCodes(codes: org.apache.spark.sql.DataFrame,
-      dir: String, m: Int, k: Int, stamp: String): Unit = {
+  /** Write one immutable code segment `(n_id, j, code)` stamped with
+    * the CUMULATIVE corpus token after it lands; returns the segment
+    * dir name. Segments are append-only: a vector's codes are written
+    * exactly once, by the segment that introduced it — codes never
+    * change under a frozen codebook, so reads are a plain union with
+    * no latest-wins resolution. */
+  private def writeSegment(codes: org.apache.spark.sql.DataFrame,
+      dir: String, m: Int, k: Int, cumulativeStamp: String): String = {
     val base = codesDir(dir, m, k)
     Files.createDirectories(base.getParent)
     val version = java.util.UUID.randomUUID().toString
     val vdir = base.getParent.resolve(base.getFileName.toString + s".v-$version")
     codes.write.parquet(vdir.toString)
-    Files.writeString(vdir.resolve("_CORPUS_ROWS"), stamp)
+    Files.writeString(vdir.resolve("_CORPUS_ROWS"), cumulativeStamp)
+    vdir.getFileName.toString
+  }
+
+  /** Atomically swap the manifest (one segment name per line — the
+    * KnnGraphStore LSM shape) to `newSegs`, reclaiming segments
+    * referenced by neither the new manifest nor the immediately
+    * previous one (a concurrent session may hold a lazy DataFrame over
+    * the previous generation). */
+  private def swapManifest(dir: String, m: Int, k: Int,
+      newSegs: Vector[String]): Unit = {
+    val base = codesDir(dir, m, k)
     val ptr = pointerFor(base)
-    // the version the pointer referenced until this swap: a concurrent
-    // session may hold a lazy DataFrame over it, so it survives one
-    // more generation instead of being yanked mid-scan
-    val previous =
-      if (Files.exists(ptr)) Some(Files.readString(ptr).trim).filter(_.nonEmpty)
-      else None
+    val previous = segments(dir, m, k).map(_.getFileName.toString)
     val tmp = Files.createTempFile(base.getParent, ptr.getFileName.toString, ".tmp")
-    Files.writeString(tmp, vdir.getFileName.toString)
+    Files.writeString(tmp, newSegs.mkString("\n"))
     Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // reclaim versions neither current nor immediately-previous (best
-    // effort; the stream must be closed — it holds a directory fd)
     val prefix = base.getFileName.toString + ".v-"
-    val keep = Set(vdir.getFileName.toString) ++ previous
+    val keep = newSegs.toSet ++ previous
     val listing = Files.list(base.getParent)
     try listing.forEach { q =>
       val name = q.getFileName.toString
@@ -209,21 +216,64 @@ object PqStore {
     } finally listing.close()
   }
 
+  /** Persist a FULL encode as a one-segment manifest (rebuild path). */
+  def saveCodes(codes: org.apache.spark.sql.DataFrame,
+      dir: String, m: Int, k: Int, stamp: String): Unit = {
+    val seg = writeSegment(codes, dir, m, k, stamp)
+    swapManifest(dir, m, k, Vector(seg))
+  }
+
+  /** O(batch) incremental encode (r15 verdict #6, the
+    * KnnGraphStore.absorb discipline): `encodedBatch` — the batch's
+    * codes against the FROZEN codebook — lands as a delta segment with
+    * the additive cumulative stamp; the existing corpus is never
+    * re-encoded. A codebook retrain event is by definition a rebuild
+    * event (same lifecycle contract as the kNN graph sidecar). */
+  def absorbCodes(encodedBatch: org.apache.spark.sql.DataFrame,
+      dir: String, m: Int, k: Int, cumulativeStamp: String): Unit = {
+    val prevSegs = segments(dir, m, k).map(_.getFileName.toString)
+    require(prevSegs.nonEmpty, s"no pq code table to absorb into for $dir — encode first")
+    val seg = writeSegment(encodedBatch, dir, m, k, cumulativeStamp)
+    absorbCount += 1
+    swapManifest(dir, m, k, prevSegs :+ seg)
+  }
+
   private def pointerFor(base: Path): Path =
     base.getParent.resolve(base.getFileName.toString + ".PTR")
+
+  /** Manifest segments referenced by the current pointer (empty when
+    * no index exists). A pre-round-16 single-version pointer is a
+    * one-line manifest — parsed identically. */
+  private def segments(dir: String, m: Int, k: Int): Vector[Path] = {
+    val base = codesDir(dir, m, k)
+    val ptr = pointerFor(base)
+    if (!Files.exists(ptr)) Vector.empty
+    else Files.readString(ptr).trim.split("\n").toVector
+      .map(_.trim).filter(_.nonEmpty).map(base.getParent.resolve(_))
+  }
+
+  /** The cumulative stamp recorded by the LAST segment. */
+  private[llm] def recordedCodesStamp(dir: String, m: Int, k: Int): Option[String] = {
+    val segs = segments(dir, m, k)
+    segs.lastOption.map(_.resolve("_CORPUS_ROWS"))
+      .filter(Files.exists(_)).map(Files.readString(_).trim)
+  }
+
+  private[llm] def codeSegmentCount(dir: String, m: Int, k: Int): Int =
+    segments(dir, m, k).size
 
   def loadCodes(spark: SparkSession, dir: String, m: Int, k: Int,
       stamp: String): Option[org.apache.spark.sql.DataFrame] = {
     val base = codesDir(dir, m, k)
-    val ptr = pointerFor(base)
+    val segs = segments(dir, m, k)
     // legacy layout (pre-pointer, the round-10 first cut): the bare dir
-    val resolved =
-      if (Files.exists(ptr)) Some(base.getParent.resolve(Files.readString(ptr).trim))
-      else if (Files.exists(base)) Some(base)
-      else None
-    resolved.filter { p =>
-      val meta = p.resolve("_CORPUS_ROWS")
+    val resolved = if (segs.nonEmpty) segs else if (Files.exists(base)) Vector(base) else Vector.empty
+    val valid = resolved.nonEmpty && {
+      val meta = resolved.last.resolve("_CORPUS_ROWS")
       Files.exists(meta) && Files.readString(meta).trim == stamp
-    }.map(p => spark.read.parquet(p.toString))
+    }
+    if (valid)
+      Some(resolved.map(p => spark.read.parquet(p.toString)).reduce(_.unionByName(_)))
+    else None
   }
 }

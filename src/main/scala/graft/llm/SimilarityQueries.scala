@@ -1074,8 +1074,8 @@ object SimilarityQueries {
   // final rankings. Training (2 Lloyd rounds, DECIMAL-routed means)
   // runs once per JVM per dir like the IVF codebook; the oracle inlines
   // the trained per-subspace centroids as literals.
-  private val PqM = 16      // subspaces
-  private val PqK = 32      // centroids per subspace (5-bit codes)
+  private[llm] val PqM = 16 // subspaces
+  private[llm] val PqK = 32 // centroids per subspace (5-bit codes)
   private val PqSub = 4     // dims per subspace (64 / M)
   private val PqRounds = 2
   private val PqRerank = 32 // ADC shortlist size for the exact re-rank
@@ -1099,7 +1099,13 @@ object SimilarityQueries {
     * (vec_id, j, sub) — the shared shape of training, encoding, and the
     * query LUT. */
   private def pqSubvectors(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "embeddings")
+    pqSubvectorsOf(Tables.table(spark, dir, "embeddings"))
+
+  /** The same subspace-slice shape over an arbitrary `(vec_id,
+    * embedding)` frame — lets [[pqAbsorb]] encode a BATCH through the
+    * identical dataflow the full encode uses. */
+  private def pqSubvectorsOf(vectors: DataFrame): DataFrame =
+    vectors
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
@@ -1185,6 +1191,22 @@ object SimilarityQueries {
   private val pqCodes =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Encode an arbitrary `(vec_id, embedding)` frame against dir's
+    * (frozen) trained codebook — the one encode dataflow both the full
+    * build and the O(batch) absorb run, so they cannot drift. */
+  private[llm] def pqEncodeFrame(spark: SparkSession, dir: String,
+      vectors: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cbDf = broadcast(pqCodebook(spark, dir).toDF("j", "cid", "cv"))
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2"), col("cid"))
+    pqSubvectorsOf(vectors).join(cbDf, Seq("j"))
+      .withColumn("d2", pqD2(col("sub"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("j"), col("cid").as("code"))
+  }
+
   private def pqEncodedCorpus(spark: SparkSession, dir: String): DataFrame =
     pqCodes.computeIfAbsent((spark, dir), { case (s, d) =>
       // memory cache -> persisted parquet code table -> encode-once:
@@ -1192,21 +1214,54 @@ object SimilarityQueries {
       // exactly what a restart must NOT silently repeat at 100 TB
       val stamp = pqCorpusStamp(s, d)
       PqStore.loadCodes(s, d, PqM, PqK, stamp).getOrElse {
-        import s.implicits._
-        val cbDf = broadcast(pqCodebook(s, d).toDF("j", "cid", "cv"))
-        val w = Window.partitionBy(col("vec_id"), col("j"))
-          .orderBy(col("d2"), col("cid"))
-        val encoded = pqSubvectors(s, d).join(cbDf, Seq("j"))
-          .withColumn("d2", pqD2(col("sub"), col("cv")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id").as("n_id"), col("j"), col("cid").as("code"))
+        val encoded = pqEncodeFrame(s, d, Tables.table(s, d, "embeddings"))
         PqStore.encodeCount += 1
         PqStore.saveCodes(encoded, d, PqM, PqK, stamp)
         PqStore.loadCodes(s, d, PqM, PqK, stamp).getOrElse(
           sys.error(s"pq code table write at ${d} did not land"))
       }
     })
+
+  /** Bootstrap/test hook (the KnnGraphStore.buildBaseFor shape):
+    * encode + persist ONLY `subset` of dir's corpus — recording
+    * SUBSET's stamp — against dir's trained codebook. This is the base
+    * state a [[pqAbsorb]] then extends; the equality spec seeds it
+    * with the pre-arrival half of a corpus. */
+  private[llm] def pqEncodeBaseFor(spark: SparkSession, dir: String,
+      subset: DataFrame): Unit = {
+    val st = subset.agg(count(lit(1)),
+      coalesce(sum(hash(col("vec_id")).cast("long")), lit(0L))).head()
+    PqStore.encodeCount += 1
+    PqStore.saveCodes(pqEncodeFrame(spark, dir, subset), dir, PqM, PqK,
+      CorpusStamp.Stamp(st.getLong(0), st.getLong(1)).token)
+    pqCodes.remove((spark, dir))
+  }
+
+  /** O(batch) incremental PQ index maintenance (r15 verdict #6):
+    * `batch` (vec_id, embedding) vectors have LANDED in dir's
+    * embeddings table; encode ONLY them against the frozen codebook
+    * and append the codes as an LSM delta segment — the existing
+    * corpus's codes are immutable under a frozen codebook, so unlike
+    * the kNN graph there is no re-rank half at all: absorb ≡ full
+    * re-encode EXACTLY (PqAbsorbSpec pins the code-set equality). The
+    * cumulative stamp is additive (prev + stamp(batch)), so it equals
+    * the merged table's live stamp and every reader — including
+    * `sim_pq_topk` — resolves the absorbed index with zero rebuild.
+    * A codebook retrain event is by definition a rebuild event (the
+    * KnnGraphStore lifecycle contract). */
+  def pqAbsorb(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val prev = PqStore.recordedCodesStamp(dir, PqM, PqK).getOrElse(
+      sys.error(s"no pq code table to absorb into for $dir — encode first"))
+    val Array(prevRows, prevFp) = prev.split(":").map(_.toLong)
+    val st = batch.agg(count(lit(1)),
+      coalesce(sum(hash(col("vec_id")).cast("long")), lit(0L))).head()
+    val cumulative = CorpusStamp.Stamp(
+      prevRows + st.getLong(0), prevFp + st.getLong(1)).token
+    PqStore.absorbCodes(pqEncodeFrame(spark, dir, batch), dir, PqM, PqK, cumulative)
+    pqCodes.remove((spark, dir))
+    PqStore.loadCodes(spark, dir, PqM, PqK, cumulative).getOrElse(
+      sys.error(s"pq code table for $dir failed to resolve after absorb"))
+  }
 
   private def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
