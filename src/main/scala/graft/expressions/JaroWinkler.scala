@@ -16,7 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `jaro_winkler_similarity` — the oracle twin:
   *
   *  - Jaro: match window `max(0, floor(max(|a|,|b|)/2) - 1)`,
-  *    transpositions counted as half the out-of-order matched pairs,
+  *    transpositions = FLOOR of half the out-of-order matched pairs
+  *    (the original comparator's integer convention, which DuckDB
+  *    follows — an odd mismatch count floors, never halves),
   *    `jaro = (m/|a| + m/|b| + (m-t)/m) / 3`.
   *  - Winkler boost only when `jaro > 0.7` (the standard boost
   *    threshold): `jw = jaro + min(prefix, 4) * 0.1 * (1 - jaro)`.
@@ -79,7 +81,13 @@ object StringSim {
       i += 1
     }
     if (m == 0) return 0.0
-    // transpositions: walk both matched sequences in order
+    // transpositions: walk both matched sequences in order, then FLOOR
+    // the half-count — DuckDB's (and the original Jaro string
+    // comparator's) integer convention. Keeping the exact half (1.5
+    // for 3 out-of-order pairs) diverges from the oracle on every pair
+    // with an ODD mismatch count (found by the round-16 ER threshold
+    // sweep at its 0.80 cut: 'new widget'/'red widget' reads 0.825
+    // floored vs 0.804167 with the fractional half).
     var halfT = 0
     var j = 0
     i = 0
@@ -91,7 +99,7 @@ object StringSim {
       }
       i += 1
     }
-    val t = halfT / 2.0
+    val t = (halfT / 2).toDouble
     (m.toDouble / la + m.toDouble / lb + (m - t) / m) / 3.0
   }
 
