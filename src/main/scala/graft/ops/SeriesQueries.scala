@@ -33,6 +33,7 @@ object SeriesQueries {
     NamedQuery("events_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     NamedQuery("events_abandonment_rate", abandonmentRate, Some(abandonmentRateSql)),
     NamedQuery("events_survival_km", survivalKm, Some(survivalKmSql)),
+    NamedQuery("events_nelson_aalen", nelsonAalen, Some(nelsonAalenSql)),
     NamedQuery("events_autocorr", autocorr, Some(autocorrSql)),
     NamedQuery("events_forecast_backtest", forecastBacktest, Some(forecastBacktestSql)),
     NamedQuery("events_seasonality_strength", seasonalityStrength, Some(seasonalityStrengthSql)),
@@ -695,6 +696,118 @@ object SeriesQueries {
       |  CAST(round(CAST(CAST(d AS DOUBLE) / n_risk AS DECIMAL(18,8)), 6) AS DOUBLE) AS hazard,
       |  CASE WHEN hit_zero = 1 THEN 0.0
       |    ELSE CAST(round(CAST(exp(CAST(lnsum AS DOUBLE)) AS DECIMAL(18,8)), 4) AS DOUBLE) END AS survival
+      |FROM acc WHERE d > 0
+      |ORDER BY t_sec""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Nelson–Aalen cumulative hazard — the ADDITIVE companion of the
+  // Kaplan–Meier curve over the SAME activation cohort (same subjects,
+  // same 48 h administrative censoring): H(t) = Σ_{s≤t} d_s/n_s with
+  // its Poisson-type variance Σ d_s/n_s², and the Fleming–Harrington
+  // survival S_NA = exp(−H) — which dominates the KM product-limit
+  // pointwise (1−x ≤ e^−x), the textbook cross-check an activation
+  // dashboard plots both of. Where KM needed the ln/exp product trick
+  // to distribute, NA is a plain prefix sum — the estimator that is
+  // NATURALLY a window aggregation.
+  //
+  // Scale shape: identical to events_survival_km — one user_id
+  // exchange to (duration, converted) pairs, one bounded grid
+  // reduction, windows over the ≤|users|-row grid only. Determinism:
+  // each hazard increment d/n (6 dp) and variance increment d/n²
+  // (8 dp; n² ≤ 10¹² is double-exact) snaps BEFORE the exact DECIMAL
+  // cumulative sum, exp snaps at 4 dp (the KM discipline).
+  private def nelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+    val subj = e
+      .withColumn("t0", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t1", min(when(col("event_type") === "purchase" && col("ts") >= col("t0"), col("ts"))).over(w))
+      .select(col("user_id"), col("t0"), col("t1")).distinct()
+      .filter(col("t0").isNotNull)
+      .crossJoin(broadcast(e.agg(max(col("ts")).as("tmax"))))
+      .withColumn("c", least(lit(KmWindowSec), col("tmax").cast("long") - col("t0").cast("long")))
+      .withColumn("delta", col("t1").cast("long") - col("t0").cast("long"))
+      .select(
+        when(col("t1").isNotNull && col("delta") <= col("c"), col("delta"))
+          .otherwise(col("c")).as("dur"),
+        (col("t1").isNotNull && col("delta") <= col("c")).as("converted"))
+    val grid = subj.groupBy(col("dur").as("t_sec"))
+      .agg(
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("removed"))
+    val wCum = Window.orderBy(col("t_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zero = lit(0).cast("decimal(18,8)")
+    grid
+      .withColumn("n_risk",
+        sum(col("removed")).over(Window.orderBy(col("t_sec"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("h_inc", when(col("d") > 0,
+        rnd(col("d").cast("double") / col("n_risk"), 6).cast("decimal(18,8)"))
+        .otherwise(zero))
+      .withColumn("v_inc", when(col("d") > 0,
+        rnd(col("d").cast("double") / (col("n_risk") * col("n_risk")), 8)
+          .cast("decimal(18,8)"))
+        .otherwise(zero))
+      .withColumn("ch", sum(col("h_inc")).over(wCum))
+      .withColumn("cv", sum(col("v_inc")).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("t_sec"), col("n_risk"), col("d").as("n_events"),
+        rnd(col("d").cast("double") / col("n_risk"), 6).as("hazard"),
+        col("ch").cast("double").as("cum_hazard"),
+        col("cv").cast("double").as("cum_hazard_var"),
+        rnd(exp(-col("ch").cast("double")), 4).as("s_na"))
+      .orderBy(col("t_sec"))
+  }
+
+  private val nelsonAalenSql =
+    """WITH u AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+      |  FROM events GROUP BY user_id
+      |), p AS (
+      |  SELECT e.user_id,
+      |    min(CASE WHEN e.event_type = 'purchase' AND e.ts >= u.t0 THEN e.ts END) AS t1,
+      |    any_value(u.t0) AS t0
+      |  FROM events e JOIN u ON e.user_id = u.user_id
+      |  WHERE u.t0 IS NOT NULL GROUP BY e.user_id
+      |), horizon AS (SELECT max(ts) AS tmax FROM events),
+      |subj AS (
+      |  SELECT user_id,
+      |    CASE WHEN t1 IS NOT NULL AND delta <= c THEN delta ELSE c END AS dur,
+      |    (t1 IS NOT NULL AND delta <= c) AS converted
+      |  FROM (
+      |    SELECT user_id, t1,
+      |      least(172800, epoch_ns(h.tmax)//1000000000 - epoch_ns(t0)//1000000000) AS c,
+      |      epoch_ns(t1)//1000000000 - epoch_ns(t0)//1000000000 AS delta
+      |    FROM p, horizon h
+      |  )
+      |), grid AS (
+      |  SELECT dur AS t_sec,
+      |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS removed
+      |  FROM subj GROUP BY dur
+      |), na AS (
+      |  SELECT t_sec, d,
+      |    CAST(sum(removed) OVER (ORDER BY t_sec
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      |  FROM grid
+      |), acc AS (
+      |  SELECT t_sec, n_risk, d,
+      |    sum(CASE WHEN d > 0 THEN
+      |        CAST(round(CAST(CAST(d AS DOUBLE) / n_risk AS DECIMAL(18,8)), 6) AS DECIMAL(18,8))
+      |      ELSE CAST(0 AS DECIMAL(18,8)) END) OVER (ORDER BY t_sec
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch,
+      |    sum(CASE WHEN d > 0 THEN
+      |        CAST(round(CAST(CAST(d AS DOUBLE) / (n_risk * n_risk) AS DECIMAL(18,8)), 8) AS DECIMAL(18,8))
+      |      ELSE CAST(0 AS DECIMAL(18,8)) END) OVER (ORDER BY t_sec
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+      |  FROM na
+      |)
+      |SELECT t_sec, n_risk, d AS n_events,
+      |  CAST(round(CAST(CAST(d AS DOUBLE) / n_risk AS DECIMAL(18,8)), 6) AS DOUBLE) AS hazard,
+      |  CAST(ch AS DOUBLE) AS cum_hazard,
+      |  CAST(cv AS DOUBLE) AS cum_hazard_var,
+      |  CAST(round(CAST(exp(-CAST(ch AS DOUBLE)) AS DECIMAL(18,8)), 4) AS DOUBLE) AS s_na
       |FROM acc WHERE d > 0
       |ORDER BY t_sec""".stripMargin
 

@@ -54,6 +54,7 @@ object StatsQueries {
     NamedQuery("events_power_analysis", powerAnalysis, Some(powerAnalysisSql)),
     NamedQuery("eval_permutation_test", permutationTest, Some(permutationTestSql)),
     NamedQuery("events_did_readout", didReadout, Some(didReadoutSql)),
+    NamedQuery("eval_mannwhitney", mannWhitney, Some(mannWhitneySql)),
   )
 
   private val Ln2 = 0.6931471805599453
@@ -1683,6 +1684,114 @@ object StatsQueries {
       |      / (mde_abs * mde_abs)) AS BIGINT) END AS powered
       |FROM e
       |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Mann–Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC two-sample
+  // location test between the two largest sources' document lengths,
+  // the distribution-free sibling of the permutation test (no
+  // relabeling loop — the null quantifies over RANKS) and the rank
+  // analog of the t-test the robust-stats family lacks. Tie-corrected
+  // normal approximation: z = (U₁ − n₁n₂/2) / sqrt(Var U) with
+  // Var U = n₁n₂/12 · [(N+1) − Σ(t³−t)/(N(N−1))] over tie groups t.
+  //
+  // Scale shape: NO global rank sort — n_chars lives on a bounded
+  // integer grid, so tie-averaged ranks come from the VALUE HISTOGRAM
+  // (the conformal/budget_select level-table discipline): one
+  // map-side pass to |distinct values| rows with per-sample counts,
+  // one cumulative window over that level table, one-row arithmetic
+  // after. The doubled-rank trick (2·c_below + t + 1 is an exact
+  // integer for every tie-averaged rank — the eval_spearman_doclen
+  // discipline) keeps rank sums in pure BIGINT; U₁ re-halves exactly
+  // on the .5 grid. Σ(t³−t) fits int64 through sf10 with three orders
+  // of headroom (t ≤ N ≈ 5·10⁵ → t³ ≤ 1.25·10¹⁷); a 100 TB corpus
+  // upgrades the tie sum to DECIMAL(38,0) — the documented remediation.
+  //
+  // Determinism: every statistic through U₁ is exact integer
+  // arithmetic; var_u and z snap at 6 dp; an all-tied slice
+  // (Var U = 0) emits NULL z — the degenerate-source convention.
+  private def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("source"), col("n_chars"))
+    val top2 = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("source")).limit(2)
+      .withColumn("which", row_number().over(
+        Window.orderBy(col("n").desc, col("source"))))
+    val hist = docs.join(broadcast(top2.select(col("source"), col("which"))), "source")
+      .groupBy(col("n_chars").as("v"))
+      .agg(
+        sum(when(col("which") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("which") === 2, 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("t", col("c1") + col("c2"))
+      .withColumn("cbelow", sum(col("c1") + col("c2")).over(wCum) - col("t"))
+    val agg = ranked.agg(
+      sum(col("c1")).as("n_a"), sum(col("c2")).as("n_b"),
+      sum(col("c1") * (lit(2) * col("cbelow") + col("t") + 1)).as("r2_a"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie_term"))
+    val labels = top2.agg(
+      max(when(col("which") === 1, col("source"))).as("source_a"),
+      max(when(col("which") === 2, col("source"))).as("source_b"))
+    agg.crossJoin(broadcast(labels))
+      .withColumn("u_a",
+        (col("r2_a") - col("n_a") * (col("n_a") + 1)).cast("double") / 2.0)
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn("var_u", rnd(
+        col("n_a").cast("double") * col("n_b") / 12.0 *
+          ((col("nn") + 1).cast("double")
+            - col("tie_term").cast("double") / (col("nn") * (col("nn") - 1))), 6))
+      .withColumn("mw_z", when(col("var_u") > 0, rnd(
+        (col("u_a") - col("n_a").cast("double") * col("n_b") / 2.0)
+          / sqrt(col("var_u")), 6)))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("u_a"), col("tie_term"), col("var_u"), col("mw_z"))
+  }
+
+  private val mannWhitneySql =
+    """WITH d AS (
+      |  SELECT source, n_chars FROM documents
+      |), top2 AS (
+      |  SELECT source, n, row_number() OVER (ORDER BY n DESC, source) AS which
+      |  FROM (SELECT source, count(*) AS n FROM d GROUP BY 1)
+      |  ORDER BY n DESC, source LIMIT 2
+      |), hist AS (
+      |  SELECT d.n_chars AS v,
+      |    CAST(sum(CASE WHEN t.which = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN t.which = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM d JOIN top2 t USING (source)
+      |  GROUP BY 1
+      |), ranked AS (
+      |  SELECT v, c1, c2, c1 + c2 AS t,
+      |    sum(c1 + c2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (c1 + c2) AS cbelow
+      |  FROM hist
+      |), agg AS (
+      |  SELECT CAST(sum(c1) AS BIGINT) AS n_a, CAST(sum(c2) AS BIGINT) AS n_b,
+      |    CAST(sum(c1 * (2 * cbelow + t + 1)) AS BIGINT) AS r2_a,
+      |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+      |  FROM ranked
+      |), lab AS (
+      |  SELECT max(CASE WHEN which = 1 THEN source END) AS source_a,
+      |         max(CASE WHEN which = 2 THEN source END) AS source_b
+      |  FROM top2
+      |), fin AS (
+      |  SELECT source_a, source_b, n_a, n_b,
+      |    CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+      |    tie_term, n_a + n_b AS nn
+      |  FROM agg, lab
+      |), vu AS (
+      |  SELECT *,
+      |    CAST(round(CAST(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+      |      (CAST(nn + 1 AS DOUBLE) - CAST(tie_term AS DOUBLE) / (nn * (nn - 1)))
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS var_u
+      |  FROM fin
+      |)
+      |SELECT source_a, source_b, n_a, n_b, u_a, tie_term, var_u,
+      |  CASE WHEN var_u > 0 THEN
+      |    CAST(round(CAST((u_a - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(var_u)
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE) END AS mw_z
+      |FROM vu""".stripMargin
 
   // ---------------------------------------------------------------
   // Derandomized permutation (randomization) test — does document

@@ -578,4 +578,33 @@ class SeriesForensicsSpec extends AnyFunSuite {
       assert(acc === expect, s"label $lbl accuracy")
     }
   }
+
+  // -------------------------------------------------------------
+  test("Nelson-Aalen: same grid as KM, additive hazard matches a direct model, exp(-H) dominates the product-limit") {
+    val na = q("events_nelson_aalen").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val km = q("events_survival_km").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(na.nonEmpty)
+    // the two estimators walk the SAME event-time grid with the same
+    // risk sets and event counts
+    assert(na.map(t => (t._1, t._2, t._3)).toSeq === km.map(t => (t._1, t._2, t._3)).toSeq)
+    // direct additive model from the (n_risk, d) columns themselves
+    var h = BigDecimal(0); var v = BigDecimal(0)
+    na.foreach { case (t, n, d, hz, ch, cv, sna) =>
+      assert(math.abs(hz - snap(d.toDouble / n, 6)) < 1e-12)
+      h += BigDecimal(snap(d.toDouble / n, 6))
+      v += BigDecimal(snap(d.toDouble / (n.toDouble * n), 8))
+      assert(math.abs(ch - h.toDouble) < 1e-9, s"cum_hazard at $t")
+      assert(math.abs(cv - v.toDouble) < 1e-9, s"cum_hazard_var at $t")
+      assert(math.abs(sna - snap(math.exp(-h.toDouble), 4)) < 1e-12, s"s_na at $t")
+    }
+    // H non-decreasing, variance non-decreasing
+    assert(na.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1) + 1e-12))
+    // 1 - x <= e^-x pointwise => S_KM <= S_NA (4-dp snaps allow a grain)
+    na.zip(km).foreach { case ((t, _, _, _, _, _, sna), (_, _, _, _, skm)) =>
+      assert(sna >= skm - 2e-4, s"exp(-H) must dominate the product-limit at $t: $sna vs $skm")
+    }
+  }
 }

@@ -628,4 +628,45 @@ class StatsSpec extends AnyFunSuite {
     assert(t.contains("BroadcastHashJoin"), "thresholds must broadcast: " + t.take(400))
     assert(!t.contains("windowspecdefinition"), "no window over raw events: " + t.take(400))
   }
+
+  // -------------------------------------------------------------
+  test("Mann-Whitney U: doubled-rank statistics match a direct tie-averaged-rank model") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.length).toMap
+    val top2 = bySrc.toSeq.sortBy { case (s, n) => (-n, s) }.take(2)
+    val (srcA, srcB) = (top2(0)._1, top2(1)._1)
+    val a = docs.filter(_._1 == srcA).map(_._2)
+    val b = docs.filter(_._1 == srcB).map(_._2)
+    val pooled = (a ++ b).sorted
+    // doubled tie-averaged rank of value v: 2*count(below) + t + 1
+    val tieCount = pooled.groupBy(identity).view.mapValues(_.length).toMap
+    val below = {
+      val vs = pooled.distinct.sorted
+      var c = 0L
+      vs.map { v => val r = v -> c; c += tieCount(v); r }.toMap
+    }
+    def dblRank(v: Long): Long = 2 * below(v) + tieCount(v) + 1
+    val r2a = a.map(dblRank).sum
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val uA = (r2a - na * (na + 1)).toDouble / 2.0
+    val tieTerm = tieCount.values.map(t => t.toLong * t * t - t).sum
+    val nn = na + nb
+    val varU = snap(na.toDouble * nb / 12.0 *
+      ((nn + 1).toDouble - tieTerm.toDouble / (nn * (nn - 1))), 6)
+    val z = snap((uA - na.toDouble * nb / 2.0) / math.sqrt(varU), 6)
+    val r = q("eval_mannwhitney").collect().head
+    assert(r.getString(0) === srcA && r.getString(1) === srcB)
+    assert(r.getLong(2) === na && r.getLong(3) === nb)
+    assert(math.abs(r.getDouble(4) - uA) < 1e-9, s"u_a ${r.getDouble(4)} vs $uA")
+    assert(r.getLong(5) === tieTerm, "tie_term")
+    assert(math.abs(r.getDouble(6) - varU) < 1e-9, "var_u")
+    assert(math.abs(r.getDouble(7) - z) < 1e-9, s"mw_z ${r.getDouble(7)} vs $z")
+    // the rank-sum identity: U_A + U_B = n_a * n_b
+    val r2b = b.map(dblRank).sum
+    val uB = (r2b - nb * (nb + 1)).toDouble / 2.0
+    assert(math.abs(uA + uB - na.toDouble * nb) < 1e-9, "U_A + U_B = n_a*n_b")
+  }
 }
