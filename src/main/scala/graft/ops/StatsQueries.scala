@@ -55,6 +55,7 @@ object StatsQueries {
     NamedQuery("eval_permutation_test", permutationTest, Some(permutationTestSql)),
     NamedQuery("events_did_readout", didReadout, Some(didReadoutSql)),
     NamedQuery("eval_mannwhitney", mannWhitney, Some(mannWhitneySql)),
+    NamedQuery("eval_kendall_tau", kendallTau, Some(kendallTauSql)),
   )
 
   private val Ln2 = 0.6931471805599453
@@ -1684,6 +1685,132 @@ object StatsQueries {
       |      / (mde_abs * mde_abs)) AS BIGINT) END AS powered
       |FROM e
       |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Kendall's τ-b between quality score and document length — the
+  // concordance-based rank correlation next to Spearman
+  // (eval_spearman_doclen): τ counts PAIR ORDERINGS, so it is robust
+  // to any monotone transform and has the cleaner interpretation
+  // ("probability a random pair agrees in order, minus disagrees").
+  // The textbook objection at scale is the O(N²) pair enumeration;
+  // here concordant/discordant counts come from 2-D DOMINANCE
+  // COUNTING on the bounded VALUE GRID: quality lives on the 3-dp
+  // milli grid (≤1001 levels) and length on the fixture's bounded
+  // n_chars range, so the (quality, length) histogram — densified by
+  // crossing the two observed level tables — is an SF-INDEPENDENT
+  // frame, and two chained EXCLUSIVE prefix windows (cum over length
+  // within quality, then cum over quality within length) give every
+  // cell its strictly-dominated mass. C = Σ n·|{strictly lower in
+  // both}| counts each concordant pair exactly once at its upper
+  // cell; D symmetrically with the length direction reversed. The
+  // level-table discipline (conformal/budget_select/mannwhitney)
+  // extended to two dimensions — no global sort, no pair join, no
+  // corpus-sized window.
+  //
+  // Determinism: C, D and the tie terms are exact BIGINTs;
+  // N0−N1 and N0−N2 reach ~1.6·10¹¹ at sf10 (their PRODUCT would
+  // overflow int64 past N≈3M, so each square-roots separately in
+  // double — exact for integers below 2⁵³); τ-b snaps at 6 dp; a
+  // degenerate slice (all values tied on either axis) emits NULL.
+  private def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .withColumn("v", rnd(
+        lit(0.5) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
+        3).cast("decimal(6,3)"))
+      .select((col("v") * 1000).cast("long").as("qm"), col("n_chars").as("len"))
+    val cells = scored.groupBy(col("qm"), col("len")).agg(count(lit(1)).as("cnt"))
+    val dense = cells.select(col("qm")).distinct()
+      .crossJoin(cells.select(col("len")).distinct())
+      .join(cells, Seq("qm", "len"), "left")
+      .withColumn("n", coalesce(col("cnt"), lit(0L)))
+    val wLasc = Window.partitionBy(col("qm")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLdesc = Window.partitionBy(col("qm")).orderBy(col("len").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wQexcl = Window.partitionBy(col("len")).orderBy(col("qm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dom = dense
+      .withColumn("cl_lt", coalesce(sum(col("n")).over(wLasc), lit(0L)))
+      .withColumn("cl_gt", coalesce(sum(col("n")).over(wLdesc), lit(0L)))
+      .withColumn("lt_lt", coalesce(sum(col("cl_lt")).over(wQexcl), lit(0L)))
+      .withColumn("lt_gt", coalesce(sum(col("cl_gt")).over(wQexcl), lit(0L)))
+    val cd = dom.agg(
+      sum(col("n") * col("lt_lt")).as("concordant"),
+      sum(col("n") * col("lt_gt")).as("discordant"))
+    val nTot = scored.agg(count(lit(1)).as("n_docs"))
+    val tiesQ = scored.groupBy(col("qm")).agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("ties_q"))
+    val tiesL = scored.groupBy(col("len")).agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("ties_len"))
+    cd.crossJoin(broadcast(nTot)).crossJoin(broadcast(tiesQ)).crossJoin(broadcast(tiesL))
+      .withColumn("n0", expr("n_docs * (n_docs - 1) div 2"))
+      .withColumn("tau_b",
+        when(col("n0") > col("ties_q") && col("n0") > col("ties_len"), rnd(
+          (col("concordant") - col("discordant")).cast("double")
+            / (sqrt((col("n0") - col("ties_q")).cast("double"))
+              * sqrt((col("n0") - col("ties_len")).cast("double"))), 6)))
+      .select(col("n_docs"), col("n0").as("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_q"), col("ties_len"), col("tau_b"))
+  }
+
+  private val kendallTauSql =
+    """WITH scored AS (
+      |  SELECT CAST(CAST(round(CAST(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |      + 0.5 * (1.0 - CAST(round(CAST(CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','and','of','to','in'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) AS DECIMAL(18,8)), 3) AS DOUBLE))
+      |      AS DECIMAL(18,8)), 3) AS DECIMAL(6,3)) * 1000 AS BIGINT) AS qm,
+      |    n_chars AS len
+      |  FROM documents
+      |), cells AS (
+      |  SELECT qm, len, count(*) AS cnt FROM scored GROUP BY 1, 2
+      |), dense AS (
+      |  SELECT q.qm, l.len, coalesce(c.cnt, 0) AS n
+      |  FROM (SELECT DISTINCT qm FROM cells) q
+      |  CROSS JOIN (SELECT DISTINCT len FROM cells) l
+      |  LEFT JOIN cells c ON c.qm = q.qm AND c.len = l.len
+      |), dom AS (
+      |  SELECT qm, len, n,
+      |    coalesce(sum(cl_lt) OVER (PARTITION BY len ORDER BY qm
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt_lt,
+      |    coalesce(sum(cl_gt) OVER (PARTITION BY len ORDER BY qm
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt_gt
+      |  FROM (
+      |    SELECT qm, len, n,
+      |      coalesce(sum(n) OVER (PARTITION BY qm ORDER BY len
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl_lt,
+      |      coalesce(sum(n) OVER (PARTITION BY qm ORDER BY len DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl_gt
+      |    FROM dense
+      |  )
+      |), cd AS (
+      |  SELECT CAST(sum(n * lt_lt) AS BIGINT) AS concordant,
+      |    CAST(sum(n * lt_gt) AS BIGINT) AS discordant
+      |  FROM dom
+      |), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM scored
+      |), tq AS (
+      |  SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_q
+      |  FROM (SELECT count(*) AS t FROM scored GROUP BY qm)
+      |), tl AS (
+      |  SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_len
+      |  FROM (SELECT count(*) AS t FROM scored GROUP BY len)
+      |), fin AS (
+      |  SELECT cd.concordant, cd.discordant, nt.n_docs, tq.ties_q, tl.ties_len,
+      |    n_docs * (n_docs - 1) // 2 AS n0
+      |  FROM cd, nt, tq, tl
+      |)
+      |SELECT n_docs, CAST(n0 AS BIGINT) AS n_pairs, concordant, discordant,
+      |  ties_q, ties_len,
+      |  CASE WHEN n0 > ties_q AND n0 > ties_len THEN
+      |    CAST(round(CAST(CAST(concordant - discordant AS DOUBLE)
+      |      / (sqrt(CAST(n0 - ties_q AS DOUBLE)) * sqrt(CAST(n0 - ties_len AS DOUBLE)))
+      |      AS DECIMAL(18,8)), 6) AS DOUBLE) END AS tau_b
+      |FROM fin""".stripMargin
 
   // ---------------------------------------------------------------
   // Mann–Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC two-sample

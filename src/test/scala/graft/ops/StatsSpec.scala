@@ -669,4 +669,40 @@ class StatsSpec extends AnyFunSuite {
     val uB = (r2b - nb * (nb + 1)).toDouble / 2.0
     assert(math.abs(uA + uB - na.toDouble * nb) < 1e-9, "U_A + U_B = n_a*n_b")
   }
+
+  // -------------------------------------------------------------
+  test("Kendall tau-b: dominance-counted C/D equal the brute-force pair enumeration") {
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.table(spark, dir, "documents")
+      .select(col("text"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val pts = rows.map { case (text, len) =>
+      ((BigDecimal(quality(text)) * 1000).toLongExact, len) }
+    var c = 0L; var d = 0L
+    var i = 0
+    while (i < pts.length) {
+      var j = i + 1
+      while (j < pts.length) {
+        val dq = java.lang.Long.compare(pts(i)._1, pts(j)._1)
+        val dl = java.lang.Long.compare(pts(i)._2, pts(j)._2)
+        if (dq * dl > 0) c += 1 else if (dq * dl < 0) d += 1
+        j += 1
+      }
+      i += 1
+    }
+    val n = pts.length.toLong
+    val n0 = n * (n - 1) / 2
+    val tq = pts.groupBy(_._1).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val tl = pts.groupBy(_._2).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val tau = snap((c - d).toDouble / (math.sqrt((n0 - tq).toDouble) * math.sqrt((n0 - tl).toDouble)), 6)
+    val r = q("eval_kendall_tau").collect().head
+    assert(r.getLong(0) === n && r.getLong(1) === n0)
+    assert(r.getLong(2) === c, s"concordant ${r.getLong(2)} vs $c")
+    assert(r.getLong(3) === d, s"discordant ${r.getLong(3)} vs $d")
+    assert(r.getLong(4) === tq && r.getLong(5) === tl, "tie terms")
+    assert(math.abs(r.getDouble(6) - tau) < 1e-9, s"tau_b ${r.getDouble(6)} vs $tau")
+    // identity: C + D + (pairs tied on either axis, minus both) = N0
+    val tboth = pts.groupBy(identity).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    assert(c + d + tq + tl - tboth === n0, "pair accounting identity")
+  }
 }
