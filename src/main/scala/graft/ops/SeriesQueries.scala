@@ -34,6 +34,7 @@ object SeriesQueries {
     NamedQuery("events_abandonment_rate", abandonmentRate, Some(abandonmentRateSql)),
     NamedQuery("events_survival_km", survivalKm, Some(survivalKmSql)),
     NamedQuery("events_nelson_aalen", nelsonAalen, Some(nelsonAalenSql)),
+    NamedQuery("events_burst_hysteresis", burstHysteresis, Some(burstHysteresisSql)),
     NamedQuery("events_autocorr", autocorr, Some(autocorrSql)),
     NamedQuery("events_forecast_backtest", forecastBacktest, Some(forecastBacktestSql)),
     NamedQuery("events_seasonality_strength", seasonalityStrength, Some(seasonalityStrengthSql)),
@@ -698,6 +699,110 @@ object SeriesQueries {
       |    ELSE CAST(round(CAST(exp(CAST(lnsum AS DOUBLE)) AS DECIMAL(18,8)), 4) AS DOUBLE) END AS survival
       |FROM acc WHERE d > 0
       |ORDER BY t_sec""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Burst detection with HYSTERESIS (two-threshold Schmitt trigger) —
+  // the alerting primitive between a plain threshold (chatters on
+  // noise straddling the line) and the Kleinberg automaton (a
+  // sequential Viterbi no relational engine wants): a burst is a
+  // maximal run of hours where the type's volume stays ABOVE the low
+  // threshold (μ+σ) and which TOUCHES the high threshold (μ+2σ) at
+  // least once — enter high, exit low, so one noisy dip doesn't split
+  // an incident and one noisy spike doesn't open one. Emits each
+  // burst's span, duration, peak and volume.
+  //
+  // The sequential-looking trigger is PURE WINDOW ALGEBRA: runs of
+  // above-low hours are gaps-and-islands (island id = running count
+  // of below-low hours over the dense grid), and the high-touch
+  // qualifier is a per-island max — no state machine, no recursion,
+  // embarrassingly parallel across types.
+  //
+  // Scale shape: one (type, hour) map-side reduction, the dense grid
+  // fans |types| × span rows (calendar-bounded), every window
+  // partitions by type. Determinism: counts are integers; μ, σ derive
+  // from exact integer moments through one shared expression and the
+  // thresholds snap at 4 dp, so `count > threshold` is an exact
+  // integer-vs-4-dp comparison in both engines.
+  private def burstHysteresis(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(spark, dir)
+      .withColumn("hr", expr("sec div 3600"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val dense = grid.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val stats = dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .withColumn("sigma", sqrt(
+        (col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("n_hours"))
+          / (col("n_hours") - 1)))
+      .withColumn("lo_thresh", rnd(col("s1").cast("double") / col("n_hours") + col("sigma"), 4))
+      .withColumn("hi_thresh", rnd(col("s1").cast("double") / col("n_hours") + lit(2.0) * col("sigma"), 4))
+      .select(col("event_type"), col("lo_thresh"), col("hi_thresh"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = dense.join(broadcast(stats), Seq("event_type"))
+      .withColumn("above_lo", col("n").cast("double") > col("lo_thresh"))
+      .withColumn("island",
+        sum(when(col("above_lo"), 0L).otherwise(1L)).over(wCum))
+    marked.where(col("above_lo"))
+      .groupBy(col("event_type"), col("island"))
+      .agg(
+        min(col("hr")).as("start_hr"), max(col("hr")).as("end_hr"),
+        count(lit(1)).as("duration_hours"),
+        max(col("n")).as("peak_count"), sum(col("n")).as("total_events"),
+        max(when(col("n").cast("double") > col("hi_thresh"), 1L).otherwise(0L)).as("trig"),
+        max(col("lo_thresh")).as("lo_thresh"), max(col("hi_thresh")).as("hi_thresh"))
+      .where(col("trig") === 1)
+      .select(col("event_type"), col("start_hr"), col("end_hr"),
+        col("duration_hours"), col("peak_count"), col("total_events"),
+        col("lo_thresh"), col("hi_thresh"))
+      .orderBy(col("event_type"), col("start_hr"))
+  }
+
+  private val burstHysteresisSql =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_ns(ts)//1000000000//3600 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT event_type, unnest(generate_series(mn, mx)) AS hr
+      |  FROM (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1)
+      |), dense AS (
+      |  SELECT g.event_type, g.hr, coalesce(h.n, 0) AS n
+      |  FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hr = g.hr
+      |), stats AS (
+      |  SELECT event_type,
+      |    CAST(round(CAST(CAST(s1 AS DOUBLE) / n_hours
+      |      + sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_hours)
+      |        / (n_hours - 1)) AS DECIMAL(18,8)), 4) AS DOUBLE) AS lo_thresh,
+      |    CAST(round(CAST(CAST(s1 AS DOUBLE) / n_hours
+      |      + 2.0 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_hours)
+      |        / (n_hours - 1)) AS DECIMAL(18,8)), 4) AS DOUBLE) AS hi_thresh
+      |  FROM (
+      |    SELECT event_type, count(*) AS n_hours, sum(n) AS s1, sum(n * n) AS s2
+      |    FROM dense GROUP BY 1)
+      |), marked AS (
+      |  SELECT d.event_type, d.hr, d.n, s.lo_thresh, s.hi_thresh,
+      |    CAST(d.n AS DOUBLE) > s.lo_thresh AS above_lo,
+      |    sum(CASE WHEN CAST(d.n AS DOUBLE) > s.lo_thresh THEN 0 ELSE 1 END)
+      |      OVER (PARTITION BY d.event_type ORDER BY d.hr
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM dense d JOIN stats s USING (event_type)
+      |)
+      |SELECT event_type, CAST(min(hr) AS BIGINT) AS start_hr,
+      |  CAST(max(hr) AS BIGINT) AS end_hr,
+      |  count(*) AS duration_hours,
+      |  CAST(max(n) AS BIGINT) AS peak_count,
+      |  CAST(sum(n) AS BIGINT) AS total_events,
+      |  max(lo_thresh) AS lo_thresh, max(hi_thresh) AS hi_thresh
+      |FROM marked
+      |WHERE above_lo
+      |GROUP BY event_type, island
+      |HAVING max(CASE WHEN CAST(n AS DOUBLE) > hi_thresh THEN 1 ELSE 0 END) = 1
+      |ORDER BY event_type, start_hr""".stripMargin
 
   // ---------------------------------------------------------------
   // Nelson–Aalen cumulative hazard — the ADDITIVE companion of the

@@ -1723,7 +1723,12 @@ object StatsQueries {
           lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
         3).cast("decimal(6,3)"))
       .select((col("v") * 1000).cast("long").as("qm"), col("n_chars").as("len"))
+    // the ONE corpus pass: everything downstream (dense grid, total,
+    // both tie terms) derives from this bounded cell frame, which is
+    // pinned because four branches consume it (the repo's
+    // pin-what-is-consumed-more-than-once discipline)
     val cells = scored.groupBy(col("qm"), col("len")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val dense = cells.select(col("qm")).distinct()
       .crossJoin(cells.select(col("len")).distinct())
       .join(cells, Seq("qm", "len"), "left")
@@ -1742,10 +1747,10 @@ object StatsQueries {
     val cd = dom.agg(
       sum(col("n") * col("lt_lt")).as("concordant"),
       sum(col("n") * col("lt_gt")).as("discordant"))
-    val nTot = scored.agg(count(lit(1)).as("n_docs"))
-    val tiesQ = scored.groupBy(col("qm")).agg(count(lit(1)).as("t"))
+    val nTot = cells.agg(sum(col("cnt")).as("n_docs"))
+    val tiesQ = cells.groupBy(col("qm")).agg(sum(col("cnt")).as("t"))
       .agg(sum(expr("t * (t - 1) div 2")).as("ties_q"))
-    val tiesL = scored.groupBy(col("len")).agg(count(lit(1)).as("t"))
+    val tiesL = cells.groupBy(col("len")).agg(sum(col("cnt")).as("t"))
       .agg(sum(expr("t * (t - 1) div 2")).as("ties_len"))
     cd.crossJoin(broadcast(nTot)).crossJoin(broadcast(tiesQ)).crossJoin(broadcast(tiesL))
       .withColumn("n0", expr("n_docs * (n_docs - 1) div 2"))
@@ -1792,13 +1797,13 @@ object StatsQueries {
       |  SELECT CAST(sum(n * lt_lt) AS BIGINT) AS concordant,
       |    CAST(sum(n * lt_gt) AS BIGINT) AS discordant
       |  FROM dom
-      |), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM scored
+      |), nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_docs FROM cells
       |), tq AS (
       |  SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_q
-      |  FROM (SELECT count(*) AS t FROM scored GROUP BY qm)
+      |  FROM (SELECT sum(cnt) AS t FROM cells GROUP BY qm)
       |), tl AS (
       |  SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_len
-      |  FROM (SELECT count(*) AS t FROM scored GROUP BY len)
+      |  FROM (SELECT sum(cnt) AS t FROM cells GROUP BY len)
       |), fin AS (
       |  SELECT cd.concordant, cd.discordant, nt.n_docs, tq.ties_q, tl.ties_len,
       |    n_docs * (n_docs - 1) // 2 AS n0

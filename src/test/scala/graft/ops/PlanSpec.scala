@@ -880,4 +880,39 @@ class PlanSpec extends AnyFunSuite {
       p.split("Exchange").length <= 3,
       "a single reduction, not repeated shuffles: " + p.take(600))
   }
+
+  test("kendall tau: ONE corpus scan; dominance windows run over the pinned cell frame") {
+    val p = plan("eval_kendall_tau")
+    val scans = "documents".r.findAllIn(p).size
+    assert(scans <= 1, s"corpus must be scanned at most once, saw $scans: " + p.take(800))
+    assert(p.contains("ExistingRDD"),
+      "the cell frame must be pinned (4 consumers): " + p.take(600))
+  }
+
+  test("mann-whitney: rank sums come from the level table, never a global row sort") {
+    val p = plan("eval_mannwhitney")
+    assert(p.contains("partial_"), "histogram must combine map-side: " + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("nelson-aalen: one user_id exchange, grid windows over the bounded reduction") {
+    val p = plan("events_nelson_aalen")
+    assert(p.contains("partial_"), "grid reduction must combine map-side: " + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("burst hysteresis: per-type windows only — no single-partition window over raw events") {
+    val p = plan("events_burst_hysteresis")
+    assert(p.contains("partial_"), "hourly reduction must combine map-side: " + p.take(600))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the |types|-row threshold frame must broadcast: " + p.take(800))
+  }
+
+  test("er threshold sweep: the scored pair pass broadcasts the vocabulary") {
+    val p = plan("dedup_er_threshold_sweep")
+    // the sweep itself is driver arithmetic on the collected bounded
+    // frame; the emitted plan is the tiny result relation — the
+    // pairwise scoring must never appear as a shuffle join here
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
 }

@@ -607,4 +607,46 @@ class SeriesForensicsSpec extends AnyFunSuite {
       assert(sna >= skm - 2e-4, s"exp(-H) must dominate the product-limit at $t: $sna vs $skm")
     }
   }
+
+  // -------------------------------------------------------------
+  test("burst hysteresis: spans equal a direct Schmitt-trigger model; maximality holds") {
+    val hourly = events.groupBy(e => (e._3, e._4 / 3600))
+      .view.mapValues(_.length.toLong).toMap
+    val types = events.map(_._3).distinct.sorted
+    val direct = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, Long, Long)]()
+    types.foreach { t =>
+      val hrs = hourly.keys.filter(_._1 == t).map(_._2)
+      val (mn, mx) = (hrs.min, hrs.max)
+      val series = (mn to mx).map(h => h -> hourly.getOrElse((t, h), 0L))
+      val n = series.length.toLong
+      val s1 = series.map(_._2).sum
+      val s2 = series.map(x => x._2 * x._2).sum
+      val sigma = math.sqrt((s2.toDouble - s1.toDouble * s1 / n) / (n - 1))
+      val lo = snap(s1.toDouble / n + sigma, 4)
+      val hi = snap(s1.toDouble / n + 2.0 * sigma, 4)
+      // maximal runs above lo that touch hi
+      var i = 0
+      val arr = series.toArray
+      while (i < arr.length) {
+        if (arr(i)._2 > lo) {
+          var j = i
+          while (j + 1 < arr.length && arr(j + 1)._2 > lo) j += 1
+          val run = arr.slice(i, j + 1)
+          if (run.exists(_._2 > hi))
+            direct += ((t, run.head._1, run.last._1, run.length.toLong,
+              run.map(_._2).max, run.map(_._2).sum))
+          i = j + 1
+        } else i += 1
+      }
+    }
+    val got = q("events_burst_hysteresis").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toVector === direct.toVector.sortBy(b => (b._1, b._2)),
+      s"bursts: got ${got.length}, direct ${direct.length}")
+    assert(got.nonEmpty, "fixture produces at least one burst")
+    // hysteresis does its job somewhere: some burst is longer than one
+    // hour (a low-threshold shoulder extends a high-threshold spike)
+    assert(got.exists(_._4 > 1), "no multi-hour burst — hysteresis untested")
+  }
 }
