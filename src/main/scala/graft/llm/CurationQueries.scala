@@ -45,7 +45,97 @@ object CurationQueries {
     NamedQuery("curate_quantile_norm", quantileNorm, Some(quantileNormSql)),
     NamedQuery("curate_quantile_norm_approx", quantileNormApprox,
       Some(quantileNormApproxSql)),
+    NamedQuery("curate_pareto_frontier", paretoFrontier, Some(paretoFrontierSql)),
   )
+
+  // ---------------------------------------------------------------
+  // Pareto frontier (skyline) over (quality, length) — the
+  // multi-objective curation pick (Börzsönyi et al. ICDE'01): a doc
+  // survives iff NO other doc is at-least-as-good on both axes and
+  // strictly better on one. Single-objective cuts force a weighting;
+  // the skyline is the weighting-free answer ("every doc a rational
+  // curator could prefer under SOME monotone utility").
+  //
+  // The textbook objection is the O(N²) dominance test; here dominance
+  // counts come from the SAME 2-D level-grid construction as
+  // eval_kendall_tau: quality lives on the 3-dp milli grid and length
+  // on the bounded n_chars range, so the densified (quality, length)
+  // histogram is an SF-independent frame, and two chained INCLUSIVE
+  // descending prefix windows give every cell its closed upper-right
+  // quadrant mass R. A cell is on the frontier iff R − n = 0 (the
+  // quadrant holds nothing but its own ties — equal-on-both points
+  // never dominate each other). Frontier membership then broadcasts
+  // back over one corpus pass to list the surviving docs.
+  //
+  // Scale shape: one corpus pass to cells (pinned — two consumers),
+  // windows over the bounded grid, one broadcast semi-join back.
+  // Determinism: all counts are exact integers; output is the doc
+  // list ordered by (qm desc, len desc, doc_id).
+  private def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.table(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','and','of','to','in')))").cast("long"))
+      .withColumn("v", rnd(
+        lit(0.5) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
+        3).cast("decimal(6,3)"))
+      .select(col("doc_id"), (col("v") * 1000).cast("long").as("qm"),
+        col("n_chars").as("len"))
+    val cells = scored.groupBy(col("qm"), col("len")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val dense = cells.select(col("qm")).distinct()
+      .crossJoin(cells.select(col("len")).distinct())
+      .join(cells, Seq("qm", "len"), "left")
+      .withColumn("n", coalesce(col("cnt"), lit(0L)))
+    val wLdescIncl = Window.partitionBy(col("qm")).orderBy(col("len").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wQdescIncl = Window.partitionBy(col("len")).orderBy(col("qm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val frontierCells = dense
+      .withColumn("cl_ge", sum(col("n")).over(wLdescIncl))
+      .withColumn("quad", sum(col("cl_ge")).over(wQdescIncl))
+      .where(col("n") > 0 && col("quad") - col("n") === 0)
+      .select(col("qm"), col("len"))
+    scored.join(broadcast(frontierCells), Seq("qm", "len"))
+      .select(col("doc_id"), col("qm"), col("len"))
+      .orderBy(col("qm").desc, col("len").desc, col("doc_id"))
+  }
+
+  private val paretoFrontierSql =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(round(CAST(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |      + 0.5 * (1.0 - CAST(round(CAST(CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','and','of','to','in'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) AS DECIMAL(18,8)), 3) AS DOUBLE))
+      |      AS DECIMAL(18,8)), 3) AS DECIMAL(6,3)) * 1000 AS BIGINT) AS qm,
+      |    n_chars AS len
+      |  FROM documents
+      |), cells AS (
+      |  SELECT qm, len, count(*) AS cnt FROM scored GROUP BY 1, 2
+      |), dense AS (
+      |  SELECT q.qm, l.len, coalesce(c.cnt, 0) AS n
+      |  FROM (SELECT DISTINCT qm FROM cells) q
+      |  CROSS JOIN (SELECT DISTINCT len FROM cells) l
+      |  LEFT JOIN cells c ON c.qm = q.qm AND c.len = l.len
+      |), quad AS (
+      |  SELECT qm, len, n,
+      |    sum(cl_ge) OVER (PARTITION BY len ORDER BY qm DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS quad
+      |  FROM (
+      |    SELECT qm, len, n,
+      |      sum(n) OVER (PARTITION BY qm ORDER BY len DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl_ge
+      |    FROM dense
+      |  )
+      |), fc AS (
+      |  SELECT qm, len FROM quad WHERE n > 0 AND quad - n = 0
+      |)
+      |SELECT s.doc_id, s.qm, s.len
+      |FROM scored s JOIN fc USING (qm, len)
+      |ORDER BY s.qm DESC, s.len DESC, s.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // Per-source adaptive length trimming: every source gets its OWN

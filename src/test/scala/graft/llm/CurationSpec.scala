@@ -157,4 +157,39 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("expected_chars") <= r.getAs[Long]("chars"))
     }
   }
+
+  // -------------------------------------------------------------
+  test("pareto frontier: grid-dominance skyline equals brute force; output is an anti-chain") {
+    import org.apache.spark.sql.functions.col
+    def snap(v: Double, s: Int): Double =
+      BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stop = Set("the", "a", "and", "of", "to", "in")
+    val docs = graft.ops.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        val v = snap(0.5 * math.min(ws.length / 100.0, 1.0)
+          + 0.5 * (1.0 - snap(ws.count(stop).toDouble / ws.length, 3)), 3)
+        (r.getLong(0), (BigDecimal(v) * 1000).toLongExact, r.getLong(2))
+      }
+    val brute = docs.filter { case (_, q, l) =>
+      !docs.exists { case (_, q2, l2) =>
+        q2 >= q && l2 >= l && (q2 > q || l2 > l) }
+    }.map(d => (d._1, d._2, d._3)).sortBy(d => (-d._2, -d._3, d._1))
+    val got = run("curate_pareto_frontier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toVector === brute.toVector,
+      s"skyline: got ${got.length}, brute ${brute.length}")
+    assert(got.nonEmpty)
+    // a skyline is an anti-chain: sorted by quality desc, lengths
+    // strictly increase across distinct quality levels
+    val byQ = got.toVector
+    byQ.sliding(2).foreach {
+      case Vector(a, b) =>
+        if (a._2 > b._2) assert(a._3 <= b._3 || a._2 == b._2,
+          s"dominated survivor: $a vs $b")
+      case _ => ()
+    }
+  }
 }
