@@ -35,6 +35,7 @@ object SeriesQueries {
     NamedQuery("events_survival_km", survivalKm, Some(survivalKmSql)),
     NamedQuery("events_nelson_aalen", nelsonAalen, Some(nelsonAalenSql)),
     NamedQuery("events_burst_hysteresis", burstHysteresis, Some(burstHysteresisSql)),
+    NamedQuery("events_kleinberg_burst", kleinbergBurst, Some(kleinbergBurstSql)),
     NamedQuery("events_autocorr", autocorr, Some(autocorrSql)),
     NamedQuery("events_forecast_backtest", forecastBacktest, Some(forecastBacktestSql)),
     NamedQuery("events_seasonality_strength", seasonalityStrength, Some(seasonalityStrengthSql)),
@@ -802,6 +803,181 @@ object SeriesQueries {
       |WHERE above_lo
       |GROUP BY event_type, island
       |HAVING max(CASE WHEN CAST(n AS DOUBLE) > hi_thresh THEN 1 ELSE 0 END) = 1
+      |ORDER BY event_type, start_hr""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Kleinberg-style two-state burst automaton — the PRINCIPLED twin of
+  // the hysteresis trigger (Kleinberg KDD'02 "Bursty and hierarchical
+  // structure in streams", reduced to its 2-state discrete form over
+  // hourly counts): state 0 emits Poisson(λ₀ = the type's mean hourly
+  // rate), state 1 emits Poisson(λ₁ = 3λ₀), entering the burst state
+  // costs γ = 2, and the reported bursts are the state-1 runs of the
+  // GLOBALLY optimal (Viterbi) state sequence — so a burst must earn
+  // its entry cost from the whole episode's likelihood, not from one
+  // spiky hour, and a mid-burst lull is bridged when the alternative
+  // (exit + re-enter) costs more. Per-hour cost in state i is the
+  // negative Poisson log-likelihood with the state-independent ln(n!)
+  // dropped: cost_i(h) = λ_i − n_h·ln λ_i.
+  //
+  // Distribution story: the DP's sequential axis is CALENDAR TIME, not
+  // volume — 100 TB of events over the same month is the SAME
+  // ≤744-step recursion; only the one map-side (type, hour) reduction
+  // touches the corpus. The bounded |types|×|hours| frame then crosses
+  // the driver (the theilsen/markov bounded-collect pattern) and the
+  // Viterbi fold is arithmetic on it. The DuckDB twin runs the
+  // identical DP as ONE recursive CTE: the forward pass carries
+  // (c0, c1) AND the two best state PATHS as integer lists (a second
+  // backward-walking recursion would re-execute the forward CTE per
+  // step — measured pathological), and the cheaper final state picks
+  // its path, which unnests positionally back onto the grid.
+  //
+  // Determinism: λ_i and ln λ_i snap at 6 dp (ln-parity-at-snap, the
+  // KS/KM discipline); every accumulated cost is then an EXACT decimal
+  // (integer n_h × 6-dp literals), so the min() comparisons cannot
+  // drift cross-engine. Ties prefer the base state on entry/finish and
+  // staying put inside the burst — mirrored in both engines.
+  private val KbGamma = 2L // burst entry cost
+  private val KbMult = 3L // λ₁ / λ₀
+
+  private def kleinbergBurst(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(spark, dir)
+      .withColumn("hr", expr("sec div 3600"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+    // the calendar-bounded |types| × |hours| frame — bounded-collect
+    val series = grid.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .orderBy(col("event_type"), col("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def snap6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val out = series.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, rows) =>
+      val hrs = rows.sortBy(_._2)
+      val nH = hrs.length
+      val lam0 = snap6(hrs.map(_._3).sum.toDouble / nH)
+      val lam1 = snap6((BigDecimal(KbMult) * lam0).toDouble)
+      val l0 = snap6(math.log(lam0.toDouble))
+      val l1 = snap6(math.log(lam1.toDouble))
+      def cost(i: Int, n: Long): BigDecimal =
+        if (i == 0) lam0 - BigDecimal(n) * l0 else lam1 - BigDecimal(n) * l1
+      val gamma = BigDecimal(KbGamma)
+      var c0 = cost(0, hrs(0)._3)
+      var c1 = gamma + cost(1, hrs(0)._3)
+      val from0 = new Array[Int](nH)
+      val from1 = new Array[Int](nH)
+      var k = 1
+      while (k < nH) {
+        val n = hrs(k)._3
+        // ties prefer the base state feeding 0 and staying in 1
+        val f0 = if (c0 <= c1) 0 else 1
+        val f1 = if (c0 + gamma < c1) 0 else 1
+        val nc0 = (if (f0 == 0) c0 else c1) + cost(0, n)
+        val nc1 = (if (f1 == 0) c0 + gamma else c1) + cost(1, n)
+        from0(k) = f0; from1(k) = f1
+        c0 = nc0; c1 = nc1
+        k += 1
+      }
+      val states = new Array[Int](nH)
+      states(nH - 1) = if (c1 < c0) 1 else 0
+      var j = nH - 1
+      while (j > 0) {
+        states(j - 1) = if (states(j) == 0) from0(j) else from1(j)
+        j -= 1
+      }
+      // state-1 islands → burst rows
+      val bursts = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, Long, Long, Double, Double)]()
+      var i = 0
+      while (i < nH) {
+        if (states(i) == 1) {
+          var e = i
+          while (e + 1 < nH && states(e + 1) == 1) e += 1
+          val run = hrs.slice(i, e + 1)
+          bursts += ((t, run.head._2, run.last._2, run.length.toLong,
+            run.map(_._3).max, run.map(_._3).sum,
+            lam0.toDouble, lam1.toDouble))
+          i = e + 1
+        } else i += 1
+      }
+      bursts
+    }
+    import spark.implicits._
+    out.toDF("event_type", "start_hr", "end_hr", "duration_hours",
+      "peak_count", "total_events", "lambda0", "lambda1")
+      .orderBy(col("event_type"), col("start_hr"))
+  }
+
+  private val kleinbergBurstSql =
+    s"""WITH RECURSIVE hourly AS MATERIALIZED (
+      |  SELECT event_type, epoch_ns(ts)//1000000000//3600 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), grid AS MATERIALIZED (
+      |  SELECT event_type, unnest(generate_series(mn, mx)) AS hr
+      |  FROM (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1)
+      |), stats AS (
+      |  SELECT event_type,
+      |    round(CAST(CAST(s1 AS DOUBLE) / n_hours AS DECIMAL(18,8)), 6) AS lam0
+      |  FROM (
+      |    SELECT g.event_type, count(*) AS n_hours, sum(coalesce(h.n, 0)) AS s1
+      |    FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hr = g.hr
+      |    GROUP BY 1)
+      |), consts AS (
+      |  SELECT event_type, lam0,
+      |    CAST($KbMult AS DECIMAL(18,6)) * lam0 AS lam1,
+      |    round(CAST(ln(CAST(lam0 AS DOUBLE)) AS DECIMAL(18,8)), 6) AS l0,
+      |    round(CAST(ln(CAST(CAST($KbMult AS DECIMAL(18,6)) * lam0 AS DOUBLE))
+      |      AS DECIMAL(18,8)), 6) AS l1
+      |  FROM stats
+      |), dense AS MATERIALIZED (
+      |  SELECT g.event_type, g.hr, coalesce(h.n, 0) AS n,
+      |    row_number() OVER (PARTITION BY g.event_type ORDER BY g.hr) - 1 AS i,
+      |    CAST(c.lam0 - coalesce(h.n, 0) * c.l0 AS DECIMAL(28,6)) AS cost0,
+      |    CAST(c.lam1 - coalesce(h.n, 0) * c.l1 AS DECIMAL(28,6)) AS cost1,
+      |    c.lam0, c.lam1
+      |  FROM grid g
+      |  LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hr = g.hr
+      |  JOIN consts c ON c.event_type = g.event_type
+      |), fwd AS (
+      |  SELECT event_type, i,
+      |    cost0 AS c0,
+      |    CAST($KbGamma AS DECIMAL(28,6)) + cost1 AS c1,
+      |    [0] AS p0, [1] AS p1
+      |  FROM dense WHERE i = 0
+      |  UNION ALL
+      |  SELECT d.event_type, d.i,
+      |    CAST(least(f.c0, f.c1) + d.cost0 AS DECIMAL(28,6)) AS c0,
+      |    CAST(least(f.c0 + CAST($KbGamma AS DECIMAL(28,6)), f.c1) + d.cost1 AS DECIMAL(28,6)) AS c1,
+      |    (CASE WHEN f.c0 <= f.c1 THEN f.p0 ELSE f.p1 END) || [0] AS p0,
+      |    (CASE WHEN f.c0 + CAST($KbGamma AS DECIMAL(28,6)) < f.c1 THEN f.p0 ELSE f.p1 END) || [1] AS p1
+      |  FROM fwd f JOIN dense d ON d.event_type = f.event_type AND d.i = f.i + 1
+      |), finalpath AS (
+      |  SELECT f.event_type, CASE WHEN f.c1 < f.c0 THEN f.p1 ELSE f.p0 END AS path
+      |  FROM fwd f
+      |  JOIN (SELECT event_type, max(i) AS mi FROM dense GROUP BY 1) m
+      |    ON m.event_type = f.event_type AND m.mi = f.i
+      |), lab0 AS (
+      |  SELECT event_type, unnest(path) AS s,
+      |    unnest(generate_series(1, len(path))) - 1 AS i
+      |  FROM finalpath
+      |), lab AS (
+      |  SELECT d.event_type, d.hr, d.n, l.s, d.lam0, d.lam1,
+      |    sum(CASE WHEN l.s = 1 THEN 0 ELSE 1 END) OVER (
+      |      PARTITION BY d.event_type ORDER BY d.hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM lab0 l JOIN dense d ON d.event_type = l.event_type AND d.i = l.i
+      |)
+      |SELECT event_type, CAST(min(hr) AS BIGINT) AS start_hr,
+      |  CAST(max(hr) AS BIGINT) AS end_hr,
+      |  count(*) AS duration_hours,
+      |  CAST(max(n) AS BIGINT) AS peak_count,
+      |  CAST(sum(n) AS BIGINT) AS total_events,
+      |  CAST(max(lam0) AS DOUBLE) AS lambda0,
+      |  CAST(max(lam1) AS DOUBLE) AS lambda1
+      |FROM lab
+      |WHERE s = 1
+      |GROUP BY event_type, island
       |ORDER BY event_type, start_hr""".stripMargin
 
   // ---------------------------------------------------------------

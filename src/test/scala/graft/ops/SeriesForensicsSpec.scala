@@ -649,4 +649,55 @@ class SeriesForensicsSpec extends AnyFunSuite {
     // hour (a low-threshold shoulder extends a high-threshold spike)
     assert(got.exists(_._4 > 1), "no multi-hour burst — hysteresis untested")
   }
+
+  // -------------------------------------------------------------
+  test("kleinberg burst: emitted sequence is locally Viterbi-optimal and beats both trivial baselines") {
+    val hourly = events.groupBy(e => (e._3, e._4 / 3600))
+      .view.mapValues(_.length.toLong).toMap
+    val got = q("events_kleinberg_burst").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "fixture produces bursts")
+    val types = events.map(_._3).distinct.sorted
+    types.foreach { t =>
+      val hrs = hourly.keys.filter(_._1 == t).map(_._2)
+      val (mn, mx) = (hrs.min, hrs.max)
+      val series = (mn to mx).map(h => hourly.getOrElse((t, h), 0L)).toArray
+      val nH = series.length
+      def snap6(x: Double) = BigDecimal(x)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val lam0 = snap6(series.sum.toDouble / nH)
+      val lam1 = snap6((BigDecimal(3) * lam0).toDouble)
+      val l0 = snap6(math.log(lam0.toDouble))
+      val l1 = snap6(math.log(lam1.toDouble))
+      val gamma = BigDecimal(2)
+      def emit(st: Int, n: Long): BigDecimal =
+        if (st == 0) lam0 - BigDecimal(n) * l0 else lam1 - BigDecimal(n) * l1
+      val s = new Array[Int](nH)
+      got.filter(_._1 == t).foreach { case (_, a, b) =>
+        ((a - mn).toInt to (b - mn).toInt).foreach(i => s(i) = 1) }
+      def cost(seq: Array[Int]): BigDecimal = {
+        var c = emit(seq(0), series(0)) + (if (seq(0) == 1) gamma else BigDecimal(0))
+        var i = 1
+        while (i < nH) {
+          c += emit(seq(i), series(i))
+          if (seq(i) == 1 && seq(i - 1) == 0) c += gamma
+          i += 1
+        }
+        c
+      }
+      val base = cost(s)
+      assert(base <= cost(Array.fill(nH)(0)), s"$t: all-base beats the answer")
+      assert(base <= cost(Array.fill(nH)(1)), s"$t: all-burst beats the answer")
+      // Viterbi optimality implies NO sequence is cheaper, so in
+      // particular no single-hour flip strictly improves the cost
+      var i = 0
+      while (i < nH) {
+        val flip = s.clone(); flip(i) = 1 - s(i)
+        assert(cost(flip) >= base,
+          s"$t: flipping hour $i improves the sequence — not Viterbi-optimal")
+        i += 1
+      }
+    }
+  }
 }
