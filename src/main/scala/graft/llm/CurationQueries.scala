@@ -1464,7 +1464,24 @@ object CurationQueries {
   // advice), so a too-loose tolerance or a broken grid-index formula
   // fails the oracle from the DuckDB side too, instead of the twin
   // rubber-stamping TRUE.
-  private def quantileNormApprox(spark: SparkSession, dir: String): DataFrame = {
+  //
+  // Known flake mode (r16 advice, ACCEPTED): the boolean is computed
+  // from DIFFERENT estimators per engine (KLL sketch grid vs exact
+  // quantile_cont grid), so if either side's grid mean ever sat near
+  // the 2% gate the booleans could diverge intermittently. The gate is
+  // sized so that cannot happen in practice — the sketch rank error is
+  // ≤ 1e-4·N and the grid discretization ≤ 1 percentile, an order of
+  // magnitude under the gate — and CurationSpec's margin assert pins
+  // the ACTUAL Spark-side deviation under 1% (half the gate) at the
+  // fixture, so a hash mismatch on this boolean is triaged as margin
+  // erosion (tighten the sketch accuracy or loosen the gate), never as
+  // a silent correctness regression.
+  /** The shared per-doc mapping of the approx quantile-norm pair:
+    * one row per document carrying the exact pooled value `v` and the
+    * sketch-grid value `v_approx` — the query aggregates it to the
+    * tolerance boolean; CurationSpec's margin assert aggregates it to
+    * the actual relative deviation. */
+  private def quantileNormApproxMapped(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
     val nTot = d.agg(count(lit(1)).as("n_pool"))
@@ -1487,6 +1504,10 @@ object CurationQueries {
         "CASE WHEN n_s = 1 THEN 50 ELSE cast((2 * (r - 1) * 100 + (n_s - 1)) div (2 * (n_s - 1)) AS int) END"))
       .withColumn("v_approx", expr("element_at(grid, gidx + 1)"))
     ranked.join(pool, Seq("pos"))
+  }
+
+  private def quantileNormApprox(spark: SparkSession, dir: String): DataFrame =
+    quantileNormApproxMapped(spark, dir)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1499,7 +1520,16 @@ object CurationQueries {
       .select(col("source"), col("n_docs"), col("mean_norm_exact"),
         col("approx_within_2pct"), col("grid_points"))
       .orderBy(col("source"))
-  }
+
+  /** Test hook (r16 advice): the ACTUAL per-source relative deviation
+    * between the sketch-grid mean and the exact pooled mean, so the
+    * spec can pin real margin under the 2% gate instead of trusting
+    * the boolean's headroom silently. */
+  private[graft] def quantileNormApproxMargin(spark: SparkSession, dir: String): DataFrame =
+    quantileNormApproxMapped(spark, dir)
+      .groupBy(col("source"))
+      .agg((abs(sum(col("v_approx")).cast("double") - sum(col("v")).cast("double"))
+        / sum(col("v")).cast("double")).as("rel_dev"))
 
   private val quantileNormApproxSql =
     s"""WITH d AS (

@@ -736,6 +736,14 @@ object SeriesQueries {
     val stats = dense.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("s1"),
         sum(col("n") * col("n")).as("s2"))
+      // degenerate-source guard (r16 advice): a type whose whole history
+      // lands in ONE hour bucket has no variance estimate — the
+      // (n_hours - 1) divisor is 0, Spark yields NaN thresholds and
+      // silently emits nothing while DuckDB raises on the NaN cast.
+      // Such a type emits no bursts by definition (enter-high/exit-low
+      // needs a run), so drop it BEFORE sigma in both twins — the
+      // olsDoclen degenerate-source convention.
+      .where(col("n_hours") > 1)
       .withColumn("sigma", sqrt(
         (col("s2").cast("double")
           - col("s1").cast("double") * col("s1").cast("double") / col("n_hours"))
@@ -785,6 +793,7 @@ object SeriesQueries {
       |  FROM (
       |    SELECT event_type, count(*) AS n_hours, sum(n) AS s1, sum(n * n) AS s2
       |    FROM dense GROUP BY 1)
+      |  WHERE n_hours > 1
       |), marked AS (
       |  SELECT d.event_type, d.hr, d.n, s.lo_thresh, s.hi_thresh,
       |    CAST(d.n AS DOUBLE) > s.lo_thresh AS above_lo,
@@ -1653,13 +1662,20 @@ object SeriesQueries {
   // division — bit-exact cross-engine with zero snapping.
   //
   // Bounds: the series is TRUNCATED to each type's last 40 calendar
-  // days before indexing, so i ≤ 39 and x·2^i·10³ tops out near 5·10¹⁷
-  // — safely inside int64 up to ~8M events/day. Without the guard,
-  // Spark's shiftleft silently wraps at i ≥ 64 (Java shift is mod 64)
-  // while DuckDB raises — an engine-divergent failure on any span past
-  // ~62 days (r15 advice). Weights below 2⁻⁴⁰ are sub-milli anyway, so
-  // the truncation is the closed form's own precision floor; at every
-  // tested SF the span is ≤ 31 days and the filter is a no-op.
+  // days before indexing, so i ≤ 39 and the numerator num = Σ n·2^i
+  // tops out near n_day·2⁴⁰ — inside int64 up to ~8M events/day.
+  // Without the guard, Spark's shiftleft silently wraps at i ≥ 64
+  // (Java shift is mod 64) while DuckDB raises — an engine-divergent
+  // failure on any span past ~62 days (r15 advice). Weights below
+  // 2⁻⁴⁰ are sub-milli anyway, so the truncation is the closed form's
+  // own precision floor; at every tested SF the span is ≤ 31 days and
+  // the filter is a no-op. The milli scaling does NOT multiply num by
+  // 1000 (that would re-shrink the headroom to ~8.4k events/day, r16
+  // advice): with den = 2^{i+1}−1 and num = q·den + r,
+  // ⌊num·1000/den⌋ = q·1000 + ⌊r·1000/den⌋ exactly (non-negative
+  // terms), and both factors stay small — q ≤ the max daily count and
+  // r < den ≤ 2⁴⁰ — so the split form is overflow-free wherever num
+  // itself is.
   private val EwmaWindowDays = 40
   private def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
     val wType = Window.partitionBy(col("event_type"))
@@ -1674,8 +1690,9 @@ object SeriesQueries {
       .withColumn("i", row_number().over(wOrd) - 1)
       .withColumn("wterm", expr("n * shiftleft(1L, cast(i AS int))"))
       .withColumn("num", sum(col("wterm")).over(wCum))
+      .withColumn("den", expr("shiftleft(1L, cast(i AS int) + 1) - 1L"))
       .withColumn("ewma_milli",
-        expr("(num * 1000L) div (shiftleft(1L, cast(i AS int) + 1) - 1L)"))
+        expr("(num div den) * 1000L + ((num % den) * 1000L) div den"))
       .select(col("event_type"), col("day"), col("n"), col("ewma_milli"))
       .orderBy(col("event_type"), col("day"))
   }
@@ -1698,10 +1715,14 @@ object SeriesQueries {
       |      OVER (PARTITION BY event_type ORDER BY day
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num
       |  FROM idx
+      |), scaled AS (
+      |  SELECT event_type, day, n, num,
+      |    (CAST(1 AS BIGINT) << CAST(i + 1 AS INT)) - 1 AS den
+      |  FROM cum
       |)
       |SELECT event_type, day, n,
-      |  CAST((num * 1000) // ((CAST(1 AS BIGINT) << CAST(i + 1 AS INT)) - 1) AS BIGINT) AS ewma_milli
-      |FROM cum
+      |  CAST((num // den) * 1000 + ((num % den) * 1000) // den AS BIGINT) AS ewma_milli
+      |FROM scaled
       |ORDER BY event_type, day""".stripMargin
 
   // ---------------------------------------------------------------

@@ -192,4 +192,21 @@ class CurationSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  // -------------------------------------------------------------
+  test("quantile norm approx: sketch-vs-exact deviation holds real margin under the 2% gate") {
+    // r16 advice: approx_within_2pct is computed from DIFFERENT
+    // estimators per engine, so a boundary-hugging deviation could make
+    // the booleans flake across engines. Pin that the ACTUAL deviation
+    // sits under HALF the gate at the fixture — if this assert ever
+    // trips, the sketch accuracy eroded and the gate no longer has
+    // cross-engine margin (tighten accuracy or widen the gate; do not
+    // chase it as an oracle-hash regression).
+    val devs = CurationQueries.quantileNormApproxMargin(spark, dir).collect()
+    assert(devs.nonEmpty)
+    devs.foreach { r =>
+      val d = r.getAs[Double]("rel_dev")
+      assert(d < 0.01, s"source ${r.get(0)}: rel_dev $d >= half the 2% gate")
+    }
+  }
 }

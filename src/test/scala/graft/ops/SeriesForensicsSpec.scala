@@ -651,6 +651,36 @@ class SeriesForensicsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  test("burst hysteresis: a single-hour type emits no bursts, never NaN thresholds (r16 advice)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("burst1h").toString
+    val base = 1700000000000000L // µs
+    val rows =
+      // degenerate: every "solo" event inside ONE hour bucket → the
+      // sample-variance divisor (n_hours - 1) is zero
+      (1 to 5).map(i => (i.toLong, base + i * 1000000L, 1L, "solo", 1.0, "{}")) ++
+        // healthy control: quiet baseline with one spike hour
+        (0 until 30).flatMap { h =>
+          val n = if (h == 15) 40 else 1
+          (0 until n).map(j => ((100 + h * 100 + j).toLong,
+            base + h * 3600000000L + j * 1000L, 2L, "multi", 1.0, "{}"))
+        }
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.SparkEntry.queries("events_burst_hysteresis")(spark, tmp).collect()
+    assert(!got.exists(_.getString(0) == "solo"),
+      "single-hour type must be dropped by the n_hours > 1 guard")
+    assert(got.exists(_.getString(0) == "multi"), "control burst must survive")
+    got.foreach { r =>
+      assert(!r.getDouble(6).isNaN && !r.getDouble(7).isNaN,
+        s"NaN threshold leaked: $r")
+    }
+  }
+
+  // -------------------------------------------------------------
   test("kleinberg burst: emitted sequence is locally Viterbi-optimal and beats both trivial baselines") {
     val hourly = events.groupBy(e => (e._3, e._4 / 3600))
       .view.mapValues(_.length.toLong).toMap
