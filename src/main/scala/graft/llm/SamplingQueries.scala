@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{NamedQuery, Tables}
+import graft.ops.{NamedQuery, Tables, VocabGuard}
 import graft.ops.Registry.rnd
 import graft.ops.Tables.table
 
@@ -170,8 +170,11 @@ object SamplingQueries {
     val v = wc.agg(count(lit(1)).cast("double").as("v"))
     val seedTotal = wc.agg(sum(col("c_seed")).cast("double").as("n_seed"))
     val nll = -log((col("c_seed") + lit(1.0)) / (col("n_seed") + col("v")))
+    // wc is WORD-keyed — vocabulary-sized, not bounded (VERDICT r16 #1):
+    // broadcast only under the guarded NDV cap; the 1-row totals stay
+    // hard-hinted (genuinely bounded).
     val scored = words
-      .join(broadcast(wc), Seq("word"))
+      .join(VocabGuard.maybeBroadcast(spark, dir, wc), Seq("word"))
       .crossJoin(broadcast(seedTotal)).crossJoin(broadcast(v))
       .groupBy(col("lang"), col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
@@ -241,8 +244,10 @@ object SamplingQueries {
     val t = wc.agg(sum(col("wc")).cast("double").as("t"))
     val p = col("sc").cast("double") / col("st").cast("double")
     val q = col("wc").cast("double") / col("t")
+    // st is source-keyed (bounded — broadcast stays hinted); wc is
+    // WORD-keyed (vocabulary-sized — guarded, VERDICT r16 #1).
     sc.join(broadcast(st), "source")
-      .join(broadcast(wc), "word")
+      .join(VocabGuard.maybeBroadcast(spark, dir, wc), "word")
       .crossJoin(broadcast(t))
       .groupBy(col("source"), col("st").as("n_tokens"), col("n_terms"))
       .agg(rnd(sum(p * log(p / q)), 6).as("kl"))
@@ -360,19 +365,22 @@ object SamplingQueries {
   // the perplexity-filter analog without an LM: a doc full of globally
   // rare tokens scores high (gibberish/noise), one of common tokens
   // low (boilerplate); the band in between is natural text. Two
-  // passes: the corpus frequency table (one word aggregate — the
-  // vocabulary, which is orders of magnitude smaller than the corpus,
-  // so it broadcasts), then a per-doc average of -ln p(word). At 100 TB
-  // the vocab table is still bounded (Heaps' law) but if it outgrew
-  // the broadcast threshold the same plan works with the join left as
-  // a shuffle — nothing else changes.
+  // passes: the corpus frequency table (one word aggregate — orders of
+  // magnitude smaller than the corpus, so it usually broadcasts), then
+  // a per-doc average of -ln p(word). The frequency table is WORD-keyed
+  // and therefore NOT bounded — at 100 TB of web text the type count is
+  // 10⁸–10⁹ and a hard broadcast() hint would fail outright, not
+  // degrade (VERDICT r16 #1) — so the hint rides the VocabGuard NDV
+  // cap: under it, broadcast as before; over it, the join is left
+  // un-hinted and plans as an AQE-sized shuffle join with everything
+  // else unchanged.
   private def crossEntropy(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.fanOut(table(spark, dir, "documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val freqs = words.groupBy(col("word")).agg(count(lit(1)).as("wc"))
     val total = freqs.agg(sum(col("wc")).cast("double").as("total"))
     words
-      .join(broadcast(freqs), Seq("word"))
+      .join(VocabGuard.maybeBroadcast(spark, dir, freqs), Seq("word"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
@@ -399,8 +407,8 @@ object SamplingQueries {
   // ---------------------------------------------------------------
   // TF-IDF keyword extraction: each document's most distinctive term.
   // Per-(doc, word) term frequencies shuffle once on doc_id; document
-  // frequencies are the vocabulary-sized broadcast (same Heaps-law
-  // argument as cross-entropy); the per-doc argmax is a row_number
+  // frequencies are the vocabulary-sized side — guarded broadcast,
+  // same VocabGuard story as cross-entropy; the per-doc argmax is a row_number
   // window on the EXISTING doc_id partitioning. Scores are rounded to
   // 1e-6 BEFORE ranking so near-ties collapse to exact ties broken by
   // the word — a last-ulp ln() difference between engines can never
@@ -413,7 +421,7 @@ object SamplingQueries {
     val nDocs = table(spark, dir, "documents").agg(count(lit(1)).cast("double").as("n_docs"))
     val byScore = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word"))
-    tf.join(broadcast(dfreq), Seq("word"))
+    tf.join(VocabGuard.maybeBroadcast(spark, dir, dfreq), Seq("word"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", rnd(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rk", row_number().over(byScore))

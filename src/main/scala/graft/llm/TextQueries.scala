@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{NamedQuery, Tables}
+import graft.ops.{NamedQuery, Tables, VocabGuard}
 import graft.ops.Registry.rnd
 
 /** Text-analysis operators over `documents`: quality scoring, n-gram
@@ -990,9 +990,12 @@ object TextQueries {
       .select(col("w"),
         rnd(col("deg").cast("double") / col("freq"), 4).cast("decimal(18,4)").as("ratio"))
     val distinctPhrases = phrases.select(col("phrase"), col("n_words"), col("words")).distinct()
+    // wordStats is keyed by CONTENT WORD — a subset of the corpus
+    // vocabulary, so it rides the same guarded-broadcast cap as the
+    // other word-keyed model frames (VERDICT r16 #1).
     val scores = distinctPhrases
       .select(col("phrase"), col("n_words"), explode(col("words")).as("w"))
-      .join(broadcast(wordStats), "w")
+      .join(VocabGuard.maybeBroadcast(spark, dir, wordStats), "w")
       .groupBy(col("phrase"), col("n_words"))
       .agg(sum(col("ratio")).as("score_dec"))
     val occ = phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))

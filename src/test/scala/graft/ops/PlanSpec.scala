@@ -915,4 +915,63 @@ class PlanSpec extends AnyFunSuite {
     // pairwise scoring must never appear as a shuffle join here
     assert(!p.contains("SortMergeJoin"), p.take(600))
   }
+
+  test("word-keyed model frames broadcast ONLY under the vocab NDV cap (r16 #1)") {
+    // the five text-model queries join the corpus against a
+    // vocabulary-sized frame: under the cap it broadcasts (bench
+    // shape); above it the hint must NOT be applied — the plan degrades
+    // to a shuffle join instead of failing the job at 100 TB.
+    val wordJoined = Seq("text_cross_entropy", "text_tfidf_keyword",
+      "text_kl_by_source", "text_perplexity_bucket", "text_keyphrase_rake")
+    def bhjCount(q: String): Int =
+      "BroadcastHashJoin".r.findAllIn(plan(q)).length
+    wordJoined.foreach { q =>
+      assert(bhjCount(q) > 0, s"$q should broadcast the small fixture vocab")
+    }
+    // isolate the HINT from Spark's own size-based auto-broadcast (which
+    // is allowed to keep firing on tiny frames — that IS the graceful
+    // path): with size-based broadcast off, only the guard's hint can
+    // produce a BroadcastHashJoin.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = wordJoined.map(q => q -> bhjCount(q)).toMap
+      wordJoined.foreach { q =>
+        assert(hinted(q) > 0,
+          s"$q: under the cap the guard's hint must force the broadcast even at threshold=-1")
+      }
+      spark.conf.set(graft.ops.VocabGuard.ConfKey, "0")
+      wordJoined.foreach { q =>
+        val over = bhjCount(q)
+        assert(over < hinted(q),
+          s"$q: word-frame broadcast must disappear above the cap " +
+            s"(broadcast joins: $over at cap=0 vs ${hinted(q)} hinted)")
+        assert(plan(q).contains("SortMergeJoin"),
+          s"$q: the word join must degrade to a shuffle join, not vanish")
+      }
+      // the degraded path computes the SAME answer
+      val shuffled = graft.SparkEntry.queries("text_cross_entropy")(spark, dir).collect()
+      spark.conf.unset(graft.ops.VocabGuard.ConfKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val bcast = graft.SparkEntry.queries("text_cross_entropy")(spark, dir).collect()
+      assert(shuffled.toSeq == bcast.toSeq,
+        "guarded-broadcast and shuffle paths must agree row-for-row")
+    } finally {
+      spark.conf.unset(graft.ops.VocabGuard.ConfKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("vocab NDV statistic is session-cached per table bytes") {
+    val n1 = graft.ops.VocabGuard.vocabNdv(spark, dir)
+    assert(n1 > 0, "fixture vocabulary must be non-empty")
+    // second call must serve from the BlockGuard cache (same value,
+    // no recompute observable — equality is the cheap proxy here; the
+    // recompute-on-mtime behavior is pinned by BlockGuardSpec)
+    assert(graft.ops.VocabGuard.vocabNdv(spark, dir) == n1)
+    assert(n1 < graft.ops.VocabGuard.DefaultMaxRows,
+      "fixture vocab must sit under the default cap or every bench run degrades")
+  }
 }
