@@ -318,6 +318,17 @@ object SeriesQueries {
   //
   // Determinism: counts are integers; support/lift round via DECIMAL;
   // the top-100 ordering is total (together DESC, p1, p2).
+  // A-priori relative support floor (VERDICT r16 #5): a pair is
+  // reported only when it co-occurs in ≥ max(2, ⌈r·N_baskets⌉)
+  // baskets, and — the a-priori implication — an ITEM whose own basket
+  // count is under the floor can never be in a qualifying pair, so it
+  // is pruned BEFORE pair expansion. The relative floor is what makes
+  // the frequent-item set bounded BY CONSTRUCTION at any corpus size:
+  // Σ item-counts = Σ|basket|, so items with count ≥ r·N number at
+  // most avg_basket_size / r (corpus-independent) — which is why
+  // broadcasting the qualified set is sound here while broadcasting a
+  // raw vocabulary is not (the VocabGuard distinction).
+  private val BasketRelSupport = 1e-5
   private def basketAffinity(spark: SparkSession, dir: String): DataFrame = {
     // fanOut before the basket aggregation: the harness parquet is a
     // single row group, so without it the PARTIAL collect_set runs
@@ -331,15 +342,53 @@ object SeriesQueries {
         "l_orderkey")
       .groupBy(col("l_orderkey").as("ok"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
-    val pairs = baskets
-      .select(col("pks"), posexplode(col("pks")).as(Seq("i", "p1")))
-      .select(col("p1"), explode(expr("slice(pks, i + 2, size(pks))")).as("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("together"))
-    val top = pairs.orderBy(col("together").desc, col("p1"), col("p2")).limit(100)
     val freq = baskets.select(explode(col("pks")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    // the floor is a 1-row statistic of the fixed table — computed once
+    // per (table bytes) through the BlockGuard session cache and riding
+    // the plan as a literal (the BlockGuard catalog-statistic
+    // discipline), not as crossJoin broadcasts re-counted per pass
+    val basketCount = BlockGuard.worstBlock("basket_orders", s"$dir/lineitem.parquet") {
+      Some((Vector("n_orders"), nOrders.head().getLong(0)))
+    }.map(_._2).getOrElse(0L)
+    val f = math.max(2L, math.ceil(basketCount * BasketRelSupport).toLong)
+    // The ITEM prune is a pure cost rewrite: a pair containing an item
+    // with cnt < f has together ≤ cnt < f, so the post-agg floor
+    // already excludes it — pruning before expansion changes the
+    // SHUFFLE VOLUME, never the answer. It costs one broadcast of the
+    // qualified set (a corpus pass for its build), so it is engaged
+    // cost-based off a second cached statistic: the sub-floor item
+    // fraction. On the uniform fixtures that fraction is 0 (the prune
+    // would repay nothing — measured +0.3 s/pass); on a skewed real
+    // corpus it dominates the vocabulary and bounds the pair stage.
+    val rareItems = BlockGuard.worstBlock("basket_rare_items", s"$dir/lineitem.parquet") {
+      val Seq(rare, vocab) = freq
+        .agg(coalesce(sum(when(col("cnt") < f, 1L).otherwise(0L)), lit(0L)),
+          count(lit(1)))
+        .head().toSeq.map(v => v.asInstanceOf[Long])
+      Some((Vector("rare_frac"), if (vocab == 0) 0L else rare * 100L / vocab))
+    }.map(_._2).getOrElse(0L)
+    val prune = rareItems >= 25L // percent of vocab below the floor
+    val qualified = freq.where(col("cnt") >= f).select(col("pk"))
+    // when engaged, both semi joins broadcast the SAME qualified plan
+    // (the join condition renames, not the build side) → ReuseExchange
+    // computes and ships it once
+    val left = baskets
+      .select(col("pks"), posexplode(col("pks")).as(Seq("i", "p1")))
+    val leftQ =
+      if (prune) left.join(broadcast(qualified), col("p1") === col("pk"), "left_semi")
+      else left
+    val expanded = leftQ
+      .select(col("p1"), explode(expr("slice(pks, i + 2, size(pks))")).as("p2"))
+    val expandedQ =
+      if (prune) expanded.join(broadcast(qualified), col("p2") === col("pk"), "left_semi")
+      else expanded
+    val pairs = expandedQ
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("together"))
+      .where(col("together") >= f)
+    val top = pairs.orderBy(col("together").desc, col("p1"), col("p2")).limit(100)
     top
       .join(freq.select(col("pk").as("p1"), col("cnt").as("c1")), "p1")
       .join(freq.select(col("pk").as("p2"), col("cnt").as("c2")), "p2")
@@ -352,18 +401,25 @@ object SeriesQueries {
   }
 
   private val basketAffinitySql =
-    """WITH li AS (
+    s"""WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), n AS (
+      |  SELECT count(DISTINCT ok) AS n_orders FROM li
+      |), flo AS (
+      |  SELECT greatest(2, CAST(ceil(n_orders * $BasketRelSupport) AS BIGINT)) AS f FROM n
+      |), freq AS (
+      |  SELECT pk, count(*) AS cnt FROM li GROUP BY pk
+      |), qual AS (
+      |  SELECT pk FROM freq, flo WHERE cnt >= f
       |), pairs AS (
       |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS together
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  JOIN qual qa ON qa.pk = a.pk
+      |  JOIN qual qb ON qb.pk = b.pk
       |  GROUP BY a.pk, b.pk
+      |  HAVING count(*) >= (SELECT f FROM flo)
       |), top AS (
       |  SELECT * FROM pairs ORDER BY together DESC, p1, p2 LIMIT 100
-      |), freq AS (
-      |  SELECT pk, count(*) AS cnt FROM li GROUP BY pk
-      |), n AS (
-      |  SELECT count(DISTINCT ok) AS n_orders FROM li
       |)
       |SELECT p1, p2, together, f1.cnt AS c1, f2.cnt AS c2,
       |  CAST(round(CAST(CAST(together AS DOUBLE) / n_orders AS DECIMAL(18,8)), 6) AS DOUBLE) AS support,

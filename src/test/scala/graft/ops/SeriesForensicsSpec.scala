@@ -283,17 +283,59 @@ class SeriesForensicsSpec extends AnyFunSuite {
       val pks = basket.map(_._2).toVector.sorted
       for (i <- pks.indices; j <- i + 1 until pks.size) yield (pks(i), pks(j))
     }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nOrdersAll = li.map(_._1).size.toLong
+    // the a-priori relative support floor is part of the semantics (r17)
+    val floorF = math.max(2L, math.ceil(nOrdersAll * 1e-5).toLong)
     val expTop = pairCnt.toVector.map { case ((a, b), c) => (a, b, c) }
+      .filter(_._3 >= floorF)
       .sortBy(t => (-t._3, t._1, t._2)).take(100)
     assert(rows.map(t => (t._1, t._2, t._3)).toVector == expTop)
     val freq = li.groupBy(_._2).view.mapValues(_.size.toLong).toMap
-    val nOrders = li.map(_._1).size.toLong
+    val nOrders = nOrdersAll
     rows.foreach { case (p1, p2, together, c1, c2, support, lift) =>
       assert(p1 < p2)
       assert(c1 == freq(p1) && c2 == freq(p2))
       assert(math.abs(support - snap(together.toDouble / nOrders, 6)) < 1e-9)
       assert(math.abs(lift - snap(together.toDouble * nOrders / (c1 * c2), 4)) < 1e-9)
     }
+  }
+
+  // -------------------------------------------------------------
+  test("basket affinity: a-priori item prune engages on a skewed corpus and never changes the answer") {
+    import spark.implicits._
+    // 2000 baskets: every basket holds 2 hot items (from a pool of 10)
+    // plus 2 basket-unique rare items → the rare fraction is ~99%,
+    // far over the 25% engagement gate, and the floor is
+    // max(2, ceil(2000 * 1e-5)) = 2.
+    val tmp = java.nio.file.Files.createTempDirectory("basketskew").toString
+    val rows = (0 until 2000).flatMap { ok =>
+      val hot = Seq(ok % 10, (ok / 10) % 10).map(_.toLong)
+      val rare = Seq(10L + ok * 2, 11L + ok * 2).map(_ + 1000L)
+      (hot ++ rare).zipWithIndex.map { case (pk, ln) =>
+        (ok.toLong, pk, 1L, ln + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          java.time.LocalDateTime.of(2024, 1, 1, 0, 0))
+      }
+    }
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val df = graft.SparkEntry.queries("join_basket_affinity")(spark, tmp)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      "prune must engage on a skewed corpus (sub-floor items semi-joined away pre-pair): " + p.take(800))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // direct model WITH the floor: only hot-hot pairs can reach 2+
+    val baskets = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val pairCnt = baskets.values.flatMap { pks =>
+      for (i <- pks.indices; j <- i + 1 until pks.size) yield (pks(i), pks(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expTop = pairCnt.toVector.map { case ((a, b), c) => (a, b, c) }
+      .filter(_._3 >= 2L).sortBy(t => (-t._3, t._1, t._2)).take(100)
+    assert(got.toVector == expTop,
+      s"pruned answer drifted: got ${got.length} pairs, expected ${expTop.length}")
+    assert(got.nonEmpty && got.forall { case (a, b, _) => a < 1000 && b < 1000 },
+      "only hot items can survive the support floor")
   }
 
   // -------------------------------------------------------------
