@@ -56,21 +56,23 @@ object CurationQueries {
   // the skyline is the weighting-free answer ("every doc a rational
   // curator could prefer under SOME monotone utility").
   //
-  // The textbook objection is the O(N²) dominance test; here dominance
-  // counts come from the SAME 2-D level-grid construction as
-  // eval_kendall_tau: quality lives on the 3-dp milli grid and length
-  // on the bounded n_chars range, so the densified (quality, length)
-  // histogram is an SF-independent frame, and two chained INCLUSIVE
-  // descending prefix windows give every cell its closed upper-right
-  // quadrant mass R. A cell is on the frontier iff R − n = 0 (the
-  // quadrant holds nothing but its own ties — equal-on-both points
-  // never dominate each other). Frontier membership then broadcasts
-  // back over one corpus pass to list the surviving docs.
+  // The textbook objection is the O(N²) dominance test. The r16 cut
+  // densified distinct(qm) × distinct(len) — and the len axis is RAW
+  // char lengths, so at 100 TB that grid is ~10⁹ rows (r16 verdict
+  // "watch"). The 2-D skyline doesn't need a grid at all: a doc below
+  // its quality level's max length is dominated WITHIN the level, so
+  // only the ≤1001 per-level (qm, max len) points remain, and one of
+  // those is on the frontier iff every strictly-higher quality level
+  // has a strictly smaller max length — a single running-max window
+  // over the ≤1001-row level frame (single-partition by construction:
+  // the frame is CORPUS-INDEPENDENT, bounded by the 3-dp milli grid).
+  // Equal-on-both points never dominate each other, so every doc in a
+  // surviving (qm, len) cell lists — the broadcast semi-join back.
   //
-  // Scale shape: one corpus pass to cells (pinned — two consumers),
-  // windows over the bounded grid, one broadcast semi-join back.
-  // Determinism: all counts are exact integers; output is the doc
-  // list ordered by (qm desc, len desc, doc_id).
+  // Scale shape: one corpus pass to per-level maxima (map-side
+  // combinable), one window over ≤1001 rows, one broadcast semi-join
+  // back over the second corpus pass. Determinism: all integers;
+  // output ordered by (qm desc, len desc, doc_id).
   private def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.table(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
@@ -83,20 +85,12 @@ object CurationQueries {
         3).cast("decimal(6,3)"))
       .select(col("doc_id"), (col("v") * 1000).cast("long").as("qm"),
         col("n_chars").as("len"))
-    val cells = scored.groupBy(col("qm"), col("len")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val dense = cells.select(col("qm")).distinct()
-      .crossJoin(cells.select(col("len")).distinct())
-      .join(cells, Seq("qm", "len"), "left")
-      .withColumn("n", coalesce(col("cnt"), lit(0L)))
-    val wLdescIncl = Window.partitionBy(col("qm")).orderBy(col("len").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wQdescIncl = Window.partitionBy(col("len")).orderBy(col("qm").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val frontierCells = dense
-      .withColumn("cl_ge", sum(col("n")).over(wLdescIncl))
-      .withColumn("quad", sum(col("cl_ge")).over(wQdescIncl))
-      .where(col("n") > 0 && col("quad") - col("n") === 0)
+    val perQm = scored.groupBy(col("qm")).agg(max(col("len")).as("len"))
+    val wQdescExcl = Window.orderBy(col("qm").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierCells = perQm
+      .withColumn("best", max(col("len")).over(wQdescExcl))
+      .where(col("best").isNull || col("len") > col("best"))
       .select(col("qm"), col("len"))
     scored.join(broadcast(frontierCells), Seq("qm", "len"))
       .select(col("doc_id"), col("qm"), col("len"))
@@ -113,25 +107,15 @@ object CurationQueries {
       |      AS DECIMAL(18,8)), 3) AS DECIMAL(6,3)) * 1000 AS BIGINT) AS qm,
       |    n_chars AS len
       |  FROM documents
-      |), cells AS (
-      |  SELECT qm, len, count(*) AS cnt FROM scored GROUP BY 1, 2
-      |), dense AS (
-      |  SELECT q.qm, l.len, coalesce(c.cnt, 0) AS n
-      |  FROM (SELECT DISTINCT qm FROM cells) q
-      |  CROSS JOIN (SELECT DISTINCT len FROM cells) l
-      |  LEFT JOIN cells c ON c.qm = q.qm AND c.len = l.len
-      |), quad AS (
-      |  SELECT qm, len, n,
-      |    sum(cl_ge) OVER (PARTITION BY len ORDER BY qm DESC
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS quad
-      |  FROM (
-      |    SELECT qm, len, n,
-      |      sum(n) OVER (PARTITION BY qm ORDER BY len DESC
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl_ge
-      |    FROM dense
-      |  )
+      |), pm AS (
+      |  SELECT qm, max(len) AS len FROM scored GROUP BY qm
       |), fc AS (
-      |  SELECT qm, len FROM quad WHERE n > 0 AND quad - n = 0
+      |  SELECT qm, len FROM (
+      |    SELECT qm, len,
+      |      max(len) OVER (ORDER BY qm DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+      |    FROM pm)
+      |  WHERE best IS NULL OR len > best
       |)
       |SELECT s.doc_id, s.qm, s.len
       |FROM scored s JOIN fc USING (qm, len)

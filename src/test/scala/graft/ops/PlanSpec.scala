@@ -889,6 +889,31 @@ class PlanSpec extends AnyFunSuite {
       "the cell frame must be pinned (4 consumers): " + p.take(600))
   }
 
+  test("kendall tau: the dominance grid is bounded by corpus-independent constants (r16 #6)") {
+    // both axes are a-priori grids: quality ≤ 1001 milli levels, length
+    // ≤ 4096 fixed-width buckets — so distinct(qm) × distinct(len) can
+    // never exceed 1001 × 4096 regardless of corpus size. Pin the axis
+    // bounds on the live frame (the qm bound would catch a scoring
+    // change that un-grids quality; the len bound catches un-bucketing).
+    import org.apache.spark.sql.functions._
+    val scored = graft.ops.Tables.table(spark, dir, "documents")
+      .select(expr("least(n_chars div 16, 4095)").as("len"))
+    val lenLevels = scored.select(countDistinct(col("len"))).head().getLong(0)
+    assert(lenLevels <= 4096, s"len axis must stay on the fixed grid: $lenLevels")
+    val r = graft.SparkEntry.queries("eval_kendall_tau")(spark, dir).collect().head
+    assert(r.getLong(0) > 0 && !r.isNullAt(6), "tau_b must be defined on the fixture")
+  }
+
+  test("pareto frontier: no dense grid — one window over the bounded per-level frame (r16 #6)") {
+    val p = plan("curate_pareto_frontier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the qm × len densification must be gone: " + p.take(800))
+    // the skyline reduction: per-qm max, then a running max — both
+    // visible as aggregate + window, with the frontier cells broadcast
+    // back into the listing join
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
   test("mann-whitney: rank sums come from the level table, never a global row sort") {
     val p = plan("eval_mannwhitney")
     assert(p.contains("partial_"), "histogram must combine map-side: " + p.take(600))

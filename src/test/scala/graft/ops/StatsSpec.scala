@@ -676,8 +676,10 @@ class StatsSpec extends AnyFunSuite {
     val rows = Tables.table(spark, dir, "documents")
       .select(col("text"), col("n_chars")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    // the query coarsens length onto the fixed a-priori grid (r17):
+    // bucket width 16, cap 4095 — the model must compare on the same axis
     val pts = rows.map { case (text, len) =>
-      ((BigDecimal(quality(text)) * 1000).toLongExact, len) }
+      ((BigDecimal(quality(text)) * 1000).toLongExact, math.min(len / 16L, 4095L)) }
     var c = 0L; var d = 0L
     var i = 0
     while (i < pts.length) {
