@@ -146,6 +146,14 @@ object Runner {
     // task's output table exists with its mapping-declared types and
     // blue/green suffix before any data flows
     graft.sink.Ddl.initFromConfig(spark, config, Some(s"$baseDir/tables"))
+    // optional LIVE DDL leg (`elasticsearch.options.ddlEndpoint`): the
+    // reference's exists→create→putMapping against a real ES HTTP API,
+    // before the scan phase — the DDL counterpart of `bulkEndpoint`.
+    // Shares the bulk retry budget (one operator knob for the host).
+    config.esSinkOptions.get("ddlEndpoint").foreach { ep =>
+      graft.sink.DdlHttp.initFromConfig(config, new java.net.URI(ep),
+        policy = graft.sink.DdlHttp.Policy(maxRetries = bulkPolicy.maxRetries))
+    }
     runAll(spark, config.tasks.map { td =>
       // a checkpoint from user persistence OVERRIDES the configured
       // `from` (reference src/index.ts:14-21)

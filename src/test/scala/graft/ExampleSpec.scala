@@ -108,4 +108,70 @@ class ExampleSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("id")).toSet
     assert(state2 === Set("a", "c"), "restart with a tail checkpoint must not lose state")
   }
+
+  test("ddlEndpoint drives the live exists→create→putMapping leg before the scan phase") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val base = Files.createTempDirectory("example-ddl-base").toString
+    val data = Files.createTempDirectory("example-ddl-data").toString
+    val taskName = "app.banners___banner.banner"
+    spark.sql("DROP TABLE IF EXISTS banner_v1")
+    Files.createDirectories(Paths.get(s"$data/$taskName/oplog"))
+    spark.createDataFrame(Seq(
+      ("a", """{"_id":"a","name":"spring sale","weight":1.0,"deleted":false,"campaign":"cmp1"}"""),
+    )).toDF("id", "doc").write.parquet(s"$data/$taskName/snapshot")
+
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      seen.synchronized {
+        seen += ((ex.getRequestMethod, ex.getRequestURI.getPath.stripPrefix("/"),
+          body, System.nanoTime()))
+      }
+      ex.sendResponseHeaders(if (ex.getRequestMethod == "HEAD") 404 else 200, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val raw = new String(Files.readAllBytes(Paths.get("examples/config.json")))
+      val config0 = graft.model.EngineConfig.fromJson(raw)
+      val config = config0.copy(elasticsearchOptions = config0.elasticsearchOptions
+        .updated("ddlEndpoint",
+          graft.model.DStr(s"http://127.0.0.1:${server.getAddress.getPort}")))
+      ExampleSpec.scanSeenNs.set(0L)
+      val adapters = (td: graft.model.TaskDef, opts: Map[String, String]) => {
+        val (snap, stream) = Main.fileAdapters(spark, data)(td, opts)
+        // timestamp the first snapshot materialization to order it
+        // against the DDL calls (static holder: local-mode closures are
+        // serialized per task, but statics resolve in the shared JVM)
+        (snap.mapPartitions { it =>
+          ExampleSpec.scanSeenNs.compareAndSet(0L, System.nanoTime()); it
+        }(org.apache.spark.sql.Encoders.row(snap.schema)), stream)
+      }
+      val scanSeen = ExampleSpec.scanSeenNs
+      val queries = graft.pipeline.Runner.fromConfig(spark, config, base, adapters)
+      queries.foreach { q => q.processAllAvailable(); q.stop() }
+      val calls = seen.toVector
+      // the shipped config declares one index (banner) + one task
+      // mapping; suffix _v1 from controls
+      assert(calls.map(c => (c._1, c._2)) === Vector(
+        ("HEAD", "banner_v1"), ("PUT", "banner_v1"),
+        ("PUT", "banner_v1/_mapping/banner")), calls.map(c => (c._1, c._2)))
+      // index body straight from the example's IndicesCreateParams
+      assert(calls(1)._3.contains(""""number_of_shards":3"""), calls(1)._3)
+      // mapping body is the task's load.body
+      assert(calls(2)._3.contains(""""isDeleted""""), calls(2)._3)
+      // DDL strictly precedes the first scan read
+      assert(scanSeen.get() > 0L, "scan must have run")
+      assert(calls.map(_._4).max < scanSeen.get(),
+        "every DDL call must land before the scan phase touches the source")
+    } finally server.stop(0)
+  }
+}
+
+object ExampleSpec {
+  /** First-snapshot-read timestamp for the DDL-ordering test. */
+  val scanSeenNs = new java.util.concurrent.atomic.AtomicLong(0L)
 }
