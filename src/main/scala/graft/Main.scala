@@ -68,7 +68,43 @@ object Main {
     // CheckpointHooks to Runner.fromConfig directly
     val hooks = sys.env.get("SPARK_GRAFT_HOOKS_DIR")
       .map(new graft.model.FileCheckpointHooks(_))
-    Runner.fromConfig(spark, config, baseDir, fileAdapters(spark, dataDir), hooks)
+    // an http(s) mongodb.url selects the live wire leg (the extended-
+    // JSON-over-HTTP protocol of graft.source.v2.MongoHttpSource);
+    // anything else uses the file-backed harness adapters
+    val adapters =
+      if (config.mongodbUrl.startsWith("http://") || config.mongodbUrl.startsWith("https://"))
+        httpAdapters(spark, config.mongodbUrl) _
+      else fileAdapters(spark, dataDir) _
+    Runner.fromConfig(spark, config, baseDir, adapters, hooks)
+  }
+
+  /** Live wire-read adapters: the reference's collection scan +
+    * `local.oplog.rs` tail, served by the [[graft.source.v2
+    * .MongoHttpSource]] protocol at `url`. The config's admission
+    * budget binds the stream exactly as in the file adapters; the
+    * scan-resume and ns/ts predicates reach the server via DSv2
+    * filter pushdown. */
+  def httpAdapters(spark: SparkSession, url: String)(
+      td: TaskDef, opts: Map[String, String]): (DataFrame, DataFrame) = {
+    val snapshot = spark.read
+      .format("graft.source.v2.MongoHttpSource")
+      .option("url", url)
+      .option("mode", "snapshot")
+      .option("collection", td.extract.ns)
+      .options(opts.filter { case (k, _) => k == "numShards" || k == "batchRows" })
+      .load()
+      .select("id", "doc")
+    val stream = spark.readStream
+      .format("graft.source.v2.MongoHttpSource")
+      .option("url", url)
+      .option("mode", "oplog")
+      // the P3 ns predicate as a source option: streaming scans get no
+      // Catalyst filter pushdown, so the server-side filter is config-
+      // driven — the reference's own shape (src/mongodb.ts:46-54)
+      .option("ns", td.extract.ns)
+      .options(opts.filter { case (k, _) => k == "maxRowsPerTrigger" || k == "batchRows" })
+      .load()
+    (snapshot, stream)
   }
 
   /** File-backed source adapters (harness form of the Mongo connectors):
