@@ -96,7 +96,16 @@ object BatchApplier {
     // hash join instead of entering the shuffle.
     val sourceRows = source.map { src =>
       val srcTs = if (src.columns.contains("ts")) col("ts") else lit(0L)
-      val batchKeys = events.select(col("id")).distinct()
+      // The key set only FILTERS the snapshot, so the operator is a
+      // LEFT SEMI join — never an inner join against a distinct()-ed
+      // frame. That choice matters twice at scale: semi never duplicates
+      // a snapshot row however the key side arrives, and on the
+      // oversized-trigger path below it keeps the key side a PLAIN
+      // exchange (no post-shuffle distinct aggregate), which is the
+      // shape AQE's OptimizeSkewedJoin pattern-matches — a hot document
+      // with an undeduplicated version pile-up gets its partition
+      // skew-split at runtime (pinned by MultiBatchPropertySpec).
+      //
       // The forced broadcast is capped exactly like the bucketed store's
       // point lookup: a catch-up storm batch can hold millions of
       // distinct keys — hundreds of MB resident on every executor — so
@@ -104,11 +113,12 @@ object BatchApplier {
       // shuffles for that oversized trigger. Callers that already know
       // the distinct-key count (the bucketed applyBatch's keyStats) pass
       // it through; otherwise one count job over the (small) batch.
-      val nKeys = batchKeyCount.getOrElse(batchKeys.count())
+      val nKeys = batchKeyCount.getOrElse(events.select(col("id")).distinct().count())
       val keySide =
-        if (nKeys <= BucketedStateStore.BroadcastKeyLimit) broadcast(batchKeys)
-        else batchKeys
-      src.join(keySide, Seq("id"))
+        if (nKeys <= BucketedStateStore.BroadcastKeyLimit)
+          broadcast(events.select(col("id")).distinct())
+        else events.select(col("id"))
+      src.join(keySide, Seq("id"), "left_semi")
         .select(
           col("id"), lit(1).as("kind"), srcTs.as("ts"), lit("").as("op"), lit("").as("ns"),
           col("doc"), lit(null: String).as("parent"), lit(false).as("fromMigrate")).as[ApplyRow]
