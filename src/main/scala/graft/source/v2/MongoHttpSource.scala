@@ -97,6 +97,11 @@ object MongoHttp {
         s"MongoHttpSource mode must be snapshot|oplog, got $other")
     }
 
+  /** One shared client per JVM (driver and each executor): HttpClient
+    * owns a selector thread pool, so per-request construction would
+    * leak thread churn across thousands of partition reads. */
+  private lazy val client: HttpClient = HttpClient.newHttpClient()
+
   /** One GET, returning the body lines. Executor-side (partition
     * readers) and driver-side (latest probe) share it; connection
     * errors propagate — a dead source is a failed task/trigger, which
@@ -104,7 +109,6 @@ object MongoHttp {
     * crashes its process on a dead cursor, src/index.ts — task retry is
     * the strictly better behavior). */
   private[v2] def get(url: String): Iterator[String] = {
-    val client = HttpClient.newHttpClient()
     val resp = client.send(
       HttpRequest.newBuilder(URI.create(url)).GET().build(),
       HttpResponse.BodyHandlers.ofString())
