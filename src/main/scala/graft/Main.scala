@@ -102,7 +102,10 @@ object Main {
       // Catalyst filter pushdown, so the server-side filter is config-
       // driven — the reference's own shape (src/mongodb.ts:46-54)
       .option("ns", td.extract.ns)
-      .options(opts.filter { case (k, _) => k == "maxRowsPerTrigger" || k == "batchRows" })
+      .options(opts.filter { case (k, _) =>
+        // startingSeq/startAtHead = the reference's task.from.time first-
+        // start position (src/index.ts:27-37); no-ops once checkpointed
+        Set("maxRowsPerTrigger", "batchRows", "startingSeq", "startAtHead")(k) })
       .load()
     (snapshot, stream)
   }

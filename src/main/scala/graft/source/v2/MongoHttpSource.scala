@@ -24,10 +24,16 @@ import graft.model.{DBool, DInt, DObj, DStr, Json}
   * thin sidecar in front of a real mongod (or a change-data service)
   * can serve:
   *
-  *  - `GET <url>/snapshot/<db.coll>?shard=i&shards=n[&fromId=x]` —
-  *    the collection scan as ndjson `{"id":…, "doc":{…}}` lines,
+  *  - `GET <url>/snapshot/<db.coll>?shard=i&shards=n[&fromId=x][&limit=m]`
+  *    — the collection scan as ndjson `{"id":…, "doc":{…}}` lines,
   *    id-ordered, hash-sharded for parallel readers; `fromId` is the
-  *    server-side resume-range predicate (P2, src/mongodb.ts:35-39).
+  *    server-side resume-range predicate (P2, src/mongodb.ts:35-39) AND
+  *    the pagination cursor: each reader requests at most `batchRows`
+  *    rows per GET and chains continuation GETs from the last id it
+  *    saw, so a shard of any size streams through one page of memory.
+  *    A server that ignores `limit` still works (the reader detects an
+  *    over-full page and stops paging) — pagination is an upgrade, not
+  *    a protocol break.
   *  - `GET <url>/oplog?from=s&to=e[&ns=…][&fromTs=t]` — oplog entries
   *    with sequence number in (s, e] as ndjson `{"seq":…, "ts":…,
   *    "op":…, "ns":…, "id":…, "doc":{…}, "fromMigrate":…}`; ns/ts
@@ -47,7 +53,8 @@ import graft.model.{DBool, DInt, DObj, DStr, Json}
   *
   * Option surface matches [[OplogJsonSource]] where the semantics
   * overlap (`maxRowsPerTrigger`), plus `url`, `mode`
-  * (snapshot | oplog), `collection`, `numShards`, `batchRows`.
+  * (snapshot | oplog), `collection`, `numShards`, `batchRows`,
+  * `startingSeq`/`startAtHead` (fresh-start position, oplog mode).
   */
 class MongoHttpSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -68,7 +75,9 @@ class MongoHttpSource extends TableProvider {
       maxRowsPerTrigger = Option(opts.get("maxRowsPerTrigger")).map(_.toLong)
         .getOrElse(Long.MaxValue),
       ns = Option(opts.get("ns")),
-      fromTs = Option(opts.get("fromTs")).map(_.toLong)))
+      fromTs = Option(opts.get("fromTs")).map(_.toLong),
+      startingSeq = Option(opts.get("startingSeq")).map(_.toLong),
+      startAtHead = Option(opts.get("startAtHead")).exists(_.toBoolean)))
   }
 }
 
@@ -86,9 +95,16 @@ object MongoHttp {
     * src/mongodb.ts:46-54, not an optimizer artifact). The engine still
     * re-applies the same predicates post-scan (Compactor.streamFilters),
     * so a misbehaving server can't corrupt semantics. */
+  /** `startingSeq`/`startAtHead` pick the stream's FIRST-start position
+    * — the reference's `task.from.time` (src/index.ts:27-37: resume from
+    * a configured timestamp, else tail from the current oplog head,
+    * src/mongodb.ts:49). They only matter on a fresh checkpoint: once a
+    * query has committed an offset, Structured Streaming resumes from
+    * the checkpoint and never consults initialOffset again. */
   final case class Options(url: String, mode: String, collection: String,
       numShards: Int, batchRows: Long, maxRowsPerTrigger: Long,
-      ns: Option[String] = None, fromTs: Option[Long] = None)
+      ns: Option[String] = None, fromTs: Option[Long] = None,
+      startingSeq: Option[Long] = None, startAtHead: Boolean = false)
 
   def modeOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("mode")).getOrElse("snapshot") match {
@@ -102,19 +118,48 @@ object MongoHttp {
     * leak thread churn across thousands of partition reads. */
   private lazy val client: HttpClient = HttpClient.newHttpClient()
 
-  /** One GET, returning the body lines. Executor-side (partition
-    * readers) and driver-side (latest probe) share it; connection
-    * errors propagate — a dead source is a failed task/trigger, which
-    * Spark retries with its own task/trigger policy (the reference
-    * crashes its process on a dead cursor, src/index.ts — task retry is
-    * the strictly better behavior). */
-  private[v2] def get(url: String): Iterator[String] = {
-    val resp = client.send(
+  /** One GET, returned as a STREAMED line iterator. Executor-side
+    * (partition readers) and driver-side (latest probe) share it;
+    * connection errors propagate — a dead source is a failed
+    * task/trigger, which Spark retries with its own task/trigger policy
+    * (the reference crashes its process on a dead cursor, src/index.ts —
+    * task retry is the strictly better behavior).
+    *
+    * The body is NEVER materialized whole: `ofInputStream` + a buffered
+    * line reader hold one 64 KB buffer and one line at a time, the same
+    * incremental shape as the reference's Node Readable cursor stream
+    * (src/mongodb.ts:33-42). The previous `ofString` form capped any
+    * response at the 2 GB JVM string limit and held it all — fatal for
+    * a 100 TB snapshot shard. The stream auto-closes on exhaustion;
+    * callers that may abandon it early (task kill, LIMIT) close()
+    * explicitly. */
+  private[v2] def get(url: String): Lines = new Lines(url)
+
+  private[v2] final class Lines(url: String) extends Iterator[String] with AutoCloseable {
+    private val resp = client.send(
       HttpRequest.newBuilder(URI.create(url)).GET().build(),
-      HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
+      HttpResponse.BodyHandlers.ofInputStream())
+    private val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(resp.body(), java.nio.charset.StandardCharsets.UTF_8),
+      1 << 16)
+    if (resp.statusCode() / 100 != 2) {
+      close()
       throw new java.io.IOException(s"GET $url: status ${resp.statusCode()}")
-    resp.body().linesIterator.filter(_.nonEmpty)
+    }
+    private var nextLine: String = null
+    private var closed = false
+    advance()
+    private def advance(): Unit = {
+      nextLine = if (closed) null else reader.readLine()
+      while (nextLine != null && nextLine.isEmpty) nextLine = reader.readLine()
+      if (nextLine == null) close()
+    }
+    override def hasNext: Boolean = nextLine != null
+    override def next(): String = { val l = nextLine; advance(); l }
+    override def close(): Unit = if (!closed) {
+      closed = true
+      try reader.close() catch { case _: java.io.IOException => () }
+    }
   }
 
   private[v2] def str(o: DObj, k: String): String = o.get(k) match {
@@ -167,7 +212,9 @@ class MongoHttpScanBuilder(opts: MongoHttp.Options)
   override def build(): Scan = new MongoHttpScan(opts, pushed, required)
 }
 
-/** Snapshot shard i of n (server-side hash sharding). */
+/** Snapshot shard i of n (server-side hash sharding). `url` is the
+  * shard base — the READER appends `fromId`/`limit` per page, so one
+  * partition is a chain of bounded GETs, not one unbounded response. */
 case class MongoSnapshotPartition(url: String) extends InputPartition
 /** Oplog sequence range (from, to]. */
 case class MongoOplogPartition(url: String) extends InputPartition
@@ -195,14 +242,11 @@ class MongoHttpScan(opts: MongoHttp.Options, pushed: Array[Filter], required: St
       fromTs.map(t => s"&fromTs=$t").getOrElse("")
   }
 
-  private[v2] def snapshotPartitions(): Array[InputPartition] = {
-    val fromId = pushed.collectFirst { case GreaterThanOrEqual("id", v: String) => v }
-    val from = fromId.map(v => s"&fromId=${java.net.URLEncoder.encode(v, "UTF-8")}").getOrElse("")
+  private[v2] def snapshotPartitions(): Array[InputPartition] =
     (0 until opts.numShards).map { i =>
       MongoSnapshotPartition(
-        s"${opts.url}/snapshot/${opts.collection}?shard=$i&shards=${opts.numShards}$from"): InputPartition
+        s"${opts.url}/snapshot/${opts.collection}?shard=$i&shards=${opts.numShards}"): InputPartition
     }.toArray
-  }
 
   private[v2] def oplogPartitions(from: Long, to: Long): Array[InputPartition] =
     (from until to by opts.batchRows).map { s =>
@@ -215,7 +259,7 @@ class MongoHttpScan(opts: MongoHttp.Options, pushed: Array[Filter], required: St
     else oplogPartitions(0L, MongoHttpStream.latestSeq(opts.url))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MongoHttpReaderFactory(opts.mode, pushed, required)
+    new MongoHttpReaderFactory(opts.mode, opts.batchRows, pushed, required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(opts.mode == "oplog", "only mode=oplog streams")
@@ -241,7 +285,10 @@ object MongoHttpStream {
 class MongoHttpStream(scan: MongoHttpScan, opts: MongoHttp.Options)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = MongoOplogOffset(0L)
+  override def initialOffset(): Offset =
+    MongoOplogOffset(
+      if (opts.startAtHead) MongoHttpStream.latestSeq(opts.url)
+      else opts.startingSeq.getOrElse(0L))
   override def deserializeOffset(json: String): Offset = MongoOplogOffset(json.trim.toLong)
 
   override def latestOffset(): Offset =
@@ -279,38 +326,94 @@ class MongoHttpStream(scan: MongoHttpScan, opts: MongoHttp.Options)
   override def stop(): Unit = ()
 }
 
-class MongoHttpReaderFactory(mode: String, pushed: Array[Filter], required: StructType)
-    extends PartitionReaderFactory {
+class MongoHttpReaderFactory(mode: String, batchRows: Long, pushed: Array[Filter],
+    required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case MongoSnapshotPartition(url) => new MongoSnapshotReader(url, required)
+      case MongoSnapshotPartition(url) => new MongoSnapshotReader(url, batchRows, pushed, required)
       case MongoOplogPartition(url)    => new MongoOplogReader(url, pushed, required)
     }
 }
 
-/** Snapshot lines `{"id":…, "doc":{…}}` → (id, doc) rows. */
-class MongoSnapshotReader(url: String, required: StructType)
-    extends PartitionReader[InternalRow] {
-  private val lines = MongoHttp.get(url)
+/** Snapshot lines `{"id":…, "doc":{…}}` → (id, doc) rows, PAGINATED:
+  * the reader chains `&fromId=<cursor>&limit=<batchRows>` GETs so one
+  * shard — terabytes at the design point — never holds more than one
+  * buffered line in executor memory. The cursor is the reference's
+  * resume range predicate reused as a pagination token
+  * (src/mongodb.ts:35-39: `_id: {$gte: …}` + id-ordered cursor).
+  *
+  * `fromId` is INCLUSIVE (it is the pushed `id >= v` bound on the first
+  * page), so a continuation page re-sends its cursor row; `floor`
+  * tracks the largest id already surfaced and drops it. The same check
+  * re-applies EVERY pushed id bound locally (the server already got the
+  * strongest one — re-checking means two conjunctive bounds, or a
+  * sidecar that ignores `fromId`, still can't leak rows), and makes an
+  * unordered or repeating server return each id at most once.
+  *
+  * Termination: a page with exactly `limit` raw rows may have more
+  * behind it → continue from the page's max raw id; any other size
+  * (shorter = shard drained; longer = server ignores `limit` and sent
+  * everything) ends the chain. Progress is guaranteed because the
+  * cursor advances to the raw page max even when every row was
+  * filtered. */
+class MongoSnapshotReader(baseUrl: String, batchRows: Long, pushed: Array[Filter],
+    required: StructType) extends PartitionReader[InternalRow] {
+  private val idLowerBounds = pushed.collect { case GreaterThanOrEqual("id", v: String) => v }
+  private var floor: String = null        // max id already emitted/skipped (exclusive)
+  private var floorAtFetch: String = null // floor when the current page was requested
+  private var pageMaxRaw: String = null   // max raw id on the current page
+  private var pageRaw = 0L
+  private var page: MongoHttp.Lines = null
+  private var exhausted = false
   private var current: InternalRow = _
+
+  private def fetchPage(): Unit = {
+    val cursor = (Option(floor).toSeq ++ idLowerBounds).maxOption // strings: server compares lexically
+    val from = cursor.map(c => s"&fromId=${java.net.URLEncoder.encode(c, "UTF-8")}").getOrElse("")
+    page = MongoHttp.get(s"$baseUrl$from&limit=$batchRows")
+    floorAtFetch = floor
+    pageRaw = 0L
+    pageMaxRaw = null
+  }
+
   override def next(): Boolean = {
-    while (lines.hasNext) {
-      val line = lines.next()
-      // per-event error contract: malformed lines drop, the scan lives
-      scala.util.Try(Json.parseObj(line)).toOption.foreach { o =>
-        current = new GenericInternalRow(required.fields.map[Any] { f =>
-          f.name match {
-            case "id"  => UTF8String.fromString(MongoHttp.str(o, "id"))
-            case "doc" => UTF8String.fromString(MongoHttp.docStr(o))
+    while (!exhausted) {
+      if (page == null) fetchPage()
+      if (!page.hasNext) {
+        page.close(); page = null
+        // a full page may have more behind it — but only if its cursor
+        // moved past the one it was fetched from (a limit-honoring
+        // server always moves it; a degenerate batchRows=1 re-send of
+        // the cursor row must not loop forever)
+        val advanced = pageMaxRaw != null && (floorAtFetch == null || pageMaxRaw > floorAtFetch)
+        exhausted = pageRaw != batchRows || !advanced
+        if (advanced && (floor == null || pageMaxRaw > floor)) floor = pageMaxRaw
+      } else {
+        val line = page.next()
+        pageRaw += 1
+        // per-event error contract: malformed lines drop, the scan lives
+        scala.util.Try(Json.parseObj(line)).toOption.foreach { o =>
+          val id = MongoHttp.str(o, "id")
+          if (id != null) {
+            if (pageMaxRaw == null || id > pageMaxRaw) pageMaxRaw = id
+            if ((floor == null || id > floor) && idLowerBounds.forall(id >= _)) {
+              floor = id
+              current = new GenericInternalRow(required.fields.map[Any] { f =>
+                f.name match {
+                  case "id"  => UTF8String.fromString(id)
+                  case "doc" => UTF8String.fromString(MongoHttp.docStr(o))
+                }
+              })
+              return true
+            }
           }
-        })
-        return true
+        }
       }
     }
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (page != null) { page.close(); page = null }
 }
 
 /** Oplog lines → the [[OplogJsonTable.SCHEMA]] rows; every pushed
@@ -352,5 +455,5 @@ class MongoOplogReader(url: String, pushed: Array[Filter], required: StructType)
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = lines.close()
 }

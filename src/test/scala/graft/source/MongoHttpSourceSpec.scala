@@ -70,10 +70,12 @@ class MongoHttpSourceSpec extends AnyFunSuite {
             val shard = param(query, "shard").get.toInt
             val shards = param(query, "shards").get.toInt
             val fromId = param(query, "fromId")
+            val limit = param(query, "limit").map(_.toInt).getOrElse(Int.MaxValue)
             docs.synchronized {
               docs.toVector.sortBy(_._1)
                 .filter { case (id, _) => fromId.forall(id >= _) }
                 .filter { case (id, _) => math.floorMod(id.hashCode, shards) == shard }
+                .take(limit)
                 .map { case (id, doc) => s"""{"id":"$id","doc":$doc}""" }
                 .mkString("\n")
             }
@@ -173,6 +175,97 @@ class MongoHttpSourceSpec extends AnyFunSuite {
       val aDoc = StateStore.read(spark, cfg.stateDir).collect()
         .collectFirst { case r if r.getAs[String]("id") == "a" => r.getAs[String]("doc") }.get
       assert(aDoc.contains(""""value":11.0"""), s"backfill re-ran and clobbered the tail update: $aDoc")
+    } finally stub.stop()
+  }
+
+  test("snapshot pagination: a shard streams as chained fromId/limit pages, each id exactly once") {
+    val stub = new StubMongo().start()
+    try {
+      // 25 ids, zero-padded so lexicographic order == numeric order
+      (0 until 25).foreach(i => stub.docs += (f"d$i%03d" -> s"""{"_id":"d$i%03d","value":$i.0}"""))
+      val got = spark.read
+        .format("graft.source.v2.MongoHttpSource")
+        .option("url", stub.url).option("mode", "snapshot").option("collection", "db.c")
+        .option("numShards", "1").option("batchRows", "10")
+        .load().collect().map(_.getString(0))
+      assert(got.length === 25, "each id exactly once, across page boundaries")
+      assert(got.sorted.toSeq === (0 until 25).map(i => f"d$i%03d"))
+      val snaps = stub.requests.filter(_.startsWith("/snapshot/"))
+      // 25 rows at 10/page = 3 GETs netting 10, 9, 7 new ids (each
+      // continuation page re-sends its inclusive cursor row, dropped
+      // locally); the short final page ends the chain
+      assert(snaps.length === 3 && snaps.forall(_.contains("limit=10")), snaps.mkString("\n"))
+      assert(snaps.count(_.contains("fromId=")) === 2, "continuation GETs chain on the last id")
+      assert(snaps.exists(_.contains("fromId=d009")) && snaps.exists(_.contains("fromId=d018")),
+        snaps.mkString("\n"))
+    } finally stub.stop()
+  }
+
+  test("snapshot: conjunctive id bounds — the strongest reaches the server, ALL re-check locally") {
+    val stub = new StubMongo().start()
+    try {
+      stub.docs ++= Seq(
+        "a" -> """{"_id":"a","value":1.0}""",
+        "b" -> """{"_id":"b","value":2.0}""",
+        "c" -> """{"_id":"c","value":3.0}""",
+        "d" -> """{"_id":"d","value":4.0}""")
+      // two conjunctive lower bounds: Spark hands BOTH to pushFilters
+      // and drops them from the post-scan plan — the reader must apply
+      // the max (c), not the first-listed (b)
+      val rows = snapshotDf(stub.url)
+        .filter(col("id") >= "b").filter(col("id") >= "c")
+        .collect().map(_.getString(0)).sorted
+      assert(rows.toSeq === Seq("c", "d"), "the weaker bound must not leak row b")
+      assert(stub.requests.filter(_.startsWith("/snapshot/")).forall(_.contains("fromId=c")),
+        "the server gets the strongest bound:\n" + stub.requests.mkString("\n"))
+    } finally stub.stop()
+  }
+
+  test("startingSeq: a fresh stream starts at the configured seq and never fetches below it") {
+    val stub = new StubMongo().start()
+    try {
+      (1 to 5).foreach(i =>
+        stub.addOp(BsonTs(10, i).toLong, "i", "db.c", s"e$i", s"""{"_id":"e$i","value":$i.0}"""))
+      val ckpt = Files.createTempDirectory("mongo-startseq").toString
+      val q = spark.readStream
+        .format("graft.source.v2.MongoHttpSource")
+        .option("url", stub.url).option("mode", "oplog")
+        .option("startingSeq", "3")
+        .load()
+        .writeStream.format("memory").queryName("mongo_startseq")
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+      // seqs 4 and 5 only — the reference's task.from.time first-start
+      assert(spark.table("mongo_startseq").collect().map(_.getAs[String]("id")).sorted.toSeq
+        === Seq("e4", "e5"))
+      val froms = stub.requests.filter(_.startsWith("/oplog?")).map(r =>
+        r.split("[?&]").collectFirst { case p if p.startsWith("from=") => p.drop(5).toLong }.get)
+      assert(froms.nonEmpty && froms.forall(_ >= 3), s"a range below startingSeq was fetched: $froms")
+    } finally stub.stop()
+  }
+
+  test("startAtHead: a fresh stream skips the backlog and tails only post-start entries") {
+    val stub = new StubMongo().start()
+    try {
+      (1 to 4).foreach(i =>
+        stub.addOp(BsonTs(10, i).toLong, "i", "db.c", s"f$i", s"""{"_id":"f$i","value":$i.0}"""))
+      val ckpt = Files.createTempDirectory("mongo-head").toString
+      def start() = spark.readStream
+        .format("graft.source.v2.MongoHttpSource")
+        .option("url", stub.url).option("mode", "oplog")
+        .option("startAtHead", "true")
+        .load()
+        .writeStream.format("memory").queryName("mongo_head")
+        .option("checkpointLocation", ckpt).start()
+      val q = start()
+      q.processAllAvailable()
+      assert(spark.table("mongo_head").count() === 0, "the 4-entry backlog must be skipped")
+      stub.addOp(BsonTs(20, 0).toLong, "i", "db.c", "f9", """{"_id":"f9","value":9.0}""")
+      q.processAllAvailable(); q.stop()
+      assert(spark.table("mongo_head").collect().map(_.getAs[String]("id")).toSeq === Seq("f9"))
+      val froms = stub.requests.filter(_.startsWith("/oplog?")).map(r =>
+        r.split("[?&]").collectFirst { case p if p.startsWith("from=") => p.drop(5).toLong }.get)
+      assert(froms.forall(_ >= 4), s"a pre-head range was fetched: $froms")
     } finally stub.stop()
   }
 
