@@ -190,8 +190,12 @@ object Bench {
     // unchanged methodology, comparable to every prior round) and the
     // filtered (`steady_filtered`) totals are reported; BASELINE.md
     // states the rule. If every pass fails the gate the filter is a
-    // no-op (a uniformly slow box is the raw number's problem to
-    // attribute).
+    // no-op on the TOTALS (a uniformly slow box is the raw number's
+    // problem to attribute) but the record must SAY so (r17 verdict #2:
+    // BENCH_r17 read `steady_passes_kept: 4/4` over an all-degraded
+    // probe series and passed as healthy): `degraded: true` +
+    // `steady_passes_kept: 0` mark a run whose every steady pass failed
+    // the floor — its per-query numbers are environment, not plan.
     val probeFloor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FLOOR", "200.0").toDouble
     // evidence for steady pass i: boundary probe ioProbes(i) (taken
     // just before it) plus every intra-pass probe recorded inside it
@@ -203,7 +207,8 @@ object Bench {
       if (keptPasses.isEmpty) steady else keptPasses.map(i => steady(i - 1))
     val resultsFiltered =
       cold.keys.map(k => k -> trimmedMedian(keptSteady.map(_(k)))).toMap
-    val nKeptPasses = if (keptPasses.isEmpty) steadyPasses else keptPasses.size
+    val degraded = keptPasses.isEmpty && steadyPasses > 0
+    val nKeptPasses = keptPasses.size
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -227,7 +232,7 @@ object Bench {
     val passMinJson = (0 to steadyPasses)
       .map(i => "%.1f".formatLocal(java.util.Locale.ROOT, passEvidence(i).min))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"steady_filtered":$totalFiltered,"steady_passes_kept":$nKeptPasses,"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"steady_filtered":$totalFiltered,"steady_passes_kept":$nKeptPasses,"degraded":$degraded,"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
     // The harness records only the LAST ~2000 chars of output; at 130+
     // queries the full detail line above outgrows that window and its
     // leading headline scalars get truncated away (BENCH_r05 recorded
@@ -240,7 +245,7 @@ object Bench {
     def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def js3(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"fixture_warm_sec":${ms(fixtureWarmSec)},"ambient_io_probe":$ioJson,"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"steady_passes":$steadyPasses,"steady_filtered":${ms(totalFiltered)},"steady_passes_kept":$nKeptPasses,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"cold_total":${ms(coldTotal)},"fixture_warm_sec":${ms(fixtureWarmSec)},"ambient_io_probe":$ioJson,"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"steady_passes":$steadyPasses,"steady_filtered":${ms(totalFiltered)},"steady_passes_kept":$nKeptPasses,"degraded":$degraded,"queries_shown":"top10_slowest_of_${results.size}","queries":${js3(slowest)},"sf":"$sfDir"}"""
     println(summary)
     // Belt-and-braces for the driver's parser: persist the summary (and
     // the full per-query detail) to files too, so a logger prefix or an
@@ -256,7 +261,7 @@ object Bench {
     if (only.isEmpty) try {
       writeFile("BENCH_SUMMARY.json", summary)
       writeFile("BENCH_DETAIL.json",
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"cold_delta_queries":${js(coldDelta)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"steady_filtered":$totalFiltered,"steady_passes_kept":$nKeptPasses,"queries_filtered":${js(resultsFiltered)},"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"intra_probe":$intraJson,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"cold_delta_queries":${js(coldDelta)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"steady_filtered":$totalFiltered,"steady_passes_kept":$nKeptPasses,"degraded":$degraded,"queries_filtered":${js(resultsFiltered)},"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"intra_probe":$intraJson,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not persist summary files: $e") }
     spark.stop()
