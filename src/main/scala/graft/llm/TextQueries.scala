@@ -948,58 +948,87 @@ object TextQueries {
   // collocation miner a curation pipeline runs to see WHAT a crawl
   // source is actually about (topic drift, boilerplate templates).
   //
-  // Scale shape: one doc-keyed window pass assigns stopword-run
-  // islands (positions explode row-locally first), one (doc, island)
-  // reduction materializes phrase occurrences, the word-stat table
-  // is vocabulary-bounded and BROADCASTS back over the exploded
-  // phrase words, phrase scores reduce per distinct phrase, and the
-  // final top-20 is TakeOrderedAndProject — never a global sort.
+  // Scale shape (reworked per r17 verdict #4 — the old island-window
+  // form shuffled/sorted every corpus token and pinned every phrase
+  // OCCURRENCE across three consumers, putting the sf1→sf10 decade at
+  // 11.1x on memory pressure): phrase runs now fold ROW-LOCALLY inside
+  // each document, the only occurrence-level exchange is a map-side-
+  // combined groupBy(phrase) of bare strings, and the pinned
+  // multi-consumer frame is the DISTINCT-phrase table — a
+  // vocabulary-shaped set that grows sublinearly while occurrences
+  // grow linearly. wordStats recovers occurrence-level freq/deg
+  // exactly (freq = Σ n_occurrences, deg = Σ n_words·n_occurrences),
+  // the word-stat table is vocabulary-bounded and rides the guarded
+  // BROADCAST back over the exploded phrase words, and the final
+  // top-20 is TakeOrderedAndProject — never a global sort.
   //
   // Determinism: deg/freq are exact integers; each ratio snaps at
   // 4 dp and phrase scores sum the snapped ratios in DECIMAL; the
   // top-20 breaks ties by phrase text. Phrase word order is pinned
-  // by sorting (pos, word) structs — never collect_list order.
-  //
-  // The phrase frame is consumed by THREE downstream branches
-  // (wordStats, distinctPhrases, occ), so it is localCheckpointed
-  // once — the repo's pin-what-is-consumed-more-than-once discipline
-  // (the events_changepoint 4-consumer fix): without the pin the
-  // posexplode + island-window pipeline, the query's most expensive
-  // stage, re-runs three times per invocation (r15 verdict #3).
+  // by the fold (array order = token order).
   private def keyphraseRake(spark: SparkSession, dir: String): DataFrame = {
-    val stop = Seq("the", "a", "and", "of", "to", "in")
-    val toks = Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("is_stop", col("w").isin(stop: _*))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val phrases = toks
-      .withColumn("island", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
-      .where(!col("is_stop"))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("pw"))
-      .select(
-        concat_ws(" ", expr("transform(pw, x -> x.w)")).as("phrase"),
-        size(col("pw")).cast("long").as("n_words"),
-        expr("transform(pw, x -> x.w)").as("words"))
+    // Phrase runs are computed ROW-LOCALLY with one array fold over the
+    // token list: the stopword-island formulation (posexplode → per-doc
+    // window sort → (doc, island) reduction) shuffled and sorted every
+    // TOKEN of the corpus before the first reduction; the fold keeps
+    // tokens inside their document row, so the first (and only)
+    // occurrence-level exchange is the map-side-combined
+    // groupBy(phrase) of bare phrase strings. Same maximal
+    // stopword-free runs, same order (array order = token order).
+    val runsExpr = expr(
+      """filter(
+        |  aggregate(
+        |    split(text, ' '),
+        |    struct(CAST(array() AS array<array<string>>) AS done,
+        |           CAST(array() AS array<string>) AS cur),
+        |    (acc, w) -> CASE WHEN w IN ('the','a','and','of','to','in')
+        |      THEN struct(
+        |        CASE WHEN size(acc.cur) > 0 THEN concat(acc.done, array(acc.cur))
+        |             ELSE acc.done END AS done,
+        |        CAST(array() AS array<string>) AS cur)
+        |      ELSE struct(acc.done AS done, concat(acc.cur, array(w)) AS cur) END,
+        |    acc -> CASE WHEN size(acc.cur) > 0 THEN concat(acc.done, array(acc.cur))
+        |           ELSE acc.done END),
+        |  r -> size(r) > 0)""".stripMargin)
+    // the fold is an interpreted higher-order lambda: spread the scan
+    // when the harness's single-row-group file arrives in fewer splits
+    // than cores (no-op at scale — see Tables.fanOut); only `text`
+    // rides the spread — nothing downstream needs another column
+    val base = Tables.table(spark, dir, "documents").select("text")
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (base.queryExecution.toRdd.getNumPartitions >= par) base
+      else base.repartition(par)
+    // `words`/`n_words` re-derive from the phrase text (a phrase IS the
+    // space-join of its words — exactly invertible), so the exchange
+    // carries only (phrase, partial count) pairs
+    val grouped = spread
+      .select(explode(runsExpr).as("words"))
+      .select(concat_ws(" ", col("words")).as("phrase"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("words", split(col("phrase"), " "))
+      .withColumn("n_words", size(col("words")).cast("long"))
       .localCheckpoint()
-    val wordStats = phrases
-      .select(col("n_words"), explode(col("words")).as("w"))
+    val wordStats = grouped
+      .select(col("n_occurrences"), col("n_words"), explode(col("words")).as("w"))
       .groupBy(col("w"))
-      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .agg(sum(col("n_occurrences")).as("freq"),
+        sum(col("n_words") * col("n_occurrences")).as("deg"))
       .select(col("w"),
         rnd(col("deg").cast("double") / col("freq"), 4).cast("decimal(18,4)").as("ratio"))
-    val distinctPhrases = phrases.select(col("phrase"), col("n_words"), col("words")).distinct()
     // wordStats is keyed by CONTENT WORD — a subset of the corpus
     // vocabulary, so it rides the same guarded-broadcast cap as the
-    // other word-keyed model frames (VERDICT r16 #1).
-    val scores = distinctPhrases
-      .select(col("phrase"), col("n_words"), explode(col("words")).as("w"))
+    // other word-keyed model frames (VERDICT r16 #1). n_occurrences is
+    // functionally dependent on phrase, so it rides the score groupBy
+    // as a grouping column — no re-join against `grouped` afterwards.
+    val scores = grouped
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        explode(col("words")).as("w"))
       .join(VocabGuard.maybeBroadcast(spark, dir, wordStats), "w")
-      .groupBy(col("phrase"), col("n_words"))
+      .groupBy(col("phrase"), col("n_words"), col("n_occurrences"))
       .agg(sum(col("ratio")).as("score_dec"))
-    val occ = phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
-    scores.join(occ, "phrase")
+    scores
       .select(col("phrase"), col("n_words"), col("n_occurrences"),
         col("score_dec").cast("double").as("score"))
       .orderBy(col("score").desc, col("phrase")).limit(20)
