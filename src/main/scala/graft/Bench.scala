@@ -257,7 +257,14 @@ object Bench {
       java.nio.file.Files.write(p, (text + "\n").getBytes("UTF-8"))
     }
     // a SPARK_GRAFT_ONLY-filtered profiling run covers a subset — don't
-    // let its partial totals overwrite the full-suite record
+    // let its partial totals overwrite the full-suite record; it gets
+    // its own detail file instead (the scale-probe artifact,
+    // tools/emit_scale.py, reads these per-SF)
+    if (only.nonEmpty) try {
+      writeFile("BENCH_DETAIL_ONLY.json",
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_queries":${js(cold)},"steady_passes":$steadyPasses,"steady_passes_kept":$nKeptPasses,"degraded":$degraded,"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"bench: could not persist summary files: $e") }
     if (only.isEmpty) try {
       writeFile("BENCH_SUMMARY.json", summary)
       writeFile("BENCH_DETAIL.json",

@@ -69,11 +69,30 @@ object Main {
     val hooks = sys.env.get("SPARK_GRAFT_HOOKS_DIR")
       .map(new graft.model.FileCheckpointHooks(_))
     // an http(s) mongodb.url selects the live wire leg (the extended-
-    // JSON-over-HTTP protocol of graft.source.v2.MongoHttpSource);
-    // anything else uses the file-backed harness adapters
+    // JSON-over-HTTP protocol of graft.source.v2.MongoHttpSource). A
+    // native `mongodb://` / `mongodb+srv://` URL — the reference's own
+    // config shape (config.ts:5-7) — delegates to the same wire leg
+    // through the sidecar that fronts the replica set:
+    // `mongodb.options.sidecarUrl` names it, and the deployment
+    // contract (protocol + reference sidecar sketch) is documented in
+    // examples/README.md. Without a sidecar a mongodb:// config runs
+    // against the file-backed harness adapters (dev mode — the
+    // reference's example config works verbatim on file dumps), as
+    // does any other URL shape.
     val adapters =
       if (config.mongodbUrl.startsWith("http://") || config.mongodbUrl.startsWith("https://"))
         httpAdapters(spark, config.mongodbUrl) _
+      else if (config.mongodbUrl.startsWith("mongodb://") ||
+               config.mongodbUrl.startsWith("mongodb+srv://"))
+        config.mongoSourceOptions.get("sidecarUrl") match {
+          case Some(s) if s.startsWith("http://") || s.startsWith("https://") =>
+            httpAdapters(spark, s) _
+          case Some(other) => throw new IllegalArgumentException(
+            s"mongodb.options.sidecarUrl must be an http(s) endpoint, got: $other")
+          // no sidecar: the dev-harness path — a reference config runs
+          // as-is against file dumps under dataDir (MainSpec/ExampleSpec)
+          case None => fileAdapters(spark, dataDir) _
+        }
       else fileAdapters(spark, dataDir) _
     Runner.fromConfig(spark, config, baseDir, adapters, hooks)
   }

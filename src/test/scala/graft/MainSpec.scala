@@ -136,4 +136,67 @@ class MainSpec extends AnyFunSuite {
       .collect().map(_.getAs[String]("id"))
     assert(usersState.forall(_.startsWith("app.users2")))
   }
+
+  test("a mongodb:// url with options.sidecarUrl selects the live wire adapters against the sidecar") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val requests = scala.collection.mutable.ArrayBuffer[String]()
+    val sidecar = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    sidecar.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      requests.synchronized { requests += path }
+      val body =
+        if (path == "/oplog/latest") """{"seq":1}"""
+        else if (path == "/oplog")
+          """{"seq":1,"ts":100,"op":"i","ns":"app.wired","id":"w2","doc":{"_id":"w2","v":2.0}}"""
+        else if (path.startsWith("/snapshot/")) """{"id":"w1","doc":{"_id":"w1","v":1.0}}"""
+        else ""
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes); ex.close()
+    })
+    sidecar.start()
+    try {
+      val base = Files.createTempDirectory("main-sidecar-base").toString
+      val data = Files.createTempDirectory("main-sidecar-data").toString // intentionally EMPTY
+      spark.sql("DROP TABLE IF EXISTS wired")
+      val configPath = s"$data/config.json"
+      Files.write(java.nio.file.Paths.get(configPath),
+        s"""{
+           |  "controls": {"elasticsearchBulkInterval": 100},
+           |  "mongodb": {
+           |    "url": "mongodb://rs0.example:27017/?replicaSet=rs0",
+           |    "options": {"sidecarUrl": "http://127.0.0.1:${sidecar.getAddress.getPort}"}
+           |  },
+           |  "tasks": [{
+           |    "from": {"phase": "scan"},
+           |    "extract": {"db": "app", "collection": "wired"},
+           |    "transform": {"mapping": {"v": "v"}},
+           |    "load": {"index": "wired", "type": "w",
+           |      "body": {"properties": {"v": {"type": "double"}}}}
+           |  }]
+           |}""".stripMargin.getBytes)
+      val queries = Main.run(spark, configPath, base, data)
+      queries.foreach { q => q.processAllAvailable(); q.stop() }
+      // data flowed from the SIDECAR (dataDir is empty): scan + tail
+      val st = StateStore.read(spark, s"$base/app.wired___wired.w/state").collect()
+        .map(_.getAs[String]("id")).toSet
+      assert(st === Set("w1", "w2"))
+      assert(requests.exists(_.startsWith("/snapshot/app.wired")), requests.mkString("\n"))
+      assert(requests.contains("/oplog/latest"), requests.mkString("\n"))
+    } finally sidecar.stop(0)
+  }
+
+  test("a non-http sidecarUrl fails fast at config time") {
+    val base = Files.createTempDirectory("main-badsidecar-base").toString
+    val data = Files.createTempDirectory("main-badsidecar-data").toString
+    val configPath = s"$data/config.json"
+    Files.write(java.nio.file.Paths.get(configPath),
+      """{
+        |  "controls": {},
+        |  "mongodb": {"url": "mongodb://h/app", "options": {"sidecarUrl": "ftp://nope"}},
+        |  "tasks": []
+        |}""".stripMargin.getBytes)
+    val e = intercept[IllegalArgumentException](Main.run(spark, configPath, base, data))
+    assert(e.getMessage.contains("sidecarUrl"))
+  }
 }
