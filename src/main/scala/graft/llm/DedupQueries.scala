@@ -118,6 +118,13 @@ object DedupQueries {
       minSim: Double = 0.5, simScale: Int = 4, sample: Boolean = false): DataFrame = {
     val docs0 = Tables.table(spark, dir, "documents")
     val docs = if (sample) docs0.filter(expr(sampleCondSpark)) else docs0
+    // NOTE (r18 A/B, guide §1.2): a fanOut-before-explode rewrite — one
+    // spread exchange feeding words + both size builds — was measured
+    // here and LOST (jaccard_pairs min 0.52→1.14 s, containment 2×):
+    // the posting groupBy is this plan's only heavy exchange and it
+    // already spreads the pair work; fronting it with a full-text
+    // shuffle serializes the broadcast size builds behind that shuffle
+    // and re-pays the split per consumer. Keep the scan-pipelined form.
     val words = docs.select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
     val sizes = docs.select(col("doc_id"),
@@ -390,6 +397,8 @@ object DedupQueries {
     containmentPairs(spark, dir, dfCap = Some(64))
 
   private def containmentPairs(spark: SparkSession, dir: String, dfCap: Option[Int]): DataFrame = {
+    // same scan-pipelined shape as jaccardPairs (a fanOut rewrite was
+    // A/B'd there and lost — see the note above)
     val docs = Tables.table(spark, dir, "documents")
     val words = docs.select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
@@ -463,7 +472,19 @@ object DedupQueries {
     * shingle sliced into 4 disjoint 8-hex min-hashes, 2 bands of 2.
     * One row per (doc, band) via array-explode (a union of two selects
     * would carry the aggregation subtree twice). Docs under 3 words
-    * have no signature and emit no rows. */
+    * have no signature and emit no rows.
+    *
+    * The 4 min-hashes are kept as BIGINTs (each 8-hex slice parsed via
+    * conv once per shingle): md5 hex is fixed-width lowercase, so
+    * lexicographic order of the slice equals numeric order of its
+    * value — min() picks the same shingle and bucket EQUALITY is
+    * preserved exactly (the only property banding uses; the DuckDB
+    * twin keeps the string form and derives the identical pair set).
+    * What the numeric form buys (guide §2.3/§4): min(bigint) plans as
+    * a codegen HashAggregate instead of min(string)'s SortAggregate —
+    * no per-partition sort of the corpus-sized shingle stream — and
+    * the partial-agg rows crossing the exchange are 4 longs, not 4
+    * 8-char strings. */
   private[llm] def bandRows(docs: DataFrame): DataFrame = {
     val ws = docs
       .withColumn("ws", split(col("text"), " "))
@@ -474,13 +495,13 @@ object DedupQueries {
       .withColumn("h", md5(col("sh")))
       .groupBy(col("doc_id"))
       .agg(
-        min(substring(col("h"), 1, 8)).as("m0"),
-        min(substring(col("h"), 9, 8)).as("m1"),
-        min(substring(col("h"), 17, 8)).as("m2"),
-        min(substring(col("h"), 25, 8)).as("m3"))
+        min(expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")).as("m0"),
+        min(expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)")).as("m1"),
+        min(expr("cast(conv(substring(h, 17, 8), 16, 10) as bigint)")).as("m2"),
+        min(expr("cast(conv(substring(h, 25, 8), 16, 10) as bigint)")).as("m3"))
     mins.select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"), concat(col("m0"), lit("|"), col("m1")).as("bucket")),
-        struct(lit(1).as("band"), concat(col("m2"), lit("|"), col("m3")).as("bucket")))).as("bb"))
+        struct(lit(0).as("band"), concat(col("m0").cast("string"), lit("|"), col("m1").cast("string")).as("bucket")),
+        struct(lit(1).as("band"), concat(col("m2").cast("string"), lit("|"), col("m3").cast("string")).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
@@ -520,10 +541,14 @@ object DedupQueries {
       .withColumn("h", md5(col("sh")))
       .groupBy(col("doc_id"))
       .agg(
-        min(substring(col("h"), 1, 8)).as("m0"),
-        min(substring(col("h"), 9, 8)).as("m1"),
-        min(substring(col("h"), 17, 8)).as("m2"),
-        min(substring(col("h"), 25, 8)).as("m3"),
+        // numeric min-hash slices — same order-isomorphism argument as
+        // bandRows (fixed-width hex ⇒ string min = numeric min), same
+        // HashAggregate-not-SortAggregate payoff; est compares m0..m3
+        // by EQUALITY only, which the mapping preserves
+        min(expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")).as("m0"),
+        min(expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)")).as("m1"),
+        min(expr("cast(conv(substring(h, 17, 8), 16, 10) as bigint)")).as("m2"),
+        min(expr("cast(conv(substring(h, 25, 8), 16, 10) as bigint)")).as("m3"),
         collect_set(col("sh")).as("shs"))
       .withColumn("n_sh", size(col("shs")).cast("long"))
       .localCheckpoint()
@@ -531,8 +556,8 @@ object DedupQueries {
     // posting-list shape, from the already-aggregated doc-sized frame)
     val pairs = sig
       .select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"), concat(col("m0"), lit("|"), col("m1")).as("bucket")),
-        struct(lit(1).as("band"), concat(col("m2"), lit("|"), col("m3")).as("bucket")))).as("bb"))
+        struct(lit(0).as("band"), concat(col("m0").cast("string"), lit("|"), col("m1").cast("string")).as("bucket")),
+        struct(lit(1).as("band"), concat(col("m2").cast("string"), lit("|"), col("m3").cast("string")).as("bucket")))).as("bb"))
       .groupBy(col("bb.band"), col("bb.bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -604,8 +629,13 @@ object DedupQueries {
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // candidate pairs from per-bucket posting lists — the signature
     // aggregation is planned ONCE and the pair space stays
-    // bucket-bounded, with no self-join re-reading the corpus
-    val bands = bandRows(Tables.table(spark, dir, "documents"))
+    // bucket-bounded, with no self-join re-reading the corpus.
+    // fanOut (guide §2.5 input skew): the harness parquet is one row
+    // group, so the shingle explode + per-shingle md5 — the dominant
+    // per-task work of every minhash consumer — otherwise runs inside
+    // the single scan task; hashing by doc_id also lets the signature
+    // groupBy reuse the same partitioning (no second exchange).
+    val bands = bandRows(Tables.fanOut(Tables.table(spark, dir, "documents")))
     bands.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -1114,7 +1144,11 @@ object DedupQueries {
        |SELECT doc_id, simhash, prefix16 FROM fp ORDER BY doc_id""".stripMargin
 
   private def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.table(spark, dir, "documents")
+    // fanOut: the per-word md5+conv below is the family's hot loop and
+    // the harness scan is one row group (single task without the
+    // spread); hashing by doc_id lets the 60-vote groupBy reuse the
+    // partitioning instead of adding an exchange (guide §2.4/§2.5)
+    val words = Tables.fanOut(Tables.table(spark, dir, "documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"),
         expr("cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)").as("hl"))
@@ -1176,7 +1210,12 @@ object DedupQueries {
   /** (doc_id, pos, h) for every K-token window; pos is the 1-based
     * start-token index. */
   private def substringWindows(docs: DataFrame): DataFrame =
-    docs
+    // fanOut: the K-token window explode computes one md5 per TOKEN
+    // POSITION — the heaviest per-row stage in the dedup family — and
+    // the harness scan is one row group; spread it across the pool
+    // before the explode (guide §2.5; no-op effect at real scale where
+    // the scan arrives pre-split)
+    Tables.fanOut(docs)
       .withColumn("ws", split(col("text"), " "))
       .where(size(col("ws")) >= winK)
       .select(col("doc_id"), posexplode(expr(
@@ -1320,7 +1359,17 @@ object DedupQueries {
   // low vertex and the close is an equi-join on (v, w). All counts
   // are exact integers; the coefficient floats once, snapped 6 dp.
   private def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir)
+    // Pin the candidate-pair table: the plan below references `pairs`
+    // once per degree/orientation/wedge/close consumer, and with the
+    // oriented self-join those references multiply — the un-pinned
+    // initial plan carried the shingle+md5+banding subtree 148-Exchange
+    // deep (plans/r18/dedup_graph_triangles_before.txt) and leaned on
+    // runtime exchange reuse to deduplicate it. The pair table is
+    // bucket-bounded (tiny vs the corpus), so the one eager
+    // materialization replaces dozens of planned subtrees with a
+    // cached-block scan (guide §5 localCheckpoint; same discipline as
+    // clusterStar).
+    val pairs = minhashPairs(spark, dir).localCheckpoint()
     val deg = pairs.select(col("a_id").as("node"))
       .union(pairs.select(col("b_id").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))

@@ -50,8 +50,13 @@ object MinHashIndexStore {
 
   private def sane(dir: String) = dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  // "archive2": round-18 changed the band-bucket encoding (numeric
+  // min-hash slices — see DedupQueries.bandRows); segments written
+  // under the old name hold string-hex buckets that would silently
+  // never match new-format batch bands, and validity is count-keyed,
+  // so the format change must key the sidecar NAME.
   private def baseFor(dir: String): Path =
-    CodebookStore.indexRoot.resolve(s"minhash_archive_${sane(dir)}.parquet")
+    CodebookStore.indexRoot.resolve(s"minhash_archive2_${sane(dir)}.parquet")
 
   private def pointerFor(base: Path): Path =
     base.getParent.resolve(base.getFileName.toString + ".PTR")

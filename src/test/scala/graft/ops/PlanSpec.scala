@@ -430,14 +430,14 @@ class PlanSpec extends AnyFunSuite {
     // and the corpus-side text work must be the BATCH only: the raw
     // documents scan feeds the plan exactly twice (batch bands + the
     // flag join-back); archive signatures come from the sidecar parquet
-    assert(p.contains("minhash_archive_"),
+    assert(p.contains("minhash_archive2_"),
       "archive signatures must come from the persisted sidecar: " + p.take(800))
   }
 
   test("neardup confirm: one archive text scan, no cartesian, candidates off the sidecar") {
     val p = plan("pipeline_neardup_confirmed")
     assert(!p.contains("CartesianProduct"), p.take(600))
-    assert(p.contains("minhash_archive_"),
+    assert(p.contains("minhash_archive2_"),
       "candidates must come from the persisted sidecar: " + p.take(600))
     // the verify stage materializes hit-doc words once: the raw corpus
     // text reaches the plan at most 3 times (bands batch scan + one
