@@ -875,7 +875,12 @@ object DedupQueries {
           least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
+      // no distinct here (r18): smallStar consumes this through a
+      // duplicate-invariant window min and ends in its own distinct, so
+      // the round's edge set is identical — dropping the intermediate
+      // dedup removes one exchange per round (guide §2.4); duplicate
+      // (v, m) rows exist only where several smaller neighbors of v
+      // share a minimum, bounded by the round's own contraction
     }
 
     def smallStar(e: DataFrame): DataFrame = {

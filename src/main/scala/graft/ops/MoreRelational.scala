@@ -420,7 +420,13 @@ object MoreRelational {
   private def thetaPairs(spark: SparkSession, dir: String): DataFrame = {
     val l = table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-    val a = l.select(col("l_orderkey").as("k"), col("l_linenumber").as("ln_a"), col("l_extendedprice").as("pa"))
+    // the planner broadcasts the b side (BHJ, no shuffle) — correct —
+    // but the probe side is then the raw single-row-group scan, so the
+    // whole per-bucket pair expansion ran in ONE task; spread the probe
+    // by the join key so the BHJ and the per-order aggregation run
+    // across the pool with no further exchange (guide §2.5/§3.1)
+    val a = Tables.fanOut(l, "l_orderkey")
+      .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln_a"), col("l_extendedprice").as("pa"))
     val b = l.select(col("l_orderkey").as("k2"), col("l_linenumber").as("ln_b"), col("l_extendedprice").as("pb"))
     a.join(b, col("k") === col("k2") && col("ln_a") < col("ln_b"))
       .groupBy(col("k").as("o_orderkey"))

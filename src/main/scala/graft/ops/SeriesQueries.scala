@@ -337,11 +337,16 @@ object SeriesQueries {
     // groupBy reuses its l_orderkey partitioning (profiled: cold pass
     // 4.1 s -> 2.3 s). On a real cluster the scan arrives pre-split
     // and the same plan holds.
+    // unsorted set + least/greatest canonicalization at pair time: the
+    // per-basket sort_array bought only the p1<p2 ordering and measured
+    // 0.13 s at sf0.1 (BasketProbe); two scalar ops per pair are
+    // cheaper than sorting every basket, and the (least, greatest) pair
+    // key is the identical canonical pair set
     val baskets = Tables.fanOut(
         table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey")
       .groupBy(col("l_orderkey").as("ok"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+      .agg(collect_set(col("l_partkey")).as("pks"))
     val freq = baskets.select(explode(col("pks")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
@@ -379,11 +384,17 @@ object SeriesQueries {
     val leftQ =
       if (prune) left.join(broadcast(qualified), col("p1") === col("pk"), "left_semi")
       else left
-    val expanded = leftQ
-      .select(col("p1"), explode(expr("slice(pks, i + 2, size(pks))")).as("p2"))
-    val expandedQ =
-      if (prune) expanded.join(broadcast(qualified), col("p2") === col("pk"), "left_semi")
-      else expanded
+    val expanded0 = leftQ
+      .select(col("p1").as("x"), explode(expr("slice(pks, i + 2, size(pks))")).as("y"))
+    // when pruning, gate the second ELEMENT (y) — both items of a pair
+    // must individually clear the floor for the a-priori implication —
+    // then canonicalize to (least, greatest), the same pair key the
+    // sorted-array form produced
+    val expandedQ0 =
+      if (prune) expanded0.join(broadcast(qualified), col("y") === col("pk"), "left_semi")
+      else expanded0
+    val expandedQ = expandedQ0
+      .select(least(col("x"), col("y")).as("p1"), greatest(col("x"), col("y")).as("p2"))
     val pairs = expandedQ
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("together"))

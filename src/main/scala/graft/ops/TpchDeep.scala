@@ -450,16 +450,30 @@ object TpchDeep {
   // and both engines compare bit-identical doubles (same rounded
   // operands, same IEEE multiply).
   private def q11(spark: SparkSession, dir: String): DataFrame = {
-    val perPart = table(spark, dir, "lineitem")
+    // fanOut: the DECIMAL revenue multiply-sum is this query's real
+    // cost (probed: 0.74 s serial in the single scan task vs 0.40 s
+    // spread — the exchange carries 3 narrow columns) and unlike q1 it
+    // cannot be pruned away downstream because the threshold filter
+    // consumes the sums; the l_partkey hash also feeds the groupBy its
+    // partitioning (guide §2.5)
+    val perPart = Tables.fanOut(table(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount")), "l_partkey")
       .groupBy(col("l_partkey"))
       .agg(round(sum(revenueCol), 2).cast("double").as("part_value"))
-      .localCheckpoint()
     // the grand total ALSO routes through DECIMAL: a raw double sum is
     // association-order dependent, and the threshold filter would then
-    // compare against a value that can differ between engines/runs
+    // compare against a value that can differ between engines/runs.
+    // One-pass form (r18, guide §2.4): the total rides an empty-frame
+    // window over the part-keyed aggregate instead of the old eager
+    // localCheckpoint + agg + BroadcastNestedLoopJoin — perPart is
+    // computed once, and the single-partition window touches only the
+    // ~|parts| aggregate rows (a bounded dimension-sized frame), not
+    // the corpus. Same DECIMAL summation, same values.
+    import org.apache.spark.sql.expressions.Window
     perPart
-      .crossJoin(broadcast(perPart
-        .agg(round(sum(dec(col("part_value"))), 2).cast("double").as("total_value"))))
+      .withColumn("total_value",
+        round(sum(dec(col("part_value"))).over(Window.partitionBy()), 2)
+          .cast("double"))
       .filter(col("part_value") > lit(0.0002) * col("total_value"))
       .withColumn("share", rnd(col("part_value") / col("total_value"), 6))
       .select(col("l_partkey"), col("part_value"), col("share"))
