@@ -421,9 +421,14 @@ object PipelineQueries {
     val batch = docs.filter(col("doc_id") % 10 === 0)
     val batchBands = DedupQueries.bandRows(batch.select(col("doc_id"), col("text")))
       .withColumnRenamed("doc_id", "b_id")
+    // candidate pairs are batch-bounded (|batch| × band collisions) and
+    // consumed FOUR times below (inter, both hit-id sets, perDoc) — left
+    // lazy, each consumer re-shingled the batch and re-scanned the
+    // sidecar; pin once (guide §5)
     val pairs = archiveIdx
       .join(broadcast(batchBands), Seq("band", "bucket"))
       .select(col("b_id"), col("doc_id").as("a_id")).distinct()
+      .localCheckpoint()
     // exact confirm on candidate pairs only: each hit population's
     // word arrays materialize ONCE (localCheckpoint — candidate-
     // bounded tiny, and it caps the archive at a single text-column
@@ -437,9 +442,13 @@ object PipelineQueries {
     val archW = hitWords(docs.filter(col("doc_id") % 10 =!= 0),
       pairs.select(col("a_id")).distinct(), "a2")
     val batchW = hitWords(batch, pairs.select(col("b_id")).distinct(), "b_id")
+    // the word-overlap join runs on two candidate-bounded exploded
+    // frames; the checkpointed archW carries no size statistic, so the
+    // planner fell back to SortMergeJoin — broadcast is the
+    // scale-correct strategy for the O(batch·words) hit population
     val inter = batchW.select(col("b_id"), explode(col("ws")).as("w"))
       .join(broadcast(pairs), Seq("b_id"))
-      .join(archW.select(col("a2"), explode(col("ws")).as("w2")),
+      .join(broadcast(archW.select(col("a2"), explode(col("ws")).as("w2"))),
         col("a_id") === col("a2") && col("w") === col("w2"))
       .groupBy(col("b_id"), col("a_id")).agg(count(lit(1)).as("inter"))
     val scored = inter
@@ -448,7 +457,7 @@ object PipelineQueries {
       .withColumn("jaccard", graft.ops.Registry.rnd(
         col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 4))
     val perDoc = pairs.groupBy(col("b_id")).agg(count(lit(1)).as("n_candidates"))
-      .join(scored.groupBy(col("b_id")).agg(max(col("jaccard")).as("best_jaccard")),
+      .join(broadcast(scored.groupBy(col("b_id")).agg(max(col("jaccard")).as("best_jaccard"))),
         Seq("b_id"), "left")
     batch.select(col("doc_id"))
       .join(broadcast(perDoc.withColumnRenamed("b_id", "doc_id")), Seq("doc_id"), "left")

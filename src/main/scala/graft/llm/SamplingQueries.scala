@@ -66,6 +66,10 @@ object SamplingQueries {
       .select(col("source").as("src_a"), col("src_b"),
         when(col("n_chars") >= col("cb"), col("source")).otherwise(col("src_b"))
           .as("winner"))
+      // one match row per document; consumed 4× below (both sided
+      // unions, both pair directions) — pin the lead-window output once
+      // instead of re-sorting the corpus per consumer (guide §5)
+      .localCheckpoint()
     val sided = matches.select(col("src_a").as("src"), col("winner"))
       .unionAll(matches.select(col("src_b").as("src"), col("winner")))
     val g = sided.groupBy(col("src"))

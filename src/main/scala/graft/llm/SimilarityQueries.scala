@@ -2864,10 +2864,17 @@ object SimilarityQueries {
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("n_id"), col("rel"), col("nv"), col("nn"))
       .localCheckpoint() // tiny (80 rows); 4 consumers below
+    // every frame below is CONSTANT-SIZE by construction (panel ×
+    // ≤10 candidates = 80 rows; picks are 8 rows) — but a
+    // localCheckpointed frame carries no size statistic, so the planner
+    // defaulted every one of these joins to SortMergeJoin (24 SMJs /
+    // 27 Exchanges in the r18 before-plan). Explicit broadcasts are the
+    // scale-CORRECT strategy here, independent of corpus size
+    // (guide §3.1).
     val pair = cands.select(col("q_id"), col("n_id").as("c_id"),
         col("nv").as("cv"), col("nn").as("cn"))
-      .join(cands.select(col("q_id").as("q2"), col("n_id").as("s_id"),
-        col("nv").as("sv"), col("nn").as("sn")),
+      .join(broadcast(cands.select(col("q_id").as("q2"), col("n_id").as("s_id"),
+        col("nv").as("sv"), col("nn").as("sn"))),
         col("q_id") === col("q2") && col("c_id") =!= col("s_id"))
       .withColumn("psim",
         graft.ops.Registry.rnd(ndot(col("cv"), col("sv")) / (col("cn") * col("sn")), 4))
@@ -2880,26 +2887,26 @@ object SimilarityQueries {
     val pairA = pair.select(col("q_id").as("qa"), col("c_id").as("ca"),
       col("s_id").as("sa"), col("psim"))
     val s2 = cands
-      .join(s1.select(col("q_id"), col("n_id").as("p1")), "q_id")
+      .join(broadcast(s1.select(col("q_id"), col("n_id").as("p1"))), "q_id")
       .filter(col("n_id") =!= col("p1"))
-      .join(pairA, col("q_id") === col("qa") && col("n_id") === col("ca")
+      .join(broadcast(pairA), col("q_id") === col("qa") && col("n_id") === col("ca")
         && col("p1") === col("sa"))
       .withColumn("score",
         graft.ops.Registry.rnd(lit(0.7) * col("rel") - lit(0.3) * col("psim"), 6))
       .withColumn("rn", row_number().over(wS)).filter(col("rn") === 1)
       .select(col("q_id"), col("n_id"), col("rel"), col("score"))
     val s3base = cands
-      .join(s1.select(col("q_id"), col("n_id").as("p1")), "q_id")
-      .join(s2.select(col("q_id"), col("n_id").as("p2")), "q_id")
+      .join(broadcast(s1.select(col("q_id"), col("n_id").as("p1"))), "q_id")
+      .join(broadcast(s2.select(col("q_id"), col("n_id").as("p2"))), "q_id")
       .filter(col("n_id") =!= col("p1") && col("n_id") =!= col("p2"))
     val p1sim = pair.select(col("q_id").as("qc"), col("c_id").as("cc"),
       col("s_id").as("sc"), col("psim").as("sim1"))
     val p2sim = pair.select(col("q_id").as("qb"), col("c_id").as("cb"),
       col("s_id").as("sb"), col("psim").as("sim2"))
     val s3 = s3base
-      .join(p1sim, col("q_id") === col("qc") && col("n_id") === col("cc")
+      .join(broadcast(p1sim), col("q_id") === col("qc") && col("n_id") === col("cc")
         && col("p1") === col("sc"))
-      .join(p2sim, col("q_id") === col("qb") && col("n_id") === col("cb")
+      .join(broadcast(p2sim), col("q_id") === col("qb") && col("n_id") === col("cb")
         && col("p2") === col("sb"))
       .withColumn("score", graft.ops.Registry.rnd(
         lit(0.7) * col("rel") - lit(0.3) * greatest(col("sim1"), col("sim2")), 6))

@@ -935,8 +935,13 @@ object StatsQueries {
       .withColumn("h", expr(
         "cast(conv(substring(md5(elem), 1, 15), 16, 10) AS bigint)"))
     val wT = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    // pin the sketch: ≤ |types|·k rows, consumed by perType, the merged
+    // pair build AND the type universe — left lazy, the corpus distinct
+    // + rank-window chain re-plans once per consumer (the before-plan
+    // carried it 145 operators deep; guide §5 localCheckpoint)
     val sk = tu.select(col("event_type"), col("h")).distinct()
       .withColumn("rk", row_number().over(wT)).where(col("rk") <= kmvK)
+      .localCheckpoint()
     def estOf(cnt: Column, hk: Column): Column =
       when(cnt < kmvK, cnt.cast("double"))
         .otherwise(lit((kmvK - 1).toDouble) / (hk.cast("double") / two60))
@@ -1551,8 +1556,12 @@ object StatsQueries {
   private val CmP = CountMin.P
 
   private def countMinAudit(spark: SparkSession, dir: String): DataFrame = {
+    // |users| rows, consumed by every per-depth union branch plus the
+    // total and the top-20 probe (the r18 before-plan replayed the
+    // events aggregation 9× / 18 scans) — pin once (guide §5)
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint()
     def idx(d: Int, u: Column): Column = CountMin.idxCol(d, u)
     // counters: one exploded pass over the per-user reduction — the
     // same 256 cells a direct stream sketch would hold (sum of counts
