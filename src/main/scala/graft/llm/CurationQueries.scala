@@ -736,6 +736,11 @@ object CurationQueries {
           lit(0.5) * (lit(1.0) - rnd(col("n_stop").cast("double") / col("n_words"), 3)),
         3))
       .select(col("doc_id"), col("n_words"), col("score"))
+    // NOTE (r18 A/B): pinning this scored frame (localCheckpoint) was
+    // measured and did NOT repay its materialization job at sf0.1
+    // (ratio-to-sentinel 0.77 pinned vs 0.79 unpinned under load) —
+    // the three consumers' re-scores run in parallel off the shared
+    // fanOut exchange. Kept lazy.
     budgetSelectFrom(docs, denom = 4)
   }
 

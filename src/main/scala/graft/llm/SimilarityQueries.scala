@@ -2674,7 +2674,6 @@ object SimilarityQueries {
     val hasDangling = !danglingIds.isEmpty
     var r = nodes.crossJoin(nn)
       .select(col("vec_id"), expr(s"${prScale}L DIV n").as("pr"))
-      .localCheckpoint()
     for (round <- 1 to prRounds) {
       val inflow = contrib.join(r, contrib("src_id") === r("vec_id"))
         .select(col("dst_id"), expr("pr DIV outd").as("c"))
@@ -2693,9 +2692,15 @@ object SimilarityQueries {
           .select(nodes("vec_id"),
             expr(s"(15L * ${prScale}L) DIV (100L * n) + " +
               "(85L * coalesce(infl, 0L)) DIV 100L").as("pr"))
-      // pin the frontier every OTHER round: two rounds of lineage stay
-      // bounded, half the eager materializations
-      r = if (round % 2 == 0 || round == prRounds) next.localCheckpoint() else next
+      // r18: NO per-round frontier pin. Each round consumes r exactly
+      // once, so lineage is LINEAR in rounds (8 stacked join+agg
+      // layers over the two pinned leaves contrib/danglingIds) — the
+      // old every-other-round localCheckpoint bought no reuse and cost
+      // 4 eager materialization jobs per invocation (A/B under a load
+      // sentinel: ratio 1.39 pinned -> 1.17 lazy). The whole power
+      // iteration now plans and runs as ONE query; per-round exchange
+      // count at scale is unchanged.
+      r = next
     }
     val w = Window.partitionBy(col("cid")).orderBy(col("pr").desc, col("vec_id"))
     r.join(assign, "vec_id")

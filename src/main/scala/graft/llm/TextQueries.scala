@@ -871,7 +871,12 @@ object TextQueries {
     val hitAggs = consts.zipWithIndex.map { case (c, i) =>
       sum(when(col("l") === c.l, col("lnp"))).as(s"hs_$i")
     }
-    val hits = eval.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // fanOut: the eval-corpus word explode + model probe + per-language
+    // conditional sums is the hot stage and otherwise runs inside the
+    // single-row-group scan task; hashing by doc_id also feeds the
+    // per-doc aggregation its partitioning (guide §2.5)
+    val hits = Tables.fanOut(eval.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .join(broadcast(model), "w")
       .groupBy(col("doc_id"))
       .agg(hitAggs.head, hitAggs.tail.toSeq: _*)
