@@ -418,7 +418,7 @@ object SimilarityQueries {
     val disc = when(col("rank") === 1, 1000L).when(col("rank") === 2, 631L)
       .otherwise(500L)
     val gains = lshRanked(spark, dir)
-      .join(exact, Seq("q_id", "n_id"), "left")
+      .join(broadcast(exact), Seq("q_id", "n_id"), "left")
       .withColumn("gain", coalesce(col("rel"), lit(0L)) * disc)
       .groupBy(col("q_id"))
       .agg(count(col("rel")).as("n_hit"), sum(col("gain")).as("dcg_m"))
@@ -813,7 +813,7 @@ object SimilarityQueries {
     // truth set with the probe levels, LEFT-join the shortlist
     exact
       .crossJoin(spark.range(1).select(explode(array(lit(1), lit(2))).as("n_probe")))
-      .join(approx, Seq("n_probe", "q_id", "n_id"), "left")
+      .join(broadcast(approx), Seq("n_probe", "q_id", "n_id"), "left")
       .groupBy(col("q_id"), col("n_probe"))
       .agg(count(col("hit")).as("n_hit"))
       .withColumn("recall", graft.ops.Registry.rnd(col("n_hit") / lit(3.0), 4))
@@ -1642,7 +1642,7 @@ object SimilarityQueries {
     exact
       .crossJoin(spark.range(1)
         .select(explode(array(matryoshkaDims.map(lit(_)): _*)).as("d")))
-      .join(top.select(col("d"), col("q_id"), col("n_id"), lit(1).as("hit")),
+      .join(broadcast(top.select(col("d"), col("q_id"), col("n_id"), lit(1).as("hit"))),
         Seq("d", "q_id", "n_id"), "left")
       .groupBy(col("q_id"), col("d"))
       .agg(count(col("hit")).as("n_hit"))
@@ -1985,8 +1985,11 @@ object SimilarityQueries {
         graft.ops.Registry.rnd(ndot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
       .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 3)
       .select(col("q_id"), col("n_id"))
+    // got is panel-bounded (<= panel x topK rows) — broadcast it; left
+    // lazy the eval planned a SortMergeJoin over two derived frames
+    // with no statistics (guide §3.1)
     val got = graphTopk(spark, dir).select(col("q_id"), col("n_id"), lit(1).as("hit"))
-    exact.join(got, Seq("q_id", "n_id"), "left")
+    exact.join(broadcast(got), Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id")).agg(count(col("hit")).as("n_hit"))
       .withColumn("recall", graft.ops.Registry.rnd(col("n_hit") / lit(3.0), 4))
       .select(col("q_id"), col("n_hit"), col("recall"))
@@ -2105,7 +2108,8 @@ object SimilarityQueries {
     val got = graphBeam(spark, dir, hops, width, topK = k,
       panelIds = Some(panel), seedProbe = seedProbe)
       .select(col("q_id"), col("n_id"), lit(1).as("hit"))
-    exact.join(got, Seq("q_id", "n_id"), "left")
+    // panel-bounded beam output — broadcast (was SMJ; guide §3.1)
+    exact.join(broadcast(got), Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id")).agg(count(col("hit")).as("n_hit"))
       .withColumn("recall", graft.ops.Registry.rnd(col("n_hit") / lit(k.toDouble), 4))
       .select(col("q_id"), col("n_hit"), col("recall"))
