@@ -541,14 +541,15 @@ object DedupQueries {
       .withColumn("h", md5(col("sh")))
       .groupBy(col("doc_id"))
       .agg(
-        // numeric min-hash slices — same order-isomorphism argument as
-        // bandRows (fixed-width hex ⇒ string min = numeric min), same
-        // HashAggregate-not-SortAggregate payoff; est compares m0..m3
-        // by EQUALITY only, which the mapping preserves
-        min(expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")).as("m0"),
-        min(expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)")).as("m1"),
-        min(expr("cast(conv(substring(h, 17, 8), 16, 10) as bigint)")).as("m2"),
-        min(expr("cast(conv(substring(h, 25, 8), 16, 10) as bigint)")).as("m3"),
+        // string min-hash slices KEPT here (unlike bandRows): the
+        // collect_set below already forces ObjectHashAggregate, which
+        // handles string mins without a sort — the r18 conv-to-BIGINT
+        // variant only added 4 hex parses per shingle (A/B min
+        // 0.62->0.66 s, reverted)
+        min(substring(col("h"), 1, 8)).as("m0"),
+        min(substring(col("h"), 9, 8)).as("m1"),
+        min(substring(col("h"), 17, 8)).as("m2"),
+        min(substring(col("h"), 25, 8)).as("m3"),
         collect_set(col("sh")).as("shs"))
       .withColumn("n_sh", size(col("shs")).cast("long"))
       .localCheckpoint()
@@ -556,8 +557,8 @@ object DedupQueries {
     // posting-list shape, from the already-aggregated doc-sized frame)
     val pairs = sig
       .select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"), concat(col("m0").cast("string"), lit("|"), col("m1").cast("string")).as("bucket")),
-        struct(lit(1).as("band"), concat(col("m2").cast("string"), lit("|"), col("m3").cast("string")).as("bucket")))).as("bb"))
+        struct(lit(0).as("band"), concat(col("m0"), lit("|"), col("m1")).as("bucket")),
+        struct(lit(1).as("band"), concat(col("m2"), lit("|"), col("m3")).as("bucket")))).as("bb"))
       .groupBy(col("bb.band"), col("bb.bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)

