@@ -262,13 +262,20 @@ object Bench {
     // tools/emit_scale.py, reads these per-SF)
     if (only.nonEmpty) try {
       writeFile("BENCH_DETAIL_ONLY.json",
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_queries":${js(cold)},"steady_passes":$steadyPasses,"steady_passes_kept":$nKeptPasses,"degraded":$degraded,"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_queries":${js(cold)},"steady_passes":$steadyPasses,"steady_passes_kept":$nKeptPasses,"degraded":$degraded,"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"ambient_io_probe":$ioJson,"pass_queries":${steady.map(js).mkString("[", ",", "]")},"sf":"$sfDir"}""")
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not persist summary files: $e") }
+    // per-pass per-query raw samples (r18 verdict #6, additive,
+    // reporting only): the trimmed-median statistic cannot be undone
+    // from the committed record, so A/B statistics like pass-min were
+    // uncomputable after the fact — emit the full steady matrix
+    // (pass_queries[i] = steady pass i+1's raw seconds per query; the
+    // cold pass already has its own field).
+    val passJson = steady.map(js).mkString("[", ",", "]")
     if (only.isEmpty) try {
       writeFile("BENCH_SUMMARY.json", summary)
       writeFile("BENCH_DETAIL.json",
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"cold_delta_queries":${js(coldDelta)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"steady_filtered":$totalFiltered,"steady_passes_kept":$nKeptPasses,"degraded":$degraded,"queries_filtered":${js(resultsFiltered)},"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"intra_probe":$intraJson,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"cold_delta_queries":${js(coldDelta)},"min_queries":${js(mins)},"steady_passes":$steadyPasses,"steady_filtered":$totalFiltered,"steady_passes_kept":$nKeptPasses,"degraded":$degraded,"queries_filtered":${js(resultsFiltered)},"probe_floor_mbps":$probeFloor,"pass_probe_min":$passMinJson,"intra_probe":$intraJson,"fixture_warm_sec":$fixtureWarmSec,"ambient_io_probe":$ioJson,"pass_queries":$passJson,"sf":"$sfDir"}""")
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not persist summary files: $e") }
     spark.stop()

@@ -72,6 +72,7 @@ object MinHashIndexStore {
     * it. The returned frame always reads FROM THE SIDECAR PARQUET, so
     * downstream plans scan the index, never the raw corpus. */
   def loadOrBuild(spark: SparkSession, dir: String): DataFrame = {
+    sweepSuperseded(dir)
     // session-cached count (one stamp job per dir/session; the archive
     // variant stamps the FILTERED view). Segment accounting stays
     // count-based: absorb's covered docs are caller-owned and need not
@@ -83,6 +84,31 @@ object MinHashIndexStore {
       build(spark, dir, n)
       load(spark, dir, n).getOrElse(
         sys.error(s"minhash index for $dir vanished between build and load"))
+    }
+  }
+
+  /** Reclaim sidecar files written under the SUPERSEDED
+    * `minhash_archive_` name (pre-r18 string-hex bucket encoding) for
+    * this dir: the r18 rename correctly prevents stale segments from
+    * ever matching again, but it also means nothing would ever read —
+    * or delete — them, so they were orphaned on disk permanently
+    * (r18 ADVICE). Matches the old base, its .PTR pointer, its .v-*
+    * segment dirs and .tmp swap leftovers; the live `minhash_archive2_`
+    * family shares no name prefix with the match. */
+  private def sweepSuperseded(dir: String): Unit = {
+    val parent = baseFor(dir).getParent
+    val old = s"minhash_archive_${sane(dir)}.parquet"
+    if (Files.isDirectory(parent)) {
+      val listing = Files.list(parent)
+      try listing.forEach { q =>
+        val name = q.getFileName.toString
+        if (name == old || name.startsWith(old + "."))
+          try {
+            if (Files.isDirectory(q))
+              org.apache.commons.io.FileUtils.deleteDirectory(q.toFile)
+            else Files.deleteIfExists(q)
+          } catch { case _: java.io.IOException => () }
+      } finally listing.close()
     }
   }
 

@@ -2696,15 +2696,28 @@ object SimilarityQueries {
           .select(nodes("vec_id"),
             expr(s"(15L * ${prScale}L) DIV (100L * n) + " +
               "(85L * coalesce(infl, 0L)) DIV 100L").as("pr"))
-      // r18: NO per-round frontier pin. Each round consumes r exactly
-      // once, so lineage is LINEAR in rounds (8 stacked join+agg
-      // layers over the two pinned leaves contrib/danglingIds) — the
-      // old every-other-round localCheckpoint bought no reuse and cost
-      // 4 eager materialization jobs per invocation (A/B under a load
-      // sentinel: ratio 1.39 pinned -> 1.17 lazy). The whole power
-      // iteration now plans and runs as ONE query; per-round exchange
-      // count at scale is unchanged.
-      r = next
+      // r18 (refined r19 per ADVICE): the pin policy follows the
+      // CONSUMPTION COUNT of r, per branch.
+      //  - no dangling nodes (the benched fixture, and the common kNN
+      //    case): each round consumes r exactly once, lineage is LINEAR
+      //    in rounds (8 stacked join+agg layers over the two pinned
+      //    leaves contrib/danglingIds) — no pin; the old
+      //    every-other-round localCheckpoint bought no reuse and cost 4
+      //    eager materialization jobs per invocation (A/B under a load
+      //    sentinel: ratio 1.39 pinned -> 1.17 lazy). The whole power
+      //    iteration plans and runs as ONE query.
+      //  - dangling nodes present: the round consumes r TWICE (the
+      //    inflow join AND the dangling-mass semi-join), so unpinned
+      //    lineage doubles per round (~2^rounds copies of the round
+      //    subtree) and only runtime exchange reuse stands between that
+      //    and exponential recompute — pin each round's frontier and
+      //    release its predecessor (guide §5: pin exactly the
+      //    multi-consumed frames).
+      r = if (hasDangling) {
+        val pinned = next.localCheckpoint()
+        r.unpersist()
+        pinned
+      } else next
     }
     val w = Window.partitionBy(col("cid")).orderBy(col("pr").desc, col("vec_id"))
     r.join(assign, "vec_id")

@@ -27,17 +27,27 @@ object Tables {
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => SchemaDrift.adapt(name, s.read.parquet(p)) })
 
-  /** Spread a scan across all cores before heavy per-row work. The
-    * harness parquet files are written as a SINGLE row group, and a row
-    * group is indivisible — whatever maxPartitionBytes says, one task
-    * decodes the whole file, and everything pipelined on top of the scan
-    * (explode, hashing, JSON codec) runs single-threaded. A round-robin
-    * repartition of the (small) scan output buys full parallelism for
-    * the expensive stage above it. On a real cluster with properly
-    * row-grouped/bucketed files the scan splits by itself and this
-    * becomes unnecessary — gate it on input layout, not a constant. */
-  def fanOut(df: DataFrame, key: String = "doc_id"): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+  /** Spread a scan across all cores before heavy per-row work — GATED
+    * on the input's actual arriving partition count (r18 verdict #1).
+    * The harness parquet files are written as a SINGLE row group, and a
+    * row group is indivisible — whatever maxPartitionBytes says, one
+    * task decodes the whole file, and everything pipelined on top of
+    * the scan (explode, hashing, JSON codec) runs single-threaded; the
+    * key-hash repartition buys full parallelism for the expensive stage
+    * above it. But a repartition always inserts an Exchange, and on a
+    * properly row-grouped production layout an unconditional
+    * `fanOut(documents)` would shuffle the full corpus payload for
+    * nothing — so when the scan already arrives in >=
+    * defaultParallelism splits the helper is the identity and no
+    * Exchange exists (the keyphraseRake pattern). Every call site hands
+    * this a scan-level frame (project/filter over a parquet scan, no
+    * exchanges or subqueries below), so `toRdd` here is pure split
+    * planning — AQE does not wrap exchange-free plans and no job runs. */
+  def fanOut(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= par) df
+    else df.repartition(par, col(key))
+  }
 
   /** events with `ts` as TimestampType (µs) and `ts_ns` as a
     * nanosecond long, whichever layout the fixture carries. The session
