@@ -846,7 +846,13 @@ object DedupQueries {
   // chain deep (the regime a 100 TB web-dedup corpus lives in, where a
   // diameter-40 chain costs propagation 40 full-edge shuffles).
   private def clusterStar(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir).localCheckpoint()
+    // no pin on the pair table (r19): it is consumed exactly once — by
+    // the edge canonicalization directly below, whose own checkpoint
+    // already truncates the banding lineage — so the old eager
+    // localCheckpoint was one full extra materialization job per
+    // invocation for zero reuse (the pagerank single-consumer lesson,
+    // guide §5)
+    val pairs = minhashPairs(spark, dir)
     // canonical undirected edges: hi > lo (minhash pairs have a_id <
     // b_id already; keep the invariant explicit and dedup)
     var edges = pairs
@@ -854,7 +860,6 @@ object DedupQueries {
         least(col("a_id"), col("b_id")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
       .localCheckpoint()
-    pairs.unpersist()
 
     // Both ops compute each node's neighborhood min as a WINDOW over
     // the adjacency, not a groupBy + self-join: the aggregate-join form
@@ -899,13 +904,24 @@ object DedupQueries {
 
     var converged = false
     var rounds = 0
+    // per-round job budget (r19, the 8v32-core inverse-ratio item): at
+    // toy scale each round is job-launch bound, so the loop runs TWO
+    // jobs per round instead of four — the checkpoint is LAZY (the
+    // convergence count is the action that materializes it; an eager
+    // pin would run the identical computation as its own extra job)
+    // and the predecessor's cardinality is carried in a variable
+    // instead of recounted (same number: it was counted when it was
+    // `next`). The anti-join probe only runs on count-equal rounds.
+    var edgeCount = edges.count()
     while (!converged && rounds < 15) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       // exact fixpoint: same cardinality and no edge left the set
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
       edges.unpersist()
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     // star state: every node's min neighbor (or itself) IS its
