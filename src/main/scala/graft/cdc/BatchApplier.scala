@@ -112,13 +112,28 @@ object BatchApplier {
       // above the cap the planner picks the join and the snapshot merely
       // shuffles for that oversized trigger. Callers that already know
       // the distinct-key count (the bucketed applyBatch's keyStats) pass
-      // it through; otherwise one count job over the (small) batch.
-      val nKeys = batchKeyCount.getOrElse(events.select(col("id")).distinct().count())
-      val keySide =
+      // it through and the key side stays a lazy plan; otherwise the
+      // distinct-key frame is PINNED and counted — the count job and the
+      // broadcast build then share ONE id-derivation pass over the batch
+      // instead of each re-deriving it (probed at sf0.1: the separate
+      // count job alone cost ~0.2 s of cdc_pipeline_state's ~0.8 s,
+      // guide §1.4/§5).
+      // (When the count is caller-supplied the key side stays the lazy
+      // plan it always was: distinct under the broadcast cap, the PLAIN
+      // raw-id exchange above it — the no-aggregate shape AQE's
+      // OptimizeSkewedJoin pattern-matches, pinned by
+      // MultiBatchPropertySpec.)
+      val (nKeys, pinnedKeys) = batchKeyCount match {
+        case Some(n) => (n, None)
+        case None =>
+          val keys = events.select(col("id")).distinct().localCheckpoint()
+          (keys.count(), Some(keys.toDF))
+      }
+      val keyJoin =
         if (nKeys <= BucketedStateStore.BroadcastKeyLimit)
-          broadcast(events.select(col("id")).distinct())
-        else events.select(col("id"))
-      src.join(keySide, Seq("id"), "left_semi")
+          broadcast(pinnedKeys.getOrElse(events.select(col("id")).distinct()))
+        else pinnedKeys.getOrElse(events.select(col("id")))
+      src.join(keyJoin, Seq("id"), "left_semi")
         .select(
           col("id"), lit(1).as("kind"), srcTs.as("ts"), lit("").as("op"), lit("").as("ns"),
           col("doc"), lit(null: String).as("parent"), lit(false).as("fromMigrate")).as[ApplyRow]
