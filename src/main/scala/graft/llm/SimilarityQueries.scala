@@ -1862,7 +1862,12 @@ object SimilarityQueries {
       h += 1
       // pin the pool between hops (≤ panel·(cell + h·degree·beamWidth)
       // rows — KBs) so hop h+1's frontier window doesn't replay hop h;
-      // the final pool ranks lazily
+      // the final pool ranks lazily. r19 A/B (verdict #4, 6 healthy
+      // bench passes each over topk/topk2/recall_hard2): dropping the
+      // pin regressed topk2 1.10->1.47 s (the pool is genuinely
+      // multi-consumed: frontier window + next union); a lazy
+      // localCheckpoint(false) variant saved the eager job but measured
+      // no better (totals 3.50 vs eager 3.26) — the eager pin stays.
       if (h < hops) cand = cand.localCheckpoint()
     }
     cand.withColumn("rank", row_number().over(wQ))
