@@ -980,6 +980,16 @@ object TextQueries {
     // occurrence-level exchange is the map-side-combined
     // groupBy(phrase) of bare phrase strings. Same maximal
     // stopword-free runs, same order (array order = token order).
+    // r19 A/B (verdict #7), measured and REJECTED: a whole-stage-codegen
+    // rewrite — regexp split on ' (?:the|and|a|of|to|in)(?= )' over the
+    // sentinel-padded text, each surviving segment being the phrase
+    // verbatim — was oracle-green at both SFs but SLOWER where it
+    // matters: sf1 min-of-5 4.29 s / med 5.51 vs the fold's 3.11 / 3.14
+    // (sf0.1 a wash, 1.02 vs 0.97 min). The regex engine's
+    // per-boundary alternation + lookahead costs more than the
+    // interpreter's per-token fold, so "interpreted lambda" is the
+    // cheaper of the two available run-splitters here; the posexplode +
+    // window form stays rejected from r17 (it shuffled every token).
     val runsExpr = expr(
       """filter(
         |  aggregate(
