@@ -444,12 +444,24 @@ object PipelineQueries {
     val batchW = hitWords(batch, pairs.select(col("b_id")).distinct(), "b_id")
     // the word-overlap join runs on two candidate-bounded exploded
     // frames; the checkpointed archW carries no size statistic, so the
-    // planner fell back to SortMergeJoin — broadcast is the
-    // scale-correct strategy for the O(batch·words) hit population
+    // planner fell back to SortMergeJoin — broadcast is the right
+    // strategy for a normal hit population (A/B'd at sf10: 9.35 s
+    // broadcast vs 9.97 SMJ), but the hit-word count is
+    // O(candidates · doc len) and candidates scale with the batch, so
+    // the hint is GUARDED by a measured count over the pinned frame
+    // (r18 ADVICE): one cheap job on the checkpointed archW, and a
+    // storm batch whose hit words outgrow the cap falls back to the
+    // planner instead of OOMing every executor.
+    val archWords = archW.select(col("a2"), explode(col("ws")).as("w2"))
+    val nArchWords =
+      archW.agg(coalesce(sum(size(col("ws"))), lit(0L))).head().getLong(0)
+    val archSide =
+      if (nArchWords <= graft.cdc.BucketedStateStore.BroadcastKeyLimit)
+        broadcast(archWords)
+      else archWords
     val inter = batchW.select(col("b_id"), explode(col("ws")).as("w"))
       .join(broadcast(pairs), Seq("b_id"))
-      .join(broadcast(archW.select(col("a2"), explode(col("ws")).as("w2"))),
-        col("a_id") === col("a2") && col("w") === col("w2"))
+      .join(archSide, col("a_id") === col("a2") && col("w") === col("w2"))
       .groupBy(col("b_id"), col("a_id")).agg(count(lit(1)).as("inter"))
     val scored = inter
       .join(broadcast(batchW.select(col("b_id"), size(col("ws")).as("sb"))), Seq("b_id"))
