@@ -6,6 +6,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    // engine-config A/B knobs (r19 verdict #5): defaults are the Spark
+    // defaults the suite has always run under, so the driver's bench
+    // stays comparable; the envs exist so codec/join-strategy A/Bs are
+    // reproducible full-suite runs instead of ad-hoc session hacks
+    val ioCodec = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")
+    val preferSmj = sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,6 +30,8 @@ object Bench {
       // grows metaspace until class-unload pauses land inside query
       // timings). A long-running service sizes this to its workload.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.io.compression.codec", ioCodec)
+      .config("spark.sql.join.preferSortMergeJoin", preferSmj)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

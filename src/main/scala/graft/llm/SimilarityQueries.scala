@@ -2666,7 +2666,16 @@ object SimilarityQueries {
       .select(col("src_id"), col("dst_id"))
     val assign = KnnGraphStore.loadAssign(spark, dir).localCheckpoint()
     val nodes = assign.select(col("vec_id"))
-    val nn = nodes.agg(count(lit(1)).as("n"))
+    // node count as a DRIVER LITERAL (r19): the old 1-row `nn` aggregate
+    // was crossJoined into the init and every round — 9 replicated agg
+    // subtrees and 9 BroadcastNestedLoopJoins in the plan, all to
+    // deliver one constant of the pinned assign frame. One count job on
+    // the checkpointed frame (the BlockGuard 1-row-statistic
+    // discipline; per-invocation, nothing cached across runs) rides the
+    // plan as a literal instead. max(1): when the corpus is empty there
+    // are no node rows, so the value is never used — the guard only
+    // keeps the driver-side constant folding from dividing by zero.
+    val nVecs = math.max(assign.count(), 1L)
     val outdeg = edges.groupBy(col("src_id")).agg(count(lit(1)).as("outd"))
     // edge side of every round's join, built once outside the loop
     // (an explicit repartition-to-data-size was A/B'd here and LOST —
@@ -2674,15 +2683,21 @@ object SimilarityQueries {
     // regardless, so extra repartitions only added cost; AQE's
     // partition coalescing already right-sizes the small case)
     val contrib = edges.join(outdeg, "src_id").localCheckpoint()
-    // dangling probe, ONCE: a kNN graph gives every vector out-edges
-    // unless its probe cells were empty of peers — when none exist (the
-    // common case) the per-round dangling scan is 8 skipped anti-joins
-    val danglingIds = nodes
-      .join(outdeg, nodes("vec_id") === outdeg("src_id"), "left_anti")
-      .localCheckpoint()
-    val hasDangling = !danglingIds.isEmpty
-    var r = nodes.crossJoin(nn)
-      .select(col("vec_id"), expr(s"${prScale}L DIV n").as("pr"))
+    // dangling probe, ONCE, by cardinality (r19): a kNN graph gives
+    // every vector out-edges unless its probe cells were empty of
+    // peers, so dangling nodes EXIST iff the graph has fewer distinct
+    // sources than there are nodes — one count over the out-degree
+    // aggregate instead of materializing an anti-join just to ask
+    // isEmpty (two jobs -> one); the dangling id frame itself is built
+    // and pinned only on the branch that consumes it 8 times.
+    val hasDangling = outdeg.count() < nVecs
+    val danglingIds =
+      if (hasDangling)
+        nodes.join(outdeg, nodes("vec_id") === outdeg("src_id"), "left_anti")
+          .localCheckpoint()
+      else null
+    val base = (15L * prScale) / (100L * nVecs)
+    var r = nodes.select(col("vec_id"), lit(prScale / nVecs).as("pr"))
     for (round <- 1 to prRounds) {
       val inflow = contrib.join(r, contrib("src_id") === r("vec_id"))
         .select(col("dst_id"), expr("pr DIV outd").as("c"))
@@ -2691,16 +2706,14 @@ object SimilarityQueries {
         val dang = r.join(danglingIds, Seq("vec_id"), "left_semi")
           .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
         nodes.join(inflow, nodes("vec_id") === inflow("dst_id"), "left")
-          .crossJoin(dang).crossJoin(nn)
+          .crossJoin(dang)
           .select(nodes("vec_id"),
-            expr(s"(15L * ${prScale}L) DIV (100L * n) + " +
-              "(85L * (coalesce(infl, 0L) + dang DIV n)) DIV 100L").as("pr"))
+            expr(s"${base}L + " +
+              s"(85L * (coalesce(infl, 0L) + dang DIV ${nVecs}L)) DIV 100L").as("pr"))
       } else
         nodes.join(inflow, nodes("vec_id") === inflow("dst_id"), "left")
-          .crossJoin(nn)
           .select(nodes("vec_id"),
-            expr(s"(15L * ${prScale}L) DIV (100L * n) + " +
-              "(85L * coalesce(infl, 0L)) DIV 100L").as("pr"))
+            expr(s"${base}L + (85L * coalesce(infl, 0L)) DIV 100L").as("pr"))
       // r18 (refined r19 per ADVICE): the pin policy follows the
       // CONSUMPTION COUNT of r, per branch.
       //  - no dangling nodes (the benched fixture, and the common kNN
